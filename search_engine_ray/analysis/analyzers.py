@@ -1,0 +1,312 @@
+"""Exact Python ports of the reference analyzer chain.
+
+The reference tokenizer (``/root/reference/src/domain/Tokenizer.ts:176-472``)
+is a set of 9 analyzers built from JavaScript regexes (no ``u`` flag), so
+``\\w`` means ASCII ``[A-Za-z0-9_]`` and ``\\s`` means the JS whitespace
+class (which includes NBSP, the Unicode spaces, BOM).  Python's ``re``
+defaults differ, so every class below is spelled out explicitly; golden
+vectors in ``tests/test_analyzers.py`` (mirroring
+``/root/reference/tests/tokenizer.test.ts:19-160``) lock byte-identical
+behavior.
+
+These are pure functions with no Ray dependency — they're composed into
+``map_batches`` stages by ``search_engine_ray.stages.tokenize``.
+The default stopword set is EMPTY: the reference ships no ``stopwords.json``
+(``/root/reference/src/infrastructure/StopwordsManager.ts:29-47`` loads an
+empty set when the file is absent).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, FrozenSet, Iterable, List
+from urllib.parse import urlsplit
+
+# JS whitespace class (what /\\s/ matches in a non-unicode JS regex):
+# TAB LF VT FF CR SP NBSP OGHAM, U+2000-200A, LS PS NNBSP MMSP IDSP BOM
+_JS_WS = (
+    "\t\n\x0b\x0c\r \u00a0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000\ufeff"
+)
+_S = "[" + _JS_WS + "]"  # none of these need escaping inside a class
+_NOT_S = "[^" + _JS_WS + "]"
+_W = "[A-Za-z0-9_]"  # JS \w (ASCII)
+
+# Empty by default — mirrors the reference's missing stopwords.json.
+DEFAULT_STOPWORDS: FrozenSet[str] = frozenset()
+
+# The list the reference test-suite injects (tests/tokenizer.test.ts:11-13).
+REFERENCE_TEST_STOPWORDS: FrozenSet[str] = frozenset(
+    "the a an and or but in on at to for of with by".split()
+)
+
+# --- standard analyzer (Tokenizer.ts:176-192) -------------------------------
+_RE_CONTRACTION = re.compile(r"([A-Za-z0-9_]+)'([A-Za-z0-9_]+)")
+_RE_POSSESSIVE = re.compile(r"([A-Za-z0-9_]+)'s\b", re.ASCII)
+_RE_PLURAL_POSS = re.compile(r"([A-Za-z0-9_]+)s'\b", re.ASCII)
+_RE_PUNCT = re.compile(r"[^A-Za-z0-9_" + _JS_WS + r"\-\.]")
+_RE_DOTS = re.compile(r"\.+")
+_RE_HYPHENS = re.compile(r"\-+")
+_RE_WS = re.compile(_S + "+")
+
+
+def _js_trim(s: str) -> str:
+    return s.strip(_JS_WS)
+
+
+def standard_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    """Port of ``standardAnalyzer`` (Tokenizer.ts:176-192), byte-identical."""
+    if not text or not isinstance(text, str):
+        return []
+    t = text.lower()
+    t = _RE_CONTRACTION.sub(r"\1 \2", t)  # don't -> don t
+    t = _RE_POSSESSIVE.sub(r"\1", t)  # cat's -> cat
+    t = _RE_PLURAL_POSS.sub(r"\1s", t)  # cats' -> cats
+    t = _RE_PUNCT.sub(" ", t)  # punctuation -> space (keep - and .)
+    t = _RE_DOTS.sub(" ", t)
+    t = _RE_HYPHENS.sub(" ", t)
+    t = _RE_WS.sub(" ", t)
+    t = _js_trim(t)
+    return [
+        tok
+        for tok in t.split(" ")
+        if tok and tok not in stopwords and len(tok) > 1
+    ]
+
+
+# --- simple analyzer (Tokenizer.ts:197-206) ---------------------------------
+_RE_NONWORD = re.compile(r"[^A-Za-z0-9_" + _JS_WS + r"]")
+
+
+def simple_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    t = text.lower()
+    t = _RE_NONWORD.sub(" ", t)
+    t = _RE_WS.sub(" ", t)
+    t = _js_trim(t)
+    return [tok for tok in t.split(" ") if tok and tok not in stopwords]
+
+
+# --- whitespace analyzer (Tokenizer.ts:211-216) -----------------------------
+def whitespace_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    return [
+        tok
+        for tok in _RE_WS.split(text)
+        if tok and tok.lower() not in stopwords
+    ]
+
+
+# --- keyword analyzer (Tokenizer.ts:221-223) --------------------------------
+def keyword_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    t = _js_trim(text)
+    return [t] if t else []
+
+
+# --- pattern analyzer (Tokenizer.ts:228-243) --------------------------------
+_RE_PATTERN_WORD = re.compile(r"\b[\w'-]+\b", re.ASCII)
+
+
+def pattern_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    out: List[str] = []
+    for m in _RE_PATTERN_WORD.finditer(text):
+        tok = m.group(0).lower()
+        if len(tok) > 1 and tok not in stopwords:
+            out.append(tok)
+    return out
+
+
+# --- email analyzer (Tokenizer.ts:248-277) ----------------------------------
+# [A-Z|a-z] is literal in the reference (includes '|'); kept as-is.
+_RE_EMAIL = re.compile(
+    r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b", re.ASCII
+)
+
+
+def email_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    tokens: List[str] = []
+    for m in _RE_EMAIL.finditer(text):
+        email = m.group(0).lower()
+        tokens.append(email)
+        parts = email.split("@")
+        local = parts[0] if parts else ""
+        domain = parts[1] if len(parts) > 1 else ""
+        if local and len(local) > 1:
+            tokens.append(local)
+        if domain and len(domain) > 1:
+            tokens.append(domain)
+            for part in domain.split("."):
+                if len(part) > 1:
+                    tokens.append(part)
+    return [t for t in tokens if t not in stopwords]
+
+
+# --- url analyzer (Tokenizer.ts:282-324) ------------------------------------
+_RE_URL = re.compile(r"https?://" + _NOT_S + "+")
+
+
+def url_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    tokens: List[str] = []
+    for m in _RE_URL.finditer(text):
+        url = m.group(0).lower()
+        tokens.append(url)
+        try:
+            parsed = urlsplit(url)
+            hostname = parsed.hostname
+        except ValueError:
+            hostname = None
+        if hostname:
+            tokens.append(hostname)
+            for part in hostname.split("."):
+                if len(part) > 1:
+                    tokens.append(part)
+            path = parsed.path
+            if path and path != "/":
+                for part in path.split("/"):
+                    if part and len(part) > 1:
+                        tokens.append(part)
+    return [t for t in tokens if t not in stopwords]
+
+
+# --- phone analyzer (Tokenizer.ts:329-381) ----------------------------------
+_D = "[0-9]"
+_SEP = "[-." + _JS_WS + "]"
+_RE_PHONE = re.compile(
+    r"((\+" + _D + r"{1,3}" + _SEP + r"?)?"
+    r"(\(" + _D + r"{3}\)|" + _D + r"{3})" + _SEP + r"?"
+    + _D + r"{3}" + _SEP + r"?" + _D + r"{4})"
+)
+_RE_NON_DIGIT = re.compile(r"[^0-9]")
+_RE_SHORT_NUM = re.compile(r"^[0-9]{3,4}$")
+
+
+def phone_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    tokens: List[str] = []
+    for m in _RE_PHONE.finditer(text):
+        phone = m.group(0)
+        tokens.append(phone)
+        digits = _RE_NON_DIGIT.sub("", phone)
+        if len(digits) >= 10:
+            tokens.append(digits)
+            if len(digits) > 10:
+                area = digits[len(digits) - 10 : len(digits) - 7]
+            else:
+                area = digits[0:3]
+            if area:
+                tokens.append(area)
+            middle = (
+                digits[len(digits) - 7 : len(digits) - 4]
+                if len(digits) > 10
+                else digits[3:6]
+            )
+            if middle:
+                tokens.append(middle)
+            last = digits[len(digits) - 4 :]
+            if last:
+                tokens.append(last)
+    if not tokens and _RE_SHORT_NUM.match(_js_trim(text)):
+        tokens.append(_js_trim(text))
+    return list(dict.fromkeys(tokens))  # dedupe, insertion order
+
+
+# --- advanced analyzer (Tokenizer.ts:386-396) -------------------------------
+def advanced_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    merged = dict.fromkeys(
+        standard_analyzer(text, stopwords)
+        + email_analyzer(text, stopwords)
+        + url_analyzer(text, stopwords)
+        + phone_analyzer(text, stopwords)
+    )
+    return list(merged)
+
+
+# --- custom analyzer (Tokenizer.ts:422-472) ---------------------------------
+def custom_analyzer(
+    text: str,
+    stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
+    *,
+    lowercase: bool = True,
+    remove_stopwords: bool = True,
+    min_length: int = 1,
+    max_length: float = float("inf"),
+    preserve_hyphens: bool = False,
+    preserve_apostrophes: bool = False,
+    custom_pattern: str | None = None,
+) -> List[str]:
+    if not text or not isinstance(text, str):
+        return []
+    processed = text
+    if lowercase:
+        processed = processed.lower()
+
+    def keep(tok: str) -> bool:
+        if remove_stopwords and tok in stopwords:
+            return False
+        if len(tok) < min_length or len(tok) > max_length:
+            return False
+        return True
+
+    if custom_pattern:
+        return [t for t in re.findall(custom_pattern, processed) if keep(t)]
+
+    if not preserve_apostrophes:
+        processed = processed.replace("'", " ")
+    if not preserve_hyphens:
+        processed = processed.replace("-", " ")
+    processed = _RE_NONWORD.sub(" ", processed)
+    processed = _RE_WS.sub(" ", processed)
+    processed = _js_trim(processed)
+    return [t for t in processed.split(" ") if t and keep(t)]
+
+
+ANALYZERS: dict[str, Callable[..., List[str]]] = {
+    "standard": standard_analyzer,
+    "simple": simple_analyzer,
+    "whitespace": whitespace_analyzer,
+    "keyword": keyword_analyzer,
+    "pattern": pattern_analyzer,
+    "email": email_analyzer,
+    "url": url_analyzer,
+    "phone": phone_analyzer,
+    "advanced": advanced_analyzer,
+}
+
+
+def tokenize(
+    text: str,
+    analyzer: str = "standard",
+    stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
+) -> List[str]:
+    """Dispatch mirroring ``Tokenizer.tokenize`` (Tokenizer.ts:111-138):
+    unknown analyzer names fall back to the standard analyzer."""
+    fn = ANALYZERS.get(analyzer, standard_analyzer)
+    return fn(text, stopwords)
+
+
+def analyzer_for_field_type(field_type: str) -> str:
+    """Field-type → analyzer dispatch (SearchEngine.ts:939-954).
+
+    Note the reference quirk: ``keyword`` fields are analyzed with the
+    *standard* analyzer, not the keyword analyzer."""
+    return {
+        "phone": "phone",
+        "email": "email",
+        "url": "url",
+        "text": "standard",
+        "keyword": "standard",
+    }.get(field_type, "standard")
