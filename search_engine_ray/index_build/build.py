@@ -81,6 +81,13 @@ def _dedup_keep_latest(df):
     return cand.iloc[[-1]]
 
 
+def _add_doc_id(batch: pa.Table) -> pa.Table:
+    from ..sources.webpages import url_doc_id
+
+    ids = [url_doc_id(u) for u in batch["url"].to_pylist()]
+    return batch.append_column("doc_id", pa.array(ids, pa.int64()))
+
+
 def _partition_files(files: List[str], n: int) -> List[List[str]]:
     n = max(1, min(n, len(files)))
     out: List[List[str]] = [[] for _ in range(n)]
@@ -112,6 +119,8 @@ def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
         ds = ds.groupby("url").map_groups(
             _dedup_keep_latest, batch_format="pandas"
         )
+    if not cfg.id_column:
+        ds = ds.map_batches(_add_doc_id, batch_format="pyarrow")
     return ds
 
 
@@ -130,11 +139,12 @@ def build_partition(
     _docs_pipeline(files, cfg).write_parquet(docs_dir)
 
     # stage 2: docs → postings → sorted → blocks
+    id_col = cfg.id_column or "doc_id"  # docs checkpoint carries doc_id
     tok = TokenizePostings(
         fields=cfg.fields,
         stopwords=cfg.stopwords,
         store_positions=cfg.store_positions,
-        id_column=cfg.id_column,
+        id_column=id_col,
     )
     ds = rd.read_parquet(docs_dir)
     kwargs: Dict = dict(
@@ -147,7 +157,7 @@ def build_partition(
                 fields=cfg.fields,
                 stopwords=cfg.stopwords,
                 store_positions=cfg.store_positions,
-                id_column=cfg.id_column,
+                id_column=id_col,
             ),
             concurrency=cfg.tokenize_concurrency,
             **kwargs,

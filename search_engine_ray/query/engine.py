@@ -1,0 +1,669 @@
+"""Top-k BM25 query engine over built index segments.
+
+Mirrors the reference query DSL and execution semantics
+(``/root/reference/src/domain/query/QueryParser.ts:19-206``,
+``QueryProcessor.ts:74-712``) re-expressed over immutable posting
+segments:
+
+* string query → whitespace terms → ``match`` clauses on field ``'*'``
+  (AND default, OR via ``operator``) — QueryParser.ts:22-42;
+* ``term``/``match``: single normalized (lowercased) value, exact posting
+  lookup; field ``'*'`` fans out over text fields — QueryProcessor.ts:146-207;
+* ``bool``: must/filter intersect, should union (filters results only when
+  no must/filter or when ``minimum_should_match`` > 0), must_not
+  difference — QueryProcessor.ts:239-296;
+* ``prefix``/``wildcard``/``fuzzy``: sorted-term-dictionary scans —
+  QueryProcessor.ts:330-435;
+* ``phrase``: position-list greedy proximity with ``maxGap <= slop`` —
+  QueryProcessor.ts:579-617 (positions come from the index, no document
+  re-tokenization);
+* ``range``/``geo_distance``: docstore column scans (vectorized Arrow
+  compute; reference does a full doc scan — QueryProcessor.ts:298-328,
+  437-527).
+
+Scoring: BM25 exactly as ``BM25Scorer.ts:102-117`` (k1=1.2, b=0.75,
+field boosts on ``token.split(':')[0]``), summed per analyzed query token
+**in token order** (the float-accumulation order of
+``RankingPipeline.ts:36-39``), tie-broken by ascending doc_id (our pinned
+deterministic analog of the reference's insertion-sequence tiebreak,
+``QueryEngine.ts:224-232`` — content-derived doc ids make this stable at
+any parallelism).  Scoring tokens are the field-scoped composite keys the
+reference's BM25Scorer is built around.
+
+Distribution: partitions are scored independently (scatter) with global
+stats (total_docs, avg_dl, per-term global df gathered in a cheap
+metadata-only phase 1), then top-k results are heap-merged on the driver
+(gather) — the rank-correct replacement for the reference worker pool's
+concat-merge (``SharedMemoryWorkerPool.ts:678-737``, which does not
+re-sort across workers).  ``use_ray=True`` runs partition scoring as Ray
+tasks; the default runs them serially in-process (same code path).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow.compute as pc
+
+from ..analysis.analyzers import DEFAULT_STOPWORDS, standard_analyzer
+from ..index_build.build import load_index_manifest
+from ..state.stats import GlobalStats
+from .postings import PartitionReader, TermPostings
+from .scorer import bm25_score_arrays, field_boost
+from .textmatch import (
+    check_phrase_positions,
+    fuzzy_matches,
+    levenshtein,
+    prefix_matches,
+    wildcard_matches,
+)
+
+EARTH_RADIUS_M = 6371e3  # QueryProcessor.ts:437-527 haversine radius
+
+
+# --------------------------------------------------------------------------
+# Query AST normalization (QueryParser semantics)
+# --------------------------------------------------------------------------
+
+def _single_field_value(node: dict, extra_keys=("fuzziness", "boost", "slop")):
+    """Support internal {field, value} and OpenSearch {fieldName: value}."""
+    if "field" in node and "value" in node:
+        return node["field"], node["value"], node
+    names = [k for k in node if k not in extra_keys]
+    if not names:
+        return None, None, node
+    fname = names[0]
+    val = node[fname]
+    opts = dict(node)
+    if isinstance(val, dict) and "query" in val:
+        opts.update({k: v for k, v in val.items() if k != "query"})
+        val = val["query"]
+    return fname, val, opts
+
+
+def normalize_query(raw, operator: str = "and"):
+    """String/raw-dict query → normalized AST dict (QueryParser.ts:19-206)."""
+    if raw is None:
+        return None
+    if isinstance(raw, str):
+        terms = [t for t in raw.strip().split() if t]
+        if not terms:
+            return None
+        clauses = [{"match": {"field": "*", "value": t}} for t in terms]
+        if len(clauses) == 1:
+            return clauses[0]
+        key = "should" if operator.lower() == "or" else "must"
+        return {"bool": {key: clauses}}
+    if not isinstance(raw, dict):
+        return None
+    if "match_all" in raw:
+        return {"match_all": raw["match_all"] or {}}
+    if "bool" in raw:
+        b = raw["bool"]
+        out = {}
+        for clause in ("must", "should", "must_not", "filter"):
+            v = b.get(clause)
+            if v is None:
+                v = []
+            elif not isinstance(v, list):
+                v = [v]
+            out[clause] = [
+                n for n in (normalize_query(q, operator) for q in v) if n
+            ]
+        out["minimum_should_match"] = b.get("minimum_should_match", 0)
+        return {"bool": out}
+    for kind in ("term", "match", "prefix", "wildcard", "fuzzy"):
+        if kind in raw:
+            f, v, opts = _single_field_value(raw[kind])
+            if f is None or v is None:
+                return None
+            node = {"field": f, "value": v}
+            if opts.get("fuzziness") is not None:
+                node["fuzziness"] = opts["fuzziness"]
+            return {kind: node}
+    if "match_phrase" in raw or "phrase" in raw:
+        p = raw.get("match_phrase") or raw.get("phrase")
+        f, v, opts = _single_field_value(p)
+        node = {"field": f, "value": v, "slop": opts.get("slop", 0)}
+        if opts.get("fuzziness"):
+            node["fuzziness"] = opts["fuzziness"]
+        return {"phrase": node}
+    if "range" in raw:
+        r = raw["range"]
+        if "field" in r:
+            return {"range": r}
+        names = list(r.keys())
+        if names:
+            return {"range": {"field": names[0], **(r[names[0]] or {})}}
+        return None
+    if "geo_distance" in raw:
+        return {"geo_distance": raw["geo_distance"]}
+    return None
+
+
+def collect_scoring_terms(
+    node, text_fields: Sequence[str], stopwords=DEFAULT_STOPWORDS
+) -> List[str]:
+    """Field-scoped scoring tokens, in query order.
+
+    Mirrors the *intent* of ``RankingPipeline.extractQueryTokens``
+    (term/prefix/wildcard/phrase values, bool recursion over all clauses)
+    but emits the composite ``field:token`` keys the BM25Scorer's df/tf
+    lookups are keyed on; ``match`` values are included (the reference
+    omits them from extraction and then falls back to non-BM25 scoring —
+    we keep the BM25 core and document the deviation)."""
+    out: List[str] = []
+
+    def fan(fieldname: str) -> List[str]:
+        return list(text_fields) if fieldname == "*" else [fieldname]
+
+    def walk(n):
+        if not n:
+            return
+        if "bool" in n:
+            for clause in ("must", "should", "must_not", "filter"):
+                for sub in n["bool"].get(clause, []):
+                    walk(sub)
+            return
+        for kind in ("term", "match", "prefix", "wildcard", "fuzzy"):
+            if kind in n:
+                v = str(n[kind]["value"]).lower()
+                for f in fan(n[kind]["field"]):
+                    out.append(f"{f}:{v}")
+                return
+        if "phrase" in n:
+            toks = standard_analyzer(str(n["phrase"]["value"]), stopwords)
+            for f in fan(n["phrase"]["field"]):
+                for t in toks:
+                    out.append(f"{f}:{t}")
+            return
+
+    walk(node)
+    # dedupe preserving order (a token scored once per occurrence would
+    # double-count; the reference accumulates per extracted token — we pin
+    # one contribution per distinct composite token)
+    return list(dict.fromkeys(out))
+
+
+# --------------------------------------------------------------------------
+# Per-partition evaluation
+# --------------------------------------------------------------------------
+
+@dataclass
+class PartitionResult:
+    doc_ids: np.ndarray
+    scores: np.ndarray
+
+
+class _PartitionEvaluator:
+    """Evaluates a normalized AST against one partition, returning sorted
+    candidate doc ids; scoring happens separately with global stats."""
+
+    def __init__(
+        self,
+        reader: PartitionReader,
+        text_fields: Sequence[str],
+        stopwords=DEFAULT_STOPWORDS,
+    ):
+        self.r = reader
+        self.text_fields = list(text_fields)
+        self.stopwords = stopwords
+        self._cache: Dict[str, TermPostings] = {}
+
+    def prefetch(self, terms: Sequence[str], with_positions=False) -> None:
+        missing = [t for t in terms if t not in self._cache]
+        if missing:
+            self._cache.update(
+                self.r.read_terms(missing, with_positions=with_positions)
+            )
+
+    def postings(self, term: str, with_positions=False) -> Optional[TermPostings]:
+        tp = self._cache.get(term)
+        if tp is None or (with_positions and tp.pos_blobs is None):
+            got = self.r.read_terms([term], with_positions=with_positions)
+            if term in got:
+                self._cache[term] = got[term]
+            tp = got.get(term)
+        return tp
+
+    def term_docs(self, field: str, value: str) -> np.ndarray:
+        fields = self.text_fields if field == "*" else [field]
+        arrays = []
+        for f in fields:
+            tp = self.postings(f"{f}:{str(value).lower()}")
+            if tp is not None:
+                arrays.append(tp.doc_ids)
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrays)) if len(arrays) > 1 else arrays[0]
+
+    def _expanded_docs(self, field: str, tokens: List[str]) -> np.ndarray:
+        if not tokens:
+            return np.empty(0, dtype=np.int64)
+        terms = [f"{field}:{t}" for t in tokens]
+        self.prefetch(terms)
+        arrays = [
+            self._cache[t].doc_ids for t in terms if t in self._cache
+        ]
+        if not arrays:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrays))
+
+    def evaluate(self, node) -> np.ndarray:
+        """Sorted int64 doc-id array of candidates."""
+        if node is None:
+            return np.empty(0, dtype=np.int64)
+        if "match_all" in node:
+            return self.r.all_doc_ids()
+        if "term" in node or "match" in node:
+            q = node.get("term") or node.get("match")
+            fuzz = q.get("fuzziness", 0) or 0
+            if fuzz:
+                fields = (
+                    self.text_fields if q["field"] == "*" else [q["field"]]
+                )
+                arrays = []
+                for f in fields:
+                    toks = fuzzy_matches(
+                        self.r.vocab(f), str(q["value"]), fuzz
+                    )
+                    arrays.append(self._expanded_docs(f, toks))
+                arrays = [a for a in arrays if a.size]
+                if not arrays:
+                    return np.empty(0, dtype=np.int64)
+                return np.unique(np.concatenate(arrays))
+            return self.term_docs(q["field"], q["value"])
+        if "prefix" in node:
+            q = node["prefix"]
+            toks = prefix_matches(self.r.vocab(q["field"]), str(q["value"]))
+            return self._expanded_docs(q["field"], toks)
+        if "wildcard" in node:
+            q = node["wildcard"]
+            toks = wildcard_matches(self.r.vocab(q["field"]), str(q["value"]))
+            return self._expanded_docs(q["field"], toks)
+        if "fuzzy" in node:
+            q = node["fuzzy"]
+            fuzz = q.get("fuzziness", 1) or 1  # default 1, QueryProcessor.ts:429
+            toks = fuzzy_matches(self.r.vocab(q["field"]), str(q["value"]), fuzz)
+            return self._expanded_docs(q["field"], toks)
+        if "phrase" in node:
+            return self._eval_phrase(node["phrase"])
+        if "range" in node:
+            return self._eval_range(node["range"])
+        if "geo_distance" in node:
+            return self._eval_geo(node["geo_distance"])
+        if "bool" in node:
+            return self._eval_bool(node["bool"])
+        return np.empty(0, dtype=np.int64)
+
+    def _eval_bool(self, b) -> np.ndarray:
+        # QueryProcessor.ts:239-296 combination semantics
+        must = b.get("must", [])
+        should = b.get("should", [])
+        must_not = b.get("must_not", [])
+        filt = b.get("filter", [])
+        msm = b.get("minimum_should_match", 0) or 0
+
+        result: Optional[np.ndarray] = None
+        for clause in list(must) + list(filt):
+            docs = self.evaluate(clause)
+            result = docs if result is None else np.intersect1d(
+                result, docs, assume_unique=True
+            )
+            if result.size == 0:
+                break
+
+        if should:
+            if msm > 1:
+                counts: Dict[int, int] = {}
+                stacks = [self.evaluate(c) for c in should]
+                allv = (
+                    np.concatenate([s for s in stacks if s.size])
+                    if any(s.size for s in stacks)
+                    else np.empty(0, dtype=np.int64)
+                )
+                uniq, cnt = np.unique(allv, return_counts=True)
+                should_docs = uniq[cnt >= msm]
+            else:
+                stacks = [self.evaluate(c) for c in should]
+                stacks = [s for s in stacks if s.size]
+                should_docs = (
+                    np.unique(np.concatenate(stacks))
+                    if stacks
+                    else np.empty(0, dtype=np.int64)
+                )
+            if result is None or msm > 0:
+                # should filters only when it stands alone or msm is set
+                result = (
+                    should_docs
+                    if result is None
+                    else np.intersect1d(result, should_docs, assume_unique=True)
+                )
+            # otherwise should only contributes to scoring, not filtering
+
+        if result is None:
+            result = np.empty(0, dtype=np.int64)
+
+        for clause in must_not:
+            if result.size == 0:
+                break
+            docs = self.evaluate(clause)
+            result = np.setdiff1d(result, docs, assume_unique=True)
+        return result
+
+    def _eval_phrase(self, q) -> np.ndarray:
+        field = q["field"]
+        value = str(q["value"])
+        slop = q.get("slop", 0) or 0
+        fuzz = q.get("fuzziness", 0) or 0
+        fields = self.text_fields if field == "*" else [field]
+        out = []
+        for f in fields:
+            toks = standard_analyzer(value, self.stopwords)
+            if not toks:
+                continue
+            if fuzz:
+                # expand each phrase token to its fuzzy vocabulary matches;
+                # positions-union is equivalent to the reference's per-token
+                # Levenshtein compare (QueryProcessor.ts:621-661)
+                vocab = self.r.vocab(f)
+                expanded = [fuzzy_matches(vocab, t, fuzz) for t in toks]
+                if any(not e for e in expanded):
+                    continue
+                plists_by_tok = []
+                cand: Optional[np.ndarray] = None
+                tps_per_tok = []
+                for variants in expanded:
+                    terms = [f"{f}:{t}" for t in variants]
+                    self.prefetch(terms, with_positions=True)
+                    tps = [
+                        self._cache[t] for t in terms if t in self._cache
+                    ]
+                    tps_per_tok.append(tps)
+                    docs = (
+                        np.unique(np.concatenate([tp.doc_ids for tp in tps]))
+                        if tps
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    cand = docs if cand is None else np.intersect1d(cand, docs)
+                if cand is None or cand.size == 0:
+                    continue
+                hits = []
+                for d in cand.tolist():
+                    pls = []
+                    for tps in tps_per_tok:
+                        parts = []
+                        for tp in tps:
+                            j = np.searchsorted(tp.doc_ids, d)
+                            if j < tp.df and tp.doc_ids[j] == d:
+                                parts.append(tp.positions_for(np.array([j]))[0])
+                        pls.append(
+                            np.sort(np.concatenate(parts))
+                            if parts
+                            else np.empty(0, dtype=np.uint64)
+                        )
+                    if check_phrase_positions(pls, slop, window_extra=slop + fuzz):
+                        hits.append(d)
+                out.append(np.asarray(hits, dtype=np.int64))
+                continue
+            terms = [f"{f}:{t}" for t in toks]
+            self.prefetch(terms, with_positions=True)
+            tps = [self._cache.get(t) for t in terms]
+            if any(tp is None for tp in tps):
+                continue
+            cand = tps[0].doc_ids
+            for tp in tps[1:]:
+                cand = np.intersect1d(cand, tp.doc_ids, assume_unique=True)
+            if cand.size == 0:
+                continue
+            hits = []
+            idx_per_tp = [
+                np.searchsorted(tp.doc_ids, cand) for tp in tps
+            ]
+            pos_per_tp = [
+                tp.positions_for(idx) for tp, idx in zip(tps, idx_per_tp)
+            ]
+            for ci, d in enumerate(cand.tolist()):
+                pls = [pos_per_tp[t][ci] for t in range(len(tps))]
+                if check_phrase_positions(pls, slop):
+                    hits.append(d)
+            out.append(np.asarray(hits, dtype=np.int64))
+        out = [o for o in out if o.size]
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(out)) if len(out) > 1 else out[0]
+
+    def _eval_range(self, q) -> np.ndarray:
+        # vectorized docstore scan (reference: full doc scan,
+        # QueryProcessor.ts:298-328)
+        field = q["field"]
+        expr = None
+        for op, fn in (("gte", pc.field(field) >= q.get("gte")),
+                       ("gt", pc.field(field) > q.get("gt")),
+                       ("lte", pc.field(field) <= q.get("lte")),
+                       ("lt", pc.field(field) < q.get("lt"))):
+            if q.get(op) is None:
+                continue
+            expr = fn if expr is None else (expr & fn)
+        if expr is None:
+            return np.empty(0, dtype=np.int64)
+        tbl = self.r.docs_table(columns=["doc_id"], filter=expr)
+        arr = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr.sort()
+        return arr
+
+    def _eval_geo(self, q) -> np.ndarray:
+        # haversine doc scan, R=6371e3 m (QueryProcessor.ts:437-527)
+        field = q.get("field", "location")
+        center = q.get("center") or q.get(field) or {}
+        if isinstance(center, (list, tuple)):
+            lat0, lon0 = float(center[0]), float(center[1])
+        else:
+            lat0, lon0 = float(center["lat"]), float(center["lon"])
+        dist = q.get("distance", 0)
+        if isinstance(dist, str):
+            s = dist.strip().lower()
+            if s.endswith("km"):
+                dist_m = float(s[:-2]) * 1000.0
+            elif s.endswith("m"):
+                dist_m = float(s[:-1])
+            else:
+                dist_m = float(s) * 1000.0
+        else:
+            dist_m = float(dist) * 1000.0  # bare number = km
+        tbl = self.r.docs_table(columns=["doc_id", "lat", "lon"])
+        lat = np.radians(tbl["lat"].to_numpy(zero_copy_only=False).astype(float))
+        lon = np.radians(tbl["lon"].to_numpy(zero_copy_only=False).astype(float))
+        la0, lo0 = np.radians(lat0), np.radians(lon0)
+        dphi = lat - la0
+        dlmb = lon - lo0
+        a = np.sin(dphi / 2) ** 2 + np.cos(la0) * np.cos(lat) * np.sin(dlmb / 2) ** 2
+        d = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids[d <= dist_m]
+        sel.sort()
+        return sel
+
+    # --- scoring -----------------------------------------------------------
+
+    def score_candidates(
+        self,
+        cand: np.ndarray,
+        scoring_terms: Sequence[str],
+        global_dfs: Dict[str, int],
+        stats: GlobalStats,
+        field_boosts: Optional[Dict[str, float]] = None,
+    ) -> np.ndarray:
+        """Σ over scoring terms (in order) of vectorized BM25."""
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for term in scoring_terms:
+            df = global_dfs.get(term, 0)
+            if df == 0:
+                continue
+            tp = self.postings(term)
+            if tp is None:
+                continue
+            j = np.searchsorted(tp.doc_ids, cand)
+            j_clip = np.minimum(j, tp.df - 1)
+            hit = tp.doc_ids[j_clip] == cand
+            if not hit.any():
+                continue
+            sc = bm25_score_arrays(
+                tp.tfs[j_clip[hit]],
+                tp.dls[j_clip[hit]],
+                total_docs=stats.total_docs,
+                avg_dl=stats.avg_dl,
+                df=df,
+                boost=field_boost(term, field_boosts),
+            )
+            scores[hit] += sc
+        return scores
+
+
+def _score_partition(
+    part_dir: str,
+    node,
+    scoring_terms: List[str],
+    global_dfs: Dict[str, int],
+    stats_json: str,
+    text_fields: List[str],
+    k: int,
+    field_boosts: Optional[Dict[str, float]] = None,
+    stopwords=DEFAULT_STOPWORDS,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Partition-local top-k (used serially or as a Ray task)."""
+    ev = _PartitionEvaluator(PartitionReader(part_dir), text_fields, stopwords)
+    cand = ev.evaluate(node)
+    if cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    stats = GlobalStats.from_json(stats_json)
+    scores = ev.score_candidates(
+        cand, scoring_terms, global_dfs, stats, field_boosts
+    )
+    # full (score desc, doc asc) order, then partition-local top-k.
+    # (argpartition alone would break score ties arbitrarily and lose the
+    # doc-id tiebreak at the k-boundary)
+    sel = np.lexsort((cand, -scores))[:k]
+    return cand[sel], scores[sel]
+
+
+class IndexSearcher:
+    """Search facade over a built index directory."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        text_fields: Sequence[str] = ("text",),
+        field_boosts: Optional[Dict[str, float]] = None,
+        use_ray: bool = False,
+        stopwords=DEFAULT_STOPWORDS,
+    ):
+        self.index_dir = index_dir
+        self.manifest = load_index_manifest(index_dir)
+        self.stats = GlobalStats(
+            self.manifest["total_docs"], self.manifest["sum_dl"]
+        )
+        self.text_fields = list(text_fields)
+        self.field_boosts = field_boosts
+        self.use_ray = use_ray
+        self.stopwords = stopwords
+        self.part_dirs = [
+            os.path.join(index_dir, "partitions", p)
+            for p in self.manifest["partitions"]
+        ]
+        self._readers = [PartitionReader(d) for d in self.part_dirs]
+
+    # phase 1: global df for the scoring terms (metadata-only reads)
+    def _global_dfs(self, terms: Sequence[str]) -> Dict[str, int]:
+        dfs: Dict[str, int] = {}
+        for r in self._readers:
+            for t, n in r.term_dfs(terms).items():
+                dfs[t] = dfs.get(t, 0) + n
+        return dfs
+
+    def search(
+        self,
+        query,
+        size: int = 10,
+        from_: int = 0,
+        operator: str = "and",
+    ) -> pd.DataFrame:
+        """Run a query; returns a DataFrame (doc_id, score) of the top
+        ``from_+size`` hits sliced to the requested page
+        (pagination per SearchEngine.ts:610-615)."""
+        node = normalize_query(query, operator)
+        if node is None:
+            return pd.DataFrame({"doc_id": [], "score": []})
+        terms = collect_scoring_terms(node, self.text_fields, self.stopwords)
+        dfs = self._global_dfs(terms)
+        k = from_ + size
+        args = [
+            (
+                d,
+                node,
+                terms,
+                dfs,
+                self.stats.to_json(),
+                self.text_fields,
+                k,
+                self.field_boosts,
+                self.stopwords,
+            )
+            for d in self.part_dirs
+        ]
+        if self.use_ray and len(args) > 1:
+            import ray
+
+            fn = ray.remote(_score_partition)
+            parts = ray.get([fn.remote(*a) for a in args])
+        else:
+            parts = [_score_partition(*a) for a in args]
+
+        # driver-side k-way merge (rank-correct, unlike the reference's
+        # concat merge)
+        merged = heapq.merge(
+            *[
+                list(zip((-sc).tolist(), ids.tolist()))
+                for ids, sc in parts
+            ],
+        )
+        out_ids: List[int] = []
+        out_scores: List[float] = []
+        for negs, did in merged:
+            out_ids.append(did)
+            out_scores.append(-negs)
+            if len(out_ids) >= k:
+                break
+        return pd.DataFrame(
+            {"doc_id": out_ids[from_:], "score": out_scores[from_:]}
+        )
+
+    def count(self, query, operator: str = "and") -> int:
+        node = normalize_query(query, operator)
+        if node is None:
+            return 0
+        total = 0
+        for r in self._readers:
+            ev = _PartitionEvaluator(r, self.text_fields, self.stopwords)
+            total += int(ev.evaluate(node).size)
+        return total
+
+    def enrich(self, hits: pd.DataFrame, columns=("url",)) -> pd.DataFrame:
+        """Join top-k hits back to the docstore (small-side lookup)."""
+        ids = hits["doc_id"].tolist()
+        if not ids:
+            return hits
+        frames = []
+        for r in self._readers:
+            tbl = r.docs_table(
+                columns=["doc_id", *columns],
+                filter=pc.field("doc_id").isin(ids),
+            )
+            frames.append(tbl.to_pandas())
+        docs = pd.concat(frames, ignore_index=True)
+        return hits.merge(docs, on="doc_id", how="left")

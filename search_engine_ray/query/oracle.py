@@ -1,0 +1,310 @@
+"""Reference-semantics oracle: a small in-memory engine that mirrors the
+reference's single-process behavior (add → inverted maps → query → BM25
+rank), used to assert that the distributed Ray pipeline is rank-identical.
+
+This is the Python analog of the reference ingest/search path:
+
+* ``add``: tokenize per field (``SearchEngine.ts:871-924``), positions =
+  index in the analyzed token array, doc length = total tokens over
+  top-level string fields (``SearchEngine.ts:234-237``);
+* query evaluation: set-based combinators over ``Map`` lookups
+  (``QueryProcessor.ts:118-712``), including the greedy phrase proximity
+  over re-tokenized document text (``QueryProcessor.ts:579-617``) —
+  deliberately implemented on *doc token arrays*, independently of the
+  index's position lists, so parity tests cross-check the two routes;
+* scoring: exact BM25 (``BM25Scorer.ts:102-117``), accumulated per token
+  in query order (``RankingPipeline.ts:36-39``), tie-break (score desc,
+  doc_id asc) — the pinned deterministic analog of the reference's
+  insertion-sequence tiebreak.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from ..analysis.analyzers import DEFAULT_STOPWORDS, standard_analyzer, tokenize
+from ..stages.tokenize import PAGE_FIELDS
+from .engine import collect_scoring_terms, normalize_query
+from .scorer import B, K1
+from .textmatch import levenshtein
+
+
+class OracleEngine:
+    def __init__(
+        self,
+        fields: Sequence[Tuple[str, str]] = PAGE_FIELDS,
+        stopwords=DEFAULT_STOPWORDS,
+        text_fields: Sequence[str] = ("text",),
+        field_boosts: Optional[Dict[str, float]] = None,
+    ):
+        self.fields = tuple(fields)
+        self.stopwords = stopwords
+        self.text_fields = list(text_fields)
+        self.field_boosts = field_boosts or {}
+        self.postings: Dict[str, Dict[int, List[int]]] = {}
+        self.doc_lengths: Dict[int, int] = {}
+        self.docs: Dict[int, dict] = {}
+        self.field_tokens: Dict[str, set] = {}
+
+    # --- ingest -----------------------------------------------------------
+    def add(self, doc: dict, doc_id: int) -> None:
+        if doc_id in self.docs:
+            self.delete(doc_id)
+        self.docs[doc_id] = doc
+        dl = 0
+        for field, analyzer in self.fields:
+            value = doc.get(field)
+            if not isinstance(value, str):
+                continue
+            toks = tokenize(value, analyzer, self.stopwords)
+            dl += len(toks)
+            ftoks = self.field_tokens.setdefault(field, set())
+            for pos, tok in enumerate(toks):
+                key = f"{field}:{tok}"
+                self.postings.setdefault(key, {}).setdefault(
+                    doc_id, []
+                ).append(pos)
+                ftoks.add(tok)
+        self.doc_lengths[doc_id] = dl
+
+    def delete(self, doc_id: int) -> None:
+        self.docs.pop(doc_id, None)
+        self.doc_lengths.pop(doc_id, None)
+        for key in list(self.postings):
+            self.postings[key].pop(doc_id, None)
+            if not self.postings[key]:
+                del self.postings[key]
+
+    # --- stats ------------------------------------------------------------
+    @property
+    def total_docs(self) -> int:
+        return len(self.docs)
+
+    @property
+    def avg_dl(self) -> float:
+        return (
+            sum(self.doc_lengths.values()) / len(self.doc_lengths)
+            if self.doc_lengths
+            else 0.0
+        )
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, {}))
+
+    # --- scoring (BM25Scorer.ts:102-117, scalar) --------------------------
+    def bm25(self, term: str, doc_id: int, tf: int) -> float:
+        df = self.df(term)
+        if df == 0 or doc_id not in self.doc_lengths:
+            return 0.0
+        idf = math.log((self.total_docs - df + 0.5) / (df + 0.5) + 1.0)
+        dl = self.doc_lengths[doc_id]
+        avgdl = self.avg_dl or 1.0
+        boost = self.field_boosts.get(term.split(":")[0], 1.0)
+        score = (
+            boost * idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * (dl / avgdl)))
+        )
+        return max(0.0, score)
+
+    # --- evaluation -------------------------------------------------------
+    def _fields_of(self, field: str) -> List[str]:
+        return self.text_fields if field == "*" else [field]
+
+    def _term_docs(self, field: str, value: str) -> set:
+        out: set = set()
+        for f in self._fields_of(field):
+            out |= set(self.postings.get(f"{f}:{str(value).lower()}", {}))
+        return out
+
+    def _vocab(self, field: str) -> set:
+        return self.field_tokens.get(field, set())
+
+    def _expand_docs(self, field: str, tokens) -> set:
+        out: set = set()
+        for t in tokens:
+            out |= set(self.postings.get(f"{field}:{t}", {}))
+        return out
+
+    def _eval(self, node) -> set:
+        if node is None:
+            return set()
+        if "match_all" in node:
+            return set(self.docs)
+        if "term" in node or "match" in node:
+            q = node.get("term") or node.get("match")
+            fuzz = q.get("fuzziness", 0) or 0
+            if fuzz:
+                out: set = set()
+                for f in self._fields_of(q["field"]):
+                    toks = [
+                        t
+                        for t in self._vocab(f)
+                        if levenshtein(str(q["value"]).lower(), t, fuzz) <= fuzz
+                    ]
+                    out |= self._expand_docs(f, toks)
+                return out
+            return self._term_docs(q["field"], q["value"])
+        if "prefix" in node:
+            q = node["prefix"]
+            p = str(q["value"]).lower()
+            toks = [t for t in self._vocab(q["field"]) if t.startswith(p)]
+            return self._expand_docs(q["field"], toks)
+        if "wildcard" in node:
+            import re
+
+            q = node["wildcard"]
+            pat = str(q["value"]).lower()
+            rx = re.compile(
+                "^"
+                + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
+                + "$"
+            )
+            toks = [t for t in self._vocab(q["field"]) if rx.match(t)]
+            return self._expand_docs(q["field"], toks)
+        if "fuzzy" in node:
+            q = node["fuzzy"]
+            fuzz = q.get("fuzziness", 1) or 1
+            v = str(q["value"]).lower()
+            toks = [
+                t
+                for t in self._vocab(q["field"])
+                if levenshtein(v, t, fuzz) <= fuzz
+            ]
+            return self._expand_docs(q["field"], toks)
+        if "phrase" in node:
+            return self._eval_phrase(node["phrase"])
+        if "range" in node:
+            q = node["range"]
+            out = set()
+            for did, doc in self.docs.items():
+                v = doc.get(q["field"])
+                if v is None:
+                    continue
+                ok = True
+                if q.get("gte") is not None and not v >= q["gte"]:
+                    ok = False
+                if q.get("gt") is not None and not v > q["gt"]:
+                    ok = False
+                if q.get("lte") is not None and not v <= q["lte"]:
+                    ok = False
+                if q.get("lt") is not None and not v < q["lt"]:
+                    ok = False
+                if ok:
+                    out.add(did)
+            return out
+        if "bool" in node:
+            b = node["bool"]
+            result: Optional[set] = None
+            for clause in list(b.get("must", [])) + list(b.get("filter", [])):
+                docs = self._eval(clause)
+                result = docs if result is None else (result & docs)
+            should = b.get("should", [])
+            msm = b.get("minimum_should_match", 0) or 0
+            if should:
+                if msm > 1:
+                    from collections import Counter
+
+                    c: Counter = Counter()
+                    for clause in should:
+                        c.update(self._eval(clause))
+                    sd = {d for d, n in c.items() if n >= msm}
+                else:
+                    sd = set()
+                    for clause in should:
+                        sd |= self._eval(clause)
+                if result is None or msm > 0:
+                    result = sd if result is None else (result & sd)
+            if result is None:
+                result = set()
+            for clause in b.get("must_not", []):
+                result -= self._eval(clause)
+            return result
+        return set()
+
+    def _eval_phrase(self, q) -> set:
+        # faithful port of _checkPhraseProximity over re-tokenized doc text
+        field = q["field"]
+        value = str(q["value"])
+        slop = q.get("slop", 0) or 0
+        fuzz = q.get("fuzziness", 0) or 0
+        out: set = set()
+        for f in self._fields_of(field):
+            phrase_toks = standard_analyzer(value, self.stopwords)
+            if not phrase_toks:
+                continue
+            first_docs = (
+                self._term_docs(f, phrase_toks[0])
+                if not fuzz
+                else self._expand_docs(
+                    f,
+                    [
+                        t
+                        for t in self._vocab(f)
+                        if levenshtein(phrase_toks[0], t, fuzz) <= fuzz
+                    ],
+                )
+            )
+            for did in first_docs:
+                doc = self.docs.get(did)
+                if not doc or not isinstance(doc.get(f), str):
+                    continue
+                doc_toks = standard_analyzer(doc[f], self.stopwords)
+                if self._check_phrase(doc_toks, phrase_toks, slop, fuzz):
+                    out.add(did)
+        return out
+
+    @staticmethod
+    def _check_phrase(doc_tokens, phrase_tokens, slop, fuzziness=0) -> bool:
+        # QueryProcessor.ts:579-661, both exact and fuzzy variants
+        m = len(phrase_tokens)
+        if m == 0:
+            return True
+        n = len(doc_tokens)
+        if n < m:
+            return False
+        window_extra = slop + (fuzziness if fuzziness else 0)
+        for i in range(0, n - m + 1):
+            matches = 0
+            max_gap = 0
+            last = i - 1
+            for j in range(m):
+                tok = phrase_tokens[j]
+                found = False
+                for k in range(max(last + 1, i + j), min(n, i + j + window_extra + 1)):
+                    dt = doc_tokens[k]
+                    hit = (
+                        levenshtein(tok, dt, fuzziness) <= fuzziness
+                        if fuzziness
+                        else dt == tok
+                    )
+                    if hit:
+                        matches += 1
+                        max_gap = max(max_gap, k - last - 1)
+                        last = k
+                        found = True
+                        break
+                if not found:
+                    break
+            if matches == m and max_gap <= slop:
+                return True
+        return False
+
+    # --- search -----------------------------------------------------------
+    def search(
+        self, query, size: int = 10, from_: int = 0, operator: str = "and"
+    ) -> List[Tuple[int, float]]:
+        node = normalize_query(query, operator)
+        if node is None:
+            return []
+        cand = self._eval(node)
+        terms = collect_scoring_terms(node, self.text_fields, self.stopwords)
+        scored = []
+        for did in cand:
+            s = 0.0
+            for term in terms:
+                plist = self.postings.get(term, {}).get(did)
+                if plist:
+                    s += self.bm25(term, did, len(plist))
+            scored.append((did, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        return scored[from_ : from_ + size]

@@ -1,0 +1,168 @@
+"""Rank-identical parity: distributed engine vs reference-semantics oracle.
+
+Builds a small corpus + index (Ray pipeline), loads the same deduped
+documents into the in-memory ``OracleEngine`` (an independent, set/dict
+based implementation of the reference semantics), and asserts that the
+distributed searcher returns IDENTICAL top-k doc ids and BM25 scores for a
+reference-style query battery (FIXTURES.md §2)."""
+
+import os
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from search_engine_ray.query.oracle import OracleEngine
+from search_engine_ray.sources.webpages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory, ray_session):
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.query import IndexSearcher
+
+    root = tmp_path_factory.mktemp("parity")
+    corpus = str(root / "corpus")
+    generate_pages(corpus, n_rows=500, seed=7, n_files=2)
+    index_dir = str(root / "index")
+    build_index(index_dir, corpus, BuildConfig(n_partitions=3))
+
+    searcher = IndexSearcher(index_dir)
+
+    # oracle over the SAME deduped docs (from the docstore checkpoint)
+    oracle = OracleEngine()
+    docs = []
+    for r in searcher._readers:
+        docs.append(r.docs_table(columns=["doc_id", "url", "text", "lang"]))
+    import pyarrow as pa
+
+    tbl = pa.concat_tables(docs)
+    for row in tbl.to_pylist():
+        oracle.add(
+            {"url": row["url"], "text": row["text"], "lang": row["lang"]},
+            row["doc_id"],
+        )
+    return searcher, oracle, tbl
+
+
+def _freq_tokens(tbl):
+    c = Counter()
+    for t in tbl["text"].to_pylist()[:200]:
+        c.update(w for w in t.lower().split() if len(w) > 1)
+    common = [w for w, _ in c.most_common(5)]
+    mid = [w for w, n in c.most_common(200)[100:] if n > 2][:5]
+    return common, mid
+
+
+QUERY_CASES = []
+
+
+def _cases(searcher, oracle, tbl):
+    common, mid = _freq_tokens(tbl)
+    head, mid1, mid2 = common[0], mid[0], mid[1]
+    return [
+        ("head term", {"term": {"field": "text", "value": head}}, {}),
+        ("mid match", {"match": {"field": "text", "value": mid1}}, {}),
+        ("absent", {"match": {"field": "text", "value": "zzzqqqxx"}}, {}),
+        ("bare string AND", f"{head} {mid1}", {}),
+        ("bare string OR", f"{mid1} {mid2}", {"operator": "or"}),
+        ("star fanout", {"match": {"field": "*", "value": mid1}}, {}),
+        (
+            "bool must+must_not",
+            {
+                "bool": {
+                    "must": [{"match": {"field": "text", "value": head}}],
+                    "must_not": [{"match": {"field": "text", "value": mid1}}],
+                }
+            },
+            {},
+        ),
+        (
+            "bool should msm=2",
+            {
+                "bool": {
+                    "should": [
+                        {"match": {"field": "text", "value": mid1}},
+                        {"match": {"field": "text", "value": mid2}},
+                        {"match": {"field": "text", "value": head}},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            },
+            {},
+        ),
+        (
+            "bool filter no-score",
+            {
+                "bool": {
+                    "must": [{"match": {"field": "text", "value": mid1}}],
+                    "filter": [{"match": {"field": "lang", "value": "en"}}],
+                }
+            },
+            {},
+        ),
+        ("phrase exact", {"match_phrase": {"field": "text", "value": f"{common[1]} {common[2]}"}}, {}),
+        ("phrase slop2", {"phrase": {"field": "text", "value": f"{common[1]} {common[3]}", "slop": 2}}, {}),
+        ("prefix", {"prefix": {"field": "text", "value": mid1[:3]}}, {}),
+        ("wildcard", {"wildcard": {"field": "text", "value": mid1[:2] + "*"}}, {}),
+        ("wildcard q", {"wildcard": {"field": "text", "value": mid1[:-1] + "?"}}, {}),
+        ("fuzzy1", {"fuzzy": {"field": "text", "value": mid1[:-1] + "x", "fuzziness": 1}}, {}),
+        ("match fuzz", {"match": {"field": "text", "value": mid2, "fuzziness": 1}}, {}),
+        ("range lang", {"range": {"field": "lang", "gte": "de", "lte": "es"}}, {}),
+        ("match_all", {"match_all": {}}, {}),
+        ("opensearch shape", {"match": {"text": mid1}}, {}),
+        ("pagination", {"match": {"field": "text", "value": head}}, {"from_": 5, "size": 7}),
+        ("url field", {"term": {"field": "url", "value": "example"}}, {}),
+    ]
+
+
+def test_rank_identical_battery(setup):
+    searcher, oracle, tbl = setup
+    failures = []
+    for name, q, opts in _cases(searcher, oracle, tbl):
+        size = opts.get("size", 10)
+        from_ = opts.get("from_", 0)
+        operator = opts.get("operator", "and")
+        got = searcher.search(q, size=size, from_=from_, operator=operator)
+        want = oracle.search(q, size=size, from_=from_, operator=operator)
+        g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
+        if [x[0] for x in g] != [x[0] for x in want]:
+            failures.append((name, "docids", g[:5], want[:5]))
+            continue
+        for (gd, gs), (wd, ws) in zip(g, want):
+            if not np.isclose(gs, ws, rtol=1e-12, atol=1e-15):
+                failures.append((name, "scores", (gd, gs), (wd, ws)))
+                break
+    assert not failures, failures
+
+
+def test_nonempty_results(setup):
+    searcher, oracle, tbl = setup
+    common, mid = _freq_tokens(tbl)
+    got = searcher.search({"match": {"field": "text", "value": common[0]}})
+    assert len(got) == 10
+    assert (got["score"] > 0).all()
+    # scores strictly non-increasing
+    assert (np.diff(got["score"].to_numpy()) <= 1e-18).all()
+
+
+def test_count_matches_oracle(setup):
+    searcher, oracle, tbl = setup
+    common, mid = _freq_tokens(tbl)
+    q = {"match": {"field": "text", "value": mid[0]}}
+    from search_engine_ray.query.engine import normalize_query
+
+    assert searcher.count(q) == len(oracle._eval(normalize_query(q)))
+
+
+def test_use_ray_path_identical(setup, ray_session):
+    from search_engine_ray.query import IndexSearcher
+
+    searcher, oracle, tbl = setup
+    common, mid = _freq_tokens(tbl)
+    rs = IndexSearcher(searcher.index_dir, use_ray=True)
+    q = f"{common[0]} {mid[0]}"
+    a = searcher.search(q, size=20)
+    b = rs.search(q, size=20)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
