@@ -535,13 +535,25 @@ def _score_partition(
     k: int,
     field_boosts: Optional[Dict[str, float]] = None,
     stopwords=DEFAULT_STOPWORDS,
+    pruning: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Partition-local top-k (used serially or as a Ray task)."""
     ev = _PartitionEvaluator(PartitionReader(part_dir), text_fields, stopwords)
+    stats = GlobalStats.from_json(stats_json)
+    if pruning != "off":
+        from .wand import pruning_plan, topk_blockmax
+
+        plan = pruning_plan(node, text_fields)
+        if plan is not None:
+            mode, plan_terms = plan
+            ev.prefetch(plan_terms)
+            pmap = {t: ev._cache[t] for t in plan_terms if t in ev._cache}
+            return topk_blockmax(
+                pmap, plan_terms, mode, global_dfs, stats, k, field_boosts
+            )
     cand = ev.evaluate(node)
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    stats = GlobalStats.from_json(stats_json)
     scores = ev.score_candidates(
         cand, scoring_terms, global_dfs, stats, field_boosts
     )
@@ -562,6 +574,7 @@ class IndexSearcher:
         field_boosts: Optional[Dict[str, float]] = None,
         use_ray: bool = False,
         stopwords=DEFAULT_STOPWORDS,
+        pruning: str = "auto",
     ):
         self.index_dir = index_dir
         self.manifest = load_index_manifest(index_dir)
@@ -572,6 +585,7 @@ class IndexSearcher:
         self.field_boosts = field_boosts
         self.use_ray = use_ray
         self.stopwords = stopwords
+        self.pruning = pruning
         self.part_dirs = [
             os.path.join(index_dir, "partitions", p)
             for p in self.manifest["partitions"]
@@ -613,6 +627,7 @@ class IndexSearcher:
                 k,
                 self.field_boosts,
                 self.stopwords,
+                self.pruning,
             )
             for d in self.part_dirs
         ]
