@@ -85,7 +85,12 @@ def rolling_fingerprints(text: str, window: int = 8) -> List[int]:
     out: List[int] = []
     if not toks:
         return out
-    hashes = [hash(t) & 0xFFFFFFFF for t in toks]
+    hashes = [
+        int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=4).digest(), "big"
+        )
+        for t in toks
+    ]
     power = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
     h = 0
     for i, v in enumerate(hashes):

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: decode / feature-extract / resize /
+frame-sample stages over opaque ``binary`` payload columns.
+
+Real codec libraries (Pillow, ffmpeg, torchaudio) are NOT in this
+container, so the decode kernels are STUBS: by default they raise
+``NotImplementedError`` with the library that would be plugged in; with
+``fake=True`` they produce a deterministic fake decode (seeded from the
+payload hash) so the Ray-side plumbing — schema, batch sizing, actor
+signatures, output layout — is real and tested end-to-end.
+
+Scale notes baked into the design:
+* payload batches are kept in ``batch_format="pyarrow"`` (binary columns
+  don't round-trip pandas well);
+* decode stages are actor pools (codec init once per actor) with SMALL
+  ``batch_size`` — a batch of B payloads × decoded size must fit the
+  worker heap;
+* decoded tensors are emitted as fixed-size ``list<float>`` columns so
+  downstream stages stay zero-copy Arrow.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+
+def _fake_pixels(payload: bytes, shape: Tuple[int, ...]) -> np.ndarray:
+    seed = int.from_bytes(
+        hashlib.blake2b(payload or b"", digest_size=8).digest(), "big"
+    )
+    rng = np.random.default_rng(seed)
+    return rng.random(shape, dtype=np.float32)
+
+
+class ImageDecodeStage:
+    """binary image payload → (H, W, 3) float tensor (flattened)."""
+
+    def __init__(
+        self,
+        height: int = 32,
+        width: int = 32,
+        payload_column: str = "payload",
+        fake: bool = False,
+    ):
+        self.h, self.w = height, width
+        self.payload_column = payload_column
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "image decoding requires Pillow/torchvision (not in this "
+                "container); construct with fake=True for the deterministic "
+                "stub decoder"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tensors = [
+            _fake_pixels(p, (self.h, self.w, 3)).reshape(-1).tolist()
+            for p in batch[self.payload_column].to_pylist()
+        ]
+        return batch.drop_columns([self.payload_column]).append_column(
+            "pixels", pa.array(tensors, pa.list_(pa.float32()))
+        )
+
+
+class ImageResizeStage:
+    """(H*W*3) pixels → (h*w*3) via vectorized nearest-neighbor resample
+    (a real kernel — no codec needed)."""
+
+    def __init__(self, in_hw: Tuple[int, int], out_hw: Tuple[int, int]):
+        self.ih, self.iw = in_hw
+        self.oh, self.ow = out_hw
+        ys = (np.arange(self.oh) * self.ih // self.oh).astype(np.int64)
+        xs = (np.arange(self.ow) * self.iw // self.ow).astype(np.int64)
+        self.index = (ys[:, None] * self.iw + xs[None, :]).reshape(-1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for px in batch["pixels"].to_pylist():
+            img = np.asarray(px, dtype=np.float32).reshape(
+                self.ih * self.iw, 3
+            )
+            out.append(img[self.index].reshape(-1).tolist())
+        i = batch.schema.get_field_index("pixels")
+        return batch.set_column(
+            i, "pixels", pa.array(out, pa.list_(pa.float32()))
+        )
+
+
+class ImageFeatureStage:
+    """pixels → small feature vector (channel means/stds + 4x4 luma grid);
+    a stand-in for a model-backed embedder (which would load its weights
+    here in __init__, once per actor)."""
+
+    def __init__(self, hw: Tuple[int, int]):
+        self.h, self.w = hw
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for px in batch["pixels"].to_pylist():
+            img = np.asarray(px, dtype=np.float32).reshape(self.h, self.w, 3)
+            luma = img.mean(axis=2)
+            gh, gw = self.h // 4, self.w // 4
+            grid = luma[: gh * 4, : gw * 4].reshape(4, gh, 4, gw).mean(axis=(1, 3))
+            f = np.concatenate(
+                [img.mean(axis=(0, 1)), img.std(axis=(0, 1)), grid.reshape(-1)]
+            )
+            feats.append(f.astype(np.float32).tolist())
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float32()))
+        )
+
+
+class AudioFrameSampleStage:
+    """binary audio payload → sampled frame energies (stub decode)."""
+
+    def __init__(
+        self,
+        n_frames: int = 16,
+        payload_column: str = "payload",
+        fake: bool = False,
+    ):
+        self.n_frames = n_frames
+        self.payload_column = payload_column
+        if not fake:
+            raise NotImplementedError(
+                "audio decoding requires soundfile/ffmpeg (not in this "
+                "container); construct with fake=True for the stub decoder"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = [
+            _fake_pixels(p, (self.n_frames,)).tolist()
+            for p in batch[self.payload_column].to_pylist()
+        ]
+        return batch.drop_columns([self.payload_column]).append_column(
+            "frame_energy", pa.array(frames, pa.list_(pa.float32()))
+        )

