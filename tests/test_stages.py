@@ -398,6 +398,7 @@ class TestMultimodal:
                 ImageDecodeStage,
                 fn_constructor_kwargs=dict(height=16, width=16, fake=True),
                 batch_format="pyarrow",
+                concurrency=2,
             )
             .to_pandas()
         )
