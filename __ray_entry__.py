@@ -1,16 +1,24 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25
+search) on sf0.001; ``queries()`` exposes one callable per implemented
+operator/pipeline from SURVEY.md §2 plus the training-data ops;
+``oracle_sql()`` pairs each with equivalent DuckDB SQL over the
+pre-registered testdata views.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Conventions shared by the Ray side and the SQL side (so the driver's
+order-insensitive value-hash matches):
+* floats rounded to 6 decimals on both sides;
+* big float sums computed as scaled-integer sums (``sum(round(v*S))/S``)
+  — integer sums in double are exact at any summation order;
+* tokenization of ``documents.text`` (plain single-spaced lowercase
+  tokens) equals the engine's standard analyzer = split + drop len<=1
+  tokens; the SQL mirrors that with ``list_filter(..., length(x)>1)``
+  (the general analyzer chain is locked separately by the byte-identical
+  golden vectors in tests/test_analyzers.py).
+
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init``/``ray.shutdown`` here.
 """
 
 from __future__ import annotations
@@ -18,27 +26,285 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# token filter used by every tokenizing oracle: standard analyzer over the
+# synthetic docs == whitespace split minus len<=1 tokens
+_TOKS = "list_filter(string_split(text, ' '), x -> length(x) > 1)"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build (or resume) the inverted index over the sf0.001
+    documents table and run a BM25 search; returns the hits DataFrame."""
+    from search_engine_ray.pipelines import driver_queries as q
+
+    return q.bm25_top10("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from search_engine_ray.pipelines import driver_queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # index build / stats (SURVEY §2.1, §2.5 collection stats)
+        "doc_stats": q.doc_stats,
+        "term_df_top50": q.term_df_top50,
+        # query engine (SURVEY §2.6, §2.8)
+        "bm25_top10": q.bm25_top10,
+        "phrase_docs": q.phrase_docs,
+        "prefix_docs": q.prefix_docs,
+        "wildcard_docs": q.wildcard_docs,
+        "fuzzy_vocab": q.fuzzy_vocab,
+        # dedup / text analysis (training-data ops)
+        "dedup_exact_docs": q.dedup_exact_docs,
+        "fingerprints": q.fingerprints,
+        "quality": q.quality,
+        "token_counts_by_source": q.token_counts_by_source,
+        # aggregations (SURVEY §2.5)
+        "lang_counts": q.lang_counts,
+        "histogram_n_chars": q.histogram_n_chars,
+        "date_histogram_events": q.date_histogram_events,
+        "range_agg_value": q.range_agg_value,
+        # stream-shaped (windowed aggregates)
+        "tumbling_user_value": q.tumbling_user_value,
+        "session_windows": q.session_windows,
+        # similarity search
+        "similarity_top10": q.similarity_top10,
+        "embedding_pairs": q.embedding_pairs,
+        # relational demos (broadcast join + partial aggregation)
+        "pricing_summary": q.pricing_summary,
+        "nation_revenue": q.nation_revenue,
+        # rows-only checks (no SQL-expressible oracle)
+        "langid_counts": q.langid_counts,
+        "minhash_pairs": q.minhash_pairs,
+        "simhash_pairs": q.simhash_pairs,
+        "embedding_lsh_pairs": q.embedding_lsh_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats": f"""
+            WITH dl AS (
+              SELECT doc_id, len({_TOKS}) AS dl FROM documents
+            )
+            SELECT count(*)::BIGINT AS total_docs,
+                   sum(dl)::BIGINT AS sum_dl,
+                   round(sum(dl) * 1.0 / count(*), 6) AS avg_dl
+            FROM dl
+        """,
+        "term_df_top50": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            )
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+                   count(*)::BIGINT AS cf
+            FROM toks GROUP BY term
+            ORDER BY df DESC, term ASC LIMIT 50
+        """,
+        "bm25_top10": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(len({_TOKS})) FROM documents) AS sdl
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN ('spark', 'join') GROUP BY term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+                       (tf.tf * (1.2 + 1)) /
+                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 *
+                           (dl.dl / (stats.sdl * 1.0 / stats.n))))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 6) AS score FROM scored
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "phrase_docs": f"""
+            SELECT doc_id FROM documents
+            WHERE ' ' || array_to_string({_TOKS}, ' ') || ' '
+                  LIKE '% batch batch %'
+            ORDER BY doc_id
+        """,
+        "prefix_docs": """
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+                      x -> length(x) > 1 AND x LIKE 'sp%')) > 0
+            ORDER BY doc_id
+        """,
+        "wildcard_docs": """
+            SELECT doc_id FROM documents
+            WHERE len(list_filter(string_split(text, ' '),
+                      x -> length(x) > 1
+                           AND regexp_matches(x, '^w.ndow$'))) > 0
+            ORDER BY doc_id
+        """,
+        "fuzzy_vocab": f"""
+            WITH toks AS (
+              SELECT DISTINCT unnest({_TOKS}) AS term FROM documents
+            )
+            SELECT term FROM toks
+            WHERE levenshtein(term, 'joins') <= 1
+            ORDER BY term
+        """,
+        "dedup_exact_docs": """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                       AS rn
+              FROM documents
+            ) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "fingerprints": f"""
+            SELECT doc_id,
+                   md5(array_to_string({_TOKS}, ' ')) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "quality": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::BIGINT AS n_tokens,
+                   len(list_distinct(toks))::BIGINT AS n_uniq_tokens,
+                   round(list_sum(list_transform(toks, x -> length(x)))
+                         * 1.0 / len(toks), 6) AS mean_token_len
+            FROM t ORDER BY doc_id
+        """,
+        "token_counts_by_source": """
+            SELECT source,
+                   sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "lang_counts": """
+            SELECT lang, count(*)::BIGINT AS doc_count
+            FROM documents GROUP BY lang
+            ORDER BY doc_count DESC, lang ASC LIMIT 10
+        """,
+        "histogram_n_chars": """
+            SELECT (floor(n_chars / 100.0) * 100)::DOUBLE AS bucket,
+                   count(*)::BIGINT AS doc_count
+            FROM documents GROUP BY 1 ORDER BY bucket
+        """,
+        "date_histogram_events": """
+            SELECT (CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT)
+                    * 86400000)::BIGINT AS bucket_ms,
+                   count(*)::BIGINT AS doc_count,
+                   round(sum(CAST(round(value * 1000000) AS BIGINT))
+                         / 1000000.0, 6) AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "range_agg_value": """
+            SELECT '*-10' AS range_label, count(*)::BIGINT AS doc_count
+              FROM events WHERE value < 10
+            UNION ALL
+            SELECT '10-50', count(*)::BIGINT
+              FROM events WHERE value >= 10 AND value < 50
+            UNION ALL
+            SELECT '50-*', count(*)::BIGINT
+              FROM events WHERE value >= 50
+        """,
+        "tumbling_user_value": """
+            SELECT user_id,
+                   (CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                    * 3600000000)::BIGINT AS window_us,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(CAST(round(value * 1000000) AS BIGINT))
+                         / 1000000.0, 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "session_windows": """
+            WITH e AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) - 1
+                       AS session
+              FROM e
+            )
+            SELECT user_id, session::BIGINT AS session,
+                   min(epoch_us(ts))::BIGINT AS session_start,
+                   max(epoch_us(ts))::BIGINT AS session_end,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(CAST(round(value * 1000000) AS BIGINT))
+                         / 1000000.0, 6) AS sum_value
+            FROM s GROUP BY user_id, session ORDER BY user_id, session
+        """,
+        "similarity_top10": """
+            WITH q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6)
+                     AS sim
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(
+                CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC,
+                vec_id ASC
+            LIMIT 10
+        """,
+        "embedding_pairs": """
+            SELECT a, b, round(sim, 6) AS sim FROM (
+              SELECT e1.vec_id AS a, e2.vec_id AS b,
+                     list_cosine_similarity(
+                       CAST(e1.embedding AS DOUBLE[]),
+                       CAST(e2.embedding AS DOUBLE[])) AS sim
+              FROM embeddings e1 JOIN embeddings e2
+                ON e1.vec_id < e2.vec_id
+            ) WHERE sim >= 0.42 ORDER BY a, b
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         / 100.0, 6) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         / 100.0, 6) AS sum_base_price,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 10000) AS BIGINT))
+                         / 10000.0, 6) AS sum_disc_price,
+                   round(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                         / 100.0 / count(*), 6) AS avg_qty,
+                   round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                         / 100.0 / count(*), 6) AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "nation_revenue": """
+            SELECT n_name,
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 10000) AS BIGINT))
+                         / 10000.0, 6) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+    }

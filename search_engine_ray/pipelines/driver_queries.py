@@ -1,0 +1,484 @@
+"""Driver-contract query implementations over the testdata tables.
+
+Each function takes ``sf_dir`` and returns a pandas DataFrame whose
+column names/values match the paired DuckDB oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (floats rounded to 6 decimals on
+both sides; deterministic ORDER/tie-breaks on both sides).
+
+Ray is initialised by the caller (driver/bench/tests) — nothing here
+calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..analysis.analyzers import standard_analyzer
+from ..index_build.build import BuildConfig, build_index
+from ..stages.tokenize import STATS_TERM, TokenizePostings
+from ..stages import aggregates as agg
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import windows as win
+from ..stages.textstats import FingerprintStage, LangIdStage, QualityStage
+
+DOC_FIELDS = (("text", "standard"),)
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _tokenized(sf_dir: str) -> rd.Dataset:
+    tok = TokenizePostings(fields=DOC_FIELDS, id_column="doc_id")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tok, batch_format="pyarrow", batch_size=1024
+    )
+
+
+def _index_dir(sf_dir: str) -> str:
+    """Build (or resume) the inverted index for this sf_dir; cached on disk
+    keyed by the corpus path — manifests make the rebuild a no-op."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ser_idx_{key}"
+    build_index(
+        idx,
+        f"{sf_dir}/documents.parquet",
+        BuildConfig(
+            fields=DOC_FIELDS,
+            id_column="doc_id",
+            extract_html=False,
+            dedup=False,
+            read_columns=["doc_id", "text"],
+            n_partitions=2,
+        ),
+    )
+    return idx
+
+
+def _searcher(sf_dir: str):
+    from ..query import IndexSearcher
+
+    return IndexSearcher(_index_dir(sf_dir))
+
+
+# --- corpus / index statistics --------------------------------------------
+
+def doc_stats(sf_dir: str) -> pd.DataFrame:
+    idx = _index_dir(sf_dir)
+    from ..index_build.build import load_index_manifest
+
+    m = load_index_manifest(idx)
+    return pd.DataFrame(
+        {
+            "total_docs": [int(m["total_docs"])],
+            "sum_dl": [int(m["sum_dl"])],
+            "avg_dl": [round(m["avg_dl"], 6)],
+        }
+    )
+
+
+def term_df_top50(sf_dir: str) -> pd.DataFrame:
+    post = _tokenized(sf_dir).map_batches(
+        lambda b: b.filter(pc.field("term") != STATS_TERM).select(
+            ["term", "tf"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        post.groupby("term")
+        .aggregate(Count(alias_name="df"), Sum("tf", alias_name="cf"))
+        .to_pandas()
+    )
+    out["term"] = out["term"].str.slice(len("text:"))
+    out = out.sort_values(["df", "term"], ascending=[False, True]).head(50)
+    return out[["term", "df", "cf"]].reset_index(drop=True).astype(
+        {"df": "int64", "cf": "int64"}
+    )
+
+
+# --- search ---------------------------------------------------------------
+
+def bm25_top10(sf_dir: str) -> pd.DataFrame:
+    s = _searcher(sf_dir)
+    hits = s.search("spark join", size=10, operator="or")
+    hits["score"] = hits["score"].round(6)
+    return hits.astype({"doc_id": "int64"})
+
+
+def phrase_docs(sf_dir: str) -> pd.DataFrame:
+    s = _searcher(sf_dir)
+    from ..query.engine import _PartitionEvaluator, normalize_query
+
+    node = normalize_query(
+        {"match_phrase": {"field": "text", "value": "batch batch"}}
+    )
+    ids = []
+    for r in s._readers:
+        ev = _PartitionEvaluator(r, ["text"])
+        ids += ev.evaluate(node).tolist()
+    return pd.DataFrame({"doc_id": sorted(ids)}).astype({"doc_id": "int64"})
+
+
+def prefix_docs(sf_dir: str) -> pd.DataFrame:
+    s = _searcher(sf_dir)
+    from ..query.engine import _PartitionEvaluator, normalize_query
+
+    node = normalize_query({"prefix": {"field": "text", "value": "sp"}})
+    ids = []
+    for r in s._readers:
+        ev = _PartitionEvaluator(r, ["text"])
+        ids += ev.evaluate(node).tolist()
+    return pd.DataFrame({"doc_id": sorted(ids)}).astype({"doc_id": "int64"})
+
+
+def wildcard_docs(sf_dir: str) -> pd.DataFrame:
+    s = _searcher(sf_dir)
+    from ..query.engine import _PartitionEvaluator, normalize_query
+
+    node = normalize_query({"wildcard": {"field": "text", "value": "w?ndow"}})
+    ids = []
+    for r in s._readers:
+        ev = _PartitionEvaluator(r, ["text"])
+        ids += ev.evaluate(node).tolist()
+    return pd.DataFrame({"doc_id": sorted(ids)}).astype({"doc_id": "int64"})
+
+
+def fuzzy_vocab(sf_dir: str) -> pd.DataFrame:
+    from ..query.textmatch import fuzzy_matches
+
+    s = _searcher(sf_dir)
+    toks = set()
+    for r in s._readers:
+        toks.update(fuzzy_matches(r.vocab("text"), "joins", 1))
+    return pd.DataFrame({"term": sorted(toks)})
+
+
+# --- dedup / fingerprints / quality ---------------------------------------
+
+def dedup_exact_docs(sf_dir: str) -> pd.DataFrame:
+    out = dd.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return (
+        pd.DataFrame({"doc_id": sorted(out["doc_id"].astype("int64"))})
+    )
+
+
+def fingerprints(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(FingerprintStage(), batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64"}
+    )
+
+
+def quality(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(QualityStage(), batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens", "n_uniq_tokens", "mean_token_len"])
+        .to_pandas()
+    )
+    out["mean_token_len"] = out["mean_token_len"].round(6)
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "n_tokens": "int64", "n_uniq_tokens": "int64"}
+    )
+
+
+def token_counts_by_source(sf_dir: str) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
+        n = [len(t.split()) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "source": batch["source"],
+                "partial_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    out = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("partial_tokens", alias_name="ws_tokens"),
+            Count(alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {"ws_tokens": "int64", "n_docs": "int64"}
+    )
+
+
+# --- aggregations ----------------------------------------------------------
+
+def lang_counts(sf_dir: str) -> pd.DataFrame:
+    out = agg.terms_agg(_docs(sf_dir, ["lang"]), "lang", size=10)
+    return out.astype({"doc_count": "int64"})
+
+
+def histogram_n_chars(sf_dir: str) -> pd.DataFrame:
+    out = agg.histogram_agg(_docs(sf_dir, ["n_chars"]), "n_chars", 100)
+    return out.astype({"doc_count": "int64"})
+
+
+def _scale_value(ds: rd.Dataset, column: str = "value", scale: float = 1e6) -> rd.Dataset:
+    """Replace a float column with round(v*scale) int64 so downstream sums
+    are exact integers in double — identical regardless of summation order,
+    hence bit-equal to the DuckDB oracle's sum (which mirrors the same
+    scaling)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
+        sv = np.round(v * scale).astype(np.int64)
+        i = batch.schema.get_field_index(column)
+        return batch.set_column(i, column, pa.array(sv, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def date_histogram_events(sf_dir: str) -> pd.DataFrame:
+    ds = _scale_value(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    )
+    out = agg.date_histogram_agg(ds, "ts", "1d", value_field="value")
+    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    return out.astype({"bucket_ms": "int64", "doc_count": "int64"})
+
+
+def range_agg_value(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    out = agg.range_agg(ds, "value", [(None, 10.0), (10.0, 50.0), (50.0, None)])
+    return out.astype({"doc_count": "int64"})
+
+
+def tumbling_user_value(sf_dir: str) -> pd.DataFrame:
+    ds = _scale_value(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+        )
+    )
+    out = win.tumbling_window(ds, "ts", "user_id", 3_600_000_000, "value")
+    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    return out.astype(
+        {"user_id": "int64", "window_us": "int64", "n_events": "int64"}
+    )
+
+
+def session_windows(sf_dir: str) -> pd.DataFrame:
+    ds = _scale_value(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+        )
+    )
+    out = win.session_window(
+        ds, "ts", "user_id", gap_us=1_800_000_000, value_field="value"
+    )
+    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    return out.astype(
+        {
+            "user_id": "int64",
+            "session": "int64",
+            "session_start": "int64",
+            "session_end": "int64",
+            "n_events": "int64",
+        }
+    )
+
+
+# --- similarity ------------------------------------------------------------
+
+def similarity_top10(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        ds.map_batches(
+            lambda b: b.filter(pc.field("vec_id") == 0),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["embedding"]
+        .iloc[0]
+    )
+    out = sim.brute_force_topk(
+        ds, np.asarray(q, dtype=np.float64), k=10, exclude_ids=(0,),
+        dtype=np.float64,
+    )
+    out = out.drop(columns=["qid"])
+    out["sim"] = out["sim"].round(6)
+    return out.reset_index(drop=True).astype({"vec_id": "int64"})
+
+
+def embedding_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.all_pairs_above(ds, threshold=0.42, dtype=np.float64)
+    out["sim"] = out["sim"].round(6)
+    return out.astype({"a": "int64", "b": "int64"})
+
+
+# --- relational (broadcast-join / partial-agg demos) -----------------------
+
+def pricing_summary(sf_dir: str) -> pd.DataFrame:
+    cols = [
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    ]
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["l_shipdate"] <= cutoff]
+        # scaled-integer sums: exact in double at any summation order, so
+        # they match the DuckDB oracle (which mirrors the same scaling)
+        df["q100"] = np.round(df["l_quantity"] * 100).astype("int64")
+        df["p100"] = np.round(df["l_extendedprice"] * 100).astype("int64")
+        df["d100"] = np.round(df["l_discount"] * 100).astype("int64")
+        df["dp1e4"] = np.round(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
+        ).astype("int64")
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("q100", "sum"),
+            p_price=("p100", "sum"),
+            p_disc_price=("dp1e4", "sum"),
+            p_disc=("d100", "sum"),
+            p_n=("q100", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_price", alias_name="sum_base_price"),
+            Sum("p_disc_price", alias_name="sum_disc_price"),
+            Sum("p_disc", alias_name="s_disc"),
+            Sum("p_n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    merged["sum_qty"] = merged["sum_qty"] / 100.0
+    merged["sum_base_price"] = merged["sum_base_price"] / 100.0
+    merged["sum_disc_price"] = merged["sum_disc_price"] / 10000.0
+    merged["avg_qty"] = (merged["sum_qty"] / merged["count_order"]).round(6)
+    merged["avg_disc"] = (
+        merged["s_disc"] / 100.0 / merged["count_order"]
+    ).round(6)
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        merged[c] = merged[c].round(6)
+    merged = merged.drop(columns=["s_disc"])
+    merged = merged.sort_values(["l_returnflag", "l_linestatus"])
+    return merged[
+        [
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "avg_qty", "avg_disc", "count_order",
+        ]
+    ].reset_index(drop=True).astype({"count_order": "int64"})
+
+
+def nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation with the
+    three small sides broadcast once (``ray.put``) and looked up inside
+    ``map_batches`` — the no-shuffle broadcast-join pattern for
+    dimension tables (SURVEY.md §2.4)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    ok2ck = dict(zip(orders.o_orderkey, orders.o_custkey))
+    ck2nk = dict(zip(customer.c_custkey, customer.c_nationkey))
+    nk2name = dict(zip(nation.n_nationkey, nation.n_name))
+    ref = ray.put((ok2ck, ck2nk, nk2name))
+
+    class JoinScore:
+        def __init__(self):
+            self.ok2ck, self.ck2nk, self.nk2name = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            rev = np.round(
+                df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
+            ).astype("int64")
+            nk = (
+                df["l_orderkey"].map(self.ok2ck).map(self.ck2nk)
+            )
+            name = nk.map(self.nk2name)
+            g = (
+                pd.DataFrame({"n_name": name, "rev": rev})
+                .groupby("n_name", as_index=False)["rev"]
+                .sum()
+                .rename(columns={"rev": "partial_rev"})
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    merged = (
+        ds.map_batches(JoinScore, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(Sum("partial_rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    merged["revenue"] = (merged["revenue"] / 10000.0).round(6)
+    return merged.sort_values("n_name").reset_index(drop=True)
+
+
+# --- rows-only (no SQL oracle) --------------------------------------------
+
+def langid_counts(sf_dir: str) -> pd.DataFrame:
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(LangIdStage(), batch_format="pyarrow")
+        .select_columns(["lang_pred"])
+        .to_pandas()["lang_pred"]
+        .value_counts()
+    )
+    return (
+        pd.DataFrame({"lang_pred": out.index, "n": out.values})
+        .sort_values(["n", "lang_pred"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    pairs = dd.minhash_lsh_candidates(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+    return pairs.astype(
+        {"a": "int64", "b": "int64"}, errors="ignore"
+    )
+
+
+def simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    pairs = dd.simhash_candidates(
+        _docs(sf_dir, ["doc_id", "text"]), max_hamming=3
+    )
+    return pairs.astype({"a": "int64", "b": "int64"}, errors="ignore")
+
+
+def embedding_lsh_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = sim.lsh_bucketed_neardup(ds, threshold=0.42, n_tables=8)
+    out["sim"] = out["sim"].round(6)
+    return out.astype({"a": "int64", "b": "int64"}, errors="ignore")

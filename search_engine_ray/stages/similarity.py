@@ -25,11 +25,11 @@ import ray.data as rd
 from .util import default_pool_size
 
 
-def _batch_matrix(batch: pa.Table, column: str) -> np.ndarray:
+def _batch_matrix(batch: pa.Table, column: str, dtype=np.float32) -> np.ndarray:
     col = batch[column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return np.asarray(col.to_pylist(), dtype=np.float32)
+    return np.asarray(col.to_pylist(), dtype=dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -41,15 +41,16 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class _PartialTopK:
     """Per-batch exact cosine vs a broadcast query matrix → partial top-k."""
 
-    def __init__(self, queries_ref, k: int, column: str, id_column: str):
+    def __init__(self, queries_ref, k: int, column: str, id_column: str, dtype=np.float32):
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        self.dtype = dtype
+        self.q = _normalize(np.asarray(q, dtype=dtype))
         self.k = k
         self.column = column
         self.id_column = id_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.column))
+        m = _normalize(_batch_matrix(batch, self.column, self.dtype))
         ids = np.asarray(batch[self.id_column].to_pylist(), dtype=np.int64)
         sims = m @ self.q.T  # (B, Q)
         k = min(self.k, len(ids))
@@ -77,15 +78,18 @@ def brute_force_topk(
     column: str = "embedding",
     id_column: str = "vec_id",
     exclude_ids: Optional[Tuple[int, ...]] = None,
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """Exact cosine top-k for each query row; returns
-    (qid, vec_id, sim) sorted by (qid, sim desc, vec_id asc)."""
-    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    (qid, vec_id, sim) sorted by (qid, sim desc, vec_id asc).  Use
+    dtype=np.float64 when results must match a double-precision oracle."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=dtype))
     qref = ray.put(queries)
     partial = ds.map_batches(
         _PartialTopK,
         fn_constructor_kwargs=dict(
-            queries_ref=qref, k=k, column=column, id_column=id_column
+            queries_ref=qref, k=k, column=column, id_column=id_column,
+            dtype=dtype,
         ),
         batch_format="pyarrow",
         concurrency=default_pool_size(),
@@ -107,12 +111,13 @@ def all_pairs_above(
     threshold: float,
     column: str = "embedding",
     id_column: str = "vec_id",
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """Exact pairs (a < b, cos ≥ threshold).  The full normalized matrix is
     broadcast (fine to ~100k rows; beyond that use the LSH variant)."""
     full = ds.select_columns([id_column, column]).to_pandas()
     ids_all = full[id_column].to_numpy().astype(np.int64)
-    mat = _normalize(np.asarray(full[column].tolist(), dtype=np.float32))
+    mat = _normalize(np.asarray(full[column].tolist(), dtype=dtype))
     mref = ray.put((ids_all, mat))
 
     class PairFinder:
@@ -120,7 +125,7 @@ def all_pairs_above(
             self.ids_all, self.mat = ray.get(mref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(batch, column))
+            m = _normalize(_batch_matrix(batch, column, dtype))
             ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
             sims = m @ self.mat.T
             out_a, out_b, out_s = [], [], []
