@@ -1,0 +1,191 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on identical input and reports both throughputs plus
+scaling efficiency (sandbox proxy for N vs 4N nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_ROWS = int(os.environ.get("GRAFT_PAGES_ROWS", "100000"))
+PAGES_DIR = f"/tmp/ser_bench_pages_{PAGES_ROWS}"
+
+
+def _ensure_corpus() -> str:
+    from search_engine_ray.sources import generate_pages
+
+    generate_pages(PAGES_DIR, n_rows=PAGES_ROWS, seed=42, n_files=32)
+    return PAGES_DIR
+
+
+def _warm_cache(path: str) -> None:
+    # untimed read so timings measure compute + shuffle, not first disk read
+    for root, _, files in os.walk(path):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.query import IndexSearcher
+    from search_engine_ray.stages import aggregates as agg
+    from search_engine_ray.stages import dedup as dd
+    from search_engine_ray.stages import similarity as sim
+    from search_engine_ray.stages import windows as win
+
+    results: dict = {}
+    extras: dict = {}
+
+    corpus = _ensure_corpus()
+    _warm_cache(corpus)
+    _warm_cache(SF_DIR)
+
+    # 1. flagship: inverted-index build over Common-Crawl-style pages
+    #    (html extract → dedup → tokenize → sort shuffle → posting blocks)
+    idx_dir = f"/tmp/ser_bench_idx_{NUM_CPUS}_{PAGES_ROWS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    manifest = build_index(
+        idx_dir,
+        corpus,
+        BuildConfig(n_partitions=2, tokenize_batch_size=512),
+    )
+    dt = time.time() - t0
+    results["pages_index_build"] = round(dt, 3)
+    extras["index_docs_per_sec"] = round(manifest["total_docs"] / dt, 1)
+    extras["index_total_docs"] = manifest["total_docs"]
+    extras["index_n_postings"] = manifest["n_postings"]
+
+    # 2. BM25 query battery over the built index (p50 latency)
+    searcher = IndexSearcher(idx_dir)
+    battery = [
+        ("the data", "or"),
+        ("the of and", "or"),
+        ("with time like", "and"),
+        ({"term": {"field": "text", "value": "about"}}, "and"),
+        ({"match_phrase": {"field": "text", "value": "of the"}}, "and"),
+        ({"prefix": {"field": "text", "value": "ba"}}, "and"),
+        ({"bool": {"must": [{"match": {"field": "text", "value": "time"}}],
+                    "must_not": [{"match": {"field": "text", "value": "see"}}]}},
+         "and"),
+    ]
+    lat = []
+    t0 = time.time()
+    for q, op in battery * 3:
+        tq = time.time()
+        searcher.search(q, size=10, operator=op)
+        lat.append(time.time() - tq)
+    results["bm25_queries"] = round(time.time() - t0, 3)
+    extras["bm25_p50_ms"] = round(1000 * sorted(lat)[len(lat) // 2], 2)
+
+    # 3. dedup: minhash-LSH near-dup candidates over sf documents
+    t0 = time.time()
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dd.minhash_lsh_candidates(docs, jaccard_threshold=0.5)
+    results["dedup_minhash"] = round(time.time() - t0, 3)
+    extras["minhash_pairs"] = int(len(pairs))
+
+    # 4. similarity: brute-force cosine top-10 for 8 query vectors
+    t0 = time.time()
+    emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = np.asarray(
+        emb.limit(8).to_pandas()["embedding"].tolist(), dtype=np.float32
+    )
+    sim.brute_force_topk(emb, qs, k=10)
+    results["similarity_topk"] = round(time.time() - t0, 3)
+
+    # 5. aggregates + windows over events/lineitem
+    t0 = time.time()
+    events = rd.read_parquet(f"{SF_DIR}/events.parquet")
+    agg.date_histogram_agg(events, "ts", "1d", value_field="value")
+    win.tumbling_window(
+        rd.read_parquet(f"{SF_DIR}/events.parquet"),
+        "ts", "user_id", 3_600_000_000, "value",
+    )
+    agg.terms_agg(
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_returnflag"]),
+        "l_returnflag",
+    )
+    results["aggregates"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "headline pipelines wall time (index build + BM25 + dedup + similarity + aggregates)",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extras,
+    }
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    # scaling efficiency on the flagship build (compute-dominated stage)
+    t_lo = r_lo["queries"]["pages_index_build"]
+    t_hi = r_hi["queries"]["pages_index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (pages_index_build, 8 -> 32 cpus)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": r_lo["index_docs_per_sec"],
+                "docs_per_sec_32": r_hi["index_docs_per_sec"],
+                "total_sec_8": r_lo["value"],
+                "total_sec_32": r_hi["value"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

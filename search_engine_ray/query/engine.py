@@ -200,6 +200,26 @@ class PartitionResult:
     scores: np.ndarray
 
 
+
+
+def _phrase_adjacent_docs(tps, cand: np.ndarray) -> np.ndarray:
+    """slop=0 phrase: candidates (sorted, present in every token's
+    postings) that contain the exact consecutive position chain."""
+    keys = None
+    for j, tp in enumerate(tps):
+        idx = np.searchsorted(tp.doc_ids, cand)
+        lens, flat = tp.positions_flat(idx)
+        if flat.size == 0:
+            return np.empty(0, dtype=np.int64)
+        docrep = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
+        ok = flat >= j
+        kk = (docrep[ok] << np.int64(32)) | (flat[ok] - j)
+        keys = kk if keys is None else np.intersect1d(keys, kk, assume_unique=True)
+        if keys.size == 0:
+            return np.empty(0, dtype=np.int64)
+    return cand[np.unique(keys >> np.int64(32))]
+
+
 class _PartitionEvaluator:
     """Evaluates a normalized AST against one partition, returning sorted
     candidate doc ids; scoring happens separately with global stats."""
@@ -421,6 +441,12 @@ class _PartitionEvaluator:
                 cand = np.intersect1d(cand, tp.doc_ids, assume_unique=True)
             if cand.size == 0:
                 continue
+            if slop == 0:
+                # vectorized adjacency: doc d matches iff ∃p with
+                # p+j ∈ positions(tok_j, d) ∀j — one intersect of
+                # (doc_idx<<32 | pos-j) keys per token, no per-doc loop
+                out.append(_phrase_adjacent_docs(tps, cand))
+                continue
             hits = []
             idx_per_tp = [
                 np.searchsorted(tp.doc_ids, cand) for tp in tps
@@ -536,9 +562,15 @@ def _score_partition(
     field_boosts: Optional[Dict[str, float]] = None,
     stopwords=DEFAULT_STOPWORDS,
     pruning: str = "auto",
+    reader: Optional[PartitionReader] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Partition-local top-k (used serially or as a Ray task)."""
-    ev = _PartitionEvaluator(PartitionReader(part_dir), text_fields, stopwords)
+    """Partition-local top-k (used serially or as a Ray task; the local
+    path passes a long-lived cached reader)."""
+    ev = _PartitionEvaluator(
+        reader if reader is not None else PartitionReader(part_dir),
+        text_fields,
+        stopwords,
+    )
     stats = GlobalStats.from_json(stats_json)
     if pruning != "off":
         from .wand import pruning_plan, topk_blockmax
@@ -637,7 +669,10 @@ class IndexSearcher:
             fn = ray.remote(_score_partition)
             parts = ray.get([fn.remote(*a) for a in args])
         else:
-            parts = [_score_partition(*a) for a in args]
+            parts = [
+                _score_partition(*a, reader=r)
+                for a, r in zip(args, self._readers)
+            ]
 
         # driver-side k-way merge (rank-correct, unlike the reference's
         # concat merge)

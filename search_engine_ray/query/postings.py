@@ -15,8 +15,8 @@ from __future__ import annotations
 
 import glob
 import os
+from collections import OrderedDict
 from dataclasses import dataclass
-from functools import lru_cache
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -41,33 +41,89 @@ class TermPostings:
     pos_blobs: Optional[List[bytes]] = None  # one blob per block
     block_ns: Optional[np.ndarray] = None
 
+    _pos_decoded: Optional[Dict[int, tuple]] = None  # b → (flat_abs, offsets)
+
     @property
     def df(self) -> int:
         return len(self.doc_ids)
 
-    def positions_for(self, idx: np.ndarray) -> List[np.ndarray]:
-        """Decode position lists for entry indices (sorted)."""
+    def _decoded_block(self, b: int) -> tuple:
+        """Positions of block ``b`` as (flat absolute positions, per-entry
+        offsets) — decoded once, cached on the TermPostings (which itself
+        lives in the reader's LRU, so repeat queries never re-decode)."""
+        if self._pos_decoded is None:
+            object.__setattr__(self, "_pos_decoded", {})
+        hit = self._pos_decoded.get(b)
+        if hit is None:
+            n = int(self.block_ns[b])
+            flat = varbyte_decode(self.pos_blobs[b]).astype(np.int64)
+            offs = np.zeros(n + 1, dtype=np.int64)
+            out = np.empty(max(0, flat.size - n), dtype=np.int64)
+            i = o = 0
+            for d in range(n):
+                cnt = int(flat[i])
+                i += 1
+                seg = np.cumsum(flat[i : i + cnt])
+                out[o : o + cnt] = seg
+                i += cnt
+                o += cnt
+                offs[d + 1] = o
+            hit = (out, offs)
+            self._pos_decoded[b] = hit
+        return hit
+
+    def positions_flat(self, idx: np.ndarray):
+        """Vectorized positions gather for sorted entry indices: returns
+        (lens, flat) where ``flat`` concatenates each entry's absolute
+        position list in order."""
         assert self.pos_blobs is not None, "index built without positions"
-        out: List[np.ndarray] = []
-        bstarts = self.block_starts
-        cache: Dict[int, List[np.ndarray]] = {}
-        for i in idx:
-            b = int(np.searchsorted(bstarts, i, side="right") - 1)
-            if b not in cache:
-                n = int(self.block_ns[b])
-                cache[b] = decode_positions(self.pos_blobs[b], n)
-            out.append(cache[b][int(i - bstarts[b])])
-        return out
+        idx = np.asarray(idx, dtype=np.int64)
+        blocks = np.searchsorted(self.block_starts, idx, side="right") - 1
+        lens_parts, flat_parts = [], []
+        for b in np.unique(blocks):
+            flat, offs = self._decoded_block(int(b))
+            sel = idx[blocks == b] - self.block_starts[b]
+            s, e = offs[sel], offs[sel + 1]
+            lens = e - s
+            total = int(lens.sum())
+            if total:
+                # range-gather: indices for all [s_i, e_i) slices at once
+                gidx = np.repeat(e - np.cumsum(lens), lens) + np.arange(total)
+                flat_parts.append(flat[gidx])
+            lens_parts.append(lens)
+        if not lens_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return (
+            np.concatenate(lens_parts),
+            np.concatenate(flat_parts)
+            if flat_parts
+            else np.empty(0, np.int64),
+        )
+
+    def positions_for(self, idx: np.ndarray) -> List[np.ndarray]:
+        """Per-entry position lists (wraps :meth:`positions_flat`)."""
+        lens, flat = self.positions_flat(idx)
+        bounds = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        return [flat[bounds[i] : bounds[i + 1]] for i in range(lens.size)]
 
 
 class PartitionReader:
-    def __init__(self, part_dir: str):
+    """Immutable-segment reader with a per-reader posting LRU — the
+    distributed analog of the reference's query caches
+    (QueryProcessor.ts:61-64; segment immutability makes invalidation
+    unnecessary)."""
+
+    def __init__(self, part_dir: str, cache_terms: int = 512):
         self.part_dir = part_dir
         self.block_files = sorted(
             glob.glob(os.path.join(part_dir, "blocks", "*.parquet"))
         )
         self._dataset = pads.dataset(self.block_files, format="parquet")
         self._vocab: Optional[Dict[str, np.ndarray]] = None
+        self._cache: "OrderedDict[Tuple[str, bool], TermPostings]" = OrderedDict()
+        self._cache_terms = cache_terms
+        self._df_cache: Dict[str, int] = {}
 
     # --- term dictionary ---------------------------------------------------
     def vocab(self, field: str) -> np.ndarray:
@@ -94,16 +150,40 @@ class PartitionReader:
     def read_terms(
         self, terms: Sequence[str], with_positions: bool = False
     ) -> Dict[str, TermPostings]:
-        """Fetch + decode postings for the given composite terms."""
+        """Fetch + decode postings for the given composite terms (cached)."""
         if not terms:
             return {}
+        out: Dict[str, TermPostings] = {}
+        missing = []
+        for t in terms:
+            hit = self._cache.get((t, with_positions))
+            if hit is None and not with_positions:
+                hit = self._cache.get((t, True))  # positions superset ok
+            if hit is not None:
+                self._cache.move_to_end((t, hit.pos_blobs is not None))
+                out[t] = hit
+            else:
+                missing.append(t)
+        if not missing:
+            return out
+        fetched = self._read_terms_uncached(missing, with_positions)
+        for t, tp in fetched.items():
+            self._cache[(t, with_positions)] = tp
+            while len(self._cache) > self._cache_terms:
+                self._cache.popitem(last=False)
+        out.update(fetched)
+        return out
+
+    def _read_terms_uncached(
+        self, terms: Sequence[str], with_positions: bool = False
+    ) -> Dict[str, TermPostings]:
         cols = ["term", "n", "doc_min", "max_tf", "min_dl", "docs", "tfs", "dls"]
         if with_positions:
             cols.append("pos")
         tbl = self._dataset.to_table(
             columns=cols, filter=pc.field("term").isin(list(terms))
         )
-        out: Dict[str, TermPostings] = {}
+        out = {}
         if tbl.num_rows == 0:
             return out
         by_term: Dict[str, List[dict]] = {}
@@ -144,18 +224,18 @@ class PartitionReader:
         """Per-term document frequency from block metadata only (no posting
         decode) — the phase-1 global-df gather of the scatter-gather query
         path (reference analog: ShardedInvertedIndex.ts:347-377 summing df
-        across shards)."""
-        if not terms:
-            return {}
-        tbl = self._dataset.to_table(
-            columns=["term", "n"], filter=pc.field("term").isin(list(terms))
-        )
-        dfs: Dict[str, int] = {}
-        t = tbl["term"].to_pylist()
-        n = tbl["n"].to_pylist()
-        for term, cnt in zip(t, n):
-            dfs[term] = dfs.get(term, 0) + cnt
-        return dfs
+        across shards).  Cached per reader (segments are immutable)."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            tbl = self._dataset.to_table(
+                columns=["term", "n"],
+                filter=pc.field("term").isin(missing),
+            )
+            got: Dict[str, int] = {t: 0 for t in missing}
+            for term, cnt in zip(tbl["term"].to_pylist(), tbl["n"].to_pylist()):
+                got[term] += cnt
+            self._df_cache.update(got)
+        return {t: self._df_cache[t] for t in terms if self._df_cache.get(t)}
 
     def all_doc_ids(self) -> np.ndarray:
         """All doc ids in this partition (for match_all) via the docstore."""

@@ -33,7 +33,7 @@ import pyarrow.compute as pc
 
 from ..analysis.analyzers import DEFAULT_STOPWORDS, tokenize
 from ..analysis.html_extract import extract_text
-from ..codecs import varbyte_encode
+from ..codecs import varbyte_encode, varbyte_encode_with_offsets
 from ..sources.webpages import url_doc_id
 
 # Sentinel term for per-batch doc-stat partials riding the postings stream
@@ -177,8 +177,13 @@ class TokenizePostings:
         t_doc: List[int] = []
         t_tf: List[int] = []
         t_dl: List[int] = []
-        t_pos: List[bytes] = []
         sum_dl = 0
+        # position payloads for ALL postings in the batch are accumulated
+        # flat ([count, first, gaps...] per posting) and varbyte-encoded in
+        # ONE vectorized pass, then sliced per posting by byte offsets —
+        # a per-posting encode call here dominates the whole build otherwise
+        flat_pos: List[int] = []
+        pos_bounds: List[int] = [0]
 
         for i in range(n):
             # doc length: total tokens over top-level string fields
@@ -207,18 +212,23 @@ class TokenizePostings:
                 t_tf.append(len(positions))
                 t_dl.append(dl)
                 if self.store_positions:
-                    arr = np.array(
-                        [len(positions)]
-                        + [positions[0]]
-                        + [
-                            positions[j] - positions[j - 1]
-                            for j in range(1, len(positions))
-                        ],
-                        dtype=np.uint64,
-                    )
-                    t_pos.append(varbyte_encode(arr))
-                else:
-                    t_pos.append(b"")
+                    flat_pos.append(len(positions))
+                    prev = 0
+                    for p in positions:
+                        flat_pos.append(p - prev)
+                        prev = p
+                    pos_bounds.append(len(flat_pos))
+
+        if self.store_positions:
+            blob, offs = varbyte_encode_with_offsets(
+                np.asarray(flat_pos, dtype=np.uint64)
+            )
+            t_pos = [
+                blob[offs[pos_bounds[j]] : offs[pos_bounds[j + 1]]]
+                for j in range(len(terms))
+            ]
+        else:
+            t_pos = [b""] * len(terms)
 
         # per-batch doc-stat partial
         terms.append(STATS_TERM)
