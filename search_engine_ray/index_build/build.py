@@ -44,6 +44,45 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+
+def _stub_fsspec_http() -> None:
+    """Make ``fsspec.implementations.http`` importable without aiohttp.
+
+    Ray's path resolution probes ``from fsspec.implementations.http import
+    HTTPFileSystem`` and catches only ``ModuleNotFoundError``.  Without
+    aiohttp the import fails and is retried on every call; two threads
+    driving concurrent Ray Data pipelines then race on the partial module
+    in ``sys.modules`` and one of them sees a bare ``ImportError`` that
+    Ray does not catch.  Pre-seeding a stub module with a never-matching
+    ``HTTPFileSystem`` class makes the probe deterministic and race-free
+    (local filesystems are unaffected)."""
+    import sys
+    import types
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        import fsspec.implementations  # noqa: F401
+    except Exception:
+        return
+    try:
+        import aiohttp  # noqa: F401
+
+        return  # real module importable; leave it alone
+    except Exception:
+        pass
+    mod = types.ModuleType(name)
+
+    class HTTPFileSystem:  # sentinel; isinstance() is False for real fs
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = mod
+
+
+_stub_fsspec_http()
+
 from ..codecs import varbyte_decode
 from ..stages.tokenize import (
     PAGE_FIELDS,
@@ -66,6 +105,9 @@ class BuildConfig:
     dedup: bool = True  # exact dedup by url, keep latest warc_ts
     global_dedup: bool = False
     n_partitions: int = 1  # build partitions (lineage/resume granularity)
+    concurrent_partitions: int = 2  # partitions built in parallel (threads
+    # driving independent Ray Data pipelines; overlapping stages fill the
+    # cluster's idle gaps between a partition's sequential jobs)
     tokenize_concurrency: Optional[int] = None  # actor-pool size; None=tasks
     tokenize_batch_size: int = 1024
     read_columns: Optional[List[str]] = None
@@ -112,16 +154,62 @@ def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
             cols.append(cfg.id_column)
         if not cfg.extract_html and "text" not in cols:
             cols.append("text")
-    ds = rd.read_parquet(files, columns=sorted(set(cols)))
-    if cfg.extract_html:
-        ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
+    cols = sorted(set(cols))
+    ds = rd.read_parquet(files, columns=cols)
     if cfg.dedup:
-        ds = ds.groupby("url").map_groups(
-            _dedup_keep_latest, batch_format="pandas"
-        )
+        ds = _dedup_split(files, cols, ds)
+    if cfg.extract_html:
+        # extraction runs AFTER dedup, so loser duplicates are never parsed
+        ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
     if not cfg.id_column:
         ds = ds.map_batches(_add_doc_id, batch_format="pyarrow")
     return ds
+
+
+def _dedup_split(files: List[str], cols: List[str], full: rd.Dataset) -> rd.Dataset:
+    """Exact dedup by url, keep max warc_ts, without shuffling payloads.
+
+    Pass A reads only (url, warc_ts) and aggregates per url — the shuffle
+    moves two small columns.  The (rare) duplicate urls are broadcast as a
+    plain set (a Bloom filter would replace the set beyond driver memory;
+    false positives only route extra rows through the slow path).  Unique
+    rows stream through untouched; duplicate-url rows (~1% in crawl data)
+    take a tiny ``groupby(url)`` keep-latest.  This avoids the per-group
+    Python cost of a full-corpus ``map_groups`` (one call per url) and the
+    payload shuffle of a full-row groupby."""
+    from ray.data.aggregate import Count
+
+    meta = rd.read_parquet(files, columns=["url"])
+    counts = meta.groupby("url").aggregate(Count(alias_name="n"))
+    dups = counts.map_batches(
+        lambda b: b.filter(pc.field("n") > 1).select(["url"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if dups.empty:
+        return full
+    dup_urls = set(dups["url"])
+    import ray as _ray
+
+    ref = _ray.put(dup_urls)
+
+    def keep_unique(batch: pa.Table) -> pa.Table:
+        d = _ray.get(ref)
+        mask = pa.array([u not in d for u in batch["url"].to_pylist()])
+        return batch.filter(mask)
+
+    def keep_dup(batch: pa.Table) -> pa.Table:
+        d = _ray.get(ref)
+        mask = pa.array([u in d for u in batch["url"].to_pylist()])
+        return batch.filter(mask)
+
+    uniq = full.map_batches(keep_unique, batch_format="pyarrow")
+    dup_rows = (
+        rd.read_parquet(files, columns=cols)
+        .map_batches(keep_dup, batch_format="pyarrow")
+        .groupby("url")
+        .map_groups(_dedup_keep_latest, batch_format="pandas")
+    )
+    return uniq.union(dup_rows)
 
 
 def build_partition(
@@ -129,6 +217,17 @@ def build_partition(
 ) -> dict:
     """Build one index partition; returns its manifest dict."""
     t0 = time.time()
+    # push-based shuffle scales the big (term, doc_id) sort far better
+    # (stage2 8→32 cpu efficiency 0.42 → 0.70 measured at 100k docs)
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = (
+            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        )
+    except Exception:
+        pass
     if os.path.exists(part_dir):
         shutil.rmtree(part_dir)  # wipe incomplete remnants (idempotent)
     docs_dir = os.path.join(part_dir, "docs")
@@ -137,6 +236,7 @@ def build_partition(
 
     # stage 1: extract + dedup → docs checkpoint (also the docstore)
     _docs_pipeline(files, cfg).write_parquet(docs_dir)
+    t_stage1 = time.time() - t0
 
     # stage 2: docs → postings → sorted → blocks
     id_col = cfg.id_column or "doc_id"  # docs checkpoint carries doc_id
@@ -187,6 +287,8 @@ def build_partition(
         "block_size": cfg.block_size,
         "fields": [list(f) for f in cfg.fields],
         "build_seconds": round(time.time() - t0, 3),
+        "stage1_seconds": round(t_stage1, 3),
+        "stage2_seconds": round(time.time() - t0 - t_stage1, 3),
     }
     _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
     return manifest
@@ -241,7 +343,8 @@ def build_index(
     parts = _partition_files(files, cfg.n_partitions)
 
     os.makedirs(index_dir, exist_ok=True)
-    part_manifests: List[dict] = []
+    part_manifests: List[Optional[dict]] = [None] * len(parts)
+    todo: List[Tuple[int, str, List[str]]] = []
     for pi, pfiles in enumerate(parts):
         part_dir = os.path.join(index_dir, "partitions", f"p{pi:05d}")
         mpath = os.path.join(part_dir, "manifest.json")
@@ -249,9 +352,25 @@ def build_index(
             with open(mpath) as f:
                 m = json.load(f)
             if m.get("completed") and m.get("input_files") == sorted(pfiles):
-                part_manifests.append(m)
+                part_manifests[pi] = m
                 continue
-        part_manifests.append(build_partition(part_dir, pfiles, cfg))
+        todo.append((pi, part_dir, pfiles))
+
+    if todo:
+        workers = max(1, min(cfg.concurrent_partitions, len(todo)))
+        if workers == 1:
+            for pi, part_dir, pfiles in todo:
+                part_manifests[pi] = build_partition(part_dir, pfiles, cfg)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futs = {
+                    ex.submit(build_partition, part_dir, pfiles, cfg): pi
+                    for pi, part_dir, pfiles in todo
+                }
+                for fut, pi in futs.items():
+                    part_manifests[pi] = fut.result()
 
     stats = GlobalStats(
         sum(m["n_docs"] for m in part_manifests),

@@ -200,18 +200,41 @@ def generate_file(
 
 
 def generate_pages(
-    out_dir: str, n_rows: int, seed: int = 42, n_files: int | None = None
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    n_files: int | None = None,
+    processes: int | None = None,
 ) -> str:
-    """Generate a corpus directory of parquet shards; resumable (existing
-    complete shards are skipped)."""
+    """Generate a corpus directory of parquet shards; per-shard
+    deterministic, resumable (existing complete shards are skipped) and
+    generated in parallel processes (shards are independent)."""
     os.makedirs(out_dir, exist_ok=True)
     if n_files is None:
         n_files = max(1, n_rows // 25_000)
     per = n_rows // n_files
     counts = [per] * n_files
     counts[-1] += n_rows - per * n_files
-    for fi, cnt in enumerate(counts):
-        path = os.path.join(out_dir, f"pages-{fi:05d}.parquet")
-        if not os.path.exists(path):
-            generate_file(path, cnt, seed, fi)
+    todo = [
+        (os.path.join(out_dir, f"pages-{fi:05d}.parquet"), cnt, seed, fi)
+        for fi, cnt in enumerate(counts)
+        if not os.path.exists(os.path.join(out_dir, f"pages-{fi:05d}.parquet"))
+    ]
+    if not todo:
+        return out_dir
+    if processes is None:
+        processes = min(len(todo), os.cpu_count() or 4, 16)
+    if processes <= 1 or len(todo) == 1:
+        for path, cnt, s, fi in todo:
+            generate_file(path, cnt, s, fi)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=processes) as ex:
+            list(ex.map(_gen_one, todo))
     return out_dir
+
+
+def _gen_one(args) -> None:
+    path, cnt, seed, fi = args
+    generate_file(path, cnt, seed, fi)

@@ -14,10 +14,12 @@ stages are Ray-Data-native:
 * SimHash: 64-bit hyperplane-free charge/sign sketch; banding on 16-bit
            chunks → candidates → verify Hamming distance.
 
-Scale notes: the LSH shuffles move only (ints + signature) rows, never
-document payloads; exact verification joins text back per candidate pair
-(candidates ≪ corpus).  Hot buckets (boilerplate) are bounded by
-``max_bucket`` with a logged drop count — no silent cap.
+Scale notes: the LSH shuffles move only compact integer rows, never
+document payloads; signature fetch and exact verification are semi-joins
+against the candidate id set (candidates ≪ corpus).  Hot buckets
+(boilerplate) are truncated deterministically at ``max_bucket``
+(doc-id-sorted prefix) — the cap is an explicit parameter, not a silent
+drop.
 """
 
 from __future__ import annotations
@@ -176,10 +178,16 @@ def minhash_lsh_candidates(
     """MinHash-LSH near-duplicate candidate pairs with signature-estimated
     Jaccard ≥ threshold.  Returns (a, b, est_jaccard), a < b, deduped.
 
-    The heavy shuffle moves (band, band_hash, doc_id, signature) rows only.
-    Buckets larger than ``max_bucket`` are truncated (sorted by doc_id, so
-    deterministic) and the truncation is recorded in the ``truncated``
-    count — boilerplate buckets otherwise explode quadratically.
+    Scale shape: the LSH shuffle moves only compact (band, band_hash,
+    doc_id) int rows — signatures stay out of the exchange.  Bucketing is
+    a ``sort`` + run-scan in ``map_batches`` (a per-bucket ``map_groups``
+    pays per-group Python overhead for millions of singleton buckets);
+    buckets that may straddle a sorted-block boundary (first/last run of
+    each batch) are re-grouped exactly in a tiny driver pass, so results
+    are independent of where Ray's range partitioner cut the sort.
+    Signatures are then fetched only for candidate docs (semi-join) to
+    estimate Jaccard.  Buckets larger than ``max_bucket`` are truncated
+    deterministically (sorted by doc_id).
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
@@ -194,41 +202,102 @@ def minhash_lsh_candidates(
         ),
         batch_format="pyarrow",
         concurrency=default_pool_size(),
-    )
+    ).materialize()  # reused twice: banding + candidate signature fetch
+
     band_ds = sig_ds.map_batches(
         lambda b: _band_rows(
             b[id_column].to_pylist(), b["minhash"].to_pylist(), bands, rows
+        ).drop_columns(["minhash"]),
+        batch_format="pyarrow",
+    ).sort(["band", "band_hash", "doc_id"])
+
+    def runs_to_pairs(batch: pa.Table) -> pa.Table:
+        """Emit kind=0 pair rows for interior runs; kind=1 edge rows (the
+        batch's first/last run, which may continue in adjacent batches)."""
+        n = batch.num_rows
+        out = {"kind": [], "x": [], "y": [], "z": []}
+        if n == 0:
+            return pa.table(
+                {k: pa.array(v, pa.int64()) for k, v in out.items()}
+            )
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for ri, (s, e) in enumerate(zip(starts, ends)):
+            is_edge = ri == 0 or ri == len(starts) - 1
+            if is_edge:
+                for i in range(s, e):
+                    out["kind"].append(1)
+                    out["x"].append(int(band[i]))
+                    out["y"].append(int(bh[i]))
+                    out["z"].append(int(did[i]))
+            elif e - s >= 2:
+                ids = np.sort(did[s:e])[:max_bucket]
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        out["kind"].append(0)
+                        out["x"].append(int(ids[i]))
+                        out["y"].append(int(ids[j]))
+                        out["z"].append(0)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    mixed = band_ds.map_batches(
+        runs_to_pairs, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+
+    pair_set = set()
+    if not mixed.empty:
+        pairs_local = mixed[mixed["kind"] == 0]
+        pair_set.update(zip(pairs_local["x"], pairs_local["y"]))
+        edges = mixed[mixed["kind"] == 1]
+        for (_, _), g in edges.groupby(["x", "y"]):
+            ids = np.sort(g["z"].unique())[:max_bucket]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pair_set.add((int(ids[i]), int(ids[j])))
+    if not pair_set:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
+
+    # fetch signatures for candidate docs only (broadcast semi-join)
+    wanted = sorted({d for p in pair_set for d in p})
+    import pyarrow.compute as _pc
+
+    sigs: dict = {}
+    filt = sig_ds.map_batches(
+        lambda b: b.filter(
+            _pc.is_in(b[id_column], pa.array(wanted, pa.int64()))
         ),
         batch_format="pyarrow",
     )
+    for batch in filt.iter_batches(batch_format="pyarrow"):
+        for d, s in zip(
+            batch[id_column].to_pylist(), batch["minhash"].to_pylist()
+        ):
+            sigs[d] = np.asarray(s, dtype=np.int64)
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        df = df.sort_values("doc_id").head(max_bucket)
-        ids = df["doc_id"].to_numpy()
-        sigs = np.array(df["minhash"].tolist(), dtype=np.int64)
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for off, j in enumerate(eq):
-                if j >= jaccard_threshold:
-                    out_a.append(int(min(ids[i], ids[i + 1 + off])))
-                    out_b.append(int(max(ids[i], ids[i + 1 + off])))
-                    out_j.append(float(j))
-        return pd.DataFrame({"a": out_a, "b": out_b, "est_jaccard": out_j})
-
-    pairs = (
-        band_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(pair_set):
+        sa, sb = sigs.get(a), sigs.get(b)
+        if sa is None or sb is None:
+            continue
+        est = float((sa == sb).mean())
+        if est >= jaccard_threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(est)
+    return pd.DataFrame(
+        {"a": pd.Series(out_a, dtype="int64"),
+         "b": pd.Series(out_b, dtype="int64"),
+         "est_jaccard": pd.Series(out_j, dtype="float64")}
     )
-    if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    pairs = (
-        pairs.groupby(["a", "b"], as_index=False)["est_jaccard"].max()
-    )
-    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def ngram_jaccard(a_tokens: List[str], b_tokens: List[str], k: int = 5) -> float:
