@@ -100,7 +100,11 @@ class BuildConfig:
     stopwords: frozenset = frozenset()
     store_positions: bool = True
     block_size: int = 128
-    id_column: Optional[str] = None  # None → doc_id = hash(url)
+    id_column: Optional[str] = None  # None → doc_id = hash(doc_key_column)
+    doc_key_column: str = "url"  # string column hashed into the stable doc id
+    mappings: Optional[Dict[str, str]] = None  # set → generic-JSON build
+    # (dotted-path flattening + per-mapping analyzers via
+    # GenericTokenizePostings; fields config is derived from mappings)
     extract_html: bool = True  # run html → text extraction
     dedup: bool = True  # exact dedup by url, keep latest warc_ts
     global_dedup: bool = False
@@ -123,10 +127,10 @@ def _dedup_keep_latest(df):
     return cand.iloc[[-1]]
 
 
-def _add_doc_id(batch: pa.Table) -> pa.Table:
+def _add_doc_id(batch: pa.Table, key_column: str = "url") -> pa.Table:
     from ..sources.webpages import url_doc_id
 
-    ids = [url_doc_id(u) for u in batch["url"].to_pylist()]
+    ids = [url_doc_id(str(u)) for u in batch[key_column].to_pylist()]
     return batch.append_column("doc_id", pa.array(ids, pa.int64()))
 
 
@@ -146,6 +150,14 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 
 def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
+    if cfg.mappings is not None:
+        ds = rd.read_parquet(files, columns=cfg.read_columns)
+        if not cfg.id_column:
+            key = cfg.doc_key_column
+            ds = ds.map_batches(
+                lambda b: _add_doc_id(b, key), batch_format="pyarrow"
+            )
+        return ds
     cols = cfg.read_columns
     if cols is None:
         cols = ["url", "warc_ts", "lang"]
@@ -162,7 +174,10 @@ def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
         # extraction runs AFTER dedup, so loser duplicates are never parsed
         ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
     if not cfg.id_column:
-        ds = ds.map_batches(_add_doc_id, batch_format="pyarrow")
+        key = cfg.doc_key_column
+        ds = ds.map_batches(
+            lambda b: _add_doc_id(b, key), batch_format="pyarrow"
+        )
     return ds
 
 
@@ -240,12 +255,22 @@ def build_partition(
 
     # stage 2: docs → postings → sorted → blocks
     id_col = cfg.id_column or "doc_id"  # docs checkpoint carries doc_id
-    tok = TokenizePostings(
-        fields=cfg.fields,
-        stopwords=cfg.stopwords,
-        store_positions=cfg.store_positions,
-        id_column=id_col,
-    )
+    if cfg.mappings is not None:
+        from ..stages.tokenize import GenericTokenizePostings
+
+        tok = GenericTokenizePostings(
+            mappings=cfg.mappings,
+            stopwords=cfg.stopwords,
+            store_positions=cfg.store_positions,
+            id_column=id_col,
+        )
+    else:
+        tok = TokenizePostings(
+            fields=cfg.fields,
+            stopwords=cfg.stopwords,
+            store_positions=cfg.store_positions,
+            id_column=id_col,
+        )
     ds = rd.read_parquet(docs_dir)
     kwargs: Dict = dict(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size

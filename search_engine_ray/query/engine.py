@@ -48,6 +48,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis.analyzers import DEFAULT_STOPWORDS, standard_analyzer
@@ -143,7 +144,45 @@ def normalize_query(raw, operator: str = "and"):
         return None
     if "geo_distance" in raw:
         return {"geo_distance": raw["geo_distance"]}
+    if "nested" in raw:
+        n = raw["nested"]
+        sub = normalize_query(n.get("query"), operator)
+        if sub is None:
+            return None
+        return {"nested": {"path": n.get("path", ""), "query": sub}}
     return None
+
+
+def _prefix_nested_fields(node, path: str):
+    """Rewrite a nested sub-query's field names to dotted paths under
+    ``path`` (QueryEngine.ts:547-553 evaluates the sub-query against the
+    value at the dotted path — with flattened postings that is exactly a
+    field rename)."""
+    import copy
+
+    node = copy.deepcopy(node)
+
+    def fix(f: str) -> str:
+        if not path or f.startswith(path + ".") or f == "*":
+            return f
+        return f"{path}.{f}"
+
+    def walk(n):
+        if not isinstance(n, dict):
+            return
+        if "bool" in n:
+            for cl in ("must", "should", "must_not", "filter"):
+                for sub in n["bool"].get(cl, []):
+                    walk(sub)
+            return
+        for kind in ("term", "match", "prefix", "wildcard", "fuzzy",
+                     "phrase", "range"):
+            if kind in n and isinstance(n[kind], dict) and "field" in n[kind]:
+                n[kind]["field"] = fix(n[kind]["field"])
+                return
+
+    walk(node)
+    return node
 
 
 def collect_scoring_terms(
@@ -181,6 +220,9 @@ def collect_scoring_terms(
             for f in fan(n["phrase"]["field"]):
                 for t in toks:
                     out.append(f"{f}:{t}")
+            return
+        if "nested" in n:
+            walk(_prefix_nested_fields(n["nested"]["query"], n["nested"]["path"]))
             return
 
     walk(node)
@@ -229,10 +271,12 @@ class _PartitionEvaluator:
         reader: PartitionReader,
         text_fields: Sequence[str],
         stopwords=DEFAULT_STOPWORDS,
+        synonyms: Optional[Dict[str, List[str]]] = None,
     ):
         self.r = reader
         self.text_fields = list(text_fields)
         self.stopwords = stopwords
+        self.synonyms = synonyms or {}
         self._cache: Dict[str, TermPostings] = {}
 
     def prefetch(self, terms: Sequence[str], with_positions=False) -> None:
@@ -253,11 +297,18 @@ class _PartitionEvaluator:
 
     def term_docs(self, field: str, value: str) -> np.ndarray:
         fields = self.text_fields if field == "*" else [field]
+        norm = str(value).lower()
+        # synonym expansion: normalized synonyms whose postings exist are
+        # unioned in (QueryProcessor.ts:187-195 / SynonymEngine.ts:97-158)
+        tokens = [norm] + [
+            str(s).lower() for s in self.synonyms.get(norm, [])
+        ]
         arrays = []
         for f in fields:
-            tp = self.postings(f"{f}:{str(value).lower()}")
-            if tp is not None:
-                arrays.append(tp.doc_ids)
+            for tok in tokens:
+                tp = self.postings(f"{f}:{tok}")
+                if tp is not None:
+                    arrays.append(tp.doc_ids)
         if not arrays:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(arrays)) if len(arrays) > 1 else arrays[0]
@@ -319,6 +370,11 @@ class _PartitionEvaluator:
             return self._eval_geo(node["geo_distance"])
         if "bool" in node:
             return self._eval_bool(node["bool"])
+        if "nested" in node:
+            sub = _prefix_nested_fields(
+                node["nested"]["query"], node["nested"]["path"]
+            )
+            return self.evaluate(sub)
         return np.empty(0, dtype=np.int64)
 
     def _eval_bool(self, b) -> np.ndarray:
@@ -468,11 +524,12 @@ class _PartitionEvaluator:
         # vectorized docstore scan (reference: full doc scan,
         # QueryProcessor.ts:298-328)
         field = q["field"]
+        fref = pc.field(*field.split("."))
         expr = None
-        for op, fn in (("gte", pc.field(field) >= q.get("gte")),
-                       ("gt", pc.field(field) > q.get("gt")),
-                       ("lte", pc.field(field) <= q.get("lte")),
-                       ("lt", pc.field(field) < q.get("lt"))):
+        for op, fn in (("gte", fref >= q.get("gte")),
+                       ("gt", fref > q.get("gt")),
+                       ("lte", fref <= q.get("lte")),
+                       ("lt", fref < q.get("lt"))):
             if q.get(op) is None:
                 continue
             expr = fn if expr is None else (expr & fn)
@@ -502,9 +559,18 @@ class _PartitionEvaluator:
                 dist_m = float(s) * 1000.0
         else:
             dist_m = float(dist) * 1000.0  # bare number = km
-        tbl = self.r.docs_table(columns=["doc_id", "lat", "lon"])
-        lat = np.radians(tbl["lat"].to_numpy(zero_copy_only=False).astype(float))
-        lon = np.radians(tbl["lon"].to_numpy(zero_copy_only=False).astype(float))
+        try:
+            tbl = self.r.docs_table(columns=["doc_id", field])
+            struct = tbl[field]
+            if isinstance(struct, pa.ChunkedArray):
+                struct = struct.combine_chunks()
+            lat_arr = struct.field("lat")
+            lon_arr = struct.field("lon")
+        except (KeyError, AttributeError):
+            tbl = self.r.docs_table(columns=["doc_id", "lat", "lon"])
+            lat_arr, lon_arr = tbl["lat"], tbl["lon"]
+        lat = np.radians(np.asarray(lat_arr, dtype=float))
+        lon = np.radians(np.asarray(lon_arr, dtype=float))
         la0, lo0 = np.radians(lat0), np.radians(lon0)
         dphi = lat - la0
         dlmb = lon - lo0
@@ -563,6 +629,7 @@ def _score_partition(
     stopwords=DEFAULT_STOPWORDS,
     pruning: str = "auto",
     reader: Optional[PartitionReader] = None,
+    synonyms: Optional[Dict[str, List[str]]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Partition-local top-k (used serially or as a Ray task; the local
     path passes a long-lived cached reader)."""
@@ -570,9 +637,10 @@ def _score_partition(
         reader if reader is not None else PartitionReader(part_dir),
         text_fields,
         stopwords,
+        synonyms,
     )
     stats = GlobalStats.from_json(stats_json)
-    if pruning != "off":
+    if pruning != "off" and not synonyms:
         from .wand import pruning_plan, topk_blockmax
 
         plan = pruning_plan(node, text_fields)
@@ -607,6 +675,7 @@ class IndexSearcher:
         use_ray: bool = False,
         stopwords=DEFAULT_STOPWORDS,
         pruning: str = "auto",
+        synonyms: Optional[Dict[str, List[str]]] = None,
     ):
         self.index_dir = index_dir
         self.manifest = load_index_manifest(index_dir)
@@ -618,6 +687,7 @@ class IndexSearcher:
         self.use_ray = use_ray
         self.stopwords = stopwords
         self.pruning = pruning
+        self.synonyms = synonyms or {}
         self.part_dirs = [
             os.path.join(index_dir, "partitions", p)
             for p in self.manifest["partitions"]
@@ -660,6 +730,8 @@ class IndexSearcher:
                 self.field_boosts,
                 self.stopwords,
                 self.pruning,
+                None,
+                self.synonyms,
             )
             for d in self.part_dirs
         ]
@@ -670,7 +742,7 @@ class IndexSearcher:
             parts = ray.get([fn.remote(*a) for a in args])
         else:
             parts = [
-                _score_partition(*a, reader=r)
+                _score_partition(*a[:-2], reader=r, synonyms=self.synonyms)
                 for a, r in zip(args, self._readers)
             ]
 
@@ -699,9 +771,172 @@ class IndexSearcher:
             return 0
         total = 0
         for r in self._readers:
-            ev = _PartitionEvaluator(r, self.text_fields, self.stopwords)
+            ev = _PartitionEvaluator(
+                r, self.text_fields, self.stopwords, self.synonyms
+            )
             total += int(ev.evaluate(node).size)
         return total
+
+
+    # --- facets & aggregations over result sets ---------------------------
+
+    def _candidates_all(self, node) -> List[Tuple[int, np.ndarray]]:
+        out = []
+        for i, r in enumerate(self._readers):
+            ev = _PartitionEvaluator(
+                r, self.text_fields, self.stopwords, self.synonyms
+            )
+            out.append((i, ev.evaluate(node)))
+        return out
+
+    def _result_docs_table(
+        self, cands: List[Tuple[int, np.ndarray]], columns: List[str]
+    ) -> pd.DataFrame:
+        """Docstore rows of the result set: per-partition filtered reads
+        (parallel-friendly; each partition only scans its own files)."""
+        frames = []
+        for pi, ids in cands:
+            if ids.size == 0:
+                continue
+            tbl = self._readers[pi].docs_table(
+                columns=["doc_id", *columns],
+                filter=pc.field("doc_id").isin(ids.tolist()),
+            )
+            frames.append(tbl.to_pandas())
+        if not frames:
+            return pd.DataFrame(columns=["doc_id", *columns])
+        return pd.concat(frames, ignore_index=True)
+
+    def facets(self, query, facet_fields: Sequence[str], operator: str = "and"):
+        """Facet counts over the full result set (FacetEngine.ts:124-136:
+        intersect each facet value's doc set with the result set — the
+        batch analog is a value_counts over the result rows)."""
+        node = normalize_query(query, operator)
+        cands = self._candidates_all(node)
+        df = self._result_docs_table(cands, list(facet_fields))
+        out: Dict[str, Dict[str, int]] = {}
+        for f in facet_fields:
+            vc = df[f].value_counts()
+            out[f] = {str(k): int(v) for k, v in vc.items()}
+        return out
+
+    def aggregations(self, query, aggs: Dict[str, dict], operator: str = "and"):
+        """Search-time aggregations over the result set, mirroring the
+        reference shapes (SearchEngine.ts:983-1101 / FacetEngine.ts):
+        ``terms`` (count desc, top size, min_doc_count), ``histogram``
+        (floor buckets), ``range`` ([from,to)), ``date_histogram``
+        (fixed-ms intervals), ``global`` (whole index), ``filter``
+        (extra predicate then sub-aggs)."""
+        from ..stages.aggregates import DATE_INTERVALS_MS
+
+        node = normalize_query(query, operator)
+        cands = self._candidates_all(node)
+
+        def compute(spec: dict, df_provider) -> dict:
+            out: Dict[str, Any] = {}
+            for name, agg in spec.items():
+                if "terms" in agg:
+                    a = agg["terms"]
+                    df = df_provider([a["field"]])
+                    vc = df[a["field"]].value_counts()
+                    size = a.get("size", 10)
+                    mdc = a.get("min_doc_count", 1)
+                    items = [
+                        (str(k), int(v)) for k, v in vc.items() if v >= mdc
+                    ]
+                    items.sort(key=lambda t: (-t[1], t[0]))
+                    out[name] = {
+                        "buckets": [
+                            {"key": k, "doc_count": v}
+                            for k, v in items[:size]
+                        ]
+                    }
+                elif "histogram" in agg:
+                    a = agg["histogram"]
+                    df = df_provider([a["field"]])
+                    interval = a["interval"]
+                    key = np.floor(
+                        df[a["field"]].astype(float) / interval
+                    ) * interval
+                    vc = pd.Series(key).value_counts().sort_index()
+                    out[name] = {
+                        "buckets": [
+                            {"key": float(k), "doc_count": int(v)}
+                            for k, v in vc.items()
+                        ]
+                    }
+                elif "date_histogram" in agg:
+                    a = agg["date_histogram"]
+                    ms = DATE_INTERVALS_MS[a.get("interval", "1d")]
+                    df = df_provider([a["field"]])
+                    ts = (
+                        pd.to_datetime(df[a["field"]])
+                        .astype("datetime64[us]")
+                        .astype("int64") // 1000
+                    )
+                    key = (ts // ms) * ms
+                    vc = pd.Series(key).value_counts().sort_index()
+                    out[name] = {
+                        "buckets": [
+                            {"key_ms": int(k), "doc_count": int(v)}
+                            for k, v in vc.items()
+                        ]
+                    }
+                elif "range" in agg:
+                    a = agg["range"]
+                    df = df_provider([a["field"]])
+                    v = df[a["field"]].astype(float)
+                    buckets = []
+                    for rng in a["ranges"]:
+                        lo, hi = rng.get("from"), rng.get("to")
+                        m = pd.Series(True, index=v.index)
+                        if lo is not None:
+                            m &= v >= lo
+                        if hi is not None:
+                            m &= v < hi
+                        buckets.append(
+                            {
+                                "from": lo,
+                                "to": hi,
+                                "doc_count": int(m.sum()),
+                            }
+                        )
+                    out[name] = {"buckets": buckets}
+                elif "global" in agg:
+                    sub = {k: v for k, v in agg.items() if k != "global"}
+                    sub.update(agg["global"].get("aggs", {}))
+
+                    def global_provider(cols):
+                        frames = [
+                            r.docs_table(columns=["doc_id", *cols]).to_pandas()
+                            for r in self._readers
+                        ]
+                        return pd.concat(frames, ignore_index=True)
+
+                    out[name] = compute(sub, global_provider)
+                elif "filter" in agg:
+                    sub_node = normalize_query(agg["filter"], operator)
+                    sub_cands = []
+                    for (pi, ids), r in zip(cands, self._readers):
+                        ev = _PartitionEvaluator(
+                            r, self.text_fields, self.stopwords, self.synonyms
+                        )
+                        extra = ev.evaluate(sub_node)
+                        sub_cands.append(
+                            (pi, np.intersect1d(ids, extra, assume_unique=True))
+                        )
+                    sub = agg.get("aggs", {})
+                    result = compute(
+                        sub,
+                        lambda cols: self._result_docs_table(sub_cands, cols),
+                    )
+                    result["doc_count"] = int(
+                        sum(ids.size for _, ids in sub_cands)
+                    )
+                    out[name] = result
+            return out
+
+        return compute(aggs, lambda cols: self._result_docs_table(cands, cols))
 
     def enrich(self, hits: pd.DataFrame, columns=("url",)) -> pd.DataFrame:
         """Join top-k hits back to the docstore (small-side lookup)."""

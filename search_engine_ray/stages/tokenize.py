@@ -92,6 +92,123 @@ def standard_tokens_from_normalized(
     return [t for t in s.split(" ") if len(t) > 1]
 
 
+class GenericTokenizePostings:
+    """Generic-JSON tokenize stage: flattens each row into dotted paths
+    (``analysis.mappings.flatten_doc``) and indexes per inferred/explicit
+    mapping, reproducing the reference ingest walk semantics
+    (SearchEngine.ts:871-924):
+
+    * field-scoped ``"path:token"`` postings;
+    * per-value position counters (arrays of strings index each element
+      with positions restarting at 0; duplicate positions are
+      deduplicated+sorted as in ShardedInvertedIndex.ts:218-224);
+    * doc length counts ONLY top-level scalar string fields' tokens —
+      array-of-string and nested-object tokens are indexed but not
+      counted (SearchEngine.ts:909-918 quirk).
+    """
+
+    def __init__(
+        self,
+        mappings: Dict[str, str],
+        stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
+        store_positions: bool = True,
+        id_column: str = "doc_id",
+    ):
+        from ..analysis.analyzers import analyzer_for_field_type
+        from ..analysis.mappings import flatten_doc
+
+        self.mappings = dict(mappings)
+        self.analyzers = {
+            path: analyzer_for_field_type(t)
+            for path, t in self.mappings.items()
+            if t in ("text", "keyword", "email", "url", "phone")
+        }
+        self.stopwords = stopwords
+        self.store_positions = store_positions
+        self.id_column = id_column
+        self._flatten = flatten_doc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        terms: List[str] = []
+        t_doc: List[int] = []
+        t_tf: List[int] = []
+        t_dl: List[int] = []
+        flat_pos: List[int] = []
+        pos_bounds: List[int] = [0]
+        sum_dl = 0
+
+        for row in rows:
+            did = int(row[self.id_column])
+            doc = {k: v for k, v in row.items() if k != self.id_column}
+            flat = self._flatten(doc)
+            dl = 0
+            entries: Dict[str, List[int]] = {}
+            for path, analyzer in self.analyzers.items():
+                value = flat.get(path)
+                if value is None:
+                    continue
+                values = value if isinstance(value, list) else [value]
+                top_level_scalar_str = (
+                    "." not in path and isinstance(value, str)
+                )
+                for item in values:
+                    if not isinstance(item, str):
+                        item = str(item)
+                    toks = tokenize(item, analyzer, self.stopwords)
+                    if top_level_scalar_str:
+                        dl += len(toks)
+                    pref = path + ":"
+                    for p, tok in enumerate(toks):
+                        entries.setdefault(pref + tok, []).append(p)
+            sum_dl += dl
+            for key, raw_positions in entries.items():
+                # tf counts every occurrence (posting frequency increments
+                # per addToken) while stored positions are deduped+sorted
+                # (ShardedInvertedIndex.ts:195-262)
+                positions = sorted(set(raw_positions))
+                terms.append(key)
+                t_doc.append(did)
+                t_tf.append(len(raw_positions))
+                t_dl.append(dl)
+                if self.store_positions:
+                    flat_pos.append(len(positions))
+                    prev = 0
+                    for p in positions:
+                        flat_pos.append(p - prev)
+                        prev = p
+                    pos_bounds.append(len(flat_pos))
+
+        if self.store_positions:
+            blob, offs = varbyte_encode_with_offsets(
+                np.asarray(flat_pos, dtype=np.uint64)
+            )
+            t_pos = [
+                blob[offs[pos_bounds[j]] : offs[pos_bounds[j + 1]]]
+                for j in range(len(terms))
+            ]
+        else:
+            t_pos = [b""] * len(terms)
+
+        terms.append(STATS_TERM)
+        t_doc.append(0)
+        t_tf.append(0)
+        t_dl.append(0)
+        t_pos.append(
+            varbyte_encode(np.array([len(rows), sum_dl], dtype=np.uint64))
+        )
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(t_doc, pa.int64()),
+                "tf": pa.array(t_tf, pa.int32()),
+                "dl": pa.array(t_dl, pa.int32()),
+                "pos": pa.array(t_pos, pa.binary()),
+            },
+            schema=POSTINGS_SCHEMA,
+        )
+
+
 class ExtractTextStage:
     """html → text extraction stage (stateless enough, but kept as a class
     so the regex state compiles once per actor)."""

@@ -1,0 +1,293 @@
+"""Generic-JSON document support: mapping inference, dotted-path
+flattening, nested-docs index build, nested/geo/range queries, facets,
+search-time aggregations, synonyms, stopword auto-detection."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from search_engine_ray.analysis.mappings import (
+    detect_field_type,
+    detect_keyword_or_text,
+    flatten_doc,
+    infer_mappings,
+)
+
+
+class TestTypeDetection:
+    # mirrors MappingsManager.ts:376-505 semantics
+    @pytest.mark.parametrize(
+        "value,name,expected",
+        [
+            ("user@example.com", None, "email"),
+            ("https://example.com/x", None, "url"),
+            ("2024-01-15", None, "date"),
+            ("2024-01-15T10:30:00", None, "date"),
+            ("42.5", None, "number"),
+            ("hello world out there", None, "text"),
+            ("single", None, "keyword"),
+            ("x" * 101, None, "text"),
+            ("something", "description", "text"),
+            ("something", "product_name", "text"),
+            ("active", "status", "keyword"),
+        ],
+    )
+    def test_string_detection(self, value, name, expected):
+        assert detect_keyword_or_text(value, name) == expected
+
+    def test_non_string(self):
+        assert detect_field_type(3.14) == "number"
+        assert detect_field_type(True) == "boolean"
+        assert detect_field_type([52.5, 13.4]) == "geo_point"
+        assert detect_field_type({"lat": 52.5, "lon": 13.4}) == "geo_point"
+        assert detect_field_type({"a": 1}) == "object"
+        assert detect_field_type([]) is None
+        assert detect_field_type(None) is None
+        assert detect_field_type(["tag1", "tag2", "tag3"]) == "keyword"
+
+    def test_flatten(self):
+        doc = {
+            "id": "x",
+            "name": "hello",
+            "user": {"name": "bob", "profile": {"age": 30}},
+            "tags": ["a", "b"],
+            "items": [{"sku": "s1"}, {"sku": "s2"}],
+            "location": {"lat": 1.0, "lon": 2.0},
+            "nothing": None,
+        }
+        flat = flatten_doc(doc)
+        assert "id" not in flat
+        assert flat["name"] == "hello"
+        assert flat["user.name"] == "bob"
+        assert flat["user.profile.age"] == 30
+        assert flat["tags"] == ["a", "b"]
+        assert flat["items.sku"] == ["s1", "s2"]
+        assert flat["location"] == {"lat": 1.0, "lon": 2.0}
+
+    def test_infer(self):
+        docs = [
+            {
+                "id": "1",
+                "name": "great epic thing",
+                "status": "active",
+                "price": 10.5,
+                "user": {"email": "a.b@x.com", "profile": {"age": 30}},
+                "location": {"lat": 1.0, "lon": 2.0},
+            }
+        ]
+        m = infer_mappings(docs)
+        assert m["name"] == "text"
+        assert m["status"] == "keyword"
+        assert m["price"] == "number"
+        assert m["user.email"] == "email"
+        assert m["user.profile.age"] == "number"
+        assert m["location"] == "geo_point"
+
+
+@pytest.fixture(scope="module")
+def nested_index(tmp_path_factory, ray_session):
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.sources.nested_docs import generate_nested_docs
+
+    root = tmp_path_factory.mktemp("nested")
+    src = str(root / "docs.parquet")
+    generate_nested_docs(src, n_rows=800, seed=5)
+
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(src).slice(0, 50).to_pylist()
+    mappings = infer_mappings(sample)
+
+    idx = str(root / "idx")
+    build_index(
+        idx,
+        src,
+        BuildConfig(
+            mappings=mappings,
+            doc_key_column="id",
+            extract_html=False,
+            dedup=False,
+            n_partitions=2,
+        ),
+    )
+    return idx, src, mappings
+
+
+class TestNestedIndex:
+    def test_mappings_inferred(self, nested_index):
+        _, _, m = nested_index
+        assert m["name"] == "text"
+        assert m["user.name"] == "text"
+        assert m["user.email"] == "email"
+        assert m["user.profile.location.city"] == "text"
+        assert m["location"] == "geo_point"
+        assert m["tags"] == "keyword"
+
+    def test_dotted_path_term_query(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        hits = s.search(
+            {"term": {"field": "user.name", "value": "alice"}}, size=1000
+        )
+        pdf = pq.read_table(src).to_pylist()
+        expect = sum(1 for r in pdf if "alice" in r["user"]["name"])
+        assert len(hits) == expect > 0
+
+    def test_nested_query_shape(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+
+        idx, _, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        a = s.search(
+            {"nested": {"path": "user", "query": {"term": {"field": "name", "value": "bob"}}}},
+            size=1000,
+        )
+        b = s.search({"term": {"field": "user.name", "value": "bob"}}, size=1000)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+
+    def test_tags_array_indexed(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        hits = s.search({"term": {"field": "tags", "value": "rare"}}, size=1000)
+        pdf = pq.read_table(src).to_pylist()
+        expect = sum(1 for r in pdf if "rare" in (r["tags"] or []))
+        assert len(hits) == expect > 0
+
+    def test_nested_range_query(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        hits = s.search(
+            {"range": {"field": "user.profile.age", "gte": 30, "lt": 40}},
+            size=1000,
+        )
+        pdf = pq.read_table(src).to_pylist()
+        expect = sum(
+            1 for r in pdf if 30 <= r["user"]["profile"]["age"] < 40
+        )
+        assert len(hits) == expect > 0
+
+    def test_geo_distance_struct(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        center = {"lat": 48.0, "lon": 11.0}
+        hits = s.search(
+            {"geo_distance": {"field": "location", "center": center, "distance": "300km"}},
+            size=1000,
+        )
+        # numpy haversine reference
+        pdf = pq.read_table(src).to_pylist()
+        R = 6371e3
+        cnt = 0
+        for r in pdf:
+            la, lo = np.radians(r["location"]["lat"]), np.radians(r["location"]["lon"])
+            la0, lo0 = np.radians(48.0), np.radians(11.0)
+            a = np.sin((la - la0) / 2) ** 2 + np.cos(la0) * np.cos(la) * np.sin((lo - lo0) / 2) ** 2
+            if 2 * R * np.arcsin(np.sqrt(a)) <= 300_000:
+                cnt += 1
+        assert len(hits) == cnt > 0
+
+    def test_facets(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        f = s.facets({"match_all": {}}, ["status", "category"])
+        pdf = pq.read_table(src).to_pandas()
+        assert f["status"] == {
+            k: int(v) for k, v in pdf["status"].value_counts().items()
+        }
+
+    def test_aggregations(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        aggs = s.aggregations(
+            {"term": {"field": "status", "value": "active"}},
+            {
+                "cats": {"terms": {"field": "category", "size": 3}},
+                "prices": {"histogram": {"field": "price", "interval": 100}},
+                "years": {
+                    "range": {
+                        "field": "year",
+                        "ranges": [{"to": 2000}, {"from": 2000}],
+                    }
+                },
+            },
+        )
+        pdf = pq.read_table(src).to_pandas()
+        active = pdf[pdf.status == "active"]
+        vc = active["category"].value_counts()
+        top = sorted(
+            ((str(k), int(v)) for k, v in vc.items()),
+            key=lambda t: (-t[1], t[0]),
+        )[:3]
+        got = [(b["key"], b["doc_count"]) for b in aggs["cats"]["buckets"]]
+        assert got == top
+        assert sum(b["doc_count"] for b in aggs["years"]["buckets"]) == len(active)
+
+
+class TestSynonyms:
+    def test_synonym_expansion(self, tmp_path, ray_session):
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["the quick fox", "the fast dog", "a slow cat"],
+                    pa.large_string(),
+                ),
+            }
+        )
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(tbl, src)
+        idx = str(tmp_path / "idx")
+        build_index(
+            idx,
+            src,
+            BuildConfig(
+                fields=(("text", "standard"),),
+                id_column="doc_id",
+                extract_html=False,
+                dedup=False,
+                read_columns=["doc_id", "text"],
+            ),
+        )
+        plain = IndexSearcher(idx)
+        syn = IndexSearcher(idx, synonyms={"quick": ["fast", "speedy"]})
+        a = plain.search({"term": {"field": "text", "value": "quick"}}, size=10)
+        b = syn.search({"term": {"field": "text", "value": "quick"}}, size=10)
+        assert a["doc_id"].tolist() == [1]
+        assert sorted(b["doc_id"].tolist()) == [1, 2]  # synonym matched doc 2
+
+
+class TestAutoStopwords:
+    def test_detects_head_terms(self, nested_index):
+        from search_engine_ray.index_build.stopwords import (
+            auto_detect_stopwords,
+        )
+
+        idx, src, _ = nested_index
+        stops = auto_detect_stopwords(idx, field="name", df_ratio=0.9)
+        assert "the" in stops  # every name starts with "the"
+        low = auto_detect_stopwords(idx, field="name", df_ratio=0.05)
+        assert len(low) > len(stops)
