@@ -274,6 +274,16 @@ def custom_analyzer(
     return [t for t in processed.split(" ") if t and keep(t)]
 
 
+def stemming_analyzer(
+    text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS
+) -> List[str]:
+    """``AnalyzerType.STEMMING`` (Tokenizer.ts:401-417): the standard
+    analyzer's tokens passed through the (English) stemmer."""
+    from .stemmer import porter_stem
+
+    return [porter_stem(t) for t in standard_analyzer(text, stopwords)]
+
+
 ANALYZERS: dict[str, Callable[..., List[str]]] = {
     "standard": standard_analyzer,
     "simple": simple_analyzer,
@@ -284,6 +294,7 @@ ANALYZERS: dict[str, Callable[..., List[str]]] = {
     "url": url_analyzer,
     "phone": phone_analyzer,
     "advanced": advanced_analyzer,
+    "stemming": stemming_analyzer,
 }
 
 
