@@ -793,19 +793,33 @@ class IndexSearcher:
         self, cands: List[Tuple[int, np.ndarray]], columns: List[str]
     ) -> pd.DataFrame:
         """Docstore rows of the result set: per-partition filtered reads
-        (parallel-friendly; each partition only scans its own files)."""
+        (parallel-friendly; each partition only scans its own files).
+        Dotted column names resolve through struct columns (nested-agg
+        support, FacetEngine.ts:301-325 analog)."""
+        roots = sorted({c.split(".")[0] for c in columns})
         frames = []
         for pi, ids in cands:
             if ids.size == 0:
                 continue
             tbl = self._readers[pi].docs_table(
-                columns=["doc_id", *columns],
+                columns=["doc_id", *roots],
                 filter=pc.field("doc_id").isin(ids.tolist()),
             )
             frames.append(tbl.to_pandas())
         if not frames:
             return pd.DataFrame(columns=["doc_id", *columns])
-        return pd.concat(frames, ignore_index=True)
+        df = pd.concat(frames, ignore_index=True)
+        for c in columns:
+            if c in df.columns:
+                continue
+            parts = c.split(".")
+            col = df[parts[0]]
+            for pseg in parts[1:]:
+                col = col.map(
+                    lambda v, k=pseg: v.get(k) if isinstance(v, dict) else None
+                )
+            df[c] = col
+        return df[["doc_id", *columns]]
 
     def facets(self, query, facet_fields: Sequence[str], operator: str = "and"):
         """Facet counts over the full result set (FacetEngine.ts:124-136:

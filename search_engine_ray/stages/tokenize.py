@@ -152,10 +152,21 @@ class GenericTokenizePostings:
                 top_level_scalar_str = (
                     "." not in path and isinstance(value, str)
                 )
+                is_phone_name = "phone" in path.rsplit(".", 1)[-1].lower()
+                is_url_field = self.mappings.get(path) == "url"
                 for item in values:
                     if not isinstance(item, str):
                         item = str(item)
                     toks = tokenize(item, analyzer, self.stopwords)
+                    # reference side-channels (DocumentIndexer.ts:29-37):
+                    # fields named *phone* also index the digits-only form;
+                    # url fields drop all-digit tokens
+                    if is_phone_name:
+                        digits = "".join(c for c in item if c.isdigit())
+                        if digits:
+                            toks = toks + [digits]
+                    if is_url_field:
+                        toks = [t for t in toks if not t.isdigit()]
                     if top_level_scalar_str:
                         dl += len(toks)
                     pref = path + ":"

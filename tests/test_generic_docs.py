@@ -291,3 +291,55 @@ class TestAutoStopwords:
         assert "the" in stops  # every name starts with "the"
         low = auto_detect_stopwords(idx, field="name", df_ratio=0.05)
         assert len(low) > len(stops)
+
+
+class TestNestedAggAndSideChannels:
+    def test_terms_agg_on_dotted_path(self, nested_index, ray_session):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        aggs = s.aggregations(
+            {"match_all": {}},
+            {"cities": {"terms": {"field": "user.profile.location.city", "size": 3}}},
+        )
+        pdf = pq.read_table(src).to_pylist()
+        from collections import Counter
+
+        c = Counter(r["user"]["profile"]["location"]["city"] for r in pdf)
+        top = sorted(((k, v) for k, v in c.items()), key=lambda t: (-t[1], t[0]))[:3]
+        got = [(b["key"], b["doc_count"]) for b in aggs["cities"]["buckets"]]
+        assert got == top
+
+    def test_phone_digits_side_channel(self, tmp_path, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        tbl = pa.Table.from_pylist(
+            [
+                {"id": "a", "name": "office line", "phone": "555-123-4567"},
+                {"id": "b", "name": "home line", "phone": "555-999-8888"},
+            ]
+        )
+        src = str(tmp_path / "p.parquet")
+        pq.write_table(tbl, src)
+        idx = str(tmp_path / "idx")
+        build_index(
+            idx,
+            src,
+            BuildConfig(
+                mappings={"name": "text", "phone": "phone"},
+                doc_key_column="id",
+                extract_html=False,
+                dedup=False,
+            ),
+        )
+        s = IndexSearcher(idx, text_fields=("name",))
+        hits = s.search(
+            {"term": {"field": "phone", "value": "5551234567"}}, size=10
+        )
+        assert len(hits) == 1
