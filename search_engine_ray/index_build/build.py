@@ -249,12 +249,11 @@ def build_partition(
     blocks_dir = os.path.join(part_dir, "blocks")
     os.makedirs(docs_dir, exist_ok=True)
 
-    # stage 1: extract + dedup → docs checkpoint (also the docstore)
-    _docs_pipeline(files, cfg).write_parquet(docs_dir)
-    t_stage1 = time.time() - t0
-
-    # stage 2: docs → postings → sorted → blocks
-    id_col = cfg.id_column or "doc_id"  # docs checkpoint carries doc_id
+    # fused pipeline: extract + dedup + doc-id stream directly into the
+    # tokenizer; the docstore is written as idempotent side-files from
+    # inside the tokenize stage (content-derived names), removing the
+    # docs-parquet write→read barrier and one Ray job per partition.
+    id_col = cfg.id_column or "doc_id"
     if cfg.mappings is not None:
         from ..stages.tokenize import GenericTokenizePostings
 
@@ -263,6 +262,7 @@ def build_partition(
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
             id_column=id_col,
+            docs_out_dir=docs_dir,
         )
     else:
         tok = TokenizePostings(
@@ -270,8 +270,10 @@ def build_partition(
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
             id_column=id_col,
+            docs_out_dir=docs_dir,
         )
-    ds = rd.read_parquet(docs_dir)
+    ds = _docs_pipeline(files, cfg)
+    t_stage1 = time.time() - t0
     kwargs: Dict = dict(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
     )
@@ -283,6 +285,7 @@ def build_partition(
                 stopwords=cfg.stopwords,
                 store_positions=cfg.store_positions,
                 id_column=id_col,
+                docs_out_dir=docs_dir,
             ),
             concurrency=cfg.tokenize_concurrency,
             **kwargs,

@@ -113,9 +113,12 @@ class GenericTokenizePostings:
         stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
         store_positions: bool = True,
         id_column: str = "doc_id",
+        docs_out_dir: str | None = None,
     ):
         from ..analysis.analyzers import analyzer_for_field_type
         from ..analysis.mappings import flatten_doc
+
+        self.docs_out_dir = docs_out_dir
 
         self.mappings = dict(mappings)
         self.analyzers = {
@@ -129,6 +132,8 @@ class GenericTokenizePostings:
         self._flatten = flatten_doc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.docs_out_dir:
+            write_docs_sidefile(batch, self.docs_out_dir, self.id_column)
         rows = batch.to_pylist()
         terms: List[str] = []
         t_doc: List[int] = []
@@ -220,6 +225,30 @@ class GenericTokenizePostings:
         )
 
 
+def write_docs_sidefile(
+    batch: pa.Table, out_dir: str, key_column: str | None
+) -> None:
+    """Persist a doc batch as a docstore side-file with a content-derived
+    name (idempotent under task retries)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    if key_column and key_column in batch.column_names:
+        first = str(batch[key_column][0].as_py())
+        last = str(batch[key_column][batch.num_rows - 1].as_py())
+    else:
+        first, last = "x", "y"
+    h = hashlib.blake2b(
+        f"{first}|{last}|{batch.num_rows}".encode(), digest_size=10
+    ).hexdigest()
+    path = os.path.join(out_dir, f"docs-{h}.parquet")
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(batch, tmp)
+    os.replace(tmp, path)
+
+
 class ExtractTextStage:
     """html → text extraction stage (stateless enough, but kept as a class
     so the regex state compiles once per actor)."""
@@ -258,11 +287,20 @@ class TokenizePostings:
         stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
         store_positions: bool = True,
         id_column: str | None = None,
+        docs_out_dir: str | None = None,
     ):
         self.fields = tuple(fields)
         self.stopwords = stopwords
         self.store_positions = store_positions
         self.id_column = id_column  # None → hash of the 'url' column
+        # when set, each input batch is persisted as a docstore side-file
+        # before tokenization — fuses the docs checkpoint into the posting
+        # pipeline (one Ray job per partition instead of two, no disk
+        # roundtrip barrier).  File names are content-derived, so task
+        # retries overwrite idempotently.
+        self.docs_out_dir = docs_out_dir
+
+
 
     def _doc_ids(self, batch: pa.Table) -> np.ndarray:
         if self.id_column is not None:
@@ -297,6 +335,8 @@ class TokenizePostings:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.docs_out_dir:
+            write_docs_sidefile(batch, self.docs_out_dir, self.id_column)
         doc_ids = self._doc_ids(batch)
         per_field = self._field_tokens(batch)
         n = len(doc_ids)
