@@ -1,30 +1,33 @@
 """Distributed inverted-index build: the flagship Ray Data pipeline.
 
-Dataflow per input partition (SURVEY.md §7.1-7.3):
+Dataflow per input partition — ONE fused streaming job (SURVEY.md §7.1-7.3):
 
     read_parquet(shard files, pruned columns)
+      → dedup split (url winners from a metadata-only pass; losers dropped)
       → map_batches(ExtractTextStage)          # html → text (byte-identical)
-      → groupby(url).map_groups(keep-latest)   # exact dedup, key = url
-      → write docs/ parquet                    # checkpoint + docstore
-    read docs/
-      → map_batches(TokenizePostings, actor pool)   # partial postings
-      → sort(["term", "doc_id"])               # THE shuffle; skew handled by
-                                               # Ray's sampled range partitioning
+      → map_batches(TokenizePostings)          # partial postings; also
+                                               # writes docs/ side-files
+                                               # (docstore checkpoint)
+      → sort(["term", "doc_id"])               # THE shuffle (push-based);
+                                               # skew handled by sampled
+                                               # range partitioning
       → map_batches(BuildBlocks)               # delta+varbyte posting blocks
       → write blocks/ parquet (sorted ⇒ row-group term stats = term dictionary)
       → manifest.json                          # per-partition lineage
 
-Resume: a partition whose ``manifest.json`` says ``completed`` is skipped
-wholesale; an incomplete partition directory is wiped and rebuilt
-(idempotent).  This is the distributed analog of the reference's
-snapshot/restore (``StreamingPersistence.ts:281-341``) with immutable
-segments instead of mutable JSONL state.
+Partitions build concurrently (``concurrent_partitions`` threads driving
+independent pipelines).  Resume: a partition whose ``manifest.json`` says
+``completed`` is skipped wholesale; an incomplete partition directory is
+wiped and rebuilt (idempotent).  This is the distributed analog of the
+reference's snapshot/restore (``StreamingPersistence.ts:281-341``) with
+immutable segments instead of mutable JSONL state.
 
 Dedup scope: exact dedup (upsert-by-url, keep max ``warc_ts`` —
-``SearchEngine.ts:223-225`` re-add semantics) runs within each build
-partition.  Global dedup therefore assumes input shards are url-disjoint
-(true for crawl dumps partitioned by url/host, and for our fixtures); set
-``global_dedup=True`` to force a corpus-wide groupby(url) first.
+``SearchEngine.ts:223-225`` re-add semantics).  By default winners are
+decided within each build partition (fine when input shards are
+url-disjoint, as crawl dumps usually are); ``global_dedup=True`` decides
+winners from a corpus-wide metadata pass so duplicates spanning
+partitions are removed too.
 """
 
 from __future__ import annotations
@@ -149,7 +152,11 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
+def _docs_pipeline(
+    files: List[str],
+    cfg: BuildConfig,
+    dedup_meta_files: Optional[List[str]] = None,
+) -> rd.Dataset:
     if cfg.mappings is not None:
         ds = rd.read_parquet(files, columns=cfg.read_columns)
         if not cfg.id_column:
@@ -169,7 +176,7 @@ def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
     cols = sorted(set(cols))
     ds = rd.read_parquet(files, columns=cols)
     if cfg.dedup:
-        ds = _dedup_split(files, cols, ds)
+        ds = _dedup_split(files, cols, ds, meta_files=dedup_meta_files)
     if cfg.extract_html:
         # extraction runs AFTER dedup, so loser duplicates are never parsed
         ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
@@ -181,46 +188,60 @@ def _docs_pipeline(files: List[str], cfg: BuildConfig) -> rd.Dataset:
     return ds
 
 
-def _dedup_split(files: List[str], cols: List[str], full: rd.Dataset) -> rd.Dataset:
+def _dedup_split(
+    files: List[str],
+    cols: List[str],
+    full: rd.Dataset,
+    meta_files: Optional[List[str]] = None,
+) -> rd.Dataset:
     """Exact dedup by url, keep max warc_ts, without shuffling payloads.
 
-    Pass A reads only (url, warc_ts) and aggregates per url — the shuffle
-    moves two small columns.  The (rare) duplicate urls are broadcast as a
-    plain set (a Bloom filter would replace the set beyond driver memory;
-    false positives only route extra rows through the slow path).  Unique
-    rows stream through untouched; duplicate-url rows (~1% in crawl data)
-    take a tiny ``groupby(url)`` keep-latest.  This avoids the per-group
-    Python cost of a full-corpus ``map_groups`` (one call per url) and the
-    payload shuffle of a full-row groupby."""
-    from ray.data.aggregate import Count
+    Pass A reads only (url, warc_ts) — from ``meta_files`` when given
+    (the WHOLE corpus in ``global_dedup`` mode, so winners are decided
+    globally even though each partition streams only its own files) —
+    and aggregates per url; the shuffle moves two small columns.  The
+    (rare) duplicate urls are broadcast as a url→max_ts dict (a Bloom
+    filter+ts sketch replaces this beyond driver memory; false positives
+    only route extra rows through the slow path).  Unique rows stream
+    through untouched; loser duplicate rows (ts < max) are dropped in the
+    filter; winner-candidate rows take a tiny ``groupby(url)``
+    keep-latest.  This avoids the per-group Python cost of a full-corpus
+    ``map_groups`` and the payload shuffle of a full-row groupby."""
+    from ray.data.aggregate import Count, Max
 
-    meta = rd.read_parquet(files, columns=["url"])
-    counts = meta.groupby("url").aggregate(Count(alias_name="n"))
+    meta = rd.read_parquet(meta_files or files, columns=["url", "warc_ts"])
+    counts = meta.groupby("url").aggregate(
+        Count(alias_name="n"), Max("warc_ts", alias_name="max_ts")
+    )
     dups = counts.map_batches(
-        lambda b: b.filter(pc.field("n") > 1).select(["url"]),
+        lambda b: b.filter(pc.field("n") > 1).select(["url", "max_ts"]),
         batch_format="pyarrow",
     ).to_pandas()
     if dups.empty:
         return full
-    dup_urls = set(dups["url"])
+    winner_ts = dict(zip(dups["url"], dups["max_ts"]))
     import ray as _ray
 
-    ref = _ray.put(dup_urls)
+    ref = _ray.put(winner_ts)
 
     def keep_unique(batch: pa.Table) -> pa.Table:
         d = _ray.get(ref)
         mask = pa.array([u not in d for u in batch["url"].to_pylist()])
         return batch.filter(mask)
 
-    def keep_dup(batch: pa.Table) -> pa.Table:
+    def keep_winner_candidates(batch: pa.Table) -> pa.Table:
         d = _ray.get(ref)
-        mask = pa.array([u in d for u in batch["url"].to_pylist()])
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        mask = pa.array(
+            [u in d and ts == d[u] for u, ts in zip(urls, tss)]
+        )
         return batch.filter(mask)
 
     uniq = full.map_batches(keep_unique, batch_format="pyarrow")
     dup_rows = (
         rd.read_parquet(files, columns=cols)
-        .map_batches(keep_dup, batch_format="pyarrow")
+        .map_batches(keep_winner_candidates, batch_format="pyarrow")
         .groupby("url")
         .map_groups(_dedup_keep_latest, batch_format="pandas")
     )
@@ -228,7 +249,10 @@ def _dedup_split(files: List[str], cols: List[str], full: rd.Dataset) -> rd.Data
 
 
 def build_partition(
-    part_dir: str, files: List[str], cfg: BuildConfig
+    part_dir: str,
+    files: List[str],
+    cfg: BuildConfig,
+    dedup_meta_files: Optional[List[str]] = None,
 ) -> dict:
     """Build one index partition; returns its manifest dict."""
     t0 = time.time()
@@ -272,7 +296,7 @@ def build_partition(
             id_column=id_col,
             docs_out_dir=docs_dir,
         )
-    ds = _docs_pipeline(files, cfg)
+    ds = _docs_pipeline(files, cfg, dedup_meta_files)
     t_stage1 = time.time() - t0
     kwargs: Dict = dict(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
@@ -385,16 +409,19 @@ def build_index(
         todo.append((pi, part_dir, pfiles))
 
     if todo:
+        meta = files if (cfg.dedup and cfg.global_dedup) else None
         workers = max(1, min(cfg.concurrent_partitions, len(todo)))
         if workers == 1:
             for pi, part_dir, pfiles in todo:
-                part_manifests[pi] = build_partition(part_dir, pfiles, cfg)
+                part_manifests[pi] = build_partition(
+                    part_dir, pfiles, cfg, meta
+                )
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=workers) as ex:
                 futs = {
-                    ex.submit(build_partition, part_dir, pfiles, cfg): pi
+                    ex.submit(build_partition, part_dir, pfiles, cfg, meta): pi
                     for pi, part_dir, pfiles in todo
                 }
                 for fut, pi in futs.items():

@@ -247,3 +247,64 @@ class TestEndToEndBuild:
         assert os.path.exists(mpath)
         assert m2["total_docs"] == manifest["total_docs"]
         assert m2["n_postings"] == manifest["n_postings"]
+
+
+class TestGlobalDedup:
+    def test_cross_partition_duplicates_removed(self, tmp_path, ray_session):
+        """Duplicate urls placed in DIFFERENT files (→ different build
+        partitions) are removed only with global_dedup=True."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        def mk(path, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": pa.array([r[0] for r in rows], pa.string()),
+                        "warc_ts": pa.array(
+                            [r[1] for r in rows], pa.timestamp("us")
+                        ),
+                        "text": pa.array(
+                            [r[2] for r in rows], pa.large_string()
+                        ),
+                        "lang": pa.array(["en"] * len(rows), pa.string()),
+                    }
+                ),
+                path,
+            )
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        # url dup-x appears in both files with different timestamps
+        mk(
+            str(corpus / "a.parquet"),
+            [("https://a/1", 100, "alpha beta"),
+             ("https://dup/x", 100, "old version text")],
+        )
+        mk(
+            str(corpus / "b.parquet"),
+            [("https://b/1", 100, "gamma delta"),
+             ("https://dup/x", 200, "new version text")],
+        )
+
+        cfg = dict(extract_html=False, n_partitions=2, concurrent_partitions=1)
+        m_local = build_index(
+            str(tmp_path / "idx_local"), str(corpus), BuildConfig(**cfg)
+        )
+        m_global = build_index(
+            str(tmp_path / "idx_global"),
+            str(corpus),
+            BuildConfig(global_dedup=True, **cfg),
+        )
+        # local: each partition sees one copy → both kept (4 docs)
+        assert m_local["total_docs"] == 4
+        # global: winner (ts=200) kept once → 3 docs
+        assert m_global["total_docs"] == 3
+
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(str(tmp_path / "idx_global"))
+        assert len(s.search({"term": {"field": "text", "value": "new"}})) == 1
+        assert len(s.search({"term": {"field": "text", "value": "old"}})) == 0
