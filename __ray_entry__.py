@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_agg_value": q.range_agg_value,
         # stream-shaped (windowed aggregates)
         "tumbling_user_value": q.tumbling_user_value,
+        "sliding_user_value": q.sliding_user_value,
         "session_windows": q.session_windows,
         # similarity search
         "similarity_top10": q.similarity_top10,
@@ -226,6 +227,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(round(value * 1000000) AS BIGINT))
                          / 1000000.0, 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sliding_user_value": """
+            WITH starts AS (
+              SELECT user_id, value,
+                     (CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                      * 3600000000) AS last_start
+              FROM events
+            ),
+            expanded AS (
+              SELECT user_id, value, last_start AS window_us FROM starts
+              UNION ALL
+              SELECT user_id, value, last_start - 3600000000 FROM starts
+            )
+            SELECT user_id, window_us::BIGINT AS window_us,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(CAST(round(value * 1000000) AS BIGINT))
+                         / 1000000.0, 6) AS sum_value
+            FROM expanded GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "session_windows": """
             WITH e AS (

@@ -279,6 +279,22 @@ def tumbling_user_value(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def sliding_user_value(sf_dir: str) -> pd.DataFrame:
+    """Sliding 2h windows every 1h: each event lands in 2 windows."""
+    ds = _scale_value(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+        )
+    )
+    out = win.sliding_window(
+        ds, "ts", "user_id", 7_200_000_000, 3_600_000_000, "value"
+    )
+    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    return out.astype(
+        {"user_id": "int64", "window_us": "int64", "n_events": "int64"}
+    )
+
+
 def session_windows(sf_dir: str) -> pd.DataFrame:
     ds = _scale_value(
         rd.read_parquet(
