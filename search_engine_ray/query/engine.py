@@ -351,8 +351,9 @@ class _PartitionEvaluator:
             return self.term_docs(q["field"], q["value"])
         if "prefix" in node:
             q = node["prefix"]
-            toks = prefix_matches(self.r.vocab(q["field"]), str(q["value"]))
-            return self._expanded_docs(q["field"], toks)
+            pref = str(q["value"]).lower()
+            lo = f"{q['field']}:{pref}"
+            return self.r.docs_in_term_range(lo, lo + "\uffff")
         if "wildcard" in node:
             q = node["wildcard"]
             toks = wildcard_matches(self.r.vocab(q["field"]), str(q["value"]))

@@ -72,33 +72,40 @@ class TermPostings:
             self._pos_decoded[b] = hit
         return hit
 
+    def _full_positions(self):
+        """All entries' positions flattened once per TermPostings:
+        (flat, offsets[df+1]).  Cached — the reader's LRU keeps the
+        TermPostings alive across queries, so decode cost is paid once."""
+        full = getattr(self, "_pos_full", None)
+        if full is None:
+            flats, off_parts = [], [np.zeros(1, dtype=np.int64)]
+            base = 0
+            for b in range(len(self.block_starts)):
+                flat, offs = self._decoded_block(b)
+                flats.append(flat)
+                off_parts.append(offs[1:] + base)
+                base += flat.size
+            full = (
+                np.concatenate(flats) if flats else np.empty(0, np.int64),
+                np.concatenate(off_parts),
+            )
+            object.__setattr__(self, "_pos_full", full)
+        return full
+
     def positions_flat(self, idx: np.ndarray):
         """Vectorized positions gather for sorted entry indices: returns
         (lens, flat) where ``flat`` concatenates each entry's absolute
-        position list in order."""
+        position list in order — one range-gather, no per-block loop."""
         assert self.pos_blobs is not None, "index built without positions"
         idx = np.asarray(idx, dtype=np.int64)
-        blocks = np.searchsorted(self.block_starts, idx, side="right") - 1
-        lens_parts, flat_parts = [], []
-        for b in np.unique(blocks):
-            flat, offs = self._decoded_block(int(b))
-            sel = idx[blocks == b] - self.block_starts[b]
-            s, e = offs[sel], offs[sel + 1]
-            lens = e - s
-            total = int(lens.sum())
-            if total:
-                # range-gather: indices for all [s_i, e_i) slices at once
-                gidx = np.repeat(e - np.cumsum(lens), lens) + np.arange(total)
-                flat_parts.append(flat[gidx])
-            lens_parts.append(lens)
-        if not lens_parts:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        return (
-            np.concatenate(lens_parts),
-            np.concatenate(flat_parts)
-            if flat_parts
-            else np.empty(0, np.int64),
-        )
+        full, offs = self._full_positions()
+        s, e = offs[idx], offs[idx + 1]
+        lens = e - s
+        total = int(lens.sum())
+        if total == 0:
+            return lens, np.empty(0, np.int64)
+        gidx = np.repeat(e - np.cumsum(lens), lens) + np.arange(total)
+        return lens, full[gidx]
 
     def positions_for(self, idx: np.ndarray) -> List[np.ndarray]:
         """Per-entry position lists (wraps :meth:`positions_flat`)."""
@@ -124,6 +131,9 @@ class PartitionReader:
         self._cache: "OrderedDict[Tuple[str, bool], TermPostings]" = OrderedDict()
         self._cache_terms = cache_terms
         self._df_cache: Dict[str, int] = {}
+        self._range_cache: "OrderedDict[Tuple[str, str], np.ndarray]" = (
+            OrderedDict()
+        )
 
     # --- term dictionary ---------------------------------------------------
     def vocab(self, field: str) -> np.ndarray:
@@ -218,6 +228,33 @@ class PartitionReader:
                 pos_blobs=pos_blobs if with_positions else None,
                 block_ns=np.asarray(ns, dtype=np.int64),
             )
+        return out
+
+    def docs_in_term_range(self, lo: str, hi: str) -> np.ndarray:
+        """Union of doc ids over a contiguous term range — one pruned
+        parquet scan of the ``docs`` blobs (the prefix-query fast path:
+        the sorted term layout makes a prefix a range; reading thousands
+        of individual terms via ``isin`` would re-scan per term).
+        Results cached per (lo, hi) — segments are immutable."""
+        hit = self._range_cache.get((lo, hi))
+        if hit is not None:
+            self._range_cache.move_to_end((lo, hi))
+            return hit
+        tbl = self._dataset.to_table(
+            columns=["docs"],
+            filter=(pc.field("term") >= lo) & (pc.field("term") < hi),
+        )
+        if tbl.num_rows == 0:
+            out = np.empty(0, dtype=np.int64)
+        else:
+            parts = [
+                np.cumsum(varbyte_decode(b), dtype=np.uint64).astype(np.int64)
+                for b in tbl["docs"].to_pylist()
+            ]
+            out = np.unique(np.concatenate(parts))
+        self._range_cache[(lo, hi)] = out
+        while len(self._range_cache) > 64:
+            self._range_cache.popitem(last=False)
         return out
 
     def term_dfs(self, terms: Sequence[str]) -> Dict[str, int]:

@@ -70,6 +70,45 @@ def pruning_plan(node, text_fields: Sequence[str]) -> Optional[Tuple[str, List[s
     return None
 
 
+def _topk_exhaustive(
+    tps, terms, mode, global_dfs, stats, k, field_boosts
+) -> Tuple[np.ndarray, np.ndarray]:
+    if mode == "and":
+        cand = None
+        for tp in tps:
+            cand = tp.doc_ids if cand is None else np.intersect1d(
+                cand, tp.doc_ids, assume_unique=True
+            )
+            if cand.size == 0:
+                break
+    else:
+        cand = (
+            np.unique(np.concatenate([tp.doc_ids for tp in tps]))
+            if len(tps) > 1
+            else tps[0].doc_ids
+        )
+    if cand is None or cand.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for t, tp in zip(terms, tps):
+        j = np.searchsorted(tp.doc_ids, cand)
+        jc = np.minimum(j, tp.df - 1)
+        hit = tp.doc_ids[jc] == cand
+        if not hit.any():
+            continue
+        sc = bm25_score_arrays(
+            tp.tfs[jc[hit]],
+            tp.dls[jc[hit]],
+            total_docs=stats.total_docs,
+            avg_dl=stats.avg_dl,
+            df=global_dfs[t],
+            boost=field_boost(t, field_boosts),
+        )
+        scores[hit] += sc
+    sel = np.lexsort((cand, -scores))[:k]
+    return cand[sel], scores[sel]
+
+
 def topk_blockmax(
     postings: Dict[str, TermPostings],
     terms: Sequence[str],
@@ -89,8 +128,17 @@ def topk_blockmax(
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
 
-    # per-term block bounds
     tps = [postings[t] for t in terms]
+
+    # small posting volumes: the chunk bookkeeping costs more than it
+    # saves — score everything vectorized (identical result, exact)
+    volume = sum(tp.df for tp in tps)
+    if volume < 100_000:
+        return _topk_exhaustive(
+            tps, terms, mode, global_dfs, stats, k, field_boosts
+        )
+
+    # per-term block bounds
     ubs = []
     for t, tp in zip(terms, tps):
         boost = field_boost(t, field_boosts)
@@ -151,6 +199,7 @@ def topk_blockmax(
     top_scores: List[float] = []
     theta = -np.inf
     pruned_chunks = 0
+    processed = 0
     for ci in order:
         ub = chunk_ub[ci]
         if ub <= 0.0:
@@ -158,6 +207,14 @@ def topk_blockmax(
         if len(top_docs) >= k and ub < theta:
             pruned_chunks += 1
             continue
+        # head-term-only queries have near-uniform block bounds — the
+        # threshold never bites and the per-chunk loop costs more than
+        # one vectorized pass; detect that and bail to exhaustive (exact)
+        processed += 1
+        if processed == 65 and pruned_chunks == 0 and n_chunks - processed > 512:
+            return _topk_exhaustive(
+                tps, terms, mode, global_dfs, stats, k, field_boosts
+            )
         lo, hi = C[ci], C[ci + 1]
         # gather candidate docs in [lo, hi)
         segs = []
