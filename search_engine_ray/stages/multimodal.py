@@ -113,6 +113,55 @@ class ImageFeatureStage:
         )
 
 
+class VideoFrameSampleStage:
+    """binary video payload → ``n_frames`` sampled frames, each decoded to
+    a small pixel tensor (stub decode).  Emits one ROW PER FRAME
+    (flat_map-shaped: frame_index + pixels), the layout a downstream
+    per-frame embedder expects."""
+
+    def __init__(
+        self,
+        n_frames: int = 4,
+        height: int = 16,
+        width: int = 16,
+        payload_column: str = "payload",
+        fake: bool = False,
+    ):
+        self.n_frames = n_frames
+        self.h, self.w = height, width
+        self.payload_column = payload_column
+        if not fake:
+            raise NotImplementedError(
+                "video decoding requires ffmpeg/pyav (not in this "
+                "container); construct with fake=True for the stub decoder"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        other_cols = [
+            c for c in batch.column_names if c != self.payload_column
+        ]
+        out = {c: [] for c in other_cols}
+        out["frame_index"] = []
+        out["pixels"] = []
+        for i, payload in enumerate(batch[self.payload_column].to_pylist()):
+            for f in range(self.n_frames):
+                for c in other_cols:
+                    out[c].append(batch[c][i].as_py())
+                out["frame_index"].append(f)
+                out["pixels"].append(
+                    _fake_pixels(
+                        (payload or b"") + f.to_bytes(4, "big"),
+                        (self.h, self.w, 3),
+                    )
+                    .reshape(-1)
+                    .tolist()
+                )
+        arrays = {c: pa.array(v) for c, v in out.items()}
+        arrays["frame_index"] = pa.array(out["frame_index"], pa.int32())
+        arrays["pixels"] = pa.array(out["pixels"], pa.list_(pa.float32()))
+        return pa.table(arrays)
+
+
 class AudioFrameSampleStage:
     """binary audio payload → sampled frame energies (stub decode)."""
 

@@ -427,3 +427,28 @@ class TestMultimodal:
             concurrency=1,
         ).to_pandas()
         assert len(out) == 5 and len(out["frame_energy"].iloc[0]) == 8
+
+
+class TestVideoFrames:
+    def test_frame_expansion(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import VideoFrameSampleStage
+
+        ds = rd.from_items(
+            [{"item_id": i, "payload": b"v%d" % i} for i in range(6)]
+        )
+        out = ds.map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs=dict(n_frames=4, height=8, width=8, fake=True),
+            batch_format="pyarrow",
+            batch_size=3,
+            concurrency=2,
+        ).to_pandas()
+        assert len(out) == 6 * 4  # one row per frame
+        assert sorted(out["frame_index"].unique()) == [0, 1, 2, 3]
+        assert len(out["pixels"].iloc[0]) == 8 * 8 * 3
+        # frames differ deterministically per (payload, frame)
+        a = out[(out.item_id == 0) & (out.frame_index == 0)]["pixels"].iloc[0]
+        b = out[(out.item_id == 0) & (out.frame_index == 1)]["pixels"].iloc[0]
+        assert not np.array_equal(np.asarray(a), np.asarray(b))
