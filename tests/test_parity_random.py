@@ -1,0 +1,112 @@
+"""Randomized rank-identical parity: generated query DSL trees vs the
+reference-semantics oracle, plus a stopword-configured build."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.analysis.analyzers import REFERENCE_TEST_STOPWORDS
+from search_engine_ray.query.oracle import OracleEngine
+from search_engine_ray.sources.webpages import generate_pages
+
+
+def _rand_query(rng, vocab):
+    """Random DSL tree over corpus vocabulary (depth ≤ 2)."""
+
+    def leaf():
+        kind = rng.choice(
+            ["term", "match", "prefix", "wildcard", "fuzzy", "phrase", "match_all"],
+            p=[0.3, 0.2, 0.1, 0.1, 0.1, 0.15, 0.05],
+        )
+        w = str(rng.choice(vocab))
+        if kind == "match_all":
+            return {"match_all": {}}
+        if kind == "prefix":
+            return {"prefix": {"field": "text", "value": w[: max(1, len(w) // 2)]}}
+        if kind == "wildcard":
+            pat = w[: max(1, len(w) - 2)] + "*" if len(w) > 3 else w + "*"
+            return {"wildcard": {"field": "text", "value": pat}}
+        if kind == "fuzzy":
+            mutated = w[:-1] + ("x" if not w.endswith("x") else "y") if len(w) > 2 else w
+            return {"fuzzy": {"field": "text", "value": mutated, "fuzziness": 1}}
+        if kind == "phrase":
+            w2 = str(rng.choice(vocab))
+            return {
+                "match_phrase": {
+                    "field": "text",
+                    "value": f"{w} {w2}",
+                    "slop": int(rng.integers(0, 3)),
+                }
+            }
+        return {kind: {"field": "text", "value": w}}
+
+    if rng.random() < 0.4:
+        return leaf()
+    clauses = {
+        "must": [leaf() for _ in range(rng.integers(0, 3))],
+        "should": [leaf() for _ in range(rng.integers(0, 3))],
+        "must_not": [leaf() for _ in range(rng.integers(0, 2))],
+    }
+    if clauses["should"] and rng.random() < 0.3:
+        clauses["minimum_should_match"] = int(
+            rng.integers(1, len(clauses["should"]) + 1)
+        )
+    return {"bool": clauses}
+
+
+@pytest.fixture(scope="module", params=[frozenset(), REFERENCE_TEST_STOPWORDS])
+def setup(tmp_path_factory, ray_session, request):
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.query import IndexSearcher
+
+    stopwords = request.param
+    root = tmp_path_factory.mktemp("prand")
+    corpus = str(root / "c")
+    generate_pages(corpus, n_rows=300, seed=23, n_files=2)
+    idx = str(root / "i")
+    build_index(
+        idx, corpus, BuildConfig(n_partitions=2, stopwords=stopwords)
+    )
+    searcher = IndexSearcher(idx, stopwords=stopwords)
+    oracle = OracleEngine(stopwords=stopwords)
+    frames = [
+        r.docs_table(columns=["doc_id", "url", "text", "lang"])
+        for r in searcher._readers
+    ]
+    tbl = pa.concat_tables(frames)
+    for row in tbl.to_pylist():
+        oracle.add(
+            {"url": row["url"], "text": row["text"], "lang": row["lang"]},
+            row["doc_id"],
+        )
+    vocab = sorted(
+        {
+            w
+            for t in tbl["text"].to_pylist()[:100]
+            for w in t.lower().split()
+            if len(w) > 1 and w not in stopwords
+        }
+    )
+    return searcher, oracle, vocab
+
+
+def test_random_battery(setup):
+    searcher, oracle, vocab = setup
+    rng = np.random.default_rng(99)
+    failures = []
+    for i in range(40):
+        q = _rand_query(rng, vocab)
+        size = int(rng.integers(1, 25))
+        from_ = int(rng.integers(0, 5))
+        op = "or" if rng.random() < 0.3 else "and"
+        got = searcher.search(q, size=size, from_=from_, operator=op)
+        want = oracle.search(q, size=size, from_=from_, operator=op)
+        g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
+        if [x[0] for x in g] != [w[0] for w in want]:
+            failures.append((i, q, "docids", g[:3], want[:3]))
+            continue
+        for (gd, gs), (wd, ws) in zip(g, want):
+            if abs(gs - ws) > 1e-12 * max(1.0, abs(ws)):
+                failures.append((i, q, "score", (gd, gs), (wd, ws)))
+                break
+    assert not failures, failures[:3]
