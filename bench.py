@@ -113,6 +113,19 @@ def run_bench() -> dict:
     results["bm25_queries"] = round(time.time() - t0, 3)
     extras["bm25_p50_ms"] = round(1000 * sorted(lat)[len(lat) // 2], 2)
 
+    # concurrent query throughput (reference claims >1000 qps with worker
+    # pools; here: thread pool over the resident searcher, cached segments)
+    from concurrent.futures import ThreadPoolExecutor
+
+    light = [b for b in battery if not isinstance(b[0], dict) or
+             "match_phrase" not in b[0]]
+    n_q = 300
+    jobs = [light[i % len(light)] for i in range(n_q)]
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda qo: searcher.search(qo[0], size=10, operator=qo[1]), jobs))
+    extras["query_qps"] = round(n_q / (time.time() - t0), 1)
+
     # 3. dedup: minhash-LSH near-dup candidates over sf documents
     t0 = time.time()
     docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])

@@ -766,6 +766,42 @@ class IndexSearcher:
             {"doc_id": out_ids[from_:], "score": out_scores[from_:]}
         )
 
+    def search_full(
+        self,
+        query,
+        size: int = 10,
+        from_: int = 0,
+        operator: str = "and",
+        facet_fields: Optional[Sequence[str]] = None,
+        aggs: Optional[Dict[str, dict]] = None,
+        enrich_columns: Sequence[str] = (),
+    ) -> Dict[str, Any]:
+        """Reference-shaped search result
+        (``SearchEngine.ts:639-650``): ``{hits, total, from, size}`` plus
+        ``facets``/``aggregations`` when requested.  ``hits`` carry
+        ``_score`` and any enriched docstore columns."""
+        node = normalize_query(query, operator)
+        total = self.count(query, operator)
+        page = self.search(query, size=size, from_=from_, operator=operator)
+        if enrich_columns:
+            page = self.enrich(page, columns=tuple(enrich_columns))
+        hits = [
+            {**{k: row[k] for k in page.columns if k != "score"},
+             "_score": row["score"]}
+            for _, row in page.iterrows()
+        ]
+        out: Dict[str, Any] = {
+            "hits": hits,
+            "total": int(total),
+            "from": from_,
+            "size": size,
+        }
+        if facet_fields:
+            out["facets"] = self.facets(query, facet_fields, operator)
+        if aggs:
+            out["aggregations"] = self.aggregations(query, aggs, operator)
+        return out
+
     def count(self, query, operator: str = "and") -> int:
         node = normalize_query(query, operator)
         if node is None:

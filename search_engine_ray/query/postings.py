@@ -122,6 +122,10 @@ class PartitionReader:
     unnecessary)."""
 
     def __init__(self, part_dir: str, cache_terms: int = 512):
+        import threading
+
+        self._lock = threading.Lock()  # caches are mutated by concurrent
+        # query threads (serving / QPS bench); all cache ops lock briefly
         self.part_dir = part_dir
         self.block_files = sorted(
             glob.glob(os.path.join(part_dir, "blocks", "*.parquet"))
@@ -165,22 +169,24 @@ class PartitionReader:
             return {}
         out: Dict[str, TermPostings] = {}
         missing = []
-        for t in terms:
-            hit = self._cache.get((t, with_positions))
-            if hit is None and not with_positions:
-                hit = self._cache.get((t, True))  # positions superset ok
-            if hit is not None:
-                self._cache.move_to_end((t, hit.pos_blobs is not None))
-                out[t] = hit
-            else:
-                missing.append(t)
+        with self._lock:
+            for t in terms:
+                hit = self._cache.get((t, with_positions))
+                if hit is None and not with_positions:
+                    hit = self._cache.get((t, True))  # positions superset ok
+                if hit is not None:
+                    self._cache.move_to_end((t, hit.pos_blobs is not None))
+                    out[t] = hit
+                else:
+                    missing.append(t)
         if not missing:
             return out
         fetched = self._read_terms_uncached(missing, with_positions)
-        for t, tp in fetched.items():
-            self._cache[(t, with_positions)] = tp
-            while len(self._cache) > self._cache_terms:
-                self._cache.popitem(last=False)
+        with self._lock:
+            for t, tp in fetched.items():
+                self._cache[(t, with_positions)] = tp
+                while len(self._cache) > self._cache_terms:
+                    self._cache.popitem(last=False)
         out.update(fetched)
         return out
 
@@ -236,10 +242,11 @@ class PartitionReader:
         the sorted term layout makes a prefix a range; reading thousands
         of individual terms via ``isin`` would re-scan per term).
         Results cached per (lo, hi) — segments are immutable."""
-        hit = self._range_cache.get((lo, hi))
-        if hit is not None:
-            self._range_cache.move_to_end((lo, hi))
-            return hit
+        with self._lock:
+            hit = self._range_cache.get((lo, hi))
+            if hit is not None:
+                self._range_cache.move_to_end((lo, hi))
+                return hit
         tbl = self._dataset.to_table(
             columns=["docs"],
             filter=(pc.field("term") >= lo) & (pc.field("term") < hi),
@@ -252,9 +259,10 @@ class PartitionReader:
                 for b in tbl["docs"].to_pylist()
             ]
             out = np.unique(np.concatenate(parts))
-        self._range_cache[(lo, hi)] = out
-        while len(self._range_cache) > 64:
-            self._range_cache.popitem(last=False)
+        with self._lock:
+            self._range_cache[(lo, hi)] = out
+            while len(self._range_cache) > 64:
+                self._range_cache.popitem(last=False)
         return out
 
     def term_dfs(self, terms: Sequence[str]) -> Dict[str, int]:

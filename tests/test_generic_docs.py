@@ -343,3 +343,23 @@ class TestNestedAggAndSideChannels:
             {"term": {"field": "phone", "value": "5551234567"}}, size=10
         )
         assert len(hits) == 1
+
+
+class TestSearchFull:
+    def test_reference_shaped_response(self, nested_index, ray_session):
+        from search_engine_ray.query import IndexSearcher
+
+        idx, _, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        r = s.search_full(
+            {"term": {"field": "status", "value": "active"}},
+            size=5,
+            facet_fields=["category"],
+            aggs={"years": {"histogram": {"field": "year", "interval": 20}}},
+            enrich_columns=("id",),
+        )
+        assert set(r) >= {"hits", "total", "from", "size", "facets", "aggregations"}
+        assert len(r["hits"]) == 5 and r["total"] > 5
+        assert "_score" in r["hits"][0] and "id" in r["hits"][0]
+        assert sum(r["facets"]["category"].values()) == r["total"]
+        assert sum(b["doc_count"] for b in r["aggregations"]["years"]["buckets"]) == r["total"]
