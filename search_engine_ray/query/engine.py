@@ -658,11 +658,9 @@ def _score_partition(
     scores = ev.score_candidates(
         cand, scoring_terms, global_dfs, stats, field_boosts
     )
-    # full (score desc, doc asc) order, then partition-local top-k.
-    # (argpartition alone would break score ties arbitrarily and lose the
-    # doc-id tiebreak at the k-boundary)
-    sel = np.lexsort((cand, -scores))[:k]
-    return cand[sel], scores[sel]
+    from .wand import topk_select
+
+    return topk_select(cand, scores, k)
 
 
 class IndexSearcher:

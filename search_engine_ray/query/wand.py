@@ -70,6 +70,24 @@ def pruning_plan(node, text_fields: Sequence[str]) -> Optional[Tuple[str, List[s
     return None
 
 
+def topk_select(
+    cand: np.ndarray, scores: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact (score desc, doc asc) top-k without a full sort: O(n)
+    threshold partition, then lexsort only the >=k-th-score survivors
+    (ties at the boundary included before the cut, so the doc-asc
+    tiebreak is preserved)."""
+    n = cand.size
+    if n <= k:
+        order = np.lexsort((cand, -scores))
+        return cand[order], scores[order]
+    kth = np.partition(scores, n - k)[n - k]
+    mask = scores >= kth
+    c2, s2 = cand[mask], scores[mask]
+    order = np.lexsort((c2, -s2))[:k]
+    return c2[order], s2[order]
+
+
 def _topk_exhaustive(
     tps, terms, mode, global_dfs, stats, k, field_boosts
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -105,8 +123,7 @@ def _topk_exhaustive(
             boost=field_boost(t, field_boosts),
         )
         scores[hit] += sc
-    sel = np.lexsort((cand, -scores))[:k]
-    return cand[sel], scores[sel]
+    return topk_select(cand, scores, k)
 
 
 def topk_blockmax(
@@ -277,5 +294,4 @@ def topk_blockmax(
 
     td = np.asarray(top_docs, dtype=np.int64)
     ts = np.asarray(top_scores, dtype=np.float64)
-    sel = np.lexsort((td, -ts))[:k]
-    return td[sel], ts[sel]
+    return topk_select(td, ts, k)
