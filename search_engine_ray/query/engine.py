@@ -951,6 +951,49 @@ class IndexSearcher:
                             }
                         )
                     out[name] = {"buckets": buckets}
+                elif "nested" in agg:
+                    # FacetEngine.ts:301-325: docs having the path +
+                    # sub-aggs evaluated on path.field columns
+                    a = agg["nested"]
+                    path = a["path"]
+                    sub = dict(a.get("aggs", {}))
+                    # qualify bare sub-agg fields with the path
+                    def qualify(spec):
+                        out_spec = {}
+                        for nm, ag in spec.items():
+                            ag = {kk: dict(vv) for kk, vv in ag.items()}
+                            for kind_spec in ag.values():
+                                f = kind_spec.get("field", "")
+                                if f and not f.startswith(path + "."):
+                                    kind_spec["field"] = f"{path}.{f}"
+                            out_spec[nm] = ag
+                        return out_spec
+
+                    probe_col = None
+                    for ag in sub.values():
+                        for kind_spec in ag.values():
+                            if "field" in kind_spec:
+                                probe_col = (
+                                    kind_spec["field"]
+                                    if kind_spec["field"].startswith(path + ".")
+                                    else f"{path}.{kind_spec['field']}"
+                                )
+                                break
+                        if probe_col:
+                            break
+
+                    def nested_provider(cols, _probe=probe_col):
+                        df = df_provider(cols)
+                        if _probe and _probe in df.columns:
+                            df = df[df[_probe].notna()]
+                        return df
+
+                    result = compute(qualify(sub), nested_provider)
+                    if probe_col:
+                        result["doc_count"] = int(
+                            nested_provider([probe_col])[probe_col].notna().sum()
+                        )
+                    out[name] = result
                 elif "global" in agg:
                     sub = {k: v for k, v in agg.items() if k != "global"}
                     sub.update(agg["global"].get("aggs", {}))

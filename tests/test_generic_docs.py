@@ -363,3 +363,24 @@ class TestSearchFull:
         assert "_score" in r["hits"][0] and "id" in r["hits"][0]
         assert sum(r["facets"]["category"].values()) == r["total"]
         assert sum(b["doc_count"] for b in r["aggregations"]["years"]["buckets"]) == r["total"]
+
+
+class TestNestedAggSpec:
+    def test_nested_spec(self, nested_index, ray_session):
+        from search_engine_ray.query import IndexSearcher
+        import pyarrow.parquet as pq
+        from collections import Counter
+
+        idx, src, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        aggs = s.aggregations(
+            {"match_all": {}},
+            {"users": {"nested": {"path": "user.profile.location",
+                                   "aggs": {"countries": {"terms": {"field": "country", "size": 3}}}}}},
+        )
+        pdf = pq.read_table(src).to_pylist()
+        c = Counter(r["user"]["profile"]["location"]["country"] for r in pdf)
+        top = sorted(((k, v) for k, v in c.items()), key=lambda t: (-t[1], t[0]))[:3]
+        got = [(b["key"], b["doc_count"]) for b in aggs["users"]["countries"]["buckets"]]
+        assert got == top
+        assert aggs["users"]["doc_count"] == len(pdf)
