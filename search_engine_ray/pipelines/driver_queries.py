@@ -495,6 +495,6 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 def embedding_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = sim.lsh_bucketed_neardup(ds, threshold=0.42, n_tables=8)
+    out = sim.lsh_bucketed_neardup(ds, threshold=0.42, n_planes=8, n_tables=32)
     out["sim"] = out["sim"].round(6)
     return out.astype({"a": "int64", "b": "int64"}, errors="ignore")
