@@ -19,7 +19,7 @@ empty set when the file is absent).
 from __future__ import annotations
 
 import re
-from typing import Callable, FrozenSet, Iterable, List
+from typing import Callable, FrozenSet, List
 from urllib.parse import urlsplit
 
 # JS whitespace class (what /\\s/ matches in a non-unicode JS regex):

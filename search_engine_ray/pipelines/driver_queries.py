@@ -12,8 +12,6 @@ calls ``ray.init``.
 from __future__ import annotations
 
 import hashlib
-import os
-from typing import Dict
 
 import numpy as np
 import pandas as pd
@@ -24,7 +22,6 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..analysis.analyzers import standard_analyzer
 from ..index_build.build import BuildConfig, build_index
 from ..stages.tokenize import STATS_TERM, TokenizePostings
 from ..stages import aggregates as agg

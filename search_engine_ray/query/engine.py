@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import heapq
 import os
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -59,8 +59,6 @@ from .scorer import bm25_score_arrays, field_boost
 from .textmatch import (
     check_phrase_positions,
     fuzzy_matches,
-    levenshtein,
-    prefix_matches,
     wildcard_matches,
 )
 

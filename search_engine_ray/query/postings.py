@@ -24,8 +24,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
-from ..codecs import decode_positions, varbyte_decode
-from ..stages.tokenize import STATS_TERM
+from ..codecs import varbyte_decode
 
 
 @dataclass

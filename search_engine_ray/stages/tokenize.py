@@ -25,7 +25,7 @@ so the vectorized chain is byte-identical to
 
 from __future__ import annotations
 
-from typing import Dict, FrozenSet, Iterable, List, Sequence, Tuple
+from typing import Dict, FrozenSet, List, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
