@@ -116,6 +116,9 @@ class BuildConfig:
     tokenize_concurrency: Optional[int] = None  # actor-pool size; None=tasks
     tokenize_batch_size: int = 1024
     read_columns: Optional[List[str]] = None
+    partitioner: Optional[object] = None  # custom file→partition function
+    # (the reference's customShardFunction, ShardedInvertedIndex.ts:9,
+    # 150-155): Callable[[List[str], int], List[List[str]]]
 
 
 def _dedup_keep_latest(df):
@@ -390,7 +393,10 @@ def build_index(
             files = [input_files]
     else:
         files = list(input_files)
-    parts = _partition_files(files, cfg.n_partitions)
+    if cfg.partitioner is not None:
+        parts = cfg.partitioner(sorted(files), cfg.n_partitions)
+    else:
+        parts = _partition_files(files, cfg.n_partitions)
 
     os.makedirs(index_dir, exist_ok=True)
     part_manifests: List[Optional[dict]] = [None] * len(parts)

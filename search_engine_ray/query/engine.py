@@ -589,8 +589,11 @@ class _PartitionEvaluator:
         global_dfs: Dict[str, int],
         stats: GlobalStats,
         field_boosts: Optional[Dict[str, float]] = None,
+        scorer=None,
     ) -> np.ndarray:
-        """Σ over scoring terms (in order) of vectorized BM25."""
+        """Σ over scoring terms (in order) of the vectorized scorer
+        (BM25 by default; injectable strategy)."""
+        score_fn = scorer or bm25_score_arrays
         scores = np.zeros(cand.size, dtype=np.float64)
         for term in scoring_terms:
             df = global_dfs.get(term, 0)
@@ -604,7 +607,7 @@ class _PartitionEvaluator:
             hit = tp.doc_ids[j_clip] == cand
             if not hit.any():
                 continue
-            sc = bm25_score_arrays(
+            sc = score_fn(
                 tp.tfs[j_clip[hit]],
                 tp.dls[j_clip[hit]],
                 total_docs=stats.total_docs,
@@ -629,6 +632,7 @@ def _score_partition(
     pruning: str = "auto",
     reader: Optional[PartitionReader] = None,
     synonyms: Optional[Dict[str, List[str]]] = None,
+    scorer=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Partition-local top-k (used serially or as a Ray task; the local
     path passes a long-lived cached reader)."""
@@ -639,7 +643,7 @@ def _score_partition(
         synonyms,
     )
     stats = GlobalStats.from_json(stats_json)
-    if pruning != "off" and not synonyms:
+    if pruning != "off" and not synonyms and scorer is None:
         from .wand import pruning_plan, topk_blockmax
 
         plan = pruning_plan(node, text_fields)
@@ -654,7 +658,7 @@ def _score_partition(
     if cand.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     scores = ev.score_candidates(
-        cand, scoring_terms, global_dfs, stats, field_boosts
+        cand, scoring_terms, global_dfs, stats, field_boosts, scorer
     )
     from .wand import topk_select
 
@@ -673,6 +677,7 @@ class IndexSearcher:
         stopwords=DEFAULT_STOPWORDS,
         pruning: str = "auto",
         synonyms: Optional[Dict[str, List[str]]] = None,
+        scorer=None,
     ):
         self.index_dir = index_dir
         self.manifest = load_index_manifest(index_dir)
@@ -685,6 +690,14 @@ class IndexSearcher:
         self.stopwords = stopwords
         self.pruning = pruning
         self.synonyms = synonyms or {}
+        # pluggable scorer strategy (the reference's injectable
+        # scorerFactory, SearchEngine.ts:84-86): signature
+        # (tfs, dls, *, total_docs, avg_dl, df, boost) -> scores array.
+        # A custom scorer disables block-max pruning (its bounds assume
+        # the BM25 monotonicities).
+        self.scorer = scorer
+        if scorer is not None:
+            self.pruning = "off"
         self.part_dirs = [
             os.path.join(index_dir, "partitions", p)
             for p in self.manifest["partitions"]
@@ -739,7 +752,10 @@ class IndexSearcher:
             parts = ray.get([fn.remote(*a) for a in args])
         else:
             parts = [
-                _score_partition(*a[:-2], reader=r, synonyms=self.synonyms)
+                _score_partition(
+                    *a[:-2], reader=r, synonyms=self.synonyms,
+                    scorer=self.scorer,
+                )
                 for a, r in zip(args, self._readers)
             ]
 

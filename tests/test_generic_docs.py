@@ -384,3 +384,49 @@ class TestNestedAggSpec:
         got = [(b["key"], b["doc_count"]) for b in aggs["users"]["countries"]["buckets"]]
         assert got == top
         assert aggs["users"]["doc_count"] == len(pdf)
+
+
+class TestExtensionSurface:
+    def test_pluggable_scorer(self, nested_index, ray_session):
+        """Injectable scorer strategy (reference scorerFactory analog):
+        a pure-tf scorer must reorder results accordingly."""
+        import numpy as np
+
+        from search_engine_ray.query import IndexSearcher
+
+        idx, _, _ = nested_index
+
+        def tf_scorer(tfs, dls, *, total_docs, avg_dl, df, boost=1.0, **kw):
+            return tfs.astype(np.float64) * boost
+
+        s_default = IndexSearcher(idx, text_fields=("name",))
+        s_tf = IndexSearcher(idx, text_fields=("name",), scorer=tf_scorer)
+        q = {"term": {"field": "name", "value": "golden"}}
+        a = s_default.search(q, size=5)
+        b = s_tf.search(q, size=5)
+        assert set(b.columns) == {"doc_id", "score"}
+        # tf scorer yields integer-valued scores equal to tf
+        assert all(float(x).is_integer() for x in b["score"])
+        assert not all(float(x).is_integer() for x in a["score"])
+
+    def test_custom_partitioner(self, tmp_path, ray_session):
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.sources.webpages import generate_pages
+
+        corpus = str(tmp_path / "c")
+        generate_pages(corpus, n_rows=300, seed=17, n_files=4)
+
+        calls = []
+
+        def by_hash(files, n):
+            calls.append(len(files))
+            # all files into one partition regardless of n
+            return [list(files)]
+
+        m = build_index(
+            str(tmp_path / "i"),
+            corpus,
+            BuildConfig(n_partitions=4, partitioner=by_hash),
+        )
+        assert calls == [4]
+        assert m["n_partitions"] == 1 or len(m["partitions"]) == 1
