@@ -207,9 +207,18 @@ def _dedup_split(
     through untouched; loser duplicate rows (ts < max) are dropped in the
     filter; winner-candidate rows take a tiny ``groupby(url)``
     keep-latest.  This avoids the per-group Python cost of a full-corpus
-    ``map_groups`` and the payload shuffle of a full-row groupby."""
+    ``map_groups`` and the payload shuffle of a full-row groupby.
+
+    Cross-partition ties (global mode): when a duplicate url carries the
+    identical max ``warc_ts`` in files assigned to *different* build
+    partitions, each partition's keep-latest would keep one copy.  The
+    global metadata pass therefore also designates a single winner FILE
+    per duplicate url (max path among its max-ts rows — deterministic),
+    and candidate rows are filtered to that file, so exactly one
+    partition keeps exactly one winner."""
     from ray.data.aggregate import Count, Max
 
+    global_mode = meta_files is not None
     meta = rd.read_parquet(meta_files or files, columns=["url", "warc_ts"])
     counts = meta.groupby("url").aggregate(
         Count(alias_name="n"), Max("warc_ts", alias_name="max_ts")
@@ -223,7 +232,33 @@ def _dedup_split(
     winner_ts = dict(zip(dups["url"], dups["max_ts"]))
     import ray as _ray
 
-    ref = _ray.put(winner_ts)
+    if global_mode:
+        # second tiny metadata pass over dup-url rows only: designate one
+        # winner file per dup url (max path among max-ts rows)
+        ts_ref = _ray.put(winner_ts)
+
+        def _max_ts_rows(batch: pa.Table) -> pa.Table:
+            d = _ray.get(ts_ref)
+            urls = batch["url"].to_pylist()
+            tss = batch["warc_ts"].to_pylist()
+            mask = pa.array(
+                [u in d and ts == d[u] for u, ts in zip(urls, tss)]
+            )
+            return batch.filter(mask).select(["url", "path"])
+
+        wins = (
+            rd.read_parquet(
+                meta_files, columns=["url", "warc_ts"], include_paths=True
+            )
+            .map_batches(_max_ts_rows, batch_format="pyarrow")
+            .groupby("url")
+            .aggregate(Max("path", alias_name="wpath"))
+        ).to_pandas()
+        winner_path = dict(zip(wins["url"], wins["wpath"]))
+        winner = {u: (ts, winner_path.get(u)) for u, ts in winner_ts.items()}
+    else:
+        winner = {u: (ts, None) for u, ts in winner_ts.items()}
+    ref = _ray.put(winner)
 
     def keep_unique(batch: pa.Table) -> pa.Table:
         d = _ray.get(ref)
@@ -234,14 +269,23 @@ def _dedup_split(
         d = _ray.get(ref)
         urls = batch["url"].to_pylist()
         tss = batch["warc_ts"].to_pylist()
+        if "path" in batch.column_names:
+            paths = batch["path"].to_pylist()
+            mask = pa.array(
+                [
+                    u in d and (ts, p) == d[u]
+                    for u, ts, p in zip(urls, tss, paths)
+                ]
+            )
+            return batch.filter(mask).drop_columns(["path"])
         mask = pa.array(
-            [u in d and ts == d[u] for u, ts in zip(urls, tss)]
+            [u in d and ts == d[u][0] for u, ts in zip(urls, tss)]
         )
         return batch.filter(mask)
 
     uniq = full.map_batches(keep_unique, batch_format="pyarrow")
     dup_rows = (
-        rd.read_parquet(files, columns=cols)
+        rd.read_parquet(files, columns=cols, include_paths=global_mode)
         .map_batches(keep_winner_candidates, batch_format="pyarrow")
         .groupby("url")
         .map_groups(_dedup_keep_latest, batch_format="pandas")
@@ -282,7 +326,8 @@ def build_partition(
     if cfg.mappings is not None:
         from ..stages.tokenize import GenericTokenizePostings
 
-        tok = GenericTokenizePostings(
+        tok_cls = GenericTokenizePostings
+        tok_kwargs: Dict = dict(
             mappings=cfg.mappings,
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
@@ -290,7 +335,8 @@ def build_partition(
             docs_out_dir=docs_dir,
         )
     else:
-        tok = TokenizePostings(
+        tok_cls = TokenizePostings
+        tok_kwargs = dict(
             fields=cfg.fields,
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
@@ -303,20 +349,17 @@ def build_partition(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
     )
     if cfg.tokenize_concurrency:
+        # actor-pool variant of the SAME stage class as the task path —
+        # generic-JSON (mappings) builds must not fall back to the page
+        # field config
         ds = ds.map_batches(
-            TokenizePostings,
-            fn_constructor_kwargs=dict(
-                fields=cfg.fields,
-                stopwords=cfg.stopwords,
-                store_positions=cfg.store_positions,
-                id_column=id_col,
-                docs_out_dir=docs_dir,
-            ),
+            tok_cls,
+            fn_constructor_kwargs=tok_kwargs,
             concurrency=cfg.tokenize_concurrency,
             **kwargs,
         )
     else:
-        ds = ds.map_batches(tok, **kwargs)
+        ds = ds.map_batches(tok_cls(**tok_kwargs), **kwargs)
     ds = ds.sort(["term", "doc_id"])
     ds = ds.map_batches(
         BuildBlocks(block_size=cfg.block_size),

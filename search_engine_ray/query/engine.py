@@ -9,9 +9,10 @@ segments:
   (AND default, OR via ``operator``) — QueryParser.ts:22-42;
 * ``term``/``match``: single normalized (lowercased) value, exact posting
   lookup; field ``'*'`` fans out over text fields — QueryProcessor.ts:146-207;
-* ``bool``: must/filter intersect, should union (filters results only when
-  no must/filter or when ``minimum_should_match`` > 0), must_not
-  difference — QueryProcessor.ts:239-296;
+* ``bool``: must/filter intersect; should union replaces an empty
+  must/filter result and otherwise filters only when
+  ``minimum_should_match`` is truthy (the count itself is never
+  enforced); must_not difference — QueryProcessor.ts:239-296;
 * ``prefix``/``wildcard``/``fuzzy``: sorted-term-dictionary scans —
   QueryProcessor.ts:330-435;
 * ``phrase``: position-list greedy proximity with ``maxGap <= slop`` —
@@ -377,7 +378,13 @@ class _PartitionEvaluator:
         return np.empty(0, dtype=np.int64)
 
     def _eval_bool(self, b) -> np.ndarray:
-        # QueryProcessor.ts:239-296 combination semantics
+        # QueryProcessor.ts:239-296 combination semantics, reproduced
+        # exactly — including two quirks of `_processBool`:
+        # * an EMPTY (or empty-result) must/filter intersection is
+        #   REPLACED by the should union (QueryProcessor.ts:276-279);
+        # * any truthy minimum_should_match intersects with the PLAIN
+        #   should union — the count itself is never enforced
+        #   (QueryProcessor.ts:280-282).
         must = b.get("must", [])
         should = b.get("should", [])
         must_not = b.get("must_not", [])
@@ -385,7 +392,7 @@ class _PartitionEvaluator:
         msm = b.get("minimum_should_match", 0) or 0
 
         result: Optional[np.ndarray] = None
-        for clause in list(must) + list(filt):
+        for clause in list(filt) + list(must):
             docs = self.evaluate(clause)
             result = docs if result is None else np.intersect1d(
                 result, docs, assume_unique=True
@@ -394,30 +401,27 @@ class _PartitionEvaluator:
                 break
 
         if should:
-            if msm > 1:
-                counts: Dict[int, int] = {}
-                stacks = [self.evaluate(c) for c in should]
-                allv = (
-                    np.concatenate([s for s in stacks if s.size])
-                    if any(s.size for s in stacks)
-                    else np.empty(0, dtype=np.int64)
-                )
-                uniq, cnt = np.unique(allv, return_counts=True)
-                should_docs = uniq[cnt >= msm]
-            else:
-                stacks = [self.evaluate(c) for c in should]
-                stacks = [s for s in stacks if s.size]
-                should_docs = (
-                    np.unique(np.concatenate(stacks))
-                    if stacks
-                    else np.empty(0, dtype=np.int64)
-                )
-            if result is None or msm > 0:
-                # should filters only when it stands alone or msm is set
-                result = (
-                    should_docs
-                    if result is None
-                    else np.intersect1d(result, should_docs, assume_unique=True)
+            stacks = [self.evaluate(c) for c in should]
+            stacks = [s for s in stacks if s.size]
+            should_docs = (
+                np.unique(np.concatenate(stacks))
+                if stacks
+                else np.empty(0, dtype=np.int64)
+            )
+            if result is None or (
+                result.size == 0 and not b.get("__mandatory_nonempty")
+            ):
+                # no mandatory clauses (or they matched nothing):
+                # results = the should union.  "Matched nothing" is a
+                # GLOBAL condition — when the driver has verified the
+                # mandatory part matches somewhere (another partition),
+                # it sets __mandatory_nonempty so a locally-empty
+                # partition does NOT fall back (IndexSearcher.
+                # _resolve_bool_fallbacks).
+                result = should_docs
+            elif msm:
+                result = np.intersect1d(
+                    result, should_docs, assume_unique=True
                 )
             # otherwise should only contributes to scoring, not filtering
 
@@ -704,6 +708,86 @@ class IndexSearcher:
         ]
         self._readers = [PartitionReader(d) for d in self.part_dirs]
 
+    def _resolve_bool_fallbacks(self, node):
+        """Make the reference's empty-mandatory → should-union fallback
+        (QueryProcessor.ts:276-279) distribution-safe.
+
+        The fallback triggers on the *global* emptiness of the must/filter
+        intersection, which a partition cannot decide locally (a partition
+        holding none of the must docs would fall back while others don't).
+        Walk the AST bottom-up: for every bool with both mandatory and
+        should clauses, probe the mandatory intersection across partitions
+        (early-exit on first hit); if globally empty, rewrite the node to
+        its should-only form, otherwise mark it ``__mandatory_nonempty``
+        so no partition falls back locally.  Nested nodes are rewritten to
+        their field-prefixed sub-queries first (semantically identical —
+        see ``_PartitionEvaluator.evaluate``)."""
+        if node is None or len(self._readers) <= 1:
+            return node, False
+
+        changed = False
+
+        def mandatory_hits(n) -> bool:
+            for r in self._readers:
+                ev = _PartitionEvaluator(
+                    r, self.text_fields, self.stopwords, self.synonyms
+                )
+                if ev.evaluate(n).size:
+                    return True
+            return False
+
+        def walk(n):
+            nonlocal changed
+            if not isinstance(n, dict):
+                return n
+            if "nested" in n:
+                return walk(
+                    _prefix_nested_fields(
+                        n["nested"]["query"], n["nested"]["path"]
+                    )
+                )
+            if "bool" not in n:
+                return n
+            b = n["bool"]
+            for cl in ("must", "should", "must_not", "filter"):
+                b[cl] = [walk(c) for c in b.get(cl, [])]
+            mandatory = list(b.get("filter", [])) + list(b.get("must", []))
+            if b.get("should") and mandatory:
+                probe = {
+                    "bool": {
+                        "must": mandatory,
+                        "should": [],
+                        "must_not": [],
+                        "filter": [],
+                        "minimum_should_match": 0,
+                    }
+                }
+                if not mandatory_hits(probe):
+                    changed = True
+                    return {
+                        "bool": {
+                            "must": [],
+                            "filter": [],
+                            "should": b["should"],
+                            "must_not": b.get("must_not", []),
+                            "minimum_should_match": b.get(
+                                "minimum_should_match", 0
+                            ),
+                        }
+                    }
+                b["__mandatory_nonempty"] = True
+            return n
+
+        import copy
+
+        return walk(copy.deepcopy(node)), changed
+
+    def _normalize(self, query, operator: str = "and"):
+        node, _ = self._resolve_bool_fallbacks(
+            normalize_query(query, operator)
+        )
+        return node
+
     # phase 1: global df for the scoring terms (metadata-only reads)
     def _global_dfs(self, terms: Sequence[str]) -> Dict[str, int]:
         dfs: Dict[str, int] = {}
@@ -722,10 +806,19 @@ class IndexSearcher:
         """Run a query; returns a DataFrame (doc_id, score) of the top
         ``from_+size`` hits sliced to the requested page
         (pagination per SearchEngine.ts:610-615)."""
-        node = normalize_query(query, operator)
-        if node is None:
+        raw_node = normalize_query(query, operator)
+        if raw_node is None:
             return pd.DataFrame({"doc_id": [], "score": []})
-        terms = collect_scoring_terms(node, self.text_fields, self.stopwords)
+        # scoring tokens come from the query AS WRITTEN (the reference
+        # extracts them before any bool combination, RankingPipeline.ts);
+        # candidate evaluation uses the fallback-resolved node
+        terms = collect_scoring_terms(
+            raw_node, self.text_fields, self.stopwords
+        )
+        node, rewritten = self._resolve_bool_fallbacks(raw_node)
+        # a rewritten node's pruning plan would score with different terms
+        # than the original query — use the exact path for those
+        pruning = "off" if rewritten else self.pruning
         dfs = self._global_dfs(terms)
         k = from_ + size
         args = [
@@ -739,9 +832,10 @@ class IndexSearcher:
                 k,
                 self.field_boosts,
                 self.stopwords,
-                self.pruning,
+                pruning,
                 None,
                 self.synonyms,
+                self.scorer,
             )
             for d in self.part_dirs
         ]
@@ -753,7 +847,7 @@ class IndexSearcher:
         else:
             parts = [
                 _score_partition(
-                    *a[:-2], reader=r, synonyms=self.synonyms,
+                    *a[:-3], reader=r, synonyms=self.synonyms,
                     scorer=self.scorer,
                 )
                 for a, r in zip(args, self._readers)
@@ -792,7 +886,7 @@ class IndexSearcher:
         (``SearchEngine.ts:639-650``): ``{hits, total, from, size}`` plus
         ``facets``/``aggregations`` when requested.  ``hits`` carry
         ``_score`` and any enriched docstore columns."""
-        node = normalize_query(query, operator)
+        node = self._normalize(query, operator)
         total = self.count(query, operator)
         page = self.search(query, size=size, from_=from_, operator=operator)
         if enrich_columns:
@@ -815,7 +909,7 @@ class IndexSearcher:
         return out
 
     def count(self, query, operator: str = "and") -> int:
-        node = normalize_query(query, operator)
+        node = self._normalize(query, operator)
         if node is None:
             return 0
         total = 0
@@ -874,7 +968,7 @@ class IndexSearcher:
         """Facet counts over the full result set (FacetEngine.ts:124-136:
         intersect each facet value's doc set with the result set — the
         batch analog is a value_counts over the result rows)."""
-        node = normalize_query(query, operator)
+        node = self._normalize(query, operator)
         cands = self._candidates_all(node)
         df = self._result_docs_table(cands, list(facet_fields))
         out: Dict[str, Dict[str, int]] = {}
@@ -892,7 +986,7 @@ class IndexSearcher:
         (extra predicate then sub-aggs)."""
         from ..stages.aggregates import DATE_INTERVALS_MS
 
-        node = normalize_query(query, operator)
+        node = self._normalize(query, operator)
         cands = self._candidates_all(node)
 
         def compute(spec: dict, df_provider) -> dict:
@@ -1021,7 +1115,7 @@ class IndexSearcher:
 
                     out[name] = compute(sub, global_provider)
                 elif "filter" in agg:
-                    sub_node = normalize_query(agg["filter"], operator)
+                    sub_node = self._normalize(agg["filter"], operator)
                     sub_cands = []
                     for (pi, ids), r in zip(cands, self._readers):
                         ev = _PartitionEvaluator(

@@ -193,27 +193,25 @@ class OracleEngine:
                     out.add(did)
             return out
         if "bool" in node:
+            # exact _processBool combination (QueryProcessor.ts:239-296):
+            # empty must/filter result falls back to the should union; a
+            # truthy minimum_should_match intersects with the plain union
+            # (the count is never enforced)
             b = node["bool"]
             result: Optional[set] = None
-            for clause in list(b.get("must", [])) + list(b.get("filter", [])):
+            for clause in list(b.get("filter", [])) + list(b.get("must", [])):
                 docs = self._eval(clause)
                 result = docs if result is None else (result & docs)
             should = b.get("should", [])
             msm = b.get("minimum_should_match", 0) or 0
             if should:
-                if msm > 1:
-                    from collections import Counter
-
-                    c: Counter = Counter()
-                    for clause in should:
-                        c.update(self._eval(clause))
-                    sd = {d for d, n in c.items() if n >= msm}
-                else:
-                    sd = set()
-                    for clause in should:
-                        sd |= self._eval(clause)
-                if result is None or msm > 0:
-                    result = sd if result is None else (result & sd)
+                sd = set()
+                for clause in should:
+                    sd |= self._eval(clause)
+                if result is None or len(result) == 0:
+                    result = sd
+                elif msm:
+                    result = result & sd
             if result is None:
                 result = set()
             for clause in b.get("must_not", []):

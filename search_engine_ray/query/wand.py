@@ -50,7 +50,6 @@ def pruning_plan(node, text_fields: Sequence[str]) -> Optional[Tuple[str, List[s
         if b.get("must_not") or b.get("filter"):
             return None
         must, should = b.get("must", []), b.get("should", [])
-        msm = b.get("minimum_should_match", 0) or 0
         if must and not should:
             terms: List[str] = []
             for c in must:
@@ -59,7 +58,11 @@ def pruning_plan(node, text_fields: Sequence[str]) -> Optional[Tuple[str, List[s
                     return None
                 terms += ct
             return ("and", terms)
-        if should and not must and msm <= 1:
+        # a should-only bool is the plain union no matter what
+        # minimum_should_match says (QueryProcessor.ts:276-279: with no
+        # mandatory clauses the union IS the result; the msm count is
+        # never enforced)
+        if should and not must:
             terms = []
             for c in should:
                 ct = clause_terms(c)

@@ -235,14 +235,23 @@ def write_docs_sidefile(
 
     import pyarrow.parquet as pq
 
+    hasher = hashlib.blake2b(digest_size=10)
     if key_column and key_column in batch.column_names:
-        first = str(batch[key_column][0].as_py())
-        last = str(batch[key_column][batch.num_rows - 1].as_py())
-    else:
-        first, last = "x", "y"
-    h = hashlib.blake2b(
-        f"{first}|{last}|{batch.num_rows}".encode(), digest_size=10
-    ).hexdigest()
+        col = batch[key_column]
+    elif "doc_id" in batch.column_names:
+        col = batch["doc_id"]
+    elif "url" in batch.column_names:
+        col = batch["url"]
+    else:  # no key column at all: fall back to the whole first column
+        col = batch[0]
+    # digest the FULL key column (logical values, so the name is stable
+    # across physical layouts on task retry) — first/last/count alone
+    # collide for equal-sized batches sharing boundary keys and for
+    # batches with no key column
+    for v in col.to_pylist():
+        hasher.update(repr(v).encode())
+        hasher.update(b"\x00")
+    h = hasher.hexdigest()
     path = os.path.join(out_dir, f"docs-{h}.parquet")
     tmp = path + f".tmp{os.getpid()}"
     pq.write_table(batch, tmp)

@@ -308,3 +308,61 @@ class TestGlobalDedup:
         s = IndexSearcher(str(tmp_path / "idx_global"))
         assert len(s.search({"term": {"field": "text", "value": "new"}})) == 1
         assert len(s.search({"term": {"field": "text", "value": "old"}})) == 0
+
+    def test_cross_partition_tie_single_survivor(self, tmp_path, ray_session):
+        """Two copies of a url with the IDENTICAL max warc_ts in files of
+        different partitions must yield exactly one survivor under
+        global_dedup (round-1 tie-break gap: each partition kept one)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        def mk(path, rows):
+            pq.write_table(
+                pa.table(
+                    {
+                        "url": pa.array([r[0] for r in rows], pa.string()),
+                        "warc_ts": pa.array(
+                            [r[1] for r in rows], pa.timestamp("us")
+                        ),
+                        "text": pa.array(
+                            [r[2] for r in rows], pa.large_string()
+                        ),
+                        "lang": pa.array(["en"] * len(rows), pa.string()),
+                    }
+                ),
+                path,
+            )
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        mk(
+            str(corpus / "a.parquet"),
+            [("https://a/1", 100, "alpha beta"),
+             ("https://dup/t", 200, "copy from file alpha")],
+        )
+        mk(
+            str(corpus / "b.parquet"),
+            [("https://b/1", 100, "gamma delta"),
+             ("https://dup/t", 200, "copy from file bravo")],
+        )
+        m = build_index(
+            str(tmp_path / "idx"),
+            str(corpus),
+            BuildConfig(
+                extract_html=False,
+                n_partitions=2,
+                concurrent_partitions=1,
+                global_dedup=True,
+            ),
+        )
+        assert m["total_docs"] == 3
+
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(str(tmp_path / "idx"))
+        assert len(s.search({"term": {"field": "text", "value": "copy"}})) == 1
+        # deterministic winner: max path (b.parquet)
+        assert len(s.search({"term": {"field": "text", "value": "bravo"}})) == 1
+        assert len(s.search({"term": {"field": "text", "value": "alpha"}})) == 1  # a/1's own text

@@ -109,6 +109,34 @@ def _cases(searcher, oracle, tbl):
         ("fuzzy1", {"fuzzy": {"field": "text", "value": mid1[:-1] + "x", "fuzziness": 1}}, {}),
         ("match fuzz", {"match": {"field": "text", "value": mid2, "fuzziness": 1}}, {}),
         ("range lang", {"range": {"field": "lang", "gte": "de", "lte": "es"}}, {}),
+        (
+            # QueryProcessor.ts:276-279 quirk: an empty must result is
+            # REPLACED by the should union
+            "bool empty-must fallback to should",
+            {
+                "bool": {
+                    "must": [{"match": {"field": "text", "value": "zzzqqqxx"}}],
+                    "should": [{"match": {"field": "text", "value": mid1}}],
+                }
+            },
+            {},
+        ),
+        (
+            # QueryProcessor.ts:280-282 quirk: truthy msm intersects with
+            # the PLAIN union (count never enforced)
+            "bool msm count not enforced",
+            {
+                "bool": {
+                    "must": [{"match": {"field": "text", "value": head}}],
+                    "should": [
+                        {"match": {"field": "text", "value": mid1}},
+                        {"match": {"field": "text", "value": mid2}},
+                    ],
+                    "minimum_should_match": 2,
+                }
+            },
+            {},
+        ),
         ("match_all", {"match_all": {}}, {}),
         ("opensearch shape", {"match": {"text": mid1}}, {}),
         ("pagination", {"match": {"field": "text", "value": head}}, {"from_": 5, "size": 7}),
@@ -166,3 +194,42 @@ def test_use_ray_path_identical(setup, ray_session):
     b = rs.search(q, size=20)
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+
+
+def test_empty_must_fallback_returns_should_union(setup):
+    """Pin the reference quirk directly (not just engine≡oracle): a must
+    clause matching nothing falls back to the should union
+    (QueryProcessor.ts:276-279)."""
+    searcher, oracle, tbl = setup
+    common, mid = _freq_tokens(tbl)
+    q = {
+        "bool": {
+            "must": [{"match": {"field": "text", "value": "zzzqqqxx"}}],
+            "should": [{"match": {"field": "text", "value": mid[0]}}],
+        }
+    }
+    assert searcher.count(q) == searcher.count(
+        {"match": {"field": "text", "value": mid[0]}}
+    ) > 0
+
+
+def test_use_ray_custom_scorer_forwarded(setup, ray_session):
+    """use_ray=True must score with the injected scorer strategy, not
+    silently fall back to BM25 (round-1 ADVICE finding)."""
+    from search_engine_ray.query import IndexSearcher
+
+    searcher, oracle, tbl = setup
+    common, mid = _freq_tokens(tbl)
+
+    def tf_scorer(tfs, dls, *, total_docs, avg_dl, df, boost=1.0, **kw):
+        return tfs.astype(float)
+
+    q = f"{common[0]} {mid[0]}"
+    serial = IndexSearcher(searcher.index_dir, scorer=tf_scorer)
+    dist = IndexSearcher(searcher.index_dir, use_ray=True, scorer=tf_scorer)
+    a = serial.search(q, size=15)
+    b = dist.search(q, size=15)
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
+    # tf scorer yields integer-valued sums — proves BM25 wasn't used
+    assert all(float(s).is_integer() for s in b["score"])
