@@ -682,6 +682,7 @@ class IndexSearcher:
         pruning: str = "auto",
         synonyms: Optional[Dict[str, List[str]]] = None,
         scorer=None,
+        strict: bool = True,
     ):
         self.index_dir = index_dir
         self.manifest = load_index_manifest(index_dir)
@@ -702,6 +703,10 @@ class IndexSearcher:
         self.scorer = scorer
         if scorer is not None:
             self.pruning = "off"
+        # strict=True raises QueryValidationError on malformed query
+        # shapes (the checks of QueryEngine.ts:458-556) instead of the
+        # reference's silent fall-through to an empty result
+        self.strict = strict
         self.part_dirs = [
             os.path.join(index_dir, "partitions", p)
             for p in self.manifest["partitions"]
@@ -782,7 +787,14 @@ class IndexSearcher:
 
         return walk(copy.deepcopy(node)), changed
 
+    def _validate(self, query) -> None:
+        if self.strict and query is not None:
+            from .validate import validate_query
+
+            validate_query(query)
+
     def _normalize(self, query, operator: str = "and"):
+        self._validate(query)
         node, _ = self._resolve_bool_fallbacks(
             normalize_query(query, operator)
         )
@@ -806,6 +818,7 @@ class IndexSearcher:
         """Run a query; returns a DataFrame (doc_id, score) of the top
         ``from_+size`` hits sliced to the requested page
         (pagination per SearchEngine.ts:610-615)."""
+        self._validate(query)
         raw_node = normalize_query(query, operator)
         if raw_node is None:
             return pd.DataFrame({"doc_id": [], "score": []})
