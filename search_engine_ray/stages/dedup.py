@@ -58,19 +58,36 @@ def exact_dedup(
     ds: rd.Dataset,
     column: str = "text",
     id_column: str = "doc_id",
+    num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Exact dedup by content hash; keeper = smallest id (deterministic at
-    any parallelism).  Shuffle key = 64-bit content hash."""
+    any parallelism).  Shuffle key = 64-bit content hash.
 
-    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_column).head(1)
+    Shape: ``groupby(hash).aggregate(Min(id))`` decides winners without
+    any per-group Python (a ``map_groups`` keeper pays a pandas dispatch
+    per group, which dominates when nearly every hash is unique), then a
+    hash semi-join keeps exactly the winner rows."""
+    from ray.data.aggregate import Min
 
-    return (
-        ds.map_batches(
-            lambda b: add_content_hash(b, column), batch_format="pyarrow"
-        )
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
+    import pyarrow.compute as _pc
+
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, column), batch_format="pyarrow"
+    )
+    winners = hashed.groupby("content_hash").aggregate(
+        Min(id_column, alias_name="__keep_id")
+    )
+    joined = hashed.join(
+        winners,
+        join_type="inner",
+        num_partitions=num_partitions or default_pool_size(),
+        on=("content_hash",),
+    )
+    return joined.map_batches(
+        lambda b: b.filter(
+            _pc.equal(b[id_column], b["__keep_id"])
+        ).drop_columns(["__keep_id"]),
+        batch_format="pyarrow",
     )
 
 
@@ -101,10 +118,16 @@ class MinHasher:
         seed: int = 1337,
     ):
         rng = np.random.default_rng(seed)
-        # 32-bit coefficients so (a*h32 + b) stays inside uint64 — keeps the
-        # permutation pass pure vectorized integer math, no bigints
-        self.a = rng.integers(1, 1 << 32, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, 1 << 32, size=num_perm, dtype=np.uint64)
+        # one 64-bit seed per "permutation"; the permutation itself is
+        # xor-by-seed followed by the splitmix64 finalizer (a bijection on
+        # uint64).  A linear (a*h+b) mod p family with 32-bit inputs is
+        # NOT min-wise here: a*h spans only a few multiples of p, so the
+        # set's smallest raw hash wins the min for nearly every a — when
+        # the smallest hash is a non-shared shingle, the estimate
+        # collapses far below the true Jaccard (observed 0.43 vs 0.83).
+        self.seeds = rng.integers(
+            0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64
+        )
         self.num_perm = num_perm
         self.k = shingle_k
         self.text_column = text_column
@@ -114,12 +137,15 @@ class MinHasher:
         h = _shingle_hashes(tokens, self.k)
         if h.size == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        h32 = h & np.uint64(0xFFFFFFFF)
-        # (P, S) permuted hashes mod Mersenne prime, min over shingles
-        vals = (self.a[:, None] * h32[None, :] + self.b[:, None]) % np.uint64(
-            _MERSENNE
-        )
-        return np.min(vals, axis=1)
+        # (P, S) mixed hashes, min over shingles — all wrapping uint64
+        # elementwise ops (splitmix64 finalizer per seed)
+        z = h[None, :] ^ self.seeds[:, None]
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        # mask to 63 bits so signatures round-trip int64 Arrow columns
+        z &= np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+        return np.min(z, axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_column].to_pylist()
@@ -174,35 +200,68 @@ def minhash_lsh_candidates(
     id_column: str = "doc_id",
     jaccard_threshold: float = 0.8,
     max_bucket: int = 64,
+    scratch_dir: Optional[str] = None,
+    num_partitions: Optional[int] = None,
 ) -> pd.DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with signature-estimated
     Jaccard ≥ threshold.  Returns (a, b, est_jaccard), a < b, deduped.
 
-    Scale shape: the LSH shuffle moves only compact (band, band_hash,
-    doc_id) int rows — signatures stay out of the exchange.  Bucketing is
-    a ``sort`` + run-scan in ``map_batches`` (a per-bucket ``map_groups``
-    pays per-group Python overhead for millions of singleton buckets);
-    buckets that may straddle a sorted-block boundary (first/last run of
-    each batch) are re-grouped exactly in a tiny driver pass, so results
-    are independent of where Ray's range partitioner cut the sort.
-    Signatures are then fetched only for candidate docs (semi-join) to
-    estimate Jaccard.  Buckets larger than ``max_bucket`` are truncated
-    deterministically (sorted by doc_id).
+    Scale shape (fully distributed; nothing corpus-sized touches the
+    driver or is pinned in the object store):
+
+    * signatures are CHECKPOINTED to parquet under ``scratch_dir`` and
+      re-read for each use (banding + the pair join) — disk instead of a
+      ``materialize()`` that pins ~1 KB/doc in the object store, and a
+      resume point for a killed run;
+    * the LSH shuffle moves only compact (band, band_hash, doc_id) int
+      rows — signatures stay out of the exchange.  Bucketing is a
+      ``sort`` + run-scan in ``map_batches`` (a per-bucket ``map_groups``
+      pays per-group Python overhead for millions of singleton buckets);
+    * runs that may straddle a sorted-block boundary (first/last run of
+      each batch) are re-grouped exactly in a distributed
+      ``groupby(band, band_hash)`` over those edge rows only, so results
+      are independent of where Ray's range partitioner cut the sort;
+    * candidate pairs stay a Dataset: deduped with a ``groupby(a, b)``
+      aggregate, then signature-joined twice (hash join on doc id) to
+      estimate Jaccard; only the final thresholded pair list lands on
+      the driver.
+
+    Buckets larger than ``max_bucket`` are truncated deterministically
+    (doc-id-sorted prefix) — an explicit cap, not a silent drop.
     """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
     assert num_perm % bands == 0
     rows = num_perm // bands
+    nparts = num_partitions or default_pool_size()
 
-    sig_ds = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm,
-            shingle_k=shingle_k,
-            text_column=text_column,
-            id_column=id_column,
-        ),
-        batch_format="pyarrow",
-        concurrency=default_pool_size(),
-    ).materialize()  # reused twice: banding + candidate signature fetch
+    own_scratch = scratch_dir is None
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="minhash_lsh_")
+    sig_dir = os.path.join(scratch, "sigs")
+    if not (
+        os.path.isdir(sig_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(sig_dir))
+    ):
+        tmp_dir = sig_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        ds.map_batches(
+            MinHasher,
+            fn_constructor_kwargs=dict(
+                num_perm=num_perm,
+                shingle_k=shingle_k,
+                text_column=text_column,
+                id_column=id_column,
+            ),
+            batch_format="pyarrow",
+            concurrency=default_pool_size(),
+        ).write_parquet(tmp_dir)
+        os.replace(tmp_dir, sig_dir)  # atomic checkpoint commit
+    sig_ds = rd.read_parquet(sig_dir)
 
     band_ds = sig_ds.map_batches(
         lambda b: _band_rows(
@@ -246,57 +305,158 @@ def minhash_lsh_candidates(
                         out["z"].append(0)
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
-    mixed = band_ds.map_batches(
-        runs_to_pairs, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
+    # checkpoint the (small, int-only) mixed pair/edge rows so the two
+    # consumers below don't re-run the banding sort
+    mixed_dir = os.path.join(scratch, "mixed")
+    if not os.path.isdir(mixed_dir):
+        tmp_dir = mixed_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        band_ds.map_batches(
+            runs_to_pairs, batch_format="pyarrow", batch_size=None
+        ).write_parquet(tmp_dir)
+        os.replace(tmp_dir, mixed_dir)
+    mixed = rd.read_parquet(mixed_dir)
 
-    pair_set = set()
-    if not mixed.empty:
-        pairs_local = mixed[mixed["kind"] == 0]
-        pair_set.update(zip(pairs_local["x"], pairs_local["y"]))
-        edges = mixed[mixed["kind"] == 1]
-        for (_, _), g in edges.groupby(["x", "y"]):
-            ids = np.sort(g["z"].unique())[:max_bucket]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pair_set.add((int(ids[i]), int(ids[j])))
-    if not pair_set:
+    interior = mixed.map_batches(
+        lambda b: b.filter(_pc.equal(b["kind"], 0)).select(["x", "y"]),
+        batch_format="pyarrow",
+    )
+
+    def edge_run_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # one group per boundary-straddling (band, band_hash) run —
+        # a handful of groups total, so map_groups overhead is fine here
+        ids = np.sort(df["z"].unique())[:max_bucket]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"x": ids[ii].astype("int64"),
+                             "y": ids[jj].astype("int64")})
+
+    def _norm_pairs(df: pd.DataFrame) -> pa.Table:
+        # explicit Arrow construction: groups that emit empty frames
+        # produce schema-less pandas blocks, which the union/join
+        # downstream cannot reconcile with the (x, y) Arrow schema
+        if len(df) == 0 or "x" not in df.columns:
+            return pa.table(
+                {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "x": pa.array(df["x"].to_numpy(np.int64)),
+                "y": pa.array(df["y"].to_numpy(np.int64)),
+            }
+        )
+
+    edge_pairs = (
+        mixed.map_batches(
+            lambda b: b.filter(_pc.equal(b["kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .groupby(["x", "y"])  # x=band, y=band_hash for edge rows
+        .map_groups(edge_run_pairs, batch_format="pandas")
+        .map_batches(_norm_pairs, batch_format="pandas")
+    )
+
+    # dedupe pairs across buckets/bands distributedly; checkpoint the
+    # (compact, int-only) result through parquet — Ray's hash aggregate
+    # emits schema-less empty bundles that Acero's join rejects, and the
+    # round-trip both launders the schema and adds a resume point
+    pairs_dir = os.path.join(scratch, "pairs")
+    if not os.path.isdir(pairs_dir):
+        tmp_dir = pairs_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        (
+            interior.union(edge_pairs)
+            .groupby(["x", "y"])
+            .aggregate(Count(alias_name="__n"))
+            .map_batches(
+                lambda b: b.select(["x", "y"]), batch_format="pyarrow"
+            )
+        ).write_parquet(tmp_dir)
+        os.replace(tmp_dir, pairs_dir)
+    uniq = rd.read_parquet(pairs_dir)
+
+    def _keyed_sigs(key: str, sig_name: str):
+        # signature list<int64> → fixed-width binary blob: Acero hash
+        # joins reject list-typed payload columns (and the blob halves
+        # the shuffle size vs a list)
+        def enc(b: pa.Table) -> pa.Table:
+            blobs = [
+                np.asarray(s, dtype=np.int64).tobytes()
+                for s in b["minhash"].to_pylist()
+            ]
+            return pa.table(
+                {
+                    key: b[id_column],
+                    sig_name: pa.array(blobs, pa.binary()),
+                }
+            )
+
+        return sig_ds.map_batches(enc, batch_format="pyarrow")
+
+    # two hash joins attach both endpoints' signatures; the intermediate
+    # is checkpointed because a join operator (like the aggregates above)
+    # can emit schema-less empty partitions that the next join rejects
+    half_dir = os.path.join(scratch, "pairs_sig_x")
+    if not os.path.isdir(half_dir):
+        tmp_dir = half_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        uniq.join(
+            _keyed_sigs("__kx", "__sig_x"),
+            join_type="inner",
+            num_partitions=nparts,
+            on=("x",),
+            right_on=("__kx",),
+        ).write_parquet(tmp_dir)
+        os.replace(tmp_dir, half_dir)
+    joined = rd.read_parquet(half_dir).join(
+        _keyed_sigs("__ky", "__sig_y"),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("y",),
+        right_on=("__ky",),
+    )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sx = np.frombuffer(
+            b"".join(batch["__sig_x"].to_pylist()), dtype=np.int64
+        ).reshape(batch.num_rows, num_perm)
+        sy = np.frombuffer(
+            b"".join(batch["__sig_y"].to_pylist()), dtype=np.int64
+        ).reshape(batch.num_rows, num_perm)
+        est = (sx == sy).mean(axis=1)
+        keep = est >= jaccard_threshold
+        xs = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ys = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(xs[keep]),
+                "b": pa.array(ys[keep]),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    out = (
+        joined.map_batches(estimate, batch_format="pyarrow")
+        .to_pandas()  # final thresholded pair list — small by design
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    if own_scratch:
+        shutil.rmtree(scratch, ignore_errors=True)
+    if out.empty:
         return pd.DataFrame(
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "est_jaccard": pd.Series(dtype="float64")}
         )
-
-    # fetch signatures for candidate docs only (broadcast semi-join)
-    wanted = sorted({d for p in pair_set for d in p})
-    import pyarrow.compute as _pc
-
-    sigs: dict = {}
-    filt = sig_ds.map_batches(
-        lambda b: b.filter(
-            _pc.is_in(b[id_column], pa.array(wanted, pa.int64()))
-        ),
-        batch_format="pyarrow",
-    )
-    for batch in filt.iter_batches(batch_format="pyarrow"):
-        for d, s in zip(
-            batch[id_column].to_pylist(), batch["minhash"].to_pylist()
-        ):
-            sigs[d] = np.asarray(s, dtype=np.int64)
-
-    out_a, out_b, out_j = [], [], []
-    for a, b in sorted(pair_set):
-        sa, sb = sigs.get(a), sigs.get(b)
-        if sa is None or sb is None:
-            continue
-        est = float((sa == sb).mean())
-        if est >= jaccard_threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(est)
-    return pd.DataFrame(
-        {"a": pd.Series(out_a, dtype="int64"),
-         "b": pd.Series(out_b, dtype="int64"),
-         "est_jaccard": pd.Series(out_j, dtype="float64")}
+    return out.astype(
+        {"a": "int64", "b": "int64", "est_jaccard": "float64"}
     )
 
 

@@ -103,6 +103,45 @@ class TestMinHash:
         # random docs should not pair
         assert len(verified) <= 3
 
+    def test_lsh_planted_dups_at_10x(self, ray_session, tmp_path):
+        """600-doc corpus with 6 planted near-dup pairs: all recovered,
+        few false positives, and a re-run over the same scratch_dir
+        resumes from the signature/pair checkpoints with identical
+        output."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import minhash_lsh_candidates
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(2000)]
+        texts, ids = [], []
+        for i in range(600):
+            texts.append(" ".join(rng.choice(vocab, size=80).tolist()))
+            ids.append(i)
+        planted = []
+        for j in range(6):
+            toks = texts[j * 50].split()
+            for m in range(3):
+                toks[10 + m] = f"zz{j}_{m}"
+            texts.append(" ".join(toks))
+            ids.append(10_000 + j)
+            planted.append((j * 50, 10_000 + j))
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+        scratch = str(tmp_path / "lsh_scratch")
+        pairs = minhash_lsh_candidates(
+            ds, jaccard_threshold=0.5, scratch_dir=scratch
+        )
+        got = set(zip(pairs["a"], pairs["b"]))
+        for p in planted:
+            assert p in got, f"planted pair {p} missed"
+        assert len(got) <= len(planted) + 3  # few random collisions
+
+        # resume: same scratch → identical result without recompute
+        pairs2 = minhash_lsh_candidates(
+            ds, jaccard_threshold=0.5, scratch_dir=scratch
+        )
+        pd.testing.assert_frame_equal(pairs, pairs2)
+
     def test_simhash_finds_planted_neardup(self, ray_session):
         import ray.data as rd
 
