@@ -404,53 +404,78 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation with the
-    three small sides broadcast once (``ray.put``) and looked up inside
-    ``map_batches`` — the no-shuffle broadcast-join pattern for
-    dimension tables (SURVEY.md §2.4)."""
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).to_pandas()
+    """Revenue per nation: lineitem ⋈ orders is a distributed hash join
+    on ``l_orderkey`` (both sides are fact-sized — broadcasting orders
+    would ship the whole table to every task at sf≫1); customer and
+    nation are genuine dimensions, broadcast once (``ray.put``) and
+    mapped into an ``n_name`` column on the orders side before the join.
+    Lineitem revenue is pre-aggregated per orderkey inside each batch so
+    the join exchange moves one row per (batch, orderkey), not one per
+    lineitem."""
     customer = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
     nation = rd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
-    ok2ck = dict(zip(orders.o_orderkey, orders.o_custkey))
-    ck2nk = dict(zip(customer.c_custkey, customer.c_nationkey))
-    nk2name = dict(zip(nation.n_nationkey, nation.n_name))
-    ref = ray.put((ok2ck, ck2nk, nk2name))
+    ck2name = dict(
+        zip(
+            customer.c_custkey,
+            customer.c_nationkey.map(
+                dict(zip(nation.n_nationkey, nation.n_name))
+            ),
+        )
+    )
+    ref = ray.put(ck2name)
 
-    class JoinScore:
-        def __init__(self):
-            self.ok2ck, self.ck2nk, self.nk2name = ray.get(ref)
+    def orders_with_nation(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        names = [d.get(c) for c in batch["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "n_name": pa.array(names, pa.string()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            rev = np.round(
-                df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
-            ).astype("int64")
-            nk = (
-                df["l_orderkey"].map(self.ok2ck).map(self.ck2nk)
-            )
-            name = nk.map(self.nk2name)
-            g = (
-                pd.DataFrame({"n_name": name, "rev": rev})
-                .groupby("n_name", as_index=False)["rev"]
-                .sum()
-                .rename(columns={"rev": "partial_rev"})
-            )
-            return pa.Table.from_pandas(g, preserve_index=False)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(orders_with_nation, batch_format="pyarrow")
 
-    ds = rd.read_parquet(
+    def lineitem_partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rev = np.round(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
+        ).astype("int64")
+        g = (
+            pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": rev})
+            .groupby("l_orderkey", as_index=False)["rev"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g["l_orderkey"], pa.int64()),
+                "rev": pa.array(g["rev"], pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
+    ).map_batches(lineitem_partials, batch_format="pyarrow")
+
+    from ..stages.util import default_pool_size
+
     merged = (
-        ds.map_batches(JoinScore, batch_format="pyarrow", concurrency=2)
+        li.join(
+            orders,
+            join_type="inner",
+            num_partitions=default_pool_size(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
         .groupby("n_name")
-        .aggregate(Sum("partial_rev", alias_name="revenue"))
+        .aggregate(Sum("rev", alias_name="revenue"))
         .to_pandas()
     )
     merged["revenue"] = (merged["revenue"] / 10000.0).round(6)
