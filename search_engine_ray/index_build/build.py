@@ -119,6 +119,12 @@ class BuildConfig:
     partitioner: Optional[object] = None  # custom file→partition function
     # (the reference's customShardFunction, ShardedInvertedIndex.ts:9,
     # 150-155): Callable[[List[str], int], List[List[str]]]
+    partitions_per_job: int = 1  # checkpoint granularity: how many index
+    # partitions build inside ONE fused Ray Data job (tagged rows, one
+    # sort keyed (part_id, term, doc_id), partitioned write).  1 = one
+    # job per partition (finest resume granularity); K>1 amortizes
+    # per-job launch + sort-barrier constants over K partitions and
+    # commits their manifests together (resume granularity = K).
 
 
 def _dedup_keep_latest(df):
@@ -157,6 +163,7 @@ def _docs_pipeline(
     files: List[str],
     cfg: BuildConfig,
     dedup_meta_files: Optional[List[str]] = None,
+    eager_winners: bool = False,
 ) -> rd.Dataset:
     if cfg.mappings is not None:
         ds = rd.read_parquet(files, columns=cfg.read_columns)
@@ -177,7 +184,11 @@ def _docs_pipeline(
     cols = sorted(set(cols))
     ds = rd.read_parquet(files, columns=cols)
     if cfg.dedup:
-        ds = _dedup_split(files, cols, ds, meta_files=dedup_meta_files)
+        ds = _dedup_split(
+            files, cols, ds,
+            meta_files=dedup_meta_files,
+            eager_winners=eager_winners,
+        )
     if cfg.extract_html:
         # extraction runs AFTER dedup, so loser duplicates are never parsed
         ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
@@ -194,6 +205,7 @@ def _dedup_split(
     cols: List[str],
     full: rd.Dataset,
     meta_files: Optional[List[str]] = None,
+    eager_winners: bool = False,
 ) -> rd.Dataset:
     """Exact dedup by url, keep max warc_ts, without shuffling payloads.
 
@@ -284,12 +296,27 @@ def _dedup_split(
         return batch.filter(mask)
 
     uniq = full.map_batches(keep_unique, batch_format="pyarrow")
-    dup_rows = (
+    dup_pipeline = (
         rd.read_parquet(files, columns=cols, include_paths=global_mode)
         .map_batches(keep_winner_candidates, batch_format="pyarrow")
         .groupby("url")
         .map_groups(_dedup_keep_latest, batch_format="pandas")
     )
+    if eager_winners:
+        # resolve the (few) winner rows EAGERLY in their own tiny job and
+        # checkpoint them to parquet: a groupby left inside the main DAG
+        # is an extra all-to-all barrier per partition branch, which
+        # serializes a fused multi-partition job (measured 1.5-2x
+        # slowdown there); a single-partition job tolerates it fine
+        import tempfile
+
+        winners_dir = tempfile.mkdtemp(prefix="dedup_winners_")
+        dup_pipeline.map_batches(
+            lambda b: b.select(cols), batch_format="pyarrow"
+        ).write_parquet(winners_dir)
+        dup_rows = rd.read_parquet(winners_dir, columns=cols)
+    else:
+        dup_rows = dup_pipeline
     return uniq.union(dup_rows)
 
 
@@ -390,6 +417,174 @@ def build_partition(
     return manifest
 
 
+class PartitionedBlocks:
+    """``BuildBlocks`` over a fused sorted stream: split the batch by
+    ``part_id`` (the leading sort key), build each partition's blocks
+    independently, re-tag."""
+
+    def __init__(self, block_size: int = 128):
+        self.inner = BuildBlocks(block_size=block_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = batch["part_id"]
+        body = batch.drop_columns(["part_id"])
+        outs: List[pa.Table] = []
+        for pi in pc.unique(parts).to_pylist():
+            sub = body.filter(pc.equal(parts, pi))
+            out = self.inner(sub)
+            outs.append(
+                out.append_column(
+                    "part_id",
+                    pa.array([int(pi)] * out.num_rows, pa.int32()),
+                )
+            )
+        if not outs:
+            return BLOCKS_SCHEMA.empty_table().append_column(
+                "part_id", pa.array([], pa.int32())
+            )
+        return pa.concat_tables(outs)
+
+
+def build_partitions_fused(
+    chunk: List[Tuple[int, str, List[str]]],
+    cfg: BuildConfig,
+    dedup_meta_files: Optional[List[str]] = None,
+) -> Dict[int, dict]:
+    """Build several index partitions inside ONE fused Ray Data job.
+
+    Rows are tagged with their partition id at the read, tokenized by a
+    partition-aware stage (docstore side-files land in each partition's
+    own ``docs/``), exchanged in a single sort keyed
+    ``(part_id, term, doc_id)``, cut into posting blocks per partition,
+    and written Hive-partitioned by ``part_id`` — then each partition's
+    files are moved into its ``blocks/`` directory and its manifest is
+    committed.  Compared to one job per partition this pays the Ray job
+    launch + sort sample/barrier constants once per *chunk* instead of
+    once per partition, at the cost of coarser resume granularity (a
+    killed chunk rebuilds whole)."""
+    t0 = time.time()
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = (
+            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        )
+    except Exception:
+        pass
+
+    docs_dirs: Dict[int, str] = {}
+    for pi, part_dir, files in chunk:
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)  # wipe incomplete remnants (idempotent)
+        docs_dirs[pi] = os.path.join(part_dir, "docs")
+        os.makedirs(docs_dirs[pi], exist_ok=True)
+
+    id_col = cfg.id_column or "doc_id"
+    if cfg.mappings is not None:
+        from ..stages.tokenize import GenericTokenizePostings
+
+        tok_cls = GenericTokenizePostings
+        tok_kwargs: Dict = dict(
+            mappings=cfg.mappings,
+            stopwords=cfg.stopwords,
+            store_positions=cfg.store_positions,
+            id_column=id_col,
+        )
+    else:
+        tok_cls = TokenizePostings
+        tok_kwargs = dict(
+            fields=cfg.fields,
+            stopwords=cfg.stopwords,
+            store_positions=cfg.store_positions,
+            id_column=id_col,
+        )
+
+    def tag(pi: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "part_id", pa.array([pi] * b.num_rows, pa.int32())
+            )
+
+        return fn
+
+    # tokenize INSIDE each partition branch (so the read → dedup →
+    # extract → tokenize chain stays fused into one task per batch and
+    # only compact postings rows reach the union), tag with part_id,
+    # union, then ONE sort for the whole chunk
+    kwargs: Dict = dict(
+        batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
+    )
+
+    def build_branch(item):
+        pi, part_dir, files = item
+        sub = _docs_pipeline(
+            files, cfg, dedup_meta_files, eager_winners=True
+        )
+        branch_kwargs = dict(tok_kwargs, docs_out_dir=docs_dirs[pi])
+        if cfg.tokenize_concurrency:
+            sub = sub.map_batches(
+                tok_cls,
+                fn_constructor_kwargs=branch_kwargs,
+                concurrency=cfg.tokenize_concurrency,
+                **kwargs,
+            )
+        else:
+            sub = sub.map_batches(tok_cls(**branch_kwargs), **kwargs)
+        return sub.map_batches(tag(pi), batch_format="pyarrow")
+
+    # branch planning triggers small eager dedup jobs per partition —
+    # overlap them with threads instead of paying each serially
+    if len(chunk) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(chunk))) as ex:
+            subs = list(ex.map(build_branch, chunk))
+    else:
+        subs = [build_branch(chunk[0])]
+    ds = subs[0] if len(subs) == 1 else subs[0].union(*subs[1:])
+    ds = ds.sort(["part_id", "term", "doc_id"])
+    ds = ds.map_batches(
+        PartitionedBlocks(block_size=cfg.block_size),
+        batch_format="pyarrow",
+        batch_size=None,  # one task per sorted range → blocks stay sorted
+    )
+    out_tmp = os.path.join(
+        os.path.dirname(chunk[0][1]), f".fused_out_{os.getpid()}_{chunk[0][0]}"
+    )
+    shutil.rmtree(out_tmp, ignore_errors=True)
+    ds.write_parquet(out_tmp, partition_cols=["part_id"])
+
+    manifests: Dict[int, dict] = {}
+    build_seconds = round(time.time() - t0, 3)
+    for pi, part_dir, files in chunk:
+        blocks_dir = os.path.join(part_dir, "blocks")
+        hive_dir = os.path.join(out_tmp, f"part_id={pi}")
+        if os.path.isdir(hive_dir):
+            os.replace(hive_dir, blocks_dir)
+        else:  # partition produced no rows (empty input shard)
+            os.makedirs(blocks_dir, exist_ok=True)
+        stats = _read_partition_stats(blocks_dir)
+        n_postings, n_blocks = _block_counts(blocks_dir)
+        manifest = {
+            "completed": True,
+            "input_files": sorted(files),
+            "n_docs": stats.total_docs,
+            "sum_dl": stats.sum_dl,
+            "n_postings": n_postings,
+            "n_blocks": n_blocks,
+            "store_positions": cfg.store_positions,
+            "block_size": cfg.block_size,
+            "fields": [list(f) for f in cfg.fields],
+            "build_seconds": build_seconds,
+            "fused_chunk": [c[0] for c in chunk],
+        }
+        _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
+        manifests[pi] = manifest
+    shutil.rmtree(out_tmp, ignore_errors=True)
+    return manifests
+
+
 def _read_partition_stats(blocks_dir: str) -> GlobalStats:
     dataset = pads.dataset(blocks_dir, format="parquet")
     tbl = dataset.to_table(
@@ -457,22 +652,27 @@ def build_index(
 
     if todo:
         meta = files if (cfg.dedup and cfg.global_dedup) else None
-        workers = max(1, min(cfg.concurrent_partitions, len(todo)))
+        k = max(1, cfg.partitions_per_job)
+        chunks = [todo[i : i + k] for i in range(0, len(todo), k)]
+
+        def run_chunk(chunk):
+            if len(chunk) == 1:
+                pi, part_dir, pfiles = chunk[0]
+                return {pi: build_partition(part_dir, pfiles, cfg, meta)}
+            return build_partitions_fused(chunk, cfg, meta)
+
+        workers = max(1, min(cfg.concurrent_partitions, len(chunks)))
         if workers == 1:
-            for pi, part_dir, pfiles in todo:
-                part_manifests[pi] = build_partition(
-                    part_dir, pfiles, cfg, meta
-                )
+            for chunk in chunks:
+                for pi, m in run_chunk(chunk).items():
+                    part_manifests[pi] = m
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=workers) as ex:
-                futs = {
-                    ex.submit(build_partition, part_dir, pfiles, cfg, meta): pi
-                    for pi, part_dir, pfiles in todo
-                }
-                for fut, pi in futs.items():
-                    part_manifests[pi] = fut.result()
+                for got in ex.map(run_chunk, chunks):
+                    for pi, m in got.items():
+                        part_manifests[pi] = m
 
     stats = GlobalStats(
         sum(m["n_docs"] for m in part_manifests),

@@ -309,6 +309,51 @@ class TestGlobalDedup:
         assert len(s.search({"term": {"field": "text", "value": "new"}})) == 1
         assert len(s.search({"term": {"field": "text", "value": "old"}})) == 0
 
+    def test_fused_multi_partition_build_equivalent(self, tmp_path, ray_session):
+        """partitions_per_job>1 builds several partitions in ONE Ray Data
+        job (one sort keyed (part_id, term, doc_id), partitioned write);
+        totals and query ranks must match the per-partition-job build."""
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        corpus = str(tmp_path / "corpus")
+        generate_pages(corpus, n_rows=1200, seed=17, n_files=8)
+        m1 = build_index(
+            str(tmp_path / "i1"), corpus,
+            BuildConfig(n_partitions=4, concurrent_partitions=1),
+        )
+        m2 = build_index(
+            str(tmp_path / "i2"), corpus,
+            BuildConfig(
+                n_partitions=4, partitions_per_job=4,
+                concurrent_partitions=1,
+            ),
+        )
+        for k in ("total_docs", "sum_dl", "n_postings"):
+            assert m1[k] == m2[k], k
+        a = IndexSearcher(str(tmp_path / "i1")).search(
+            "the data", size=25, operator="or"
+        )
+        b = IndexSearcher(str(tmp_path / "i2")).search(
+            "the data", size=25, operator="or"
+        )
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        assert a["score"].tolist() == b["score"].tolist()
+
+        # resume: fused-built partitions are individually resumable
+        import time as _t
+
+        t0 = _t.time()
+        m3 = build_index(
+            str(tmp_path / "i2"), corpus,
+            BuildConfig(
+                n_partitions=4, partitions_per_job=4,
+                concurrent_partitions=1,
+            ),
+        )
+        assert m3["total_docs"] == m2["total_docs"]
+        assert _t.time() - t0 < 2  # all partitions complete → no rebuild
+
     def test_cross_partition_tie_single_survivor(self, tmp_path, ray_session):
         """Two copies of a url with the IDENTICAL max warc_ts in files of
         different partitions must yield exactly one survivor under
