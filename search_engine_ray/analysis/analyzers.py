@@ -275,13 +275,21 @@ def custom_analyzer(
 
 
 def stemming_analyzer(
-    text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS
+    text: str,
+    stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
+    lang: str = "en",
 ) -> List[str]:
     """``AnalyzerType.STEMMING`` (Tokenizer.ts:401-417): the standard
-    analyzer's tokens passed through the (English) stemmer."""
-    from .stemmer import porter_stem
+    analyzer's tokens passed through the language's Snowball stemmer
+    (reference ``Stemmer.ts``/``SnowballStemmer.ts`` dispatch: de/es/fr
+    native, everything else falls back to English Porter), behind a
+    per-process stem cache."""
+    from .snowball import _process_stem_cache
 
-    return [porter_stem(t) for t in standard_analyzer(text, stopwords)]
+    cache = _process_stem_cache()
+    return [
+        cache.stem(t, lang) for t in standard_analyzer(text, stopwords)
+    ]
 
 
 ANALYZERS: dict[str, Callable[..., List[str]]] = {
@@ -304,7 +312,13 @@ def tokenize(
     stopwords: FrozenSet[str] = DEFAULT_STOPWORDS,
 ) -> List[str]:
     """Dispatch mirroring ``Tokenizer.tokenize`` (Tokenizer.ts:111-138):
-    unknown analyzer names fall back to the standard analyzer."""
+    unknown analyzer names fall back to the standard analyzer.
+    ``"stemming:<lang>"`` selects the language-specific Snowball variant
+    (e.g. ``stemming:de``)."""
+    if analyzer.startswith("stemming:"):
+        return stemming_analyzer(
+            text, stopwords, lang=analyzer.split(":", 1)[1]
+        )
     fn = ANALYZERS.get(analyzer, standard_analyzer)
     return fn(text, stopwords)
 

@@ -48,6 +48,173 @@ class BuildBlocks:
         self.block_size = block_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if "pos_lens" in batch.column_names:
+            return self._merge_minis(batch)
+        return self._from_rows(batch)
+
+    def _merge_minis(self, batch: pa.Table) -> pa.Table:
+        """Map-side-combined input (MINI_POSTINGS_SCHEMA): each row is one
+        batch's mini posting list for a term.  Decode all minis in a few
+        whole-batch varbyte passes, merge each term's postings by doc id,
+        and cut final blocks.  A term whose minis straddle a sorted-range
+        boundary yields doc-overlapping blocks across tasks — the reader
+        merge-sorts those at query time (PartitionReader handles overlap
+        explicitly)."""
+        m = batch.num_rows
+        if m == 0:
+            return BLOCKS_SCHEMA.empty_table()
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        doc_min = batch["doc_min"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc_min, terms))
+        if not np.array_equal(order, np.arange(m)):
+            batch = batch.take(pa.array(order))
+            terms = terms[order]
+
+        ns = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        docs_col = batch["docs"].to_pylist()
+        tfs_col = batch["tfs"].to_pylist()
+        dls_col = batch["dls"].to_pylist()
+        pos_col = batch["pos"].to_pylist()
+        plens_col = batch["pos_lens"].to_pylist()
+
+        # split off + merge stats sentinels
+        is_stats = terms == STATS_TERM
+        stats_rows: List[tuple] = []
+        if is_stats.any():
+            tot_docs = tot_dl = 0
+            for i in np.flatnonzero(is_stats):
+                v = varbyte_decode(dls_col[i])
+                tot_docs += int(v[0])
+                tot_dl += int(v[1])
+            stats_rows.append((tot_docs, tot_dl))
+            keep = ~is_stats
+            terms = terms[keep]
+            ns = ns[keep]
+            docs_col = [x for x, k in zip(docs_col, keep) if k]
+            tfs_col = [x for x, k in zip(tfs_col, keep) if k]
+            dls_col = [x for x, k in zip(dls_col, keep) if k]
+            pos_col = [x for x, k in zip(pos_col, keep) if k]
+            plens_col = [x for x, k in zip(plens_col, keep) if k]
+            m = len(terms)
+
+        out = {k: [] for k in BLOCKS_SCHEMA.names}
+        total = int(ns.sum()) if m else 0
+        if m and total:
+            # whole-batch decode: concatenate all blobs, decode once,
+            # re-split by the known per-mini counts
+            flat_docs = varbyte_decode(b"".join(docs_col)).astype(np.int64)
+            flat_tfs = varbyte_decode(b"".join(tfs_col)).astype(np.int64)
+            flat_dls = varbyte_decode(b"".join(dls_col)).astype(np.int64)
+            bounds = np.zeros(m + 1, dtype=np.int64)
+            np.cumsum(ns, out=bounds[1:])
+            # un-delta docs per mini: abs[k] = csum[k] - csum[start-1]
+            c = np.cumsum(flat_docs)
+            base = np.repeat(
+                np.concatenate(([0], c[bounds[1:-1] - 1])), ns
+            )
+            docs_abs = c - base
+
+            have_pos = any(len(p) for p in plens_col)
+            if have_pos:
+                flat_plens = varbyte_decode(b"".join(plens_col)).astype(
+                    np.int64
+                )
+                # per-posting byte slices of each mini's pos blob
+                pos_slices: List[bytes] = [b""] * total
+                k = 0
+                for i in range(m):
+                    blob = pos_col[i]
+                    off = 0
+                    for _ in range(int(ns[i])):
+                        ln = int(flat_plens[k])
+                        pos_slices[k] = blob[off: off + ln]
+                        off += ln
+                        k += 1
+            else:
+                pos_slices = [b""] * total
+
+            # merge each term's minis by doc id: one global stable sort
+            term_ids = np.repeat(np.arange(m, dtype=np.int64), ns)
+            # minis of one term are contiguous; map to per-TERM run ids
+            tchange = np.empty(m, dtype=bool)
+            tchange[0] = True
+            tchange[1:] = terms[1:] != terms[:-1]
+            run_of_mini = np.cumsum(tchange) - 1
+            run_ids = run_of_mini[term_ids]
+            g = np.lexsort((docs_abs, run_ids))
+            docs_s = docs_abs[g]
+            tfs_s = flat_tfs[g]
+            dls_s = flat_dls[g]
+            run_s = run_ids[g]
+            term_of_run = terms[np.flatnonzero(tchange)]
+
+            # block cutting (same as the row path)
+            n = total
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = run_s[1:] != run_s[:-1]
+            run_starts = np.flatnonzero(change)
+            run_ends = np.append(run_starts[1:], n)
+            B = self.block_size
+            block_starts: List[int] = []
+            for s, e in zip(run_starts, run_ends):
+                block_starts.extend(range(int(s), int(e), B))
+            bs = np.asarray(block_starts, dtype=np.int64)
+            be = np.append(bs[1:], n)
+            gaps = docs_s.astype(np.uint64).copy()
+            gaps[1:] = (docs_s[1:] - docs_s[:-1]).astype(np.uint64)
+            gaps[bs] = docs_s[bs].astype(np.uint64)
+            docs_blob, docs_off = varbyte_encode_with_offsets(gaps)
+            tfs_blob, tfs_off = varbyte_encode_with_offsets(
+                tfs_s.astype(np.uint64)
+            )
+            dls_blob, dls_off = varbyte_encode_with_offsets(
+                dls_s.astype(np.uint64)
+            )
+            out["term"] = term_of_run[run_s[bs]].tolist()
+            out["n"] = (be - bs).astype(np.int32).tolist()
+            out["doc_min"] = docs_s[bs].tolist()
+            out["doc_max"] = docs_s[be - 1].tolist()
+            out["max_tf"] = (
+                np.maximum.reduceat(tfs_s, bs).astype(np.int32).tolist()
+            )
+            out["min_dl"] = (
+                np.minimum.reduceat(dls_s, bs).astype(np.int32).tolist()
+            )
+            out["docs"] = [
+                docs_blob[docs_off[s]: docs_off[e]] for s, e in zip(bs, be)
+            ]
+            out["tfs"] = [
+                tfs_blob[tfs_off[s]: tfs_off[e]] for s, e in zip(bs, be)
+            ]
+            out["dls"] = [
+                dls_blob[dls_off[s]: dls_off[e]] for s, e in zip(bs, be)
+            ]
+            if have_pos:
+                out["pos"] = [
+                    b"".join(pos_slices[g[j]] for j in range(s, e))
+                    for s, e in zip(bs, be)
+                ]
+            else:
+                out["pos"] = [b""] * len(bs)
+
+        for tot_docs, tot_dl in stats_rows:
+            out["term"].append(STATS_TERM)
+            out["n"].append(0)
+            out["doc_min"].append(0)
+            out["doc_max"].append(0)
+            out["max_tf"].append(0)
+            out["min_dl"].append(0)
+            out["docs"].append(b"")
+            out["tfs"].append(b"")
+            out["dls"].append(
+                varbyte_encode(np.array([tot_docs, tot_dl], dtype=np.uint64))
+            )
+            out["pos"].append(b"")
+
+        return pa.table(out, schema=BLOCKS_SCHEMA)
+
+    def _from_rows(self, batch: pa.Table) -> pa.Table:
         terms = np.asarray(batch["term"].to_pylist(), dtype=object)
         docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         tfs = batch["tf"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -119,6 +119,9 @@ class BuildConfig:
     partitioner: Optional[object] = None  # custom file→partition function
     # (the reference's customShardFunction, ShardedInvertedIndex.ts:9,
     # 150-155): Callable[[List[str], int], List[List[str]]]
+    stem_by_lang: bool = False  # Snowball-stem 'text' tokens per the row's
+    # lang column (de/es/fr native, Porter fallback — reference
+    # Stemmer.ts/SnowballStemmer.ts dispatch with a per-actor stem cache)
     partitions_per_job: int = 1  # checkpoint granularity: how many index
     # partitions build inside ONE fused Ray Data job (tagged rows, one
     # sort keyed (part_id, term, doc_id), partitioned write).  1 = one
@@ -360,6 +363,7 @@ def build_partition(
             store_positions=cfg.store_positions,
             id_column=id_col,
             docs_out_dir=docs_dir,
+            combine=True,
         )
     else:
         tok_cls = TokenizePostings
@@ -369,6 +373,8 @@ def build_partition(
             store_positions=cfg.store_positions,
             id_column=id_col,
             docs_out_dir=docs_dir,
+            combine=True,
+            stem_by_lang=cfg.stem_by_lang,
         )
     ds = _docs_pipeline(files, cfg, dedup_meta_files)
     t_stage1 = time.time() - t0
@@ -387,7 +393,7 @@ def build_partition(
         )
     else:
         ds = ds.map_batches(tok_cls(**tok_kwargs), **kwargs)
-    ds = ds.sort(["term", "doc_id"])
+    ds = ds.sort(["term", "doc_min"])
     ds = ds.map_batches(
         BuildBlocks(block_size=cfg.block_size),
         batch_format="pyarrow",
@@ -490,6 +496,7 @@ def build_partitions_fused(
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
             id_column=id_col,
+            combine=True,
         )
     else:
         tok_cls = TokenizePostings
@@ -498,6 +505,8 @@ def build_partitions_fused(
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
             id_column=id_col,
+            combine=True,
+            stem_by_lang=cfg.stem_by_lang,
         )
 
     def tag(pi: int):
@@ -543,7 +552,7 @@ def build_partitions_fused(
     else:
         subs = [build_branch(chunk[0])]
     ds = subs[0] if len(subs) == 1 else subs[0].union(*subs[1:])
-    ds = ds.sort(["part_id", "term", "doc_id"])
+    ds = ds.sort(["part_id", "term", "doc_min"])
     ds = ds.map_batches(
         PartitionedBlocks(block_size=cfg.block_size),
         batch_format="pyarrow",

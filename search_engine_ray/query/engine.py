@@ -271,11 +271,16 @@ class _PartitionEvaluator:
         text_fields: Sequence[str],
         stopwords=DEFAULT_STOPWORDS,
         synonyms: Optional[Dict[str, List[str]]] = None,
+        token_filter=None,
     ):
         self.r = reader
         self.text_fields = list(text_fields)
         self.stopwords = stopwords
         self.synonyms = synonyms or {}
+        # optional per-token transform applied to query tokens before
+        # posting lookup (e.g. a Snowball stemmer matching a
+        # stem_by_lang-built index)
+        self.token_filter = token_filter
         self._cache: Dict[str, TermPostings] = {}
 
     def prefetch(self, terms: Sequence[str], with_positions=False) -> None:
@@ -302,6 +307,8 @@ class _PartitionEvaluator:
         tokens = [norm] + [
             str(s).lower() for s in self.synonyms.get(norm, [])
         ]
+        if self.token_filter is not None:
+            tokens = [self.token_filter(t) for t in tokens]
         arrays = []
         for f in fields:
             for tok in tokens:
@@ -444,6 +451,8 @@ class _PartitionEvaluator:
         out = []
         for f in fields:
             toks = standard_analyzer(value, self.stopwords)
+            if self.token_filter is not None:
+                toks = [self.token_filter(t) for t in toks]
             if not toks:
                 continue
             if fuzz:
@@ -637,6 +646,7 @@ def _score_partition(
     reader: Optional[PartitionReader] = None,
     synonyms: Optional[Dict[str, List[str]]] = None,
     scorer=None,
+    token_filter=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Partition-local top-k (used serially or as a Ray task; the local
     path passes a long-lived cached reader)."""
@@ -645,6 +655,7 @@ def _score_partition(
         text_fields,
         stopwords,
         synonyms,
+        token_filter=token_filter,
     )
     stats = GlobalStats.from_json(stats_json)
     if pruning != "off" and not synonyms and scorer is None:
@@ -653,6 +664,11 @@ def _score_partition(
         plan = pruning_plan(node, text_fields)
         if plan is not None:
             mode, plan_terms = plan
+            if token_filter is not None:
+                plan_terms = [
+                    f"{t.split(':', 1)[0]}:{token_filter(t.split(':', 1)[1])}"
+                    for t in plan_terms
+                ]
             ev.prefetch(plan_terms)
             pmap = {t: ev._cache[t] for t in plan_terms if t in ev._cache}
             return topk_blockmax(
@@ -683,6 +699,8 @@ class IndexSearcher:
         synonyms: Optional[Dict[str, List[str]]] = None,
         scorer=None,
         strict: bool = True,
+        token_filter=None,
+        stem_lang: Optional[str] = None,
     ):
         self.index_dir = index_dir
         self.manifest = load_index_manifest(index_dir)
@@ -707,6 +725,15 @@ class IndexSearcher:
         # shapes (the checks of QueryEngine.ts:458-556) instead of the
         # reference's silent fall-through to an empty result
         self.strict = strict
+        # query-token transform for indexes built with stemming: either a
+        # custom callable or the Snowball stemmer for ``stem_lang``
+        # (matching BuildConfig(stem_by_lang=True) / stemming analyzers)
+        if token_filter is None and stem_lang is not None:
+            from ..analysis.snowball import _process_stem_cache
+
+            cache = _process_stem_cache()
+            token_filter = lambda t, _lg=stem_lang: cache.stem(t, _lg)  # noqa: E731
+        self.token_filter = token_filter
         self.part_dirs = [
             os.path.join(index_dir, "partitions", p)
             for p in self.manifest["partitions"]
@@ -735,7 +762,8 @@ class IndexSearcher:
         def mandatory_hits(n) -> bool:
             for r in self._readers:
                 ev = _PartitionEvaluator(
-                    r, self.text_fields, self.stopwords, self.synonyms
+                    r, self.text_fields, self.stopwords, self.synonyms,
+                    token_filter=self.token_filter,
                 )
                 if ev.evaluate(n).size:
                     return True
@@ -828,6 +856,13 @@ class IndexSearcher:
         terms = collect_scoring_terms(
             raw_node, self.text_fields, self.stopwords
         )
+        if self.token_filter is not None:
+            terms = list(
+                dict.fromkeys(
+                    f"{t.split(':', 1)[0]}:{self.token_filter(t.split(':', 1)[1])}"
+                    for t in terms
+                )
+            )
         node, rewritten = self._resolve_bool_fallbacks(raw_node)
         # a rewritten node's pruning plan would score with different terms
         # than the original query — use the exact path for those
@@ -849,6 +884,7 @@ class IndexSearcher:
                 None,
                 self.synonyms,
                 self.scorer,
+                self.token_filter,
             )
             for d in self.part_dirs
         ]
@@ -860,8 +896,8 @@ class IndexSearcher:
         else:
             parts = [
                 _score_partition(
-                    *a[:-3], reader=r, synonyms=self.synonyms,
-                    scorer=self.scorer,
+                    *a[:-4], reader=r, synonyms=self.synonyms,
+                    scorer=self.scorer, token_filter=self.token_filter,
                 )
                 for a, r in zip(args, self._readers)
             ]
@@ -940,7 +976,8 @@ class IndexSearcher:
         out = []
         for i, r in enumerate(self._readers):
             ev = _PartitionEvaluator(
-                r, self.text_fields, self.stopwords, self.synonyms
+                r, self.text_fields, self.stopwords, self.synonyms,
+                token_filter=self.token_filter,
             )
             out.append((i, ev.evaluate(node)))
         return out

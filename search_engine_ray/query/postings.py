@@ -114,6 +114,68 @@ class TermPostings:
         return [flat[bounds[i] : bounds[i + 1]] for i in range(lens.size)]
 
 
+def _decode_block_positions(blob: bytes, n: int) -> List[np.ndarray]:
+    """Per-entry absolute position arrays of one block's pos payload."""
+    flat = varbyte_decode(blob).astype(np.int64)
+    out: List[np.ndarray] = []
+    i = 0
+    for _ in range(n):
+        cnt = int(flat[i])
+        i += 1
+        out.append(np.cumsum(flat[i : i + cnt]))
+        i += cnt
+    return out
+
+
+def _merge_overlapping_blocks(
+    term: str, rows: List[dict], with_positions: bool
+) -> TermPostings:
+    """Merge doc-overlapping blocks of one term (map-side mini-lists that
+    straddled a sorted-range boundary) into a single sorted TermPostings.
+    Eager full decode — acceptable because only boundary terms hit this."""
+    doc_parts, tf_parts, dl_parts = [], [], []
+    for r in rows:
+        doc_parts.append(
+            np.cumsum(varbyte_decode(r["docs"]), dtype=np.uint64).astype(
+                np.int64
+            )
+        )
+        tf_parts.append(varbyte_decode(r["tfs"]).astype(np.int64))
+        dl_parts.append(varbyte_decode(r["dls"]).astype(np.int64))
+    docs = np.concatenate(doc_parts)
+    tfs = np.concatenate(tf_parts)
+    dls = np.concatenate(dl_parts)
+    order = np.argsort(docs, kind="stable")
+    docs, tfs, dls = docs[order], tfs[order], dls[order]
+    df = len(docs)
+    tp = TermPostings(
+        term=term,
+        doc_ids=docs,
+        tfs=tfs,
+        dls=dls,
+        block_starts=np.asarray([0], dtype=np.int64),
+        block_max_tf=np.asarray([int(tfs.max()) if df else 0], np.int64),
+        block_min_dl=np.asarray([int(dls.min()) if df else 0], np.int64),
+        pos_blobs=[b""] if with_positions else None,
+        block_ns=np.asarray([df], dtype=np.int64),
+    )
+    if with_positions:
+        per_entry: List[np.ndarray] = []
+        for r in rows:
+            per_entry.extend(_decode_block_positions(r["pos"], int(r["n"])))
+        per_entry = [per_entry[i] for i in order]
+        lens = np.asarray([p.size for p in per_entry], dtype=np.int64)
+        offs = np.zeros(df + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (
+            np.concatenate(per_entry)
+            if per_entry
+            else np.empty(0, dtype=np.int64)
+        )
+        object.__setattr__(tp, "_pos_full", (flat, offs))
+    return tp
+
+
 class PartitionReader:
     """Immutable-segment reader with a per-reader posting LRU — the
     distributed analog of the reference's query caches
@@ -192,7 +254,8 @@ class PartitionReader:
     def _read_terms_uncached(
         self, terms: Sequence[str], with_positions: bool = False
     ) -> Dict[str, TermPostings]:
-        cols = ["term", "n", "doc_min", "max_tf", "min_dl", "docs", "tfs", "dls"]
+        cols = ["term", "n", "doc_min", "doc_max", "max_tf", "min_dl",
+                "docs", "tfs", "dls"]
         if with_positions:
             cols.append("pos")
         tbl = self._dataset.to_table(
@@ -205,7 +268,21 @@ class PartitionReader:
         for row in tbl.to_pylist():
             by_term.setdefault(row["term"], []).append(row)
         for term, rows in by_term.items():
-            rows.sort(key=lambda r: r["doc_min"])  # blocks are doc-disjoint
+            rows.sort(key=lambda r: r["doc_min"])
+            # blocks are normally doc-disjoint; a term whose map-side
+            # mini-lists straddled a sorted-range boundary at build time
+            # has doc-OVERLAPPING blocks from adjacent tasks — merge
+            # those eagerly (rare: at most a couple of terms per range
+            # boundary)
+            overlap = any(
+                rows[i]["doc_max"] >= rows[i + 1]["doc_min"]
+                for i in range(len(rows) - 1)
+            )
+            if overlap:
+                out[term] = _merge_overlapping_blocks(
+                    term, rows, with_positions
+                )
+                continue
             doc_parts, tf_parts, dl_parts = [], [], []
             starts, maxtf, mindl, ns = [], [], [], []
             pos_blobs: List[bytes] = []

@@ -50,6 +50,112 @@ POSTINGS_SCHEMA = pa.schema(
     ]
 )
 
+# Map-side-combined postings: ONE row per (term, batch) carrying that
+# batch's posting mini-list already delta+varbyte encoded.  Compared to
+# one row per (term, doc) this shrinks the sort exchange several-fold
+# (term strings and row overhead paid once per batch, doc ids packed as
+# varbyte gaps), trading a little extra map-side CPU — the classic
+# combiner move.  ``pos_lens`` holds varbyte per-posting byte lengths of
+# ``pos`` so the merge can re-slice position payloads without decoding
+# them.
+MINI_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_min", pa.int64()),
+        ("n", pa.int32()),
+        ("doc_max", pa.int64()),
+        ("max_tf", pa.int32()),
+        ("min_dl", pa.int32()),
+        ("docs", pa.binary()),
+        ("tfs", pa.binary()),
+        ("dls", pa.binary()),
+        ("pos", pa.binary()),
+        ("pos_lens", pa.binary()),
+    ]
+)
+
+
+def combine_postings_batch(
+    terms: List[str],
+    t_doc: List[int],
+    t_tf: List[int],
+    t_dl: List[int],
+    pos_slices: List[bytes],
+    n_docs: int,
+    sum_dl: int,
+    store_positions: bool,
+) -> pa.Table:
+    """Batch postings → mini-list rows (one per distinct term), plus the
+    STATS_TERM sentinel carrying (n_docs, sum_dl) in ``dls``."""
+    P = len(terms)
+    out = {k: [] for k in MINI_POSTINGS_SCHEMA.names}
+    if P:
+        term_arr = np.asarray(terms, dtype=object)
+        doc = np.asarray(t_doc, dtype=np.int64)
+        tf = np.asarray(t_tf, dtype=np.int64)
+        dl = np.asarray(t_dl, dtype=np.int64)
+        order = np.lexsort((doc, term_arr))
+        term_s, doc_s, tf_s, dl_s = (
+            term_arr[order], doc[order], tf[order], dl[order]
+        )
+        change = np.empty(P, dtype=bool)
+        change[0] = True
+        change[1:] = term_s[1:] != term_s[:-1]
+        rs = np.flatnonzero(change)
+        re_ = np.append(rs[1:], P)
+
+        gaps = doc_s.astype(np.uint64).copy()
+        gaps[1:] = (doc_s[1:] - doc_s[:-1]).astype(np.uint64)
+        gaps[rs] = doc_s[rs].astype(np.uint64)
+        docs_blob, docs_off = varbyte_encode_with_offsets(gaps)
+        tfs_blob, tfs_off = varbyte_encode_with_offsets(tf_s.astype(np.uint64))
+        dls_blob, dls_off = varbyte_encode_with_offsets(dl_s.astype(np.uint64))
+
+        out["term"] = term_s[rs].tolist()
+        out["doc_min"] = doc_s[rs].tolist()
+        out["n"] = (re_ - rs).astype(np.int32).tolist()
+        out["doc_max"] = doc_s[re_ - 1].tolist()
+        out["max_tf"] = np.maximum.reduceat(tf_s, rs).astype(np.int32).tolist()
+        out["min_dl"] = np.minimum.reduceat(dl_s, rs).astype(np.int32).tolist()
+        out["docs"] = [
+            docs_blob[docs_off[s]: docs_off[e]] for s, e in zip(rs, re_)
+        ]
+        out["tfs"] = [
+            tfs_blob[tfs_off[s]: tfs_off[e]] for s, e in zip(rs, re_)
+        ]
+        out["dls"] = [
+            dls_blob[dls_off[s]: dls_off[e]] for s, e in zip(rs, re_)
+        ]
+        if store_positions:
+            slices = [pos_slices[i] for i in order]
+            lens = np.asarray([len(s) for s in slices], dtype=np.uint64)
+            lens_blob, lens_off = varbyte_encode_with_offsets(lens)
+            out["pos"] = [
+                b"".join(slices[s:e]) for s, e in zip(rs, re_)
+            ]
+            out["pos_lens"] = [
+                lens_blob[lens_off[s]: lens_off[e]] for s, e in zip(rs, re_)
+            ]
+        else:
+            nruns = len(rs)
+            out["pos"] = [b""] * nruns
+            out["pos_lens"] = [b""] * nruns
+
+    out["term"].append(STATS_TERM)
+    out["doc_min"].append(0)
+    out["n"].append(0)
+    out["doc_max"].append(0)
+    out["max_tf"].append(0)
+    out["min_dl"].append(0)
+    out["docs"].append(b"")
+    out["tfs"].append(b"")
+    out["dls"].append(
+        varbyte_encode(np.array([n_docs, sum_dl], dtype=np.uint64))
+    )
+    out["pos"].append(b"")
+    out["pos_lens"].append(b"")
+    return pa.table(out, schema=MINI_POSTINGS_SCHEMA)
+
 # (field, analyzer) pairs for the Common-Crawl page shape; mirrors what the
 # reference mapping inference would produce for this document
 # (MappingsManager.ts:376-505: url-regex field → 'url', short keyword-ish
@@ -114,11 +220,13 @@ class GenericTokenizePostings:
         store_positions: bool = True,
         id_column: str = "doc_id",
         docs_out_dir: str | None = None,
+        combine: bool = False,
     ):
         from ..analysis.analyzers import analyzer_for_field_type
         from ..analysis.mappings import flatten_doc
 
         self.docs_out_dir = docs_out_dir
+        self.combine = combine  # True → MINI_POSTINGS_SCHEMA mini-lists
 
         self.mappings = dict(mappings)
         self.analyzers = {
@@ -205,6 +313,12 @@ class GenericTokenizePostings:
             ]
         else:
             t_pos = [b""] * len(terms)
+
+        if self.combine:
+            return combine_postings_batch(
+                terms, t_doc, t_tf, t_dl, t_pos, len(rows), sum_dl,
+                self.store_positions,
+            )
 
         terms.append(STATS_TERM)
         t_doc.append(0)
@@ -297,10 +411,17 @@ class TokenizePostings:
         store_positions: bool = True,
         id_column: str | None = None,
         docs_out_dir: str | None = None,
+        combine: bool = False,
+        stem_by_lang: bool = False,
     ):
         self.fields = tuple(fields)
         self.stopwords = stopwords
         self.store_positions = store_positions
+        self.combine = combine  # True → MINI_POSTINGS_SCHEMA mini-lists
+        # True → 'text' tokens are Snowball-stemmed per the row's ``lang``
+        # column (reference Stemmer.ts language dispatch + stem cache);
+        # the cache is per actor/worker process
+        self.stem_by_lang = stem_by_lang
         self.id_column = id_column  # None → hash of the 'url' column
         # when set, each input batch is persisted as a docstore side-file
         # before tokenization — fuses the docs checkpoint into the posting
@@ -348,6 +469,20 @@ class TokenizePostings:
             write_docs_sidefile(batch, self.docs_out_dir, self.id_column)
         doc_ids = self._doc_ids(batch)
         per_field = self._field_tokens(batch)
+        if (
+            self.stem_by_lang
+            and "text" in per_field
+            and "lang" in batch.column_names
+        ):
+            from ..analysis.snowball import _process_stem_cache
+
+            cache = _process_stem_cache()
+            per_field["text"] = [
+                cache.stem_tokens(toks, lg or "en")
+                for toks, lg in zip(
+                    per_field["text"], batch["lang"].to_pylist()
+                )
+            ]
         n = len(doc_ids)
 
         terms: List[str] = []
@@ -406,6 +541,12 @@ class TokenizePostings:
             ]
         else:
             t_pos = [b""] * len(terms)
+
+        if self.combine:
+            return combine_postings_batch(
+                terms, t_doc, t_tf, t_dl, t_pos, n, sum_dl,
+                self.store_positions,
+            )
 
         # per-batch doc-stat partial
         terms.append(STATS_TERM)

@@ -249,6 +249,88 @@ class TestEndToEndBuild:
         assert m2["n_postings"] == manifest["n_postings"]
 
 
+class TestMiniListMerge:
+    def test_combined_tokenize_equals_row_tokenize(self):
+        """TokenizePostings(combine=True) mini-lists, merged by
+        BuildBlocks, must yield the identical posting blocks as the
+        one-row-per-posting path."""
+        import pyarrow.parquet as pq
+        import tempfile
+
+        from search_engine_ray.sources.webpages import generate_file
+
+        with tempfile.TemporaryDirectory() as td:
+            generate_file(f"{td}/f.parquet", n_rows=64, seed=5)
+            batch = pq.read_table(f"{td}/f.parquet")
+        from search_engine_ray.analysis.html_extract import extract_text
+
+        batch = batch.set_column(
+            batch.schema.get_field_index("text"),
+            "text",
+            pa.array(
+                [extract_text(h) for h in batch["html"].to_pylist()],
+                pa.large_string(),
+            ),
+        )
+        row_tok = TokenizePostings(id_column=None)
+        mini_tok = TokenizePostings(id_column=None, combine=True)
+        bb = BuildBlocks(block_size=8)
+        import pyarrow.compute as _pc
+
+        rows_out = bb(row_tok(batch))
+        mini_out = bb(mini_tok(batch))
+        a = rows_out.sort_by([("term", "ascending"), ("doc_min", "ascending")])
+        b = mini_out.sort_by([("term", "ascending"), ("doc_min", "ascending")])
+        assert a.equals(b)
+
+    def test_overlapping_boundary_blocks_merge_on_read(self, tmp_path):
+        """A term whose mini-lists land in two different BuildBlocks
+        tasks produces doc-overlapping blocks; the reader must merge them
+        into one sorted posting list with correct positions."""
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.query.postings import PartitionReader
+        from search_engine_ray.stages.tokenize import combine_postings_batch
+
+        def mini(table_docs):
+            terms, docs, tfs, dls, poss = [], [], [], [], []
+            for did, positions in table_docs:
+                terms.append("text:zz")
+                docs.append(did)
+                tfs.append(len(positions))
+                dls.append(10)
+                arr = [len(positions)]
+                prev = 0
+                for p in positions:
+                    arr.append(p - prev)
+                    prev = p
+                poss.append(
+                    varbyte_encode(np.array(arr, dtype=np.uint64))
+                )
+            return combine_postings_batch(
+                terms, docs, tfs, dls, poss, len(table_docs), 10, True
+            )
+
+        bb = BuildBlocks(block_size=128)
+        # interleaved doc ids across the two "tasks" → overlapping ranges
+        blocks_a = bb(mini([(1, [0, 3]), (5, [2]), (9, [1])]))
+        blocks_b = bb(mini([(2, [4]), (6, [0, 1]), (8, [7])]))
+        part = tmp_path / "p" / "blocks"
+        part.mkdir(parents=True)
+        pq.write_table(blocks_a, str(part / "a.parquet"))
+        pq.write_table(blocks_b, str(part / "b.parquet"))
+
+        r = PartitionReader(str(tmp_path / "p"))
+        tp = r.read_terms(["text:zz"], with_positions=True)["text:zz"]
+        assert tp.doc_ids.tolist() == [1, 2, 5, 6, 8, 9]
+        assert tp.tfs.tolist() == [2, 1, 1, 2, 1, 1]
+        got_pos = tp.positions_for(np.arange(6))
+        assert [p.tolist() for p in got_pos] == [
+            [0, 3], [4], [2], [0, 1], [7], [1],
+        ]
+        assert r.term_dfs(["text:zz"])["text:zz"] == 6
+
+
 class TestGlobalDedup:
     def test_cross_partition_duplicates_removed(self, tmp_path, ray_session):
         """Duplicate urls placed in DIFFERENT files (→ different build

@@ -1,0 +1,117 @@
+"""Fuzz-compare the Python Snowball stemmers against the reference
+engine's compiled stemmers (driven via node) — behavior parity check.
+
+Usage: python tools/stem_fuzz.py [de|es|fr] [n_words]
+Prints mismatches (word, ours, reference) and a summary line.
+"""
+
+import json
+import random
+import string
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+NODE_DRIVER = """
+const words = JSON.parse(require('fs').readFileSync(process.argv[2], 'utf8'));
+import(process.argv[1]).then(m => {
+  console.log(JSON.stringify(words.map(w => m.stemmer(w))));
+});
+"""
+
+SUFFIXES = {
+    "de": [
+        "e", "em", "en", "ern", "er", "es", "s", "est", "st", "end",
+        "ung", "ig", "ik", "isch", "lich", "heit", "keit", "igkeit",
+        "lichkeit", "ungen", "erungen", "igung", "nisse", "nis", "ens",
+        "erin", "ler", "chen",
+    ],
+    "es": [
+        "o", "a", "os", "as", "e", "es", "anza", "icos", "ismo", "able",
+        "ista", "oso", "amiento", "adora", "ación", "aciones", "ante",
+        "ancia", "logía", "ución", "encia", "amente", "mente", "idad",
+        "iva", "ivo", "ar", "er", "ir", "ando", "iendo", "ado", "ido",
+        "aba", "ía", "ará", "ería", "iría", "aste", "aron", "ieron",
+        "amos", "áis", "emos", "an", "en", "ó", "í", "yendo", "ya", "yó",
+        "selo", "sela", "melo", "se", "me", "los", "las", "nos", "uciones",
+        "amientos", "ísimo", "mente",
+    ],
+    "fr": [
+        "e", "es", "s", "ance", "iqUe".lower(), "isme", "able", "iste",
+        "eux", "ances", "atrice", "ateur", "ation", "logie", "usion",
+        "ution", "ence", "ement", "ements", "ité", "ive", "ifs", "eaux",
+        "aux", "euse", "euses", "issement", "amment", "emment", "ment",
+        "ments", "ir", "issais", "issant", "isse", "ira", "irent", "i",
+        "ie", "ies", "it", "ît", "ions", "é", "ée", "ées", "és", "èrent",
+        "er", "era", "erai", "eraient", "ez", "iez", "a", "ai", "aient",
+        "ais", "ait", "ant", "ante", "antes", "asse", "assent", "âmes",
+        "âtes", "ion", "ier", "ière", "elle", "ette", "enne", "onne",
+        "eille", "ç", "gu", "guë",
+    ],
+}
+
+ALPH = {
+    "de": "abcdefghijklmnopqrstuvwzäöüß",
+    "es": "abcdefghijlmnopqrstuvzáéíóúüñ",
+    "fr": "abcdefghijlmnopqrstuvzâàëéêèïîôûùçy",
+}
+
+
+def gen_words(lang: str, n: int, seed: int = 7):
+    rng = random.Random(seed)
+    alph = ALPH[lang]
+    sufs = SUFFIXES[lang]
+    out = set()
+    while len(out) < n:
+        stem_len = rng.randint(1, 8)
+        stem = "".join(rng.choice(alph) for _ in range(stem_len))
+        word = stem + rng.choice(sufs) if rng.random() < 0.85 else stem
+        if rng.random() < 0.15:
+            word += rng.choice(sufs)
+        out.add(word)
+    return sorted(out)
+
+
+def ref_stems(lang: str, words):
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as f:
+        json.dump(words, f)
+        path = f.name
+    try:
+        out = subprocess.run(
+            ["node", "-e", NODE_DRIVER,
+             f"/root/reference/src/lib/stemmers/{lang}.js", path],
+            capture_output=True, text=True, check=True, timeout=120,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    finally:
+        os.unlink(path)
+
+
+def main():
+    lang = sys.argv[1] if len(sys.argv) > 1 else "de"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    from search_engine_ray.analysis.snowball import SNOWBALL_STEMMERS
+
+    fn = SNOWBALL_STEMMERS[lang]
+    words = gen_words(lang, n)
+    ref = ref_stems(lang, words)
+    bad = []
+    for w, r in zip(words, ref):
+        ours = fn(w)
+        if ours != r:
+            bad.append((w, ours, r))
+    for w, o, r in bad[:40]:
+        print(f"  {w!r}: ours={o!r} ref={r!r}")
+    print(
+        f"{lang}: {len(words) - len(bad)}/{len(words)} match "
+        f"({100 * (1 - len(bad) / len(words)):.2f}%)"
+    )
+
+
+if __name__ == "__main__":
+    main()
