@@ -342,6 +342,59 @@ class TestWindows:
         assert u1["n_events"].tolist() == [2, 1]
 
 
+class TestSessionHotKey:
+    def test_hot_key_sessions_match_pandas_reference(self, ray_session):
+        """One user owns 50% of 40k events: the skew-safe path (sorted
+        ranges + edge merge) must produce exactly the pandas reference's
+        sessions — including sessions split across range boundaries."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.windows import session_window
+
+        rng = np.random.default_rng(8)
+        n = 40_000
+        hot = n // 2
+        users = np.concatenate(
+            [np.zeros(hot, dtype=np.int64),
+             rng.integers(1, 500, size=n - hot)]
+        )
+        ts = rng.integers(0, 3_000_000_000_000, size=n)
+        vals = rng.random(n).round(6)
+        df = pd.DataFrame({"user_id": users, "ts": ts, "value": vals})
+        gap = 50_000_000
+        got = session_window(
+            rd.from_pandas(df).repartition(16),
+            "ts", "user_id", gap_us=gap, value_field="value",
+        )
+
+        # pandas reference
+        ref_rows = []
+        for uid, g in df.sort_values("ts").groupby("user_id"):
+            t = g["ts"].to_numpy()
+            v = g["value"].to_numpy()
+            new = np.ones(len(t), dtype=bool)
+            new[1:] = (t[1:] - t[:-1]) > gap
+            sid = np.cumsum(new) - 1
+            for s in range(sid.max() + 1):
+                m = sid == s
+                ref_rows.append(
+                    (uid, s, int(t[m].min()), int(t[m].max()),
+                     int(m.sum()), float(v[m].sum()))
+                )
+        ref = pd.DataFrame(
+            ref_rows,
+            columns=["user_id", "session", "session_start", "session_end",
+                     "n_events", "sum_value"],
+        ).sort_values(["user_id", "session_start"]).reset_index(drop=True)
+        assert len(got) == len(ref)
+        assert got["user_id"].tolist() == ref["user_id"].tolist()
+        assert got["session"].tolist() == ref["session"].tolist()
+        assert got["session_start"].tolist() == ref["session_start"].tolist()
+        assert got["session_end"].tolist() == ref["session_end"].tolist()
+        assert got["n_events"].tolist() == ref["n_events"].tolist()
+        assert np.allclose(got["sum_value"], ref["sum_value"])
+
+
 class TestTextStats:
     def test_quality_and_counts(self, ray_session, docs_ds, docs_pdf):
         from search_engine_ray.stages.textstats import (
