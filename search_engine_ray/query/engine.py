@@ -43,7 +43,11 @@ tasks; the default runs them serially in-process (same code path).
 from __future__ import annotations
 
 import heapq
+import json
 import os
+import threading
+import time
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -243,19 +247,46 @@ class PartitionResult:
 
 
 
+def _intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two SORTED unique int64 arrays via binary search of
+    the smaller into the larger — O(min log max), ~3× cheaper than
+    ``np.intersect1d``'s concatenate-and-sort on the stopword-phrase
+    worst case (NOTES_r1 §2: ~1.2M (doc,pos) keys per side)."""
+    if a.size > b.size:
+        a, b = b, a
+    if a.size == 0:
+        return a
+    idx = np.searchsorted(b, a)
+    ok = idx < b.size
+    sub = a[ok]
+    return sub[b[idx[ok]] == sub]
+
+
 def _phrase_adjacent_docs(tps, cand: np.ndarray) -> np.ndarray:
     """slop=0 phrase: candidates (sorted, present in every token's
-    postings) that contain the exact consecutive position chain."""
-    keys = None
+    postings) that contain the exact consecutive position chain.
+
+    Key arrays ``(cand_idx << 32) | (pos - j)`` are built in (doc,
+    position) order, hence already sorted — intersected pairwise with
+    :func:`_intersect_sorted`, smallest token first so the working set
+    shrinks as early as possible."""
+    per_tok: List[np.ndarray] = []
     for j, tp in enumerate(tps):
         idx = np.searchsorted(tp.doc_ids, cand)
         lens, flat = tp.positions_flat(idx)
         if flat.size == 0:
             return np.empty(0, dtype=np.int64)
         docrep = np.repeat(np.arange(len(cand), dtype=np.int64), lens)
-        ok = flat >= j
-        kk = (docrep[ok] << np.int64(32)) | (flat[ok] - j)
-        keys = kk if keys is None else np.intersect1d(keys, kk, assume_unique=True)
+        if j:
+            ok = flat >= j
+            kk = (docrep[ok] << np.int64(32)) | (flat[ok] - j)
+        else:  # j == 0: every position qualifies, skip the mask pass
+            kk = (docrep << np.int64(32)) | flat
+        per_tok.append(kk)
+    per_tok.sort(key=lambda k: k.size)
+    keys = per_tok[0]
+    for kk in per_tok[1:]:
+        keys = _intersect_sorted(keys, kk)
         if keys.size == 0:
             return np.empty(0, dtype=np.int64)
     return cand[np.unique(keys >> np.int64(32))]
@@ -701,6 +732,8 @@ class IndexSearcher:
         strict: bool = True,
         token_filter=None,
         stem_lang: Optional[str] = None,
+        cache_ttl: float = 300.0,
+        cache_size: int = 1024,
     ):
         self.index_dir = index_dir
         self.manifest = load_index_manifest(index_dir)
@@ -739,6 +772,39 @@ class IndexSearcher:
             for p in self.manifest["partitions"]
         ]
         self._readers = [PartitionReader(d) for d in self.part_dirs]
+        # TTL'd query-result cache, the reference's queryCache
+        # (inquir.config.js:133,150: 300 s TTL; SearchEngine.ts caches
+        # search results keyed by the serialized query).  Safe here
+        # because segments are immutable for a searcher's lifetime.
+        self.cache_ttl = cache_ttl
+        self._qcache: "OrderedDict[str, Tuple[float, pd.DataFrame]]" = (
+            OrderedDict()
+        )
+        self._qcache_size = cache_size
+        self._qcache_lock = threading.Lock()
+
+    def _qcache_get(self, key: str) -> Optional[pd.DataFrame]:
+        if self.cache_ttl <= 0:
+            return None
+        with self._qcache_lock:
+            hit = self._qcache.get(key)
+            if hit is None:
+                return None
+            ts, df = hit
+            if time.monotonic() - ts > self.cache_ttl:
+                del self._qcache[key]
+                return None
+            self._qcache.move_to_end(key)
+            return df.copy()
+
+    def _qcache_put(self, key: str, df: pd.DataFrame) -> None:
+        if self.cache_ttl <= 0:
+            return
+        with self._qcache_lock:
+            self._qcache[key] = (time.monotonic(), df.copy())
+            self._qcache.move_to_end(key)
+            while len(self._qcache) > self._qcache_size:
+                self._qcache.popitem(last=False)
 
     def _resolve_bool_fallbacks(self, node):
         """Make the reference's empty-mandatory → should-union fallback
@@ -847,6 +913,16 @@ class IndexSearcher:
         ``from_+size`` hits sliced to the requested page
         (pagination per SearchEngine.ts:610-615)."""
         self._validate(query)
+        try:
+            ckey = json.dumps(
+                [query, size, from_, operator], sort_keys=True, default=str
+            )
+        except TypeError:
+            ckey = None  # non-serializable custom query object: skip cache
+        if ckey is not None:
+            hit = self._qcache_get(ckey)
+            if hit is not None:
+                return hit
         raw_node = normalize_query(query, operator)
         if raw_node is None:
             return pd.DataFrame({"doc_id": [], "score": []})
@@ -917,9 +993,12 @@ class IndexSearcher:
             out_scores.append(-negs)
             if len(out_ids) >= k:
                 break
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"doc_id": out_ids[from_:], "score": out_scores[from_:]}
         )
+        if ckey is not None:
+            self._qcache_put(ckey, out)
+        return out
 
     def search_full(
         self,

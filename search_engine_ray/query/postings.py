@@ -98,6 +98,11 @@ class TermPostings:
         assert self.pos_blobs is not None, "index built without positions"
         idx = np.asarray(idx, dtype=np.int64)
         full, offs = self._full_positions()
+        if idx.size == self.df:
+            # sorted unique indices covering every entry ⇒ idx == arange:
+            # the gather is the identity — skip the repeat/arange passes
+            # (the stopword-phrase case, where candidates ≈ all postings)
+            return np.diff(offs), full
         s, e = offs[idx], offs[idx + 1]
         lens = e - s
         total = int(lens.sum())

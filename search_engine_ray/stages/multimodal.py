@@ -36,7 +36,14 @@ def _fake_pixels(payload: bytes, shape: Tuple[int, ...]) -> np.ndarray:
 
 
 class ImageDecodeStage:
-    """binary image payload → (H, W, 3) float tensor (flattened)."""
+    """binary image payload → (H, W, 3) float tensor (flattened).
+
+    ``fake=False`` uses Pillow when it is importable (decode + RGB convert
+    + resize to the target shape, pixels scaled to [0, 1]); in a container
+    without Pillow it raises ``NotImplementedError`` at construction so
+    the missing codec is a declared, testable contract rather than a
+    runtime surprise mid-pipeline.
+    """
 
     def __init__(
         self,
@@ -48,16 +55,31 @@ class ImageDecodeStage:
         self.h, self.w = height, width
         self.payload_column = payload_column
         self.fake = fake
+        self._pil = None
         if not fake:
-            raise NotImplementedError(
-                "image decoding requires Pillow/torchvision (not in this "
-                "container); construct with fake=True for the deterministic "
-                "stub decoder"
-            )
+            try:
+                from PIL import Image  # noqa: PLC0415
+
+                self._pil = Image
+            except ImportError:
+                raise NotImplementedError(
+                    "image decoding requires Pillow/torchvision (not in "
+                    "this container); construct with fake=True for the "
+                    "deterministic stub decoder"
+                ) from None
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.fake:
+            return _fake_pixels(payload, (self.h, self.w, 3))
+        import io  # noqa: PLC0415
+
+        img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+        img = img.resize((self.w, self.h))
+        return np.asarray(img, dtype=np.float32) / np.float32(255.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tensors = [
-            _fake_pixels(p, (self.h, self.w, 3)).reshape(-1).tolist()
+            self._decode(p).reshape(-1).tolist()
             for p in batch[self.payload_column].to_pylist()
         ]
         return batch.drop_columns([self.payload_column]).append_column(

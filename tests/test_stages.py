@@ -500,11 +500,54 @@ class TestMultimodal:
             np.asarray(a[:8]),
         )
 
-    def test_decode_without_lib_raises(self):
+    @staticmethod
+    def _tiny_png(rgb=(255, 0, 0), size=2) -> bytes:
+        """Hand-built solid-color PNG via stdlib zlib (no codec needed)."""
+        import struct
+        import zlib
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body))
+                + tag
+                + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", size, size, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(rgb) * size for _ in range(size))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_real_decode_contract(self):
+        """fake=False is a CONTRACT: decode a real PNG when Pillow is
+        importable, else fail construction with a declared
+        NotImplementedError (VERDICT r1 #10)."""
         from search_engine_ray.stages.multimodal import ImageDecodeStage
 
-        with pytest.raises(NotImplementedError):
-            ImageDecodeStage(fake=False)
+        try:
+            import PIL  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        if not have_pil:
+            with pytest.raises(NotImplementedError, match="Pillow"):
+                ImageDecodeStage(fake=False)
+            return
+
+        stage = ImageDecodeStage(height=4, width=4, fake=False)
+        tbl = pa.table({"payload": pa.array([self._tiny_png()], pa.binary())})
+        out = stage(tbl)
+        px = np.asarray(out["pixels"][0].as_py(), dtype=np.float32).reshape(
+            4, 4, 3
+        )
+        assert np.allclose(px[..., 0], 1.0) and np.allclose(px[..., 1:], 0.0)
 
     def test_audio_stub(self, ray_session):
         import ray.data as rd
