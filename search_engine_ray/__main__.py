@@ -40,6 +40,9 @@ def cmd_build(args) -> int:
     from .index_build import BuildConfig, build_index
 
     t0 = time.time()
+    kwargs = {}
+    if args.auto_map:  # generic-JSON build: infer schema, skip page stages
+        kwargs.update(mappings="auto", doc_key_column=args.key_column)
     manifest = build_index(
         args.index,
         args.input,
@@ -48,9 +51,10 @@ def cmd_build(args) -> int:
             concurrent_partitions=args.concurrent,
             tokenize_batch_size=args.batch_size,
             store_positions=not args.no_positions,
-            dedup=not args.no_dedup,
+            dedup=not args.no_dedup and not args.auto_map,
             global_dedup=args.global_dedup,
-            extract_html=not args.no_extract,
+            extract_html=not args.no_extract and not args.auto_map,
+            **kwargs,
         ),
     )
     dt = time.time() - t0
@@ -89,6 +93,21 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .server import SearchServer
+
+    srv = SearchServer(args.root, host=args.host, port=args.port)
+    port = srv.start()
+    print(f"serving {args.root} on http://{args.host}:{port}", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="search_engine_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -104,7 +123,23 @@ def main(argv=None) -> int:
     b.add_argument("--no-dedup", action="store_true")
     b.add_argument("--global-dedup", action="store_true")
     b.add_argument("--no-extract", action="store_true")
+    b.add_argument(
+        "--auto-map",
+        action="store_true",
+        help="generic-JSON build: sample-infer field mappings from the "
+        "input (implies --no-dedup --no-extract)",
+    )
+    b.add_argument("--key-column", default="id", help="doc key for --auto-map")
     b.set_defaults(fn=cmd_build)
+
+    srv = sub.add_parser(
+        "serve", help="HTTP API server over a directory of indexes"
+    )
+    srv.add_argument("--root", required=True, help="directory of indexes")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8080)
+    srv.add_argument("--num-cpus", type=int, default=None)
+    srv.set_defaults(fn=cmd_serve)
 
     q = sub.add_parser("query", help="query a built index")
     q.add_argument("--index", required=True)

@@ -701,6 +701,576 @@ def french_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Portuguese (Snowball portuguese algorithm)
+# ---------------------------------------------------------------------------
+
+_PT_VOWELS = set("aeiouáéíóúâêô")
+
+# step 1 table: suffix → (action, region); single GLOBAL longest match
+# across all entries decides (Snowball `among` semantics), then the
+# region test applies with no fallback to shorter suffixes
+_PT_STEP1 = {}
+for _s in (
+    "eza ezas ico ica icos icas ismo ismos ável ível ista istas oso osa "
+    "osos osas amento amentos imento imentos adora ador aça~o adoras "
+    "adores aço~es ante antes ância"
+).split():
+    _PT_STEP1[_s] = ("del", "r2")
+for _s in ("logia", "logias"):
+    _PT_STEP1[_s] = ("log", "r2")
+for _s in ("uça~o", "uço~es"):
+    _PT_STEP1[_s] = ("u", "r2")
+for _s in ("ência", "ências"):
+    _PT_STEP1[_s] = ("ente", "r2")
+_PT_STEP1["amente"] = ("amente", "r1")
+_PT_STEP1["mente"] = ("mente", "r2")
+for _s in ("idade", "idades"):
+    _PT_STEP1[_s] = ("idad", "r2")
+for _s in ("iva", "ivo", "ivas", "ivos"):
+    _PT_STEP1[_s] = ("iv", "r2")
+for _s in ("ira", "iras"):
+    _PT_STEP1[_s] = ("ira", "rv")
+
+_PT_STEP2 = tuple(
+    (
+        "ada ida ia aria eria iria ará ara erá era irá ava asse esse isse "
+        "aste este iste ei arei erei irei am iam ariam eriam iriam aram "
+        "eram iram avam em arem erem irem assem essem issem ado ido ando "
+        "endo indo ara~o era~o ira~o ar er ir as adas idas ias arias "
+        "erias irias arás aras erás eras irás avas es ardes erdes irdes "
+        "ares eres ires asses esses isses astes estes istes is ais eis "
+        "íeis aríeis eríeis iríeis áreis areis éreis ereis íreis ireis "
+        "ásseis ésseis ísseis áveis ados idos ámos amos íamos aríamos "
+        "eríamos iríamos áramos éramos íramos ávamos emos aremos eremos "
+        "iremos ássemos êssemos íssemos imos armos ermos irmos eu iu ou "
+        "ira iras"
+    ).split()
+)
+
+
+def portuguese_stem(word: str) -> str:
+    w = word.lower().replace("ã", "a~").replace("õ", "o~")
+    rv = _es_rv_gen(w, _PT_VOWELS)
+    r1, r2 = _r1_r2(w, _PT_VOWELS)
+    lims = {"rv": rv, "r1": r1, "r2": r2}
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 1: GLOBAL longest match, region test, typed action
+    before1 = w
+    longest = None
+    for suf in _PT_STEP1:
+        if w.endswith(suf) and (longest is None or len(suf) > len(longest)):
+            longest = suf
+    if longest is not None:
+        action, region = _PT_STEP1[longest]
+        pos = len(w) - len(longest)
+        if action == "ira":
+            # replace with "ir" if in RV and preceded by "e"
+            if pos >= rv and pos > 0 and w[pos - 1] == "e":
+                w = w[:pos] + "ir"
+        elif pos >= lims[region]:
+            if action == "del":
+                w = w[:pos]
+            elif action in ("log", "u", "ente"):
+                w = w[:pos] + action
+            elif action == "amente":
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic", "ad")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif action == "mente":
+                w = w[:pos]
+                if w.endswith(("ante", "avel", "ível")) and in_r2(
+                    len(w) - 4
+                ):
+                    w = w[:-4]
+            elif action == "idad":
+                w = w[:pos]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif action == "iv":
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+    step1_removed = w != before1
+
+    # step 2: verb suffixes (region-limited match), only if step 1 did
+    # nothing
+    step2_removed = False
+    if not step1_removed:
+        suf = _longest_within(w, _PT_STEP2, rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+            step2_removed = True
+
+    # step 3: i preceded by c (only if step 1 or 2 altered the word)
+    if (step1_removed or step2_removed) and w.endswith("ci") and len(
+        w
+    ) - 1 >= rv:
+        w = w[:-1]
+
+    # step 4: residual suffix (only if neither step altered the word)
+    if not step1_removed and not step2_removed:
+        suf = _longest_within(w, ("os", "a", "i", "o", "á", "í", "ó"), rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+
+    # step 5: residual form
+    if w and w[-1] in ("e", "é", "ê") and len(w) - 1 >= rv:
+        w = w[:-1]
+        if (
+            (w.endswith("gu") or w.endswith("ci"))
+            and len(w) - 1 >= rv
+        ):
+            w = w[:-1]
+    elif w.endswith("ç"):
+        w = w[:-1] + "c"
+
+    return w.replace("a~", "ã").replace("o~", "õ")
+
+
+def _es_rv_gen(word: str, vowels) -> int:
+    """Spanish/Portuguese/Italian RV rule with a configurable vowel set."""
+    n = len(word)
+    if n < 3:
+        return n
+    if word[1] not in vowels:
+        for i in range(2, n):
+            if word[i] in vowels:
+                return i + 1
+        return n
+    if word[0] in vowels and word[1] in vowels:
+        for i in range(2, n):
+            if word[i] not in vowels:
+                return i + 1
+        return n
+    return 3
+
+
+# ---------------------------------------------------------------------------
+# Italian (Snowball italian algorithm)
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = set("aeiouàèìòù")
+_IT_ACUTE = {"á": "à", "é": "è", "í": "ì", "ó": "ò", "ú": "ù"}
+
+_IT_PRONOUNS = tuple(
+    "ci gli la le li lo mi ne si ti vi sene gliela gliele glieli glielo "
+    "gliene mela mele meli melo mene tela tele teli telo tene cela cele "
+    "celi celo cene vela vele veli velo vene".split()
+)
+
+_IT_STEP1 = {}
+for _s in (
+    "anza anze ico ici ica ice iche ichi ismo ismi abile abili ibile "
+    "ibili ista iste isti istà istè istì oso osi osa ose mente atrice "
+    "atrici ante anti".split()
+):
+    _IT_STEP1[_s] = ("del", "r2")
+for _s in ("azione", "azioni", "atore", "atori"):
+    _IT_STEP1[_s] = ("del_ic", "r2")
+for _s in ("logia", "logie"):
+    _IT_STEP1[_s] = ("log", "r2")
+for _s in ("uzione", "uzioni", "usione", "usioni"):
+    _IT_STEP1[_s] = ("u", "r2")
+for _s in ("enza", "enze"):
+    _IT_STEP1[_s] = ("ente", "r2")
+for _s in ("amento", "amenti", "imento", "imenti"):
+    _IT_STEP1[_s] = ("del", "rv")
+_IT_STEP1["amente"] = ("amente", "r1")
+_IT_STEP1["ità"] = ("ita", "r2")
+for _s in ("ivo", "ivi", "iva", "ive"):
+    _IT_STEP1[_s] = ("iv", "r2")
+
+_IT_STEP2 = tuple(
+    (
+        "ammo ando ano are arono asse assero assi assimo ata ate ati ato "
+        "ava avamo avano avate avi avo emmo enda ende endi endo erà erai "
+        "eranno ere erebbe erebbero erei eremmo eremo ereste eresti "
+        "erete erò erono essero ete eva evamo evano evate evi evo "
+        "iamo immo irà irai iranno ire irebbe irebbero irei iremmo iremo "
+        "ireste iresti irete irò irono isca iscano isce isci isco iscono "
+        "issero ita ite iti ito iva ivamo ivano ivate ivi ivo ono uta "
+        "ute uti uto ar ir"
+    ).split()
+)
+
+
+def _it_preprocess(w: str) -> str:
+    w = "".join(_IT_ACUTE.get(c, c) for c in w)
+    chars = list(w)
+    n = len(chars)
+    for i in range(1, n):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    for i in range(1, n - 1):
+        if chars[i] in ("u", "i"):
+            if chars[i - 1] in _IT_VOWELS and chars[i + 1] in _IT_VOWELS:
+                chars[i] = chars[i].upper()
+    return "".join(chars)
+
+
+def italian_stem(word: str) -> str:
+    w = _it_preprocess(word.lower())
+    rv = _es_rv_gen(w, _IT_VOWELS)
+    r1, r2 = _r1_r2(w, _IT_VOWELS)
+    lims = {"rv": rv, "r1": r1, "r2": r2}
+
+    def in_r2(pos: int) -> bool:
+        return pos >= r2
+
+    # step 0: attached pronoun — pronoun preceded by ando/endo (delete)
+    # or ar/er/ir (replace with e), the whole thing inside RV
+    pron = _longest_within(w, _IT_PRONOUNS, rv)
+    if pron is not None:
+        base = w[: -len(pron)]
+        suf = _longest_within(base, ("ando", "endo"), rv)
+        if suf is not None:
+            w = base
+        else:
+            suf = _longest_within(base, ("ar", "er", "ir"), rv)
+            if suf is not None:
+                w = base + "e"
+
+    # step 1: GLOBAL longest match with region tests
+    before1 = w
+    longest = None
+    for suf in _IT_STEP1:
+        if w.endswith(suf) and (longest is None or len(suf) > len(longest)):
+            longest = suf
+    if longest is not None:
+        action, region = _IT_STEP1[longest]
+        pos = len(w) - len(longest)
+        if pos >= lims[region]:
+            if action == "del":
+                w = w[:pos]
+            elif action == "del_ic":
+                w = w[:pos]
+                if w.endswith("ic") and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif action in ("log", "u", "ente"):
+                w = w[:pos] + action
+            elif action == "amente":
+                w = w[:pos]
+                if w.endswith("iv") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("at") and in_r2(len(w) - 2):
+                        w = w[:-2]
+                elif w.endswith(("os", "ic")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+                elif w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+            elif action == "ita":
+                w = w[:pos]
+                if w.endswith("abil") and in_r2(len(w) - 4):
+                    w = w[:-4]
+                elif w.endswith(("ic", "iv")) and in_r2(len(w) - 2):
+                    w = w[:-2]
+            elif action == "iv":
+                w = w[:pos]
+                if w.endswith("at") and in_r2(len(w) - 2):
+                    w = w[:-2]
+                    if w.endswith("ic") and in_r2(len(w) - 2):
+                        w = w[:-2]
+    step1_removed = w != before1
+
+    # step 2: verb suffixes (region-limited), only if step 1 did nothing
+    if not step1_removed:
+        suf = _longest_within(w, _IT_STEP2, rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+
+    # step 3a: final vowel, then a preceding i
+    if w and w[-1] in "aeioàèìò" and len(w) - 1 >= rv:
+        w = w[:-1]
+        if w.endswith("i") and len(w) - 1 >= rv:
+            w = w[:-1]
+    # step 3b: ch/gh → c/g
+    if (w.endswith("ch") or w.endswith("gh")) and len(w) - 2 >= rv:
+        w = w[:-1]
+
+    return w.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Dutch (Snowball dutch algorithm)
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = set("aeiouyè")
+_NL_ACCENT = {
+    "ä": "a", "á": "a", "ë": "e", "é": "e", "ï": "i", "í": "i",
+    "ö": "o", "ó": "o", "ü": "u", "ú": "u",
+}
+
+
+def _nl_preprocess(w: str) -> str:
+    w = "".join(_NL_ACCENT.get(c, c) for c in w)
+    chars = list(w)
+    n = len(chars)
+    for i in range(n):
+        if chars[i] == "y" and (i == 0 or chars[i - 1] in _NL_VOWELS):
+            chars[i] = "Y"
+        elif (
+            chars[i] == "i"
+            and 0 < i < n - 1
+            and chars[i - 1] in _NL_VOWELS
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    return "".join(chars)
+
+
+def _nl_undouble(w: str) -> str:
+    return w[:-1] if w.endswith(("kk", "dd", "tt")) else w
+
+
+def dutch_stem(word: str) -> str:
+    w = _nl_preprocess(word.lower())
+    r1, r2 = _r1_r2(w, _NL_VOWELS)
+    r1 = max(r1, 3) if r1 < len(w) else r1  # ≥3 letters before R1
+    if r1 > len(w):
+        r1 = len(w)
+
+    def valid_s_end(pos: int) -> bool:
+        return pos > 0 and w[pos - 1] not in _NL_VOWELS | {"j"}
+
+    def valid_en_end(pos: int) -> bool:
+        return (
+            pos > 0
+            and w[pos - 1] not in _NL_VOWELS
+            and w[max(0, pos - 3):pos] != "gem"
+        )
+
+    # step 1 (longest among heden | ene en | se s)
+    for suf in ("heden", "ene", "en", "se", "s"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf == "heden":
+            if pos >= r1:
+                w = w[:pos] + "heid"
+        elif suf in ("ene", "en"):
+            if pos >= r1 and valid_en_end(pos):
+                w = _nl_undouble(w[:pos])
+        else:
+            if pos >= r1 and valid_s_end(pos):
+                w = w[:pos]
+        break
+
+    # step 2: final e after non-vowel
+    e_removed = False
+    if w.endswith("e") and len(w) - 1 >= r1 and (
+        len(w) < 2 or w[-2] not in _NL_VOWELS
+    ):
+        w = _nl_undouble(w[:-1])
+        e_removed = True
+
+    # step 3a: heid
+    if w.endswith("heid") and len(w) - 4 >= r2 and (
+        len(w) < 5 or w[-5] != "c"
+    ):
+        w = w[:-4]
+        if w.endswith("en") and len(w) - 2 >= r1 and valid_en_end(
+            len(w) - 2
+        ):
+            w = _nl_undouble(w[:-2])
+
+    # step 3b: derivational suffixes (longest match)
+    for suf in ("lijk", "baar", "end", "ing", "bar", "ig"):
+        if not w.endswith(suf):
+            continue
+        pos = len(w) - len(suf)
+        if suf in ("end", "ing"):
+            if pos >= r2:
+                w = w[:pos]
+                if (
+                    w.endswith("ig")
+                    and len(w) - 2 >= r2
+                    and (len(w) < 3 or w[-3] != "e")
+                ):
+                    w = w[:-2]
+                else:
+                    w = _nl_undouble(w)
+        elif suf == "ig":
+            if pos >= r2 and (pos == 0 or w[pos - 1] != "e"):
+                w = w[:pos]
+        elif suf == "lijk":
+            if pos >= r2:
+                w = w[:pos]
+                # then repeat step 2
+                if w.endswith("e") and len(w) - 1 >= r1 and (
+                    len(w) < 2 or w[-2] not in _NL_VOWELS
+                ):
+                    w = _nl_undouble(w[:-1])
+        elif suf == "baar":
+            if pos >= r2:
+                w = w[:pos]
+        elif suf == "bar":
+            if pos >= r2 and e_removed:
+                w = w[:pos]
+        break
+
+    # step 4: undouble vowel — C v v D (D a non-vowel other than I)
+    if len(w) >= 4:
+        c, v1, v2, d = w[-4], w[-3], w[-2], w[-1]
+        if (
+            c not in _NL_VOWELS
+            and v1 == v2
+            and v1 in "aeou"
+            and d not in _NL_VOWELS
+            and d != "I"
+        ):
+            w = w[:-2] + w[-1]
+
+    return w.replace("I", "i").replace("Y", "y")
+
+
+# ---------------------------------------------------------------------------
+# Russian (Snowball russian algorithm)
+# ---------------------------------------------------------------------------
+
+_RU_VOWELS = set("аеиоуыэюя")
+
+_RU_PERF_GERUND_1 = ("вшись", "вши", "в")  # preceded by а/я (which stays)
+_RU_PERF_GERUND_2 = ("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+_RU_ADJECTIVE = (
+    "ими", "ыми", "его", "ого", "ему", "ому", "ее", "ие", "ые", "ое",
+    "ей", "ий", "ый", "ой", "ем", "им", "ым", "ом", "их", "ых", "ую",
+    "юю", "ая", "яя", "ою", "ею",
+)
+_RU_PARTICIPLE_1 = ("ем", "нн", "вш", "ющ", "щ")  # preceded by а/я
+_RU_PARTICIPLE_2 = ("ивш", "ывш", "ующ")
+_RU_VERB_1 = (
+    "ете", "йте", "ешь", "нно", "ла", "на", "ли", "ем", "ло", "но",
+    "ет", "ют", "ны", "ть", "й", "л", "н",
+)  # preceded by а/я
+_RU_VERB_2 = (
+    "ейте", "уйте", "ила", "ыла", "ена", "ите", "или", "ыли", "ило",
+    "ыло", "ено", "ует", "уют", "ены", "ить", "ыть", "ишь", "ую", "ю",
+    "ей", "уй", "ил", "ыл", "им", "ым", "ен", "ят", "ит", "ыт",
+)
+_RU_NOUN = (
+    "иями", "ями", "ами", "ией", "иям", "ием", "иях", "ия", "ья", "ию",
+    "ью", "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах", "ях", "еи",
+    "ии", "ев", "ов", "ие", "ье", "и", "й", "о", "у", "ы", "ь", "ю",
+    "я", "а", "е",
+)
+
+
+def _ru_longest(w: str, sufs, rv: int) -> Optional[str]:
+    best = None
+    for suf in sufs:
+        if (
+            w.endswith(suf)
+            and len(w) - len(suf) >= rv
+            and (best is None or len(suf) > len(best))
+        ):
+            best = suf
+    return best
+
+
+def _ru_try_group(w: str, g1, g2, rv: int) -> Optional[str]:
+    """Longest match across g1 (requires preceding а/я, kept) and g2;
+    returns the shortened word or None."""
+    best = None  # (total matched len incl. the а/я context? no — suffix len)
+    for suf in g2:
+        if w.endswith(suf) and len(w) - len(suf) >= rv:
+            if best is None or len(suf) > len(best[0]):
+                best = (suf, len(w) - len(suf))
+    for suf in g1:
+        if w.endswith(suf):
+            pos = len(w) - len(suf)
+            # the а/я context must itself lie inside RV (Snowball's
+            # setlimit confines the WHOLE pattern, context included)
+            if pos > 0 and w[pos - 1] in ("а", "я") and pos - 1 >= rv:
+                # group-1 match; the Snowball among treats the а/я as
+                # part of the pattern for length comparison
+                if best is None or len(suf) + 1 > len(best[0]):
+                    best = (w[pos - 1] + suf, pos)
+    if best is None:
+        return None
+    return w[: best[1]]
+
+
+def russian_stem(word: str) -> str:
+    w = word.lower().replace("ё", "е")
+    n = len(w)
+    rv = n
+    for i in range(n):
+        if w[i] in _RU_VOWELS:
+            rv = i + 1
+            break
+    _, r2 = (None, None)
+    r1 = n
+    for i in range(n - 1):
+        if w[i] in _RU_VOWELS and w[i + 1] not in _RU_VOWELS:
+            r1 = i + 2
+            break
+    r2 = n
+    for i in range(r1, n - 1):
+        if w[i] in _RU_VOWELS and w[i + 1] not in _RU_VOWELS:
+            r2 = i + 2
+            break
+
+    # step 1: perfective gerund, else [reflexive] adjectival|verb|noun
+    out = _ru_try_group(w, _RU_PERF_GERUND_1, _RU_PERF_GERUND_2, rv)
+    if out is not None:
+        w = out
+    else:
+        suf = _ru_longest(w, ("ся", "сь"), rv)
+        if suf is not None:
+            w = w[: -len(suf)]
+        adj = _ru_longest(w, _RU_ADJECTIVE, rv)
+        if adj is not None:
+            w = w[: -len(adj)]
+            out = _ru_try_group(
+                w, _RU_PARTICIPLE_1, _RU_PARTICIPLE_2, rv
+            )
+            if out is not None:
+                w = out
+        else:
+            out = _ru_try_group(w, _RU_VERB_1, _RU_VERB_2, rv)
+            if out is not None:
+                w = out
+            else:
+                noun = _ru_longest(w, _RU_NOUN, rv)
+                if noun is not None:
+                    w = w[: -len(noun)]
+
+    # step 2: final и
+    if w.endswith("и") and len(w) - 1 >= rv:
+        w = w[:-1]
+
+    # step 3: derivational (R2)
+    for suf in ("ость", "ост"):
+        if w.endswith(suf) and len(w) - len(suf) >= r2:
+            w = w[: -len(suf)]
+            break
+
+    # step 4: tidy up — ONE among pass: undouble нн | superlative
+    # (then undouble нн) | final ь.  A word ending ь after superlative
+    # removal keeps it (the among matched 'ейш(е)', not 'ь').
+    if w.endswith("нн") and len(w) - 1 >= rv:
+        w = w[:-1]
+    else:
+        sup = _ru_longest(w, ("ейше", "ейш"), rv)
+        if sup is not None:
+            w = w[: -len(sup)]
+            if w.endswith("нн") and len(w) - 1 >= rv:
+                w = w[:-1]
+        elif w.endswith("ь") and len(w) - 1 >= rv:
+            w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + cache (reference Stemmer.ts:43-175 semantics)
 # ---------------------------------------------------------------------------
 
@@ -708,6 +1278,10 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "de": german_stem,
     "es": spanish_stem,
     "fr": french_stem,
+    "pt": portuguese_stem,
+    "it": italian_stem,
+    "nl": dutch_stem,
+    "ru": russian_stem,
 }
 
 

@@ -103,9 +103,14 @@ class BuildConfig:
     block_size: int = 128
     id_column: Optional[str] = None  # None → doc_id = hash(doc_key_column)
     doc_key_column: str = "url"  # string column hashed into the stable doc id
-    mappings: Optional[Dict[str, str]] = None  # set → generic-JSON build
-    # (dotted-path flattening + per-mapping analyzers via
-    # GenericTokenizePostings; fields config is derived from mappings)
+    mappings: Optional[Dict[str, str] | str] = None  # set → generic-JSON
+    # build (dotted-path flattening + per-mapping analyzers via
+    # GenericTokenizePostings; fields config is derived from mappings).
+    # The string "auto" sample-infers the schema at build start — the
+    # batch analog of the reference's autoMap-on-every-add
+    # (MappingsManager.ts:314-367): flatten+detect over the first
+    # auto_map_sample rows of each input file, first detection wins.
+    auto_map_sample: int = 64  # rows sampled per input file for "auto"
     extract_html: bool = True  # run html → text extraction
     dedup: bool = True  # exact dedup by url, keep latest warc_ts
     global_dedup: bool = False
@@ -122,6 +127,10 @@ class BuildConfig:
     stem_by_lang: bool = False  # Snowball-stem 'text' tokens per the row's
     # lang column (de/es/fr native, Porter fallback — reference
     # Stemmer.ts/SnowballStemmer.ts dispatch with a per-actor stem cache)
+    combine: bool = True  # map-side posting combining: tokenize emits one
+    # mini-list row per (term, batch) instead of one row per (term, doc),
+    # shrinking the sort shuffle ~2-3×; BuildBlocks merges overlapping
+    # mini-lists after the sort
     partitions_per_job: int = 1  # checkpoint granularity: how many index
     # partitions build inside ONE fused Ray Data job (tagged rows, one
     # sort keyed (part_id, term, doc_id), partitioned write).  1 = one
@@ -167,6 +176,7 @@ def _docs_pipeline(
     cfg: BuildConfig,
     dedup_meta_files: Optional[List[str]] = None,
     eager_winners: bool = False,
+    winner: Optional[Dict[str, tuple]] = None,
 ) -> rd.Dataset:
     if cfg.mappings is not None:
         ds = rd.read_parquet(files, columns=cfg.read_columns)
@@ -191,6 +201,7 @@ def _docs_pipeline(
             files, cols, ds,
             meta_files=dedup_meta_files,
             eager_winners=eager_winners,
+            winner=winner,
         )
     if cfg.extract_html:
         # extraction runs AFTER dedup, so loser duplicates are never parsed
@@ -203,12 +214,118 @@ def _docs_pipeline(
     return ds
 
 
+def compute_dedup_winners(
+    parts_files: List[List[str]],
+    global_mode: bool = False,
+) -> Dict[int, Dict[str, tuple]]:
+    """ONE metadata Ray job deciding dedup winners for EVERY build
+    partition (instead of one eager groupby job per partition, whose
+    launch+barrier constants dominated stage1 at small scale: ~12 s per
+    partition measured at 50k rows/partition on 32 cpus).
+
+    Non-global mode: winners are per-(partition, url) — the metadata
+    read tags each row with its partition id (via the file path) and
+    groups on a composite ``pid|url`` key, preserving the exact
+    per-partition keep-latest semantics of the original per-partition
+    pass.  Global mode: winners are per-url corpus-wide with a
+    designated winner file (max path among max-ts rows) so exactly one
+    partition keeps exactly one copy.
+
+    Returns {partition_index: {url: (max_ts, winner_path | None)}} with
+    only duplicated urls present (empty dict → partition has no dups).
+    """
+    from ray.data.aggregate import Count, Max
+
+    import ray as _ray
+
+    all_files = sorted({f for fs in parts_files for f in fs})
+    if global_mode:
+        meta = rd.read_parquet(all_files, columns=["url", "warc_ts"])
+        counts = meta.groupby("url").aggregate(
+            Count(alias_name="n"), Max("warc_ts", alias_name="max_ts")
+        )
+        dups = counts.map_batches(
+            lambda b: b.filter(pc.field("n") > 1).select(["url", "max_ts"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        if dups.empty:
+            return {pi: {} for pi in range(len(parts_files))}
+        winner_ts = dict(zip(dups["url"], dups["max_ts"]))
+        ts_ref = _ray.put(winner_ts)
+
+        def _max_ts_rows(batch: pa.Table) -> pa.Table:
+            d = _ray.get(ts_ref)
+            urls = batch["url"].to_pylist()
+            tss = batch["warc_ts"].to_pylist()
+            mask = pa.array(
+                [u in d and ts == d[u] for u, ts in zip(urls, tss)]
+            )
+            return batch.filter(mask).select(["url", "path"])
+
+        wins = (
+            rd.read_parquet(
+                all_files, columns=["url", "warc_ts"], include_paths=True
+            )
+            .map_batches(_max_ts_rows, batch_format="pyarrow")
+            .groupby("url")
+            .aggregate(Max("path", alias_name="wpath"))
+        ).to_pandas()
+        winner_path = dict(zip(wins["url"], wins["wpath"]))
+        winner = {
+            u: (ts, winner_path.get(u)) for u, ts in winner_ts.items()
+        }
+        return {pi: winner for pi in range(len(parts_files))}
+
+    file_pid = {
+        os.path.abspath(f): pi
+        for pi, fs in enumerate(parts_files)
+        for f in fs
+    }
+    pid_ref = _ray.put(file_pid)
+
+    def _key_rows(batch: pa.Table) -> pa.Table:
+        fp = _ray.get(pid_ref)
+        paths = batch["path"].to_pylist()
+        urls = batch["url"].to_pylist()
+        keys = [
+            f"{fp.get(os.path.abspath(p), -1)}|{u}"
+            for p, u in zip(paths, urls)
+        ]
+        return pa.table(
+            {"key": pa.array(keys), "warc_ts": batch["warc_ts"]}
+        )
+
+    counts = (
+        rd.read_parquet(all_files, columns=["url", "warc_ts"],
+                        include_paths=True)
+        .map_batches(_key_rows, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Count(alias_name="n"), Max("warc_ts", alias_name="max_ts"))
+    )
+    dups = counts.map_batches(
+        lambda b: b.filter(pc.field("n") > 1).select(["key", "max_ts"]),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out: Dict[int, Dict[str, tuple]] = {
+        pi: {} for pi in range(len(parts_files))
+    }
+    if dups.empty:
+        return out
+    for key, ts in zip(dups["key"], dups["max_ts"]):
+        pid_s, url = key.split("|", 1)
+        pi = int(pid_s)
+        if pi >= 0:
+            out[pi][url] = (ts, None)
+    return out
+
+
 def _dedup_split(
     files: List[str],
     cols: List[str],
     full: rd.Dataset,
     meta_files: Optional[List[str]] = None,
     eager_winners: bool = False,
+    winner: Optional[Dict[str, tuple]] = None,
 ) -> rd.Dataset:
     """Exact dedup by url, keep max warc_ts, without shuffling payloads.
 
@@ -231,48 +348,18 @@ def _dedup_split(
     per duplicate url (max path among its max-ts rows — deterministic),
     and candidate rows are filtered to that file, so exactly one
     partition keeps exactly one winner."""
-    from ray.data.aggregate import Count, Max
-
     global_mode = meta_files is not None
-    meta = rd.read_parquet(meta_files or files, columns=["url", "warc_ts"])
-    counts = meta.groupby("url").aggregate(
-        Count(alias_name="n"), Max("warc_ts", alias_name="max_ts")
-    )
-    dups = counts.map_batches(
-        lambda b: b.filter(pc.field("n") > 1).select(["url", "max_ts"]),
-        batch_format="pyarrow",
-    ).to_pandas()
-    if dups.empty:
-        return full
-    winner_ts = dict(zip(dups["url"], dups["max_ts"]))
     import ray as _ray
 
-    if global_mode:
-        # second tiny metadata pass over dup-url rows only: designate one
-        # winner file per dup url (max path among max-ts rows)
-        ts_ref = _ray.put(winner_ts)
-
-        def _max_ts_rows(batch: pa.Table) -> pa.Table:
-            d = _ray.get(ts_ref)
-            urls = batch["url"].to_pylist()
-            tss = batch["warc_ts"].to_pylist()
-            mask = pa.array(
-                [u in d and ts == d[u] for u, ts in zip(urls, tss)]
-            )
-            return batch.filter(mask).select(["url", "path"])
-
-        wins = (
-            rd.read_parquet(
-                meta_files, columns=["url", "warc_ts"], include_paths=True
-            )
-            .map_batches(_max_ts_rows, batch_format="pyarrow")
-            .groupby("url")
-            .aggregate(Max("path", alias_name="wpath"))
-        ).to_pandas()
-        winner_path = dict(zip(wins["url"], wins["wpath"]))
-        winner = {u: (ts, winner_path.get(u)) for u, ts in winner_ts.items()}
-    else:
-        winner = {u: (ts, None) for u, ts in winner_ts.items()}
+    if winner is None:
+        # standalone call: decide winners here (one metadata pass over
+        # this partition's files, or the whole corpus in global mode)
+        if global_mode:
+            winner = compute_dedup_winners([meta_files], True)[0]
+        else:
+            winner = compute_dedup_winners([files], False)[0]
+    if not winner:
+        return full
     ref = _ray.put(winner)
 
     def keep_unique(batch: pa.Table) -> pa.Table:
@@ -328,6 +415,7 @@ def build_partition(
     files: List[str],
     cfg: BuildConfig,
     dedup_meta_files: Optional[List[str]] = None,
+    winner: Optional[Dict[str, tuple]] = None,
 ) -> dict:
     """Build one index partition; returns its manifest dict."""
     t0 = time.time()
@@ -363,7 +451,7 @@ def build_partition(
             store_positions=cfg.store_positions,
             id_column=id_col,
             docs_out_dir=docs_dir,
-            combine=True,
+            combine=cfg.combine,
         )
     else:
         tok_cls = TokenizePostings
@@ -373,10 +461,10 @@ def build_partition(
             store_positions=cfg.store_positions,
             id_column=id_col,
             docs_out_dir=docs_dir,
-            combine=True,
+            combine=cfg.combine,
             stem_by_lang=cfg.stem_by_lang,
         )
-    ds = _docs_pipeline(files, cfg, dedup_meta_files)
+    ds = _docs_pipeline(files, cfg, dedup_meta_files, winner=winner)
     t_stage1 = time.time() - t0
     kwargs: Dict = dict(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
@@ -393,13 +481,15 @@ def build_partition(
         )
     else:
         ds = ds.map_batches(tok_cls(**tok_kwargs), **kwargs)
-    ds = ds.sort(["term", "doc_min"])
+    ds = ds.sort(["term", "doc_min" if cfg.combine else "doc_id"])
     ds = ds.map_batches(
         BuildBlocks(block_size=cfg.block_size),
         batch_format="pyarrow",
         batch_size=None,  # one task per sorted range → blocks stay sorted
     )
     ds.write_parquet(blocks_dir)
+    if os.environ.get("SER_BUILD_STATS"):
+        print(f"=== stats {part_dir} ===\n{ds.stats()}", flush=True)
 
     # partition stats from the sentinel rows (exact, single pass)
     stats = _read_partition_stats(blocks_dir)
@@ -455,6 +545,7 @@ def build_partitions_fused(
     chunk: List[Tuple[int, str, List[str]]],
     cfg: BuildConfig,
     dedup_meta_files: Optional[List[str]] = None,
+    winners: Optional[Dict[int, Dict[str, tuple]]] = None,
 ) -> Dict[int, dict]:
     """Build several index partitions inside ONE fused Ray Data job.
 
@@ -496,7 +587,7 @@ def build_partitions_fused(
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
             id_column=id_col,
-            combine=True,
+            combine=cfg.combine,
         )
     else:
         tok_cls = TokenizePostings
@@ -505,7 +596,7 @@ def build_partitions_fused(
             stopwords=cfg.stopwords,
             store_positions=cfg.store_positions,
             id_column=id_col,
-            combine=True,
+            combine=cfg.combine,
             stem_by_lang=cfg.stem_by_lang,
         )
 
@@ -528,7 +619,8 @@ def build_partitions_fused(
     def build_branch(item):
         pi, part_dir, files = item
         sub = _docs_pipeline(
-            files, cfg, dedup_meta_files, eager_winners=True
+            files, cfg, dedup_meta_files, eager_winners=True,
+            winner=None if winners is None else winners.get(pi, {}),
         )
         branch_kwargs = dict(tok_kwargs, docs_out_dir=docs_dirs[pi])
         if cfg.tokenize_concurrency:
@@ -552,7 +644,7 @@ def build_partitions_fused(
     else:
         subs = [build_branch(chunk[0])]
     ds = subs[0] if len(subs) == 1 else subs[0].union(*subs[1:])
-    ds = ds.sort(["part_id", "term", "doc_min"])
+    ds = ds.sort(["part_id", "term", "doc_min" if cfg.combine else "doc_id"])
     ds = ds.map_batches(
         PartitionedBlocks(block_size=cfg.block_size),
         batch_format="pyarrow",
@@ -618,6 +710,28 @@ def _block_counts(blocks_dir: str) -> Tuple[int, int]:
     return n_post, tbl.num_rows
 
 
+def infer_mappings_from_files(
+    files: Sequence[str], sample_per_file: int = 64
+) -> Dict[str, str]:
+    """Sample-infer a generic-JSON mapping from parquet inputs: read the
+    first ``sample_per_file`` rows of each file (driver-side, metadata
+    cheap — one row group per file, never a Ray job) and run the
+    reference detection heuristics (MappingsManager.ts:376-505) over the
+    flattened rows.  First non-None detection per dotted path wins,
+    mirroring mapping-set-on-first-add."""
+    import pyarrow.parquet as pq
+
+    from ..analysis.mappings import infer_mappings
+
+    sample: List[dict] = []
+    for f in sorted(files):
+        pf = pq.ParquetFile(f)
+        for batch in pf.iter_batches(batch_size=sample_per_file):
+            sample.extend(batch.to_pylist())
+            break
+    return infer_mappings(sample)
+
+
 def build_index(
     index_dir: str,
     input_files: Sequence[str] | str,
@@ -640,6 +754,13 @@ def build_index(
             files = [input_files]
     else:
         files = list(input_files)
+    if cfg.mappings == "auto":
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg,
+            mappings=infer_mappings_from_files(files, cfg.auto_map_sample),
+        )
     if cfg.partitioner is not None:
         parts = cfg.partitioner(sorted(files), cfg.n_partitions)
     else:
@@ -661,14 +782,36 @@ def build_index(
 
     if todo:
         meta = files if (cfg.dedup and cfg.global_dedup) else None
+        # ONE shared metadata job decides dedup winners for every
+        # to-build partition (per-partition eager groupby jobs paid
+        # ~12 s of launch/barrier constants EACH at bench scale)
+        winners: Optional[Dict[int, Dict[str, tuple]]] = None
+        if cfg.dedup:
+            if cfg.global_dedup:
+                gw = compute_dedup_winners([files], True)[0]
+                winners = {pi: gw for pi, _, _ in todo}
+            else:
+                per_idx = compute_dedup_winners(
+                    [pfiles for _, _, pfiles in todo], False
+                )
+                winners = {
+                    pi: per_idx[i] for i, (pi, _, _) in enumerate(todo)
+                }
         k = max(1, cfg.partitions_per_job)
         chunks = [todo[i : i + k] for i in range(0, len(todo), k)]
 
         def run_chunk(chunk):
             if len(chunk) == 1:
                 pi, part_dir, pfiles = chunk[0]
-                return {pi: build_partition(part_dir, pfiles, cfg, meta)}
-            return build_partitions_fused(chunk, cfg, meta)
+                return {
+                    pi: build_partition(
+                        part_dir, pfiles, cfg, meta,
+                        winner=None if winners is None else winners.get(
+                            pi, {}
+                        ),
+                    )
+                }
+            return build_partitions_fused(chunk, cfg, meta, winners)
 
         workers = max(1, min(cfg.concurrent_partitions, len(chunks)))
         if workers == 1:
@@ -701,6 +844,8 @@ def build_index(
             f"p{pi:05d}" for pi in range(len(parts))
         ],
     }
+    if cfg.mappings is not None:
+        global_manifest["mappings"] = dict(cfg.mappings)
     _atomic_write_json(os.path.join(index_dir, "manifest.json"), global_manifest)
     return global_manifest
 

@@ -678,9 +678,16 @@ def _score_partition(
     synonyms: Optional[Dict[str, List[str]]] = None,
     scorer=None,
     token_filter=None,
+    doc_boosts: Optional[Dict[int, int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Partition-local top-k (used serially or as a Ray task; the local
-    path passes a long-lived cached reader)."""
+    path passes a long-lived cached reader).
+
+    ``doc_boosts`` is a small broadcast {doc_id: personalization boost}
+    table added to matching candidates' scores before top-k selection
+    (so a boosted doc outside the unboosted partition top-k still
+    surfaces); it disables block-max pruning, whose score upper bounds
+    don't account for boosts."""
     ev = _PartitionEvaluator(
         reader if reader is not None else PartitionReader(part_dir),
         text_fields,
@@ -689,6 +696,8 @@ def _score_partition(
         token_filter=token_filter,
     )
     stats = GlobalStats.from_json(stats_json)
+    if doc_boosts:
+        pruning = "off"
     if pruning != "off" and not synonyms and scorer is None:
         from .wand import pruning_plan, topk_blockmax
 
@@ -711,9 +720,52 @@ def _score_partition(
     scores = ev.score_candidates(
         cand, scoring_terms, global_dfs, stats, field_boosts, scorer
     )
+    if doc_boosts:
+        bids = np.fromiter(doc_boosts.keys(), dtype=np.int64)
+        bvals = np.fromiter(doc_boosts.values(), dtype=np.float64)
+        order = np.argsort(bids)
+        bids, bvals = bids[order], bvals[order]
+        j = np.searchsorted(bids, cand)
+        j_clip = np.minimum(j, bids.size - 1)
+        hit = bids[j_clip] == cand
+        scores[hit] += bvals[j_clip[hit]]
     from .wand import topk_select
 
     return topk_select(cand, scores, k)
+
+
+def _tf_fallback_scores(
+    reader: PartitionReader,
+    cand: np.ndarray,
+    tokens: Sequence[str],
+    k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """The reference's zero-score fallback (SearchEngine.ts:589-604):
+    when BM25 leaves every hit at score 0, re-score each candidate by
+    counting word-boundary regex matches of each query token in the
+    JSON-serialized document (lowercased), floor 1.  Python loop over
+    docs is faithful to the per-doc regex of the reference and only runs
+    on this rare path."""
+    import re as _re
+
+    from .wand import topk_select
+
+    if cand.size == 0:
+        return cand, np.empty(0, dtype=np.float64)
+    import pyarrow.compute as pc
+
+    tbl = reader.docs_table(filter=pc.field("doc_id").isin(cand))
+    pats = [
+        _re.compile(r"\b" + _re.escape(t) + r"\b") for t in tokens
+    ]
+    ids = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+    rows = tbl.drop_columns(["doc_id"]).to_pylist()
+    scores = np.empty(len(rows), dtype=np.float64)
+    for i, row in enumerate(rows):
+        text = json.dumps(row, default=str).lower()
+        n = sum(len(p.findall(text)) for p in pats)
+        scores[i] = max(1, n)  # Math.max(1, score), ts:602
+    return topk_select(ids, scores, k)
 
 
 class IndexSearcher:
@@ -734,6 +786,8 @@ class IndexSearcher:
         stem_lang: Optional[str] = None,
         cache_ttl: float = 300.0,
         cache_size: int = 1024,
+        personalization=None,
+        tf_fallback: bool = True,
     ):
         self.index_dir = index_dir
         self.manifest = load_index_manifest(index_dir)
@@ -767,6 +821,16 @@ class IndexSearcher:
             cache = _process_stem_cache()
             token_filter = lambda t, _lg=stem_lang: cache.stem(t, _lg)  # noqa: E731
         self.token_filter = token_filter
+        # opt-in rank-time personalization (state.personalization; the
+        # reference wires the engine per index at SearchEngine.ts:92,111
+        # but never consults getBoost — our search(user_id=...) applies
+        # the additive event-count boost, documented interpretation)
+        self.personalization = personalization
+        # zero-score fallback (SearchEngine.ts:589-604): when every hit
+        # scores 0 under BM25, re-rank by raw term frequency over the
+        # serialized docs (floor 1).  On by default for parity; disable
+        # for strict zero-score semantics.
+        self.tf_fallback = tf_fallback
         self.part_dirs = [
             os.path.join(index_dir, "partitions", p)
             for p in self.manifest["partitions"]
@@ -908,15 +972,24 @@ class IndexSearcher:
         size: int = 10,
         from_: int = 0,
         operator: str = "and",
+        user_id: Optional[str] = None,
     ) -> pd.DataFrame:
         """Run a query; returns a DataFrame (doc_id, score) of the top
         ``from_+size`` hits sliced to the requested page
-        (pagination per SearchEngine.ts:610-615)."""
+        (pagination per SearchEngine.ts:610-615).  ``user_id`` (with a
+        ``personalization`` engine attached) adds the user's per-doc
+        event counts to the scores before ranking."""
         self._validate(query)
+        doc_boosts: Optional[Dict[int, int]] = None
+        if user_id is not None and self.personalization is not None:
+            doc_boosts = self.personalization.user_events(user_id) or None
         try:
             ckey = json.dumps(
-                [query, size, from_, operator], sort_keys=True, default=str
+                [query, size, from_, operator, user_id], sort_keys=True,
+                default=str,
             )
+            if doc_boosts:
+                ckey = None  # profile is mutable across searches: no cache
         except TypeError:
             ckey = None  # non-serializable custom query object: skip cache
         if ckey is not None:
@@ -968,15 +1041,45 @@ class IndexSearcher:
             import ray
 
             fn = ray.remote(_score_partition)
-            parts = ray.get([fn.remote(*a) for a in args])
+            parts = ray.get(
+                [fn.remote(*a, doc_boosts=doc_boosts) for a in args]
+            )
         else:
             parts = [
                 _score_partition(
                     *a[:-4], reader=r, synonyms=self.synonyms,
                     scorer=self.scorer, token_filter=self.token_filter,
+                    doc_boosts=doc_boosts,
                 )
                 for a, r in zip(args, self._readers)
             ]
+
+        if (
+            self.tf_fallback
+            and self.scorer is None
+            and any(ids.size for ids, _ in parts)
+            and all(
+                sc.size == 0 or float(sc.max()) == 0.0 for _, sc in parts
+            )
+        ):
+            # every candidate scored 0 (scores are non-negative, so an
+            # all-zero top-k ⇒ an all-zero partition) → the reference's
+            # term-frequency re-rank (SearchEngine.ts:589-604)
+            toks = [t.split(":", 1)[1] for t in terms]
+            if not toks and isinstance(query, str):
+                # extractQueryTokens came back empty → tokenize the raw
+                # string with the standard analyzer (ts:583-585)
+                from ..analysis.analyzers import standard_analyzer
+
+                toks = standard_analyzer(query, self.stopwords)
+            parts = []
+            for r in self._readers:
+                ev = _PartitionEvaluator(
+                    r, self.text_fields, self.stopwords, self.synonyms,
+                    token_filter=self.token_filter,
+                )
+                cand = ev.evaluate(node)
+                parts.append(_tf_fallback_scores(r, cand, toks, k))
 
         # driver-side k-way merge (rank-correct, unlike the reference's
         # concat merge)

@@ -304,5 +304,23 @@ class OracleEngine:
                 if plist:
                     s += self.bm25(term, did, len(plist))
             scored.append((did, s))
+        if scored and all(s == 0.0 for _, s in scored):
+            # zero-score term-frequency fallback (SearchEngine.ts:589-604)
+            import json as _json
+            import re as _re
+
+            toks = [t.split(":", 1)[1] for t in terms]
+            if not toks and isinstance(query, str):
+                toks = tokenize(query, "standard", self.stopwords)
+            pats = [
+                _re.compile(r"\b" + _re.escape(t) + r"\b") for t in toks
+            ]
+            scored = []
+            for did in cand:
+                text = _json.dumps(
+                    self.docs.get(did, {}), default=str
+                ).lower()
+                n = sum(len(p.findall(text)) for p in pats)
+                scored.append((did, float(max(1, n))))
         scored.sort(key=lambda t: (-t[1], t[0]))
         return scored[from_ : from_ + size]

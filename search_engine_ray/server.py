@@ -1,0 +1,376 @@
+"""HTTP serving facade over built indexes + incremental bulk ingest.
+
+Reimplements the reference's Express server surface
+(``/root/reference/server.ts``) on the Python stdlib
+(``ThreadingHTTPServer`` — dependency-free; swap for ``ray serve`` on a
+real cluster, the handler logic is identical):
+
+* ``GET  /``                          health + index list (server.ts:281-311)
+* ``POST /search/<index>``            body ``{query, from, size,
+  aggregations|aggs}`` → ``{hits, total, from, size, aggregations,
+  facets, _performance}`` (server.ts:226-267)
+* ``GET  /performance``               query metrics (server.ts:269-279)
+* ``POST /index``                     body ``{indexName, facetFields?,
+  mappings?}`` → registers an index (server.ts:314-350)
+* ``POST /index/<index>/documents``   body ``{documents: [...]}`` —
+  buffers docs for the next flush (server.ts:353-386)
+* ``POST /index/<index>/flush``       builds the buffered docs into a new
+  immutable DELTA PARTITION of the index via the Ray build pipeline and
+  refreshes the searcher (server.ts:415-440)
+* ``POST /index/<index>/snapshot``    alias of flush — segments are
+  durable once written (server.ts:389-412; the reference's mutable
+  in-memory engine needs explicit snapshotting, ours does not)
+
+Ingest model: the reference mutates a shared-memory index per add and
+persists asynchronously; this engine's indexes are immutable parquet
+segments, so bulk adds accumulate in a buffer and each flush appends one
+new build partition (same dataflow as the batch build — tokenize →
+sort → varbyte blocks — over the buffered rows) and rewrites the global
+manifest.  Search picks the new partition up immediately via a fresh
+``IndexSearcher``.  A delta flush is a small Ray Data job: serving scale
+comes from many small immutable partitions + periodic compaction, not
+from in-place mutation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _doc_id_for(doc: Dict[str, Any]) -> str:
+    if isinstance(doc.get("id"), (str, int)):
+        return str(doc["id"])
+    import hashlib
+
+    return "auto-" + hashlib.blake2b(
+        json.dumps(doc, sort_keys=True, default=str).encode(),
+        digest_size=8,
+    ).hexdigest()
+
+
+class IndexHandle:
+    """Server-side state for one index: config + buffer + searcher."""
+
+    def __init__(self, index_dir: str, facet_fields: Optional[List[str]] = None,
+                 mappings: Optional[Dict[str, str]] = None):
+        self.index_dir = index_dir
+        self.facet_fields = list(facet_fields or [])
+        self.mappings = dict(mappings) if mappings else None
+        self.buffer: List[Dict[str, Any]] = []
+        self.lock = threading.Lock()
+        self._searcher = None
+        os.makedirs(index_dir, exist_ok=True)
+        self._load_config()
+
+    # --- config persistence --------------------------------------------
+    @property
+    def _cfg_path(self) -> str:
+        return os.path.join(self.index_dir, "server_config.json")
+
+    def _load_config(self) -> None:
+        if os.path.exists(self._cfg_path):
+            with open(self._cfg_path) as f:
+                cfg = json.load(f)
+            self.facet_fields = cfg.get("facet_fields", self.facet_fields)
+            self.mappings = cfg.get("mappings") or self.mappings
+
+    def _save_config(self) -> None:
+        tmp = self._cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"facet_fields": self.facet_fields, "mappings": self.mappings},
+                f, indent=1,
+            )
+        os.replace(tmp, self._cfg_path)
+
+    # --- ingest ---------------------------------------------------------
+    def add_documents(self, docs: List[Dict[str, Any]]) -> Dict[str, Any]:
+        with self.lock:
+            for d in docs:
+                self.buffer.append({**d, "id": _doc_id_for(d)})
+            return {"addedCount": len(docs), "buffered": len(self.buffer)}
+
+    def flush(self) -> Dict[str, Any]:
+        """Build buffered docs into a new delta partition."""
+        from .index_build import BuildConfig
+        from .index_build.build import _atomic_write_json, build_partition
+
+        with self.lock:
+            docs, self.buffer = self.buffer, []
+        if not docs:
+            return {"flushed": 0, "message": "nothing to flush"}
+
+        if self.mappings is None:
+            from .analysis.mappings import infer_mappings
+
+            self.mappings = infer_mappings(docs)
+            self._save_config()
+
+        # next partition name
+        parts_dir = os.path.join(self.index_dir, "partitions")
+        os.makedirs(parts_dir, exist_ok=True)
+        have = sorted(
+            p for p in os.listdir(parts_dir) if re.fullmatch(r"p\d{5}", p)
+        )
+        pname = f"p{len(have):05d}"
+
+        tmp_parquet = os.path.join(self.index_dir, f".delta_{pname}.parquet")
+        pq.write_table(pa.Table.from_pylist(docs), tmp_parquet)
+        try:
+            cfg = BuildConfig(
+                mappings=self.mappings,
+                doc_key_column="id",
+                extract_html=False,
+                dedup=False,
+                n_partitions=1,
+            )
+            build_partition(
+                os.path.join(parts_dir, pname), [tmp_parquet], cfg
+            )
+        finally:
+            os.unlink(tmp_parquet)
+
+        # rewrite the global manifest from all partition manifests
+        partitions = sorted(
+            p for p in os.listdir(parts_dir) if re.fullmatch(r"p\d{5}", p)
+        )
+        pms = []
+        for p in partitions:
+            with open(os.path.join(parts_dir, p, "manifest.json")) as f:
+                pms.append(json.load(f))
+        total_docs = sum(m["n_docs"] for m in pms)
+        sum_dl = sum(m["sum_dl"] for m in pms)
+        manifest = {
+            "version": 1,
+            "n_partitions": len(partitions),
+            "total_docs": total_docs,
+            "sum_dl": sum_dl,
+            "avg_dl": (sum_dl / total_docs) if total_docs else 0.0,
+            "n_postings": sum(m["n_postings"] for m in pms),
+            "n_blocks": sum(m["n_blocks"] for m in pms),
+            "store_positions": True,
+            "fields": pms[-1]["fields"],
+            "mappings": self.mappings,
+            "partitions": partitions,
+        }
+        _atomic_write_json(
+            os.path.join(self.index_dir, "manifest.json"), manifest
+        )
+        with self.lock:
+            self._searcher = None  # pick up the new partition
+        return {
+            "flushed": len(docs),
+            "partition": pname,
+            "totalDocs": total_docs,
+        }
+
+    # --- search ---------------------------------------------------------
+    def searcher(self):
+        with self.lock:
+            if self._searcher is None:
+                if not os.path.exists(
+                    os.path.join(self.index_dir, "manifest.json")
+                ):
+                    return None
+                from .query import IndexSearcher
+
+                text_fields = [
+                    p for p, t in (self.mappings or {}).items()
+                    if t == "text"
+                ] or ["text"]
+                self._searcher = IndexSearcher(
+                    self.index_dir, text_fields=text_fields
+                )
+            return self._searcher
+
+
+class SearchServer:
+    """Threaded HTTP server over a root directory of indexes."""
+
+    def __init__(self, root_dir: str, host: str = "127.0.0.1", port: int = 0):
+        self.root_dir = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        self.indexes: Dict[str, IndexHandle] = {}
+        self.lock = threading.Lock()
+        self.t0 = time.time()
+        self.query_count = 0
+        self.query_ms_total = 0.0
+        # discover existing indexes (built by this server or the batch CLI)
+        for name in sorted(os.listdir(root_dir)):
+            d = os.path.join(root_dir, name)
+            if os.path.isdir(d) and (
+                os.path.exists(os.path.join(d, "manifest.json"))
+                or os.path.exists(os.path.join(d, "server_config.json"))
+            ):
+                self.indexes[name] = IndexHandle(d)
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _json(self, code: int, obj: Any) -> None:
+                body = json.dumps(obj, default=str).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> Dict[str, Any]:
+                n = int(self.headers.get("Content-Length") or 0)
+                if not n:
+                    return {}
+                try:
+                    return json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    return {}
+
+            def do_GET(self):
+                if self.path == "/":
+                    return self._json(200, {
+                        "status": "ok",
+                        "message": "search_engine_ray API server",
+                        "indices": sorted(server.indexes),
+                        "version": "1.0.0",
+                    })
+                if self.path == "/performance":
+                    n = server.query_count
+                    return self._json(200, {
+                        "query": {
+                            "count": n,
+                            "avgMs": (server.query_ms_total / n) if n else 0.0,
+                        },
+                        "uptime": time.time() - server.t0,
+                    })
+                self._json(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    self._route_post()
+                except Exception as e:  # 500 like server.ts:442
+                    self._json(500, {"error": f"Internal server error: {e}"})
+
+            def _route_post(self):
+                m = re.fullmatch(r"/search/([\w.-]+)", self.path)
+                if m:
+                    return self._search(m.group(1))
+                if self.path == "/index":
+                    return self._create_index()
+                m = re.fullmatch(r"/index/([\w.-]+)/documents", self.path)
+                if m:
+                    return self._add_documents(m.group(1))
+                m = re.fullmatch(r"/index/([\w.-]+)/(flush|snapshot)",
+                                 self.path)
+                if m:
+                    return self._flush(m.group(1))
+                self._json(404, {"error": "not found"})
+
+            def _search(self, name: str):
+                h = server.indexes.get(name)
+                s = h.searcher() if h else None
+                if s is None:
+                    return self._json(
+                        404, {"error": f"Index '{name}' not found"}
+                    )
+                b = self._body()
+                t0 = time.time()
+                try:
+                    out = s.search_full(
+                        b.get("query") or {"match_all": {}},
+                        size=int(b.get("size", 10)),
+                        from_=int(b.get("from", 0)),
+                        operator=b.get("operator", "and"),
+                        facet_fields=h.facet_fields or None,
+                        aggs=b.get("aggregations") or b.get("aggs"),
+                    )
+                except Exception as e:
+                    from .query.validate import QueryValidationError
+
+                    if isinstance(e, QueryValidationError):
+                        return self._json(400, {"error": str(e)})
+                    raise
+                ms = (time.time() - t0) * 1e3
+                server.query_count += 1
+                server.query_ms_total += ms
+                out.setdefault("aggregations", {})
+                out.setdefault("facets", {})
+                out["_performance"] = {
+                    "queryTime": f"{ms:.1f}ms", "cached": ms < 10
+                }
+                self._json(200, out)
+
+            def _create_index(self):
+                b = self._body()
+                name = b.get("indexName")
+                if not name or not re.fullmatch(r"[\w.-]+", name):
+                    return self._json(400, {"error": "indexName is required"})
+                with server.lock:
+                    if name not in server.indexes:
+                        h = IndexHandle(
+                            os.path.join(server.root_dir, name),
+                            facet_fields=b.get("facetFields"),
+                            mappings=b.get("mappings"),
+                        )
+                        h._save_config()
+                        server.indexes[name] = h
+                self._json(201, {
+                    "message": f"Index '{name}' created successfully",
+                    "indexName": name,
+                })
+
+            def _add_documents(self, name: str):
+                h = server.indexes.get(name)
+                if h is None:
+                    return self._json(
+                        404, {"error": f"Index '{name}' not found"}
+                    )
+                b = self._body()
+                docs = b.get("documents")
+                if not isinstance(docs, list):
+                    return self._json(
+                        400, {"error": "documents array is required"}
+                    )
+                r = h.add_documents(docs)
+                self._json(200, {
+                    "message": (
+                        f"Added {r['addedCount']} documents to index "
+                        f"'{name}'"
+                    ),
+                    **r,
+                })
+
+            def _flush(self, name: str):
+                h = server.indexes.get(name)
+                if h is None:
+                    return self._json(
+                        404, {"error": f"Index '{name}' not found"}
+                    )
+                self._json(200, h.flush())
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> int:
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self.port
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)

@@ -1,3 +1,4 @@
+from .personalization import PersonalizationEngine
 from .stats import GlobalStats
 
-__all__ = ["GlobalStats"]
+__all__ = ["GlobalStats", "PersonalizationEngine"]

@@ -430,3 +430,51 @@ class TestExtensionSurface:
         )
         assert calls == [4]
         assert m["n_partitions"] == 1 or len(m["partitions"]) == 1
+
+
+class TestAutoMap:
+    """BuildConfig(mappings="auto") sample-infers the schema at build
+    start — the batch analog of the reference's autoMap-on-every-add
+    (MappingsManager.ts:314-367)."""
+
+    def test_auto_map_build_end_to_end(self, tmp_path, ray_session):
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.index_build.build import (
+            infer_mappings_from_files,
+        )
+        from search_engine_ray.query import IndexSearcher
+        from search_engine_ray.sources.nested_docs import (
+            generate_nested_docs,
+        )
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path / "docs.parquet")
+        generate_nested_docs(src, n_rows=400, seed=9)
+
+        inferred = infer_mappings_from_files([src], sample_per_file=64)
+        assert inferred["name"] == "text"
+        assert inferred["user.email"] == "email"
+        assert inferred["location"] == "geo_point"
+
+        idx = str(tmp_path / "idx")
+        m = build_index(
+            idx,
+            src,
+            BuildConfig(
+                mappings="auto",
+                doc_key_column="id",
+                extract_html=False,
+                dedup=False,
+                n_partitions=2,
+            ),
+        )
+        # resolved mapping lands in the manifest (not the string "auto")
+        assert m["mappings"] == inferred
+
+        s = IndexSearcher(idx, text_fields=("name",))
+        hits = s.search(
+            {"term": {"field": "user.name", "value": "alice"}}, size=1000
+        )
+        pdf = pq.read_table(src).to_pylist()
+        expect = sum(1 for r in pdf if "alice" in r["user"]["name"])
+        assert len(hits) == expect > 0

@@ -1,0 +1,114 @@
+"""HTTP serving facade: reference server surface (server.ts:226-440)
+over stdlib HTTP — create index → bulk add → flush (delta-partition
+build) → search → performance/health."""
+
+import json
+import urllib.request
+
+import pytest
+
+
+def _req(port, path, body=None, method=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        url, data=data, method=method or ("POST" if data else "GET"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory, ray_session):
+    from search_engine_ray.server import SearchServer
+
+    root = tmp_path_factory.mktemp("srvroot")
+    srv = SearchServer(str(root))
+    port = srv.start()
+    yield port
+    srv.stop()
+
+
+DOCS = [
+    {"id": "1", "title": "distributed search engines",
+     "body": "inverted index over web pages", "status": "active"},
+    {"id": "2", "title": "cooking pasta",
+     "body": "boil water add salt and pasta", "status": "active"},
+    {"id": "3", "title": "search ranking",
+     "body": "bm25 scoring for search results", "status": "archived"},
+]
+
+
+class TestServer:
+    def test_health_empty(self, server):
+        code, out = _req(server, "/")
+        assert code == 200 and out["status"] == "ok"
+        assert out["indices"] == []
+
+    def test_create_requires_name(self, server):
+        code, out = _req(server, "/index", {})
+        assert code == 400 and "indexName" in out["error"]
+
+    def test_lifecycle(self, server):
+        code, out = _req(
+            server, "/index",
+            {"indexName": "docs", "facetFields": ["status"]},
+        )
+        assert code == 201
+
+        code, out = _req(server, "/index/docs/documents", {"documents": DOCS})
+        assert code == 200 and out["addedCount"] == 3
+
+        code, out = _req(server, "/index/docs/flush", {})
+        assert code == 200 and out["flushed"] == 3
+        assert out["totalDocs"] == 3
+
+        code, out = _req(
+            server, "/search/docs",
+            {"query": {"match": {"field": "title", "value": "search"}},
+             "size": 10},
+        )
+        assert code == 200
+        assert out["total"] == 2
+        ids = {h["doc_id"] for h in out["hits"]}
+        assert len(ids) == 2
+        assert out["facets"]["status"]  # facet fields configured at create
+        assert "_performance" in out
+
+    def test_incremental_second_flush(self, server):
+        _req(server, "/index/docs/documents", {"documents": [
+            {"id": "4", "title": "search engines again",
+             "body": "delta partition test", "status": "active"},
+        ]})
+        code, out = _req(server, "/index/docs/snapshot", {})  # alias
+        assert code == 200 and out["flushed"] == 1
+        assert out["partition"] == "p00001"
+
+        code, out = _req(
+            server, "/search/docs",
+            {"query": {"match": {"field": "title", "value": "search"}}},
+        )
+        assert out["total"] == 3  # old + delta partitions both searched
+
+    def test_search_missing_index_404(self, server):
+        code, out = _req(server, "/search/nope", {"query": {"match_all": {}}})
+        assert code == 404 and "not found" in out["error"]
+
+    def test_bad_documents_400(self, server):
+        code, out = _req(server, "/index/docs/documents", {"documents": "x"})
+        assert code == 400
+
+    def test_invalid_query_400(self, server):
+        code, out = _req(
+            server, "/search/docs",
+            {"query": {"matchh": {"field": "title", "value": "typo"}}},
+        )
+        assert code == 400
+
+    def test_performance_counts(self, server):
+        code, out = _req(server, "/performance")
+        assert code == 200 and out["query"]["count"] >= 2

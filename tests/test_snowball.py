@@ -9,25 +9,38 @@ import pytest
 
 from search_engine_ray.analysis.snowball import (
     CachedStemmer,
+    dutch_stem,
     french_stem,
     german_stem,
+    italian_stem,
+    portuguese_stem,
+    russian_stem,
     spanish_stem,
     stemmer_for_lang,
 )
 
 GOLDEN = json.load(open("tests/golden/snowball_vectors.json"))
 FUZZ = json.load(open("tests/golden/snowball_fuzz_vectors.json"))
-FNS = {"de": german_stem, "es": spanish_stem, "fr": french_stem}
+FNS = {
+    "de": german_stem,
+    "es": spanish_stem,
+    "fr": french_stem,
+    "pt": portuguese_stem,
+    "it": italian_stem,
+    "nl": dutch_stem,
+    "ru": russian_stem,
+}
+LANGS = sorted(FNS)
 
 
-@pytest.mark.parametrize("lang", ["de", "es", "fr"])
+@pytest.mark.parametrize("lang", LANGS)
 def test_golden_vectors(lang):
     fn = FNS[lang]
     bad = [(w, fn(w), want) for w, want in GOLDEN[lang] if fn(w) != want]
     assert not bad, bad
 
 
-@pytest.mark.parametrize("lang", ["de", "es", "fr"])
+@pytest.mark.parametrize("lang", LANGS)
 def test_fuzz_vectors(lang):
     """500 generated suffix-heavy words per language, expected outputs
     frozen from the reference's compiled Snowball stemmers."""
@@ -40,6 +53,10 @@ def test_dispatch_and_fallback():
     assert stemmer_for_lang("de")("häuser") == "haus"
     assert stemmer_for_lang("fr")("nationale") == "national"
     assert stemmer_for_lang("es")("corriendo") == "corr"
+    assert stemmer_for_lang("pt")("felizmente") == "feliz"
+    assert stemmer_for_lang("it")("nazionalità") == "nazional"
+    assert stemmer_for_lang("nl")("huizen") == "huiz"
+    assert stemmer_for_lang("ru")("организации") == "организац"
     # unsupported language falls back to English Porter
     # (SnowballStemmer.ts:26-33)
     assert stemmer_for_lang("xx")("running") == "run"

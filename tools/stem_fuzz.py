@@ -49,12 +49,53 @@ SUFFIXES = {
         "âtes", "ion", "ier", "ière", "elle", "ette", "enne", "onne",
         "eille", "ç", "gu", "guë",
     ],
+    "pt": [
+        "o", "a", "os", "as", "e", "es", "eza", "icos", "ismo", "ável",
+        "ível", "ista", "oso", "amento", "imento", "adora", "ação",
+        "ações", "ante", "ância", "logia", "ução", "ência", "amente",
+        "mente", "idade", "iva", "ivo", "ira", "ar", "er", "ir", "ando",
+        "endo", "indo", "ado", "ido", "ava", "ia", "ará", "eria", "iria",
+        "aste", "aram", "eram", "amos", "emos", "íamos", "am", "em",
+        "ou", "eu", "iu", "ção", "ções", "ãos", "ã", "õe",
+    ],
+    "it": [
+        "o", "a", "i", "e", "anza", "ico", "iche", "ismo", "abile",
+        "ibile", "ista", "oso", "mente", "atrice", "ante", "azione",
+        "azioni", "atore", "logia", "uzione", "usione", "enza",
+        "amento", "imento", "amente", "ità", "ivo", "iva", "ando",
+        "endo", "ar", "er", "ir", "ammo", "arono", "asse", "ava", "erà",
+        "erebbe", "eremmo", "erono", "eva", "iamo", "irà", "ire",
+        "isca", "isce", "isco", "issero", "ita", "ito", "ono", "uto",
+        "gli", "cela", "sene", "glielo", "ci", "mi", "ch", "gh", "qu",
+        "andolo", "endoci",
+    ],
+    "nl": [
+        "heden", "ene", "en", "se", "s", "e", "heid", "end", "ing",
+        "ig", "lijk", "baar", "bar", "je", "tje", "kk", "dd", "tt",
+        "aar", "eer", "oor", "uur", "aat", "eet", "oot", "igheid",
+        "elijk", "igend",
+    ],
+    "ru": [
+        "в", "вши", "вшись", "ив", "ывши", "ее", "ими", "ей", "ого",
+        "ому", "их", "ую", "яя", "ем", "нн", "вш", "ющ", "щ", "ивш",
+        "ующ", "ся", "сь", "ла", "ете", "йте", "ли", "ешь", "нно",
+        "ила", "ена", "ейте", "уйте", "или", "ует", "уют", "ить",
+        "ишь", "й", "л", "н", "иями", "ями", "ами", "ией", "иям",
+        "ием", "иях", "ия", "ью", "ов", "ие", "ье", "и", "о", "у",
+        "ы", "ь", "ю", "я", "а", "е", "ость", "ост", "ейше", "ейш",
+        "ать", "ять", "еть", "анн", "авши", "аем", "ающ", "ьейше",
+    ],
 }
+
 
 ALPH = {
     "de": "abcdefghijklmnopqrstuvwzäöüß",
     "es": "abcdefghijlmnopqrstuvzáéíóúüñ",
     "fr": "abcdefghijlmnopqrstuvzâàëéêèïîôûùçy",
+    "pt": "abcdefghijlmnopqrstuvzáéíóúâêôãõç",
+    "it": "abcdefghijlmnopqrstuvzàèìòùáéíóú",
+    "nl": "abcdefghijklmnopqrstuvwzyäéëïöü",
+    "ru": "абвгдежзиклмнопрстуфхцчшщыьэюя",
 }
 
 
