@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_n_chars": q.histogram_n_chars,
         "date_histogram_events": q.date_histogram_events,
         "range_agg_value": q.range_agg_value,
+        "stats_n_chars": q.stats_n_chars,
+        "filter_stats_en": q.filter_stats_en,
         # stream-shaped (windowed aggregates)
         "tumbling_user_value": q.tumbling_user_value,
         "sliding_user_value": q.sliding_user_value,
@@ -218,6 +220,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '50-*', count(*)::BIGINT
               FROM events WHERE value >= 50
+        """,
+        "stats_n_chars": """
+            SELECT count(*)::BIGINT AS count,
+                   min(n_chars)::BIGINT AS min,
+                   max(n_chars)::BIGINT AS max,
+                   round(avg(n_chars), 6) AS mean,
+                   sum(n_chars)::BIGINT AS sum
+            FROM documents
+        """,
+        "filter_stats_en": """
+            SELECT count(*)::BIGINT AS count,
+                   min(n_chars)::BIGINT AS min,
+                   max(n_chars)::BIGINT AS max,
+                   round(avg(n_chars), 6) AS mean,
+                   sum(n_chars)::BIGINT AS sum
+            FROM documents WHERE lang = 'en'
         """,
         "tumbling_user_value": """
             SELECT user_id,

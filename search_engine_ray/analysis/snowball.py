@@ -1,8 +1,10 @@
-"""Snowball stemmers for German, Spanish and French, implemented from the
+"""Snowball stemmers for German, Spanish, French, Portuguese, Italian,
+Dutch, Russian, Swedish, Norwegian and Danish, implemented from the
 public Snowball algorithm definitions (snowballstem.org) and verified
 word-for-word against the reference engine's compiled stemmers
-(``/root/reference/src/lib/stemmers/{de,es,fr}.js``, driven via node to
-produce golden vectors — behavior parity, no code translation).
+(``/root/reference/src/lib/stemmers/{de,es,fr,pt,it,nl,ru,se,no,dk}.js``,
+driven via node to produce golden vectors — behavior parity, no code
+translation; ``tools/stem_fuzz.py`` regenerates the comparison).
 
 The reference lazily loads per-language Snowball stemmers behind an LRU
 stem cache (``/root/reference/src/lib/Stemmer.ts:43-175``,
@@ -1271,6 +1273,157 @@ def russian_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Swedish / Norwegian / Danish (Snowball scandinavian algorithms)
+# ---------------------------------------------------------------------------
+
+_SV_VOWELS = set("aeiouyäåö")
+_SV_S_END = set("bcdfghjklmnoprtvy")
+_SV_STEP1 = sorted(
+    (
+        "a arna erna heterna orna ad e ade ande arne are aste en anden "
+        "aren heten ern ar er heter or as arnas ernas ornas es ades "
+        "andes ens arens hetens erns at andet het ast"
+    ).split(),
+    key=len, reverse=True,
+)
+
+
+def _scand_r1(w: str, vowels) -> int:
+    r1, _ = _r1_r2(w, vowels)
+    return max(r1, 3) if r1 < len(w) else min(max(r1, 3), len(w))
+
+
+def swedish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _SV_VOWELS)
+    # step 1: (a) suffix list, or (b) s after a valid s-ending
+    matched = None
+    for suf in _SV_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            matched = suf
+            break
+    if matched:
+        w = w[: -len(matched)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) > 1 and (
+        w[-2] in _SV_S_END
+    ):
+        w = w[:-1]
+    # step 2: shorten a consonant pair (whole pair inside R1)
+    if len(w) >= 2 and w[-2:] in (
+        "dd", "gd", "nn", "dt", "gt", "kt", "tt"
+    ) and len(w) - 2 >= r1:
+        w = w[:-1]
+    # step 3
+    for suf, repl in (
+        ("fullt", "full"), ("löst", "lös"),
+        ("lig", ""), ("els", ""), ("ig", ""),
+    ):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)] + repl
+            break
+    return w
+
+
+_NO_VOWELS = set("aeiouyæåø")
+_NO_S_END = set("bcdfghjlmnoprtvyz")
+_NO_STEP1 = sorted(
+    (
+        "hetenes hetene hetens heten heter endes enes edes ande ende "
+        "ane ene ens ers ets het ast ede en ar er as es et a e"
+    ).split(),
+    key=len, reverse=True,
+)
+
+
+def norwegian_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _NO_VOWELS)
+    matched = None
+    for suf in sorted(
+        _NO_STEP1 + ["erte", "ert"], key=len, reverse=True
+    ):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            matched = suf
+            break
+    if matched in ("erte", "ert"):
+        w = w[: -len(matched)] + "er"
+    elif matched:
+        w = w[: -len(matched)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) > 1 and (
+        w[-2] in _NO_S_END
+        or (w[-2] == "k" and (len(w) < 3 or w[-3] not in _NO_VOWELS))
+    ):
+        w = w[:-1]
+    # step 2: dt / vt → drop t (whole pair inside R1)
+    if w.endswith(("dt", "vt")) and len(w) - 2 >= r1:
+        w = w[:-1]
+    # step 3
+    for suf in sorted(
+        ("leg", "eleg", "ig", "eig", "lig", "elig", "els", "lov",
+         "elov", "slov", "hetslov"),
+        key=len, reverse=True,
+    ):
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            w = w[: -len(suf)]
+            break
+    return w
+
+
+_DK_VOWELS = set("aeiouyæåø")
+_DK_S_END = set("abcdfghjklmnoprtvyzå")
+_DK_STEP1 = sorted(
+    (
+        "erendes erende hedens ethed erede heden heder endes ernes "
+        "erens erets ered ende erne eren erer heds enes eres ens ers "
+        "ets eret hed ene ere en er es et e"
+    ).split(),
+    key=len, reverse=True,
+)
+
+
+def danish_stem(word: str) -> str:
+    w = word.lower()
+    r1 = _scand_r1(w, _DK_VOWELS)
+    matched = None
+    for suf in _DK_STEP1:
+        if w.endswith(suf) and len(w) - len(suf) >= r1:
+            matched = suf
+            break
+    if matched:
+        w = w[: -len(matched)]
+    elif w.endswith("s") and len(w) - 1 >= r1 and len(w) > 1 and (
+        w[-2] in _DK_S_END
+    ):
+        w = w[:-1]
+
+    def step2(x: str) -> str:
+        if x.endswith(("gd", "dt", "gt", "kt")) and len(x) - 2 >= r1:
+            return x[:-1]
+        return x
+
+    w = step2(w)
+    # step 3
+    if w.endswith("igst"):
+        w = w[:-2]
+    if w.endswith("løst") and len(w) - 4 >= r1:
+        w = w[:-1]
+    else:
+        for suf in ("elig", "lig", "els", "ig"):
+            if w.endswith(suf) and len(w) - len(suf) >= r1:
+                w = step2(w[: -len(suf)])
+                break
+    # step 4: undouble a final double consonant in R1
+    if (
+        len(w) >= 2
+        and w[-1] == w[-2]
+        and w[-1] not in _DK_VOWELS
+        and len(w) - 1 >= r1
+    ):
+        w = w[:-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + cache (reference Stemmer.ts:43-175 semantics)
 # ---------------------------------------------------------------------------
 
@@ -1282,6 +1435,11 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "it": italian_stem,
     "nl": dutch_stem,
     "ru": russian_stem,
+    "sv": swedish_stem,
+    "se": swedish_stem,  # reference code (src/lib/stemmers/se.js)
+    "no": norwegian_stem,
+    "da": danish_stem,
+    "dk": danish_stem,  # reference code (src/lib/stemmers/dk.js)
 }
 
 

@@ -263,6 +263,29 @@ def range_agg_value(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_count": "int64"})
 
 
+def stats_n_chars(sf_dir: str) -> pd.DataFrame:
+    """Global stats agg (SURVEY §2.5 global/stats) over documents.n_chars."""
+    out = agg.stats_agg(_docs(sf_dir, ["n_chars"]), "n_chars")
+    out["mean"] = out["mean"].round(6)
+    return out.astype(
+        {"count": "int64", "min": "int64", "max": "int64", "sum": "int64"}
+    )
+
+
+def filter_stats_en(sf_dir: str) -> pd.DataFrame:
+    """Filter agg (lang='en') with a stats sub-aggregation."""
+    out = agg.filter_agg(
+        _docs(sf_dir, ["lang", "n_chars"]),
+        lambda b: pc.equal(b["lang"], "en"),
+        agg.stats_agg,
+        "n_chars",
+    )
+    out["mean"] = out["mean"].round(6)
+    return out.astype(
+        {"count": "int64", "min": "int64", "max": "int64", "sum": "int64"}
+    )
+
+
 def tumbling_user_value(sf_dir: str) -> pd.DataFrame:
     ds = _scale_value(
         rd.read_parquet(

@@ -1,6 +1,7 @@
-"""Snowball stemmers (de/es/fr): golden-vector parity with the reference
-engine's compiled stemmers, plus build/query integration of language-aware
-stemming (reference Stemmer.ts/SnowballStemmer.ts dispatch semantics)."""
+"""Snowball stemmers (de/es/fr/pt/it/nl/ru/se/no/dk): golden-vector
+parity with the reference engine's compiled stemmers, plus build/query
+integration of language-aware stemming (reference
+Stemmer.ts/SnowballStemmer.ts dispatch semantics)."""
 
 import json
 
@@ -9,14 +10,17 @@ import pytest
 
 from search_engine_ray.analysis.snowball import (
     CachedStemmer,
+    danish_stem,
     dutch_stem,
     french_stem,
     german_stem,
     italian_stem,
+    norwegian_stem,
     portuguese_stem,
     russian_stem,
     spanish_stem,
     stemmer_for_lang,
+    swedish_stem,
 )
 
 GOLDEN = json.load(open("tests/golden/snowball_vectors.json"))
@@ -29,6 +33,9 @@ FNS = {
     "it": italian_stem,
     "nl": dutch_stem,
     "ru": russian_stem,
+    "se": swedish_stem,
+    "no": norwegian_stem,
+    "dk": danish_stem,
 }
 LANGS = sorted(FNS)
 
@@ -57,6 +64,9 @@ def test_dispatch_and_fallback():
     assert stemmer_for_lang("it")("nazionalità") == "nazional"
     assert stemmer_for_lang("nl")("huizen") == "huiz"
     assert stemmer_for_lang("ru")("организации") == "организац"
+    # reference codes se/dk and ISO codes sv/da both dispatch
+    assert stemmer_for_lang("sv") is stemmer_for_lang("se")
+    assert stemmer_for_lang("da") is stemmer_for_lang("dk")
     # unsupported language falls back to English Porter
     # (SnowballStemmer.ts:26-33)
     assert stemmer_for_lang("xx")("running") == "run"
