@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q.minhash_pairs,
         "simhash_pairs": q.simhash_pairs,
         "embedding_lsh_pairs": q.embedding_lsh_pairs,
+        "ivf_top10": q.ivf_top10,
     }
 
 

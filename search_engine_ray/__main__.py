@@ -93,6 +93,19 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    _ensure_ray(args.num_cpus)
+    from .index_build.compact import compact_index
+
+    m = compact_index(args.index)
+    print(json.dumps({
+        "index": args.index,
+        "n_partitions": m["n_partitions"],
+        "total_docs": m["total_docs"],
+    }))
+    return 0
+
+
 def cmd_serve(args) -> int:
     _ensure_ray(args.num_cpus)
     from .server import SearchServer
@@ -131,6 +144,13 @@ def main(argv=None) -> int:
     )
     b.add_argument("--key-column", default="id", help="doc key for --auto-map")
     b.set_defaults(fn=cmd_build)
+
+    c = sub.add_parser(
+        "compact", help="merge all index partitions into one (LSM merge)"
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_compact)
 
     srv = sub.add_parser(
         "serve", help="HTTP API server over a directory of indexes"

@@ -338,6 +338,34 @@ def session_windows(sf_dir: str) -> pd.DataFrame:
 
 # --- similarity ------------------------------------------------------------
 
+def ivf_top10(sf_dir: str) -> pd.DataFrame:
+    """ANN top-10 via the IVF index (cluster-partitioned parquet, probed
+    reads).  Approximate by construction → rows-only driver check;
+    recall and the nprobe=all ≡ exact equivalence are pytest-locked
+    (tests/test_stages.py::TestSimilarity::test_ivf_index_probed_search)."""
+    from ..stages.similarity import build_ivf_index, ivf_search
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ser_ivf_{key}"
+    import os
+
+    if not os.path.exists(f"{idx}/ivf_meta.json"):
+        build_ivf_index(ds, idx, n_centroids=16)
+    q = (
+        ds.map_batches(
+            lambda b: b.filter(pc.field("vec_id") < 3),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")["embedding"]
+        .tolist()
+    )
+    out = ivf_search(idx, np.asarray(q, dtype=np.float32), k=10, nprobe=4)
+    out["sim"] = out["sim"].round(6)
+    return out.astype({"qid": "int64", "vec_id": "int64"})
+
+
 def similarity_top10(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = (

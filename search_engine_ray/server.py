@@ -102,7 +102,11 @@ class IndexHandle:
     def flush(self) -> Dict[str, Any]:
         """Build buffered docs into a new delta partition."""
         from .index_build import BuildConfig
-        from .index_build.build import _atomic_write_json, build_partition
+        from .index_build.build import build_partition
+        from .index_build.compact import (
+            next_partition_name,
+            rewrite_global_manifest,
+        )
 
         with self.lock:
             docs, self.buffer = self.buffer, []
@@ -115,13 +119,9 @@ class IndexHandle:
             self.mappings = infer_mappings(docs)
             self._save_config()
 
-        # next partition name
         parts_dir = os.path.join(self.index_dir, "partitions")
         os.makedirs(parts_dir, exist_ok=True)
-        have = sorted(
-            p for p in os.listdir(parts_dir) if re.fullmatch(r"p\d{5}", p)
-        )
-        pname = f"p{len(have):05d}"
+        pname = next_partition_name(self.index_dir)
 
         tmp_parquet = os.path.join(self.index_dir, f".delta_{pname}.parquet")
         pq.write_table(pa.Table.from_pylist(docs), tmp_parquet)
@@ -139,38 +139,25 @@ class IndexHandle:
         finally:
             os.unlink(tmp_parquet)
 
-        # rewrite the global manifest from all partition manifests
-        partitions = sorted(
-            p for p in os.listdir(parts_dir) if re.fullmatch(r"p\d{5}", p)
-        )
-        pms = []
-        for p in partitions:
-            with open(os.path.join(parts_dir, p, "manifest.json")) as f:
-                pms.append(json.load(f))
-        total_docs = sum(m["n_docs"] for m in pms)
-        sum_dl = sum(m["sum_dl"] for m in pms)
-        manifest = {
-            "version": 1,
-            "n_partitions": len(partitions),
-            "total_docs": total_docs,
-            "sum_dl": sum_dl,
-            "avg_dl": (sum_dl / total_docs) if total_docs else 0.0,
-            "n_postings": sum(m["n_postings"] for m in pms),
-            "n_blocks": sum(m["n_blocks"] for m in pms),
-            "store_positions": True,
-            "fields": pms[-1]["fields"],
-            "mappings": self.mappings,
-            "partitions": partitions,
-        }
-        _atomic_write_json(
-            os.path.join(self.index_dir, "manifest.json"), manifest
-        )
+        manifest = rewrite_global_manifest(self.index_dir, self.mappings)
         with self.lock:
             self._searcher = None  # pick up the new partition
         return {
             "flushed": len(docs),
             "partition": pname,
-            "totalDocs": total_docs,
+            "totalDocs": manifest["total_docs"],
+        }
+
+    def compact(self) -> Dict[str, Any]:
+        """Merge all delta partitions into one (LSM-style)."""
+        from .index_build.compact import compact_index
+
+        manifest = compact_index(self.index_dir)
+        with self.lock:
+            self._searcher = None
+        return {
+            "partitions": manifest["n_partitions"],
+            "totalDocs": manifest["total_docs"],
         }
 
     # --- search ---------------------------------------------------------
@@ -274,6 +261,15 @@ class SearchServer:
                                  self.path)
                 if m:
                     return self._flush(m.group(1))
+                m = re.fullmatch(r"/index/([\w.-]+)/compact", self.path)
+                if m:
+                    h = server.indexes.get(m.group(1))
+                    if h is None:
+                        return self._json(
+                            404,
+                            {"error": f"Index '{m.group(1)}' not found"},
+                        )
+                    return self._json(200, h.compact())
                 self._json(404, {"error": "not found"})
 
             def _search(self, name: str):

@@ -9,6 +9,12 @@
   is ``lsh_bucketed_neardup`` (random-hyperplane LSH → bucket groupby →
   in-bucket verify), which trades recall for a shuffle-sized candidate
   set.
+* ``build_ivf_index`` / ``ivf_search``: the read-pruned ANN scale path —
+  spherical-k-means coarse quantizer (driver-trained on a sample,
+  broadcast), one assignment pass, Hive-partitioned parquet by cluster;
+  queries read ONLY their nprobe probed partitions, so query cost scales
+  with nprobe/n_centroids of the corpus.  nprobe=n_centroids degenerates
+  to exact brute force.
 """
 
 from __future__ import annotations
@@ -226,3 +232,162 @@ def lsh_bucketed_neardup(
                              "sim": pd.Series(dtype="float64")})
     pairs = pairs.groupby(["a", "b"], as_index=False)["sim"].max()
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: the read-pruned ANN scale path
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    n_centroids: int,
+    column: str = "embedding",
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 11,
+    dtype=np.float32,
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample (the coarse quantizer is
+    tiny and training data is a bounded sample — this is the standard IVF
+    recipe; only the ASSIGNMENT pass touches the full dataset)."""
+    rows = ds.limit(sample_size).to_pandas()
+    m = _normalize(np.asarray(rows[column].tolist(), dtype=dtype))
+    rng = np.random.default_rng(seed)
+    n_centroids = min(n_centroids, len(m))
+    cent = m[rng.choice(len(m), n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_centroids):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    n_centroids: int = 64,
+    column: str = "embedding",
+    id_column: str = "vec_id",
+    centroids: Optional[np.ndarray] = None,
+    dtype=np.float32,
+) -> dict:
+    """Assign every vector to its nearest centroid and write the dataset
+    Hive-partitioned by ``ivf_cluster`` — at query time only the probed
+    clusters' files are READ at all (parquet directory pruning), which is
+    what makes IVF the 100-TB path: work scales with nprobe/n_centroids
+    of the corpus, not the corpus."""
+    import json as _json
+    import os as _os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            ds, n_centroids, column=column, dtype=dtype
+        )
+    cref = ray.put(np.asarray(centroids, dtype=dtype))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C = ray.get(cref)
+        m = _normalize(_batch_matrix(batch, column, dtype))
+        cl = np.argmax(m @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_cluster", pa.array(cl))
+
+    _os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        _os.path.join(out_dir, "vectors"), partition_cols=["ivf_cluster"]
+    )
+    np.save(_os.path.join(out_dir, "centroids.npy"),
+            np.asarray(centroids, dtype=dtype))
+    meta = {
+        "n_centroids": int(len(centroids)),
+        "column": column,
+        "id_column": id_column,
+    }
+    with open(_os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def ivf_search(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 8,
+    dtype=np.float32,
+) -> pd.DataFrame:
+    """ANN top-k over an IVF index: probe each query's ``nprobe`` nearest
+    centroid partitions, read ONLY those files, exact cosine inside.
+    ``nprobe == n_centroids`` degenerates to exact brute force (useful as
+    a correctness check)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = _json.load(f)
+    column, id_column = meta["column"], meta["id_column"]
+    C = _normalize(
+        np.load(_os.path.join(index_dir, "centroids.npy")).astype(dtype)
+    )
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=dtype)))
+    nprobe = min(nprobe, len(C))
+    # per-query probed clusters
+    qsims = q @ C.T  # (Q, C)
+    probes = np.argpartition(-qsims, nprobe - 1, axis=1)[:, :nprobe]
+    probed_union = sorted({int(c) for row in probes for c in row})
+    files = [
+        f
+        for c in probed_union
+        for f in _glob.glob(
+            _os.path.join(index_dir, "vectors", f"ivf_cluster={c}", "*.parquet")
+        )
+    ]
+    if not files:
+        return pd.DataFrame({"qid": [], "vec_id": [], "sim": []})
+    sub = rd.read_parquet(files, columns=[id_column, column, "ivf_cluster"])
+    qref = ray.put(q)
+    # per-query cluster masks ride along (tiny)
+    pref = ray.put(probes)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        Q = ray.get(qref)
+        P = ray.get(pref)
+        m = _normalize(_batch_matrix(batch, column, dtype))
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        cl = np.asarray(batch["ivf_cluster"].to_pylist(), dtype=np.int64)
+        sims = m @ Q.T  # (B, Q)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(Q.shape[0]):
+            mask = np.isin(cl, P[qi])
+            if not mask.any():
+                continue
+            s = sims[mask, qi]
+            sel_ids = ids[mask]
+            kk = min(k, len(sel_ids))
+            idx = (
+                np.argpartition(-s, kk - 1)[:kk]
+                if len(sel_ids) > kk
+                else np.arange(len(sel_ids))
+            )
+            out_q += [qi] * len(idx)
+            out_id += sel_ids[idx].tolist()
+            out_s += s[idx].astype(np.float64).tolist()
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    part = sub.map_batches(partial, batch_format="pyarrow").to_pandas()
+    part = part.sort_values(
+        ["qid", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    return (
+        part.groupby("qid", as_index=False, group_keys=False)
+        .head(k)
+        .reset_index(drop=True)
+    )

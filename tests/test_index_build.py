@@ -493,3 +493,32 @@ class TestGlobalDedup:
         # deterministic winner: max path (b.parquet)
         assert len(s.search({"term": {"field": "text", "value": "bravo"}})) == 1
         assert len(s.search({"term": {"field": "text", "value": "alpha"}})) == 1  # a/1's own text
+
+
+class TestCompaction:
+    def test_compact_pages_index(self, tmp_path, ray_session):
+        """compact_index merges a multi-partition page index into ONE
+        partition with identical totals and identical search results."""
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.index_build.compact import compact_index
+        from search_engine_ray.query import IndexSearcher
+        from search_engine_ray.sources.webpages import generate_pages
+
+        corpus = str(tmp_path / "c")
+        generate_pages(corpus, n_rows=300, seed=31, n_files=4)
+        idx = str(tmp_path / "i")
+        m0 = build_index(idx, corpus, BuildConfig(n_partitions=3))
+        assert m0["n_partitions"] == 3
+        before = IndexSearcher(idx).search("the data", size=20,
+                                           operator="or")
+
+        m1 = compact_index(idx)
+        assert m1["n_partitions"] == 1
+        assert m1["total_docs"] == m0["total_docs"]
+        assert m1["n_postings"] == m0["n_postings"]
+        assert abs(m1["avg_dl"] - m0["avg_dl"]) < 1e-9
+
+        after = IndexSearcher(idx).search("the data", size=20,
+                                          operator="or")
+        assert after["doc_id"].tolist() == before["doc_id"].tolist()
+        assert np.allclose(after["score"], before["score"])

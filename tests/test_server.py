@@ -94,6 +94,29 @@ class TestServer:
         )
         assert out["total"] == 3  # old + delta partitions both searched
 
+    def test_compact_merges_partitions(self, server):
+        """After ≥2 delta flushes, /compact merges everything into one
+        partition with identical search results (LSM-style merge)."""
+        code, before = _req(
+            server, "/search/docs",
+            {"query": {"match": {"field": "title", "value": "search"}},
+             "size": 10},
+        )
+        code, out = _req(server, "/index/docs/compact", {})
+        assert code == 200
+        assert out["partitions"] == 1
+        assert out["totalDocs"] == 4
+        code, after = _req(
+            server, "/search/docs",
+            {"query": {"match": {"field": "title", "value": "search"}},
+             "size": 10},
+        )
+        assert after["total"] == before["total"]
+        assert (
+            [h["doc_id"] for h in after["hits"]]
+            == [h["doc_id"] for h in before["hits"]]
+        )
+
     def test_search_missing_index_404(self, server):
         code, out = _req(server, "/search/nope", {"query": {"match_all": {}}})
         assert code == 404 and "not found" in out["error"]

@@ -226,6 +226,44 @@ class TestSimilarity:
         assert approx_set <= exact_set  # LSH returns only true pairs
         assert len(approx_set) / len(exact_set) >= 0.5  # decent recall
 
+    def test_ivf_index_probed_search(self, emb, tmp_path):
+        """IVF: cluster-partitioned layout + probed search.  nprobe=all
+        must equal brute force exactly; small nprobe keeps good recall
+        while reading only the probed partitions."""
+        from search_engine_ray.stages.similarity import (
+            brute_force_topk,
+            build_ivf_index,
+            ivf_search,
+        )
+
+        ds, pdf = emb
+        idx = str(tmp_path / "ivf")
+        meta = build_ivf_index(ds, idx, n_centroids=16)
+        assert meta["n_centroids"] == 16
+
+        mat = np.asarray(pdf["embedding"].tolist(), dtype=np.float32)
+        queries = mat[:5]
+        exact = brute_force_topk(ds, queries, k=10)
+
+        # nprobe = n_centroids → identical to brute force
+        full = ivf_search(idx, queries, k=10, nprobe=16)
+        for qi in range(5):
+            assert (
+                full[full["qid"] == qi]["vec_id"].tolist()
+                == exact[exact["qid"] == qi]["vec_id"].tolist()
+            )
+
+        # small nprobe: each query's own vector (sim 1.0) always found;
+        # decent top-10 recall on average
+        ann = ivf_search(idx, queries, k=10, nprobe=4)
+        recalls = []
+        for qi in range(5):
+            got = set(ann[ann["qid"] == qi]["vec_id"])
+            want = set(exact[exact["qid"] == qi]["vec_id"])
+            assert int(pdf["vec_id"].iloc[qi]) in got
+            recalls.append(len(got & want) / len(want))
+        assert sum(recalls) / len(recalls) >= 0.5
+
 
 class TestAggregates:
     def test_terms_agg(self, ray_session, docs_ds, docs_pdf):
