@@ -1427,7 +1427,11 @@ def danish_stem(word: str) -> str:
 # Dispatch + cache (reference Stemmer.ts:43-175 semantics)
 # ---------------------------------------------------------------------------
 
+from .light_stemmers import bulgarian_stem, ukrainian_stem  # noqa: E402
+
 SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
+    "bg": bulgarian_stem,  # Lucene light stemmer (reference bg.js)
+    "uk": ukrainian_stem,  # regex cascade (reference uk.js)
     "de": german_stem,
     "es": spanish_stem,
     "fr": french_stem,

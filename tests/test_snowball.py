@@ -8,6 +8,10 @@ import json
 import pyarrow as pa
 import pytest
 
+from search_engine_ray.analysis.light_stemmers import (
+    bulgarian_stem,
+    ukrainian_stem,
+)
 from search_engine_ray.analysis.snowball import (
     CachedStemmer,
     danish_stem,
@@ -36,6 +40,8 @@ FNS = {
     "se": swedish_stem,
     "no": norwegian_stem,
     "dk": danish_stem,
+    "bg": bulgarian_stem,
+    "uk": ukrainian_stem,
 }
 LANGS = sorted(FNS)
 
