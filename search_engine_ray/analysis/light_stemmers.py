@@ -159,3 +159,300 @@ def ukrainian_stem(word: str) -> str:
         sub(_UK_STEP42, "")
         sub(_UK_STEP43, "н")
     return head + s
+
+
+# --- Indonesian (id.js — compiled Snowball; behavior decoded from the
+# among tables + flag switch and verified word-for-word via node) --------
+
+_ID_VOWELS = set("aeiou")
+
+
+def indonesian_stem(word: str) -> str:
+    w = word
+    s = sum(c in _ID_VOWELS for c in w)  # the "measure" = vowel count
+    if s <= 2:
+        return w
+    t = 0  # prefix flag: 1=di/me*/ter, 2=pe/per, 3=ke/pen*, 4=be/ber
+
+    for suf in ("kah", "lah", "pun"):  # particles
+        if w.endswith(suf):
+            w = w[:-3]
+            s -= 1
+            break
+    if s <= 2:
+        return w
+    for suf in ("nya", "ku", "mu"):  # possessive pronouns
+        if w.endswith(suf):
+            w = w[: -len(suf)]
+            s -= 1
+            break
+    if s <= 2:
+        return w
+
+    def vowel_after(p: str) -> bool:
+        return len(w) > len(p) and w[len(p)] in _ID_VOWELS
+
+    def first_order_prefix() -> bool:
+        nonlocal w, s, t
+        # longest match with condition-fallback: meny/peny require a
+        # following vowel, else they fall back to men/pen
+        for pre in ("meny", "meng", "men", "mem", "me",
+                    "peny", "peng", "pen", "pem",
+                    "di", "ke", "ter"):
+            if not w.startswith(pre):
+                continue
+            if pre == "meny" and not vowel_after(pre):
+                pre = "men"
+            elif pre == "peny" and not vowel_after(pre):
+                pre = "pen"
+            if pre in ("di", "me", "men", "meng", "ter"):
+                w = w[len(pre):]
+                t = 1
+            elif pre in ("ke", "pen", "peng"):
+                w = w[len(pre):]
+                t = 3
+            elif pre == "meny":
+                w = "s" + w[4:]
+                t = 1
+            elif pre == "peny":
+                w = "s" + w[4:]
+                t = 3
+            elif pre == "mem":
+                t = 1
+                w = ("p" + w[3:]) if vowel_after(pre) else w[3:]
+            elif pre == "pem":
+                t = 3
+                w = ("p" + w[3:]) if vowel_after(pre) else w[3:]
+            s -= 1
+            return True
+        return False
+
+    def second_order_prefix() -> None:
+        nonlocal w, s, t
+        if w.startswith("belajar"):
+            w = "ajar" + w[7:]
+            t = 4
+            s -= 1
+        elif w.startswith("ber"):
+            w = w[3:]
+            t = 4
+            s -= 1
+        elif (
+            w.startswith("be")
+            and len(w) > 4
+            and w[2] not in _ID_VOWELS
+            and w[3:5] == "er"
+        ):
+            w = w[2:]
+            t = 4
+            s -= 1
+        elif w.startswith("pelajar"):
+            w = "ajar" + w[7:]
+            s -= 1
+        elif w.startswith("per"):
+            w = w[3:]
+            t = 2
+            s -= 1
+        elif w.startswith("pe"):
+            w = w[2:]
+            t = 2
+            s -= 1
+
+    def remove_suffix() -> bool:
+        nonlocal w, s
+        # backward among with condition fallback kan → an
+        if w.endswith("kan") and t != 3 and t != 2:
+            w = w[:-3]
+            s -= 1
+            return True
+        if w.endswith("an") and t != 1:
+            w = w[:-2]
+            s -= 1
+            return True
+        if w.endswith("i") and t <= 2 and not w.endswith("si"):
+            w = w[:-1]
+            s -= 1
+            return True
+        return False
+
+    if first_order_prefix():
+        if s > 2 and remove_suffix() and s > 2:
+            second_order_prefix()
+    else:
+        second_order_prefix()
+        if s > 2:
+            remove_suffix()
+    return w
+
+
+# --- Romanian (ro.js — compiled Snowball; tables and control flow
+# decoded from the generated code, verified word-for-word via node) ------
+
+_RO_VOWELS = set("aăâeiîou")  # a ă â e i î o u
+
+_RO_STEP0 = {  # suffix → (replacement, 'ab' guard for 'ile'); R1 cond
+    "ea": "e", "aţia": "aţi", "aua": "a", "iua": "i",
+    "aţie": "aţi", "ele": "e", "ile": "i", "iile": "i",
+    "iei": "i", "atei": "at", "ii": "i", "ului": None, "ul": None,
+    "elor": "e", "ilor": "i", "iilor": "i",
+}
+
+_RO_COMBINING = {}  # suffix → replacement; R1 cond; repeated
+for _s in ("abilitate", "abilitati", "abilităi", "abilităţi"):
+    _RO_COMBINING[_s] = "abil"
+_RO_COMBINING["ibilitate"] = "ibil"
+for _s in ("ivitate", "ivitati", "ivităi", "ivităţi"):
+    _RO_COMBINING[_s] = "iv"
+for _s in (
+    "icitate icitati icităi icităţi icator icatori "
+    "iciv iciva icive icivi icivă ical icala icale icali icală"
+).split():
+    _RO_COMBINING[_s] = "ic"
+for _s in (
+    "ativ ativa ative ativi ativă aţiune atoare ator atori "
+    "ătoare ător ători"
+).split():
+    _RO_COMBINING[_s] = "at"
+for _s in (
+    "itiv itiva itive itivi itivă iţiune itoare itor itori"
+).split():
+    _RO_COMBINING[_s] = "it"
+
+_RO_STANDARD = {}  # suffix → action; R2 cond
+for _s in (
+    "ica abila ibila oasa ata ita anta uta iva ic ice abile ibile oase "
+    "ate itate ite ante ute ive ici abili ibili atori osi ati itati iti "
+    "anti uti ivi ităi oşi ităţi abil ibil ator os "
+    "at it ant ut iv ică abilă ibilă oasă ată "
+    "ită antă ută ivă"
+).split():
+    _RO_STANDARD[_s] = "del"
+for _s in ("iune", "iuni"):
+    _RO_STANDARD[_s] = "tiune"
+for _s in (
+    "ism isme ist ista iste isti işti istă"
+).split():
+    _RO_STANDARD[_s] = "ist"
+
+_RO_VERB_1 = (  # delete if preceded (within RV) by a consonant or 'u'
+    "ea ia esc ăsc ind ând are ere ire âre ase ise use "
+    "âse eşte ăşte eze ai eai iai eşti "
+    "ăşti ui ezi âi aşi aseşi iseşi "
+    "useşi âseşi işi uşi âşi "
+    "eaţi iaţi arăţi aserăţi "
+    "iserăţi userăţi âserăţi "
+    "irăţi urăţi ârăţi am eam iam "
+    "asem isem usem âsem arăm aserăm iserăm "
+    "userăm âserăm irăm urăm ârăm "
+    "au eau iau indu ându ez ească ară aseră "
+    "iseră useră âseră iră ură "
+    "âră ează"
+).split()
+_RO_VERB_2 = (  # delete unconditionally (within RV)
+    "se sese sei seşi seseşi aţi eţi iţi "
+    "âţi serăţi seserăţi em sesem im "
+    "âm ăm serăm seserăm seră seseră"
+).split()
+
+
+def _ro_preprocess(w: str) -> str:
+    chars = list(w)
+    n = len(chars)
+    for i in range(1, n - 1):
+        if chars[i] in ("u", "i"):
+            if chars[i - 1] in _RO_VOWELS and chars[i + 1] in _RO_VOWELS:
+                chars[i] = "U" if chars[i] == "u" else "I"
+    return "".join(chars)
+
+
+def romanian_stem(word: str) -> str:
+    w = _ro_preprocess(word)
+    from .snowball import _es_rv_gen, _r1_r2
+
+    rv = _es_rv_gen(w, _RO_VOWELS)
+    r1, r2 = _r1_r2(w, _RO_VOWELS)
+
+    def longest(table) -> str | None:
+        best = None
+        for suf in table:
+            if w.endswith(suf) and (
+                best is None or len(suf) > len(best)
+            ):
+                best = suf
+        return best
+
+    # step 0: removal of plurals (R1, post-among condition, no fallback)
+    suf = longest(_RO_STEP0)
+    if suf is not None and len(w) - len(suf) >= r1:
+        repl = _RO_STEP0[suf]
+        pos = len(w) - len(suf)
+        if suf == "ile":
+            if not w[:pos].endswith("ab"):
+                w = w[:pos] + "i"
+        elif repl is None:
+            w = w[:pos]
+        else:
+            w = w[:pos] + repl
+
+    standard_removed = False
+    # step 1: combining suffixes, repeated while matching (R1)
+    while True:
+        suf = longest(_RO_COMBINING)
+        if suf is None or len(w) - len(suf) < r1:
+            break
+        w = w[: -len(suf)] + _RO_COMBINING[suf]
+        standard_removed = True
+
+    # step 2: standard suffixes (R2)
+    suf = longest(_RO_STANDARD)
+    if suf is not None and len(w) - len(suf) >= r2:
+        action = _RO_STANDARD[suf]
+        pos = len(w) - len(suf)
+        if action == "del":
+            w = w[:pos]
+            standard_removed = True
+        elif action == "tiune":  # ţiune/ţiuni → t
+            if pos > 0 and w[pos - 1] == "ţ":
+                w = w[: pos - 1] + "t"
+                standard_removed = True
+        else:  # "ist"
+            w = w[:pos] + "ist"
+            standard_removed = True
+
+    # step 3: verb suffixes (only if steps 1-2 removed nothing; whole
+    # pattern incl. the consonant/'u' context within RV)
+    if not standard_removed:
+        best = None  # (suffix, group)
+        for suf in _RO_VERB_1:
+            if (
+                w.endswith(suf)
+                and len(w) - len(suf) >= rv
+                and (best is None or len(suf) > len(best[0]))
+            ):
+                best = (suf, 1)
+        for suf in _RO_VERB_2:
+            if (
+                w.endswith(suf)
+                and len(w) - len(suf) >= rv
+                and (best is None or len(suf) > len(best[0]))
+            ):
+                best = (suf, 2)
+        if best is not None:
+            suf, grp = best
+            pos = len(w) - len(suf)
+            if grp == 2:
+                w = w[:pos]
+            else:
+                # preceded by a consonant or 'u', context inside RV
+                if pos - 1 >= rv and pos > 0 and (
+                    w[pos - 1] not in _RO_VOWELS or w[pos - 1] == "u"
+                ):
+                    w = w[:pos]
+
+    # step 4: residual vowel — longest match first ('ie' shadows 'e'),
+    # then ONE RV test, no fallback to shorter suffixes
+    suf = longest(("ie", "a", "e", "i", "ă"))
+    if suf is not None and len(w) - len(suf) >= rv:
+        w = w[: -len(suf)]
+
+    return w.replace("I", "i").replace("U", "u")

@@ -1427,10 +1427,17 @@ def danish_stem(word: str) -> str:
 # Dispatch + cache (reference Stemmer.ts:43-175 semantics)
 # ---------------------------------------------------------------------------
 
-from .light_stemmers import bulgarian_stem, ukrainian_stem  # noqa: E402
+from .light_stemmers import (  # noqa: E402
+    bulgarian_stem,
+    indonesian_stem,
+    romanian_stem,
+    ukrainian_stem,
+)
 
 SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "bg": bulgarian_stem,  # Lucene light stemmer (reference bg.js)
+    "id": indonesian_stem,  # decoded from the compiled Snowball id.js
+    "ro": romanian_stem,  # decoded from the compiled Snowball ro.js
     "uk": ukrainian_stem,  # regex cascade (reference uk.js)
     "de": german_stem,
     "es": spanish_stem,

@@ -10,6 +10,8 @@ import pytest
 
 from search_engine_ray.analysis.light_stemmers import (
     bulgarian_stem,
+    indonesian_stem,
+    romanian_stem,
     ukrainian_stem,
 )
 from search_engine_ray.analysis.snowball import (
@@ -42,6 +44,8 @@ FNS = {
     "dk": danish_stem,
     "bg": bulgarian_stem,
     "uk": ukrainian_stem,
+    "id": indonesian_stem,
+    "ro": romanian_stem,
 }
 LANGS = sorted(FNS)
 
