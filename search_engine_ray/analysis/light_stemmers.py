@@ -456,3 +456,191 @@ def romanian_stem(word: str) -> str:
         w = w[: -len(suf)]
 
     return w.replace("I", "i").replace("U", "u")
+
+
+# --- Sanskrit (sk.js — trivial suffix list, FIRST match in list order,
+# no length guard) and Hindi (in.js — compiled Snowball: delete the
+# longest suffix that leaves the first character intact) ----------------
+
+_SK_SUFFIXES = (
+    "aḥ", "āḥ", "iḥ", "īḥ", "uḥ", "ūḥ", "am", "ām", "im", "īm",
+    "um", "ūm", "an", "ān", "in", "īn", "un", "ūn", "as", "ās",
+    "is", "īs", "us", "ūs",
+)
+
+
+def sanskrit_stem(word: str) -> str:
+    for suf in _SK_SUFFIXES:  # first match in LIST order (sk.js:35-39)
+        if word.endswith(suf):
+            return word[: -len(suf)]
+    return word
+
+
+# (suffix, parent_index, needs_consonant) — the compiled among table
+# of in.js verbatim: conditioned suffixes (ta/na families, कर) require a
+# PRECEDING Devanagari consonant that lies inside the match limit (the
+# first character is protected); on condition failure the match falls
+# back through the parent chain, exactly like the generated code.
+_HI_TABLE = (
+    ('आँ', -1, 0),
+    ('ाँ', -1, 0),
+    ('इयाँ', 1, 0),
+    ('आइयाँ', 2, 0),
+    ('ाइयाँ', 2, 0),
+    ('ियाँ', 1, 0),
+    ('आं', -1, 0),
+    ('उआं', 6, 0),
+    ('ुआं', 6, 0),
+    ('ईं', -1, 0),
+    ('आईं', 9, 0),
+    ('ाईं', 9, 0),
+    ('एं', -1, 0),
+    ('आएं', 12, 0),
+    ('उएं', 12, 0),
+    ('ाएं', 12, 0),
+    ('ताएं', 15, 1),
+    ('अताएं', 16, 0),
+    ('नाएं', 15, 1),
+    ('अनाएं', 18, 0),
+    ('ुएं', 12, 0),
+    ('ओं', -1, 0),
+    ('आओं', 21, 0),
+    ('उओं', 21, 0),
+    ('ाओं', 21, 0),
+    ('ताओं', 24, 1),
+    ('अताओं', 25, 0),
+    ('नाओं', 24, 1),
+    ('अनाओं', 27, 0),
+    ('ुओं', 21, 0),
+    ('ां', -1, 0),
+    ('इयां', 30, 0),
+    ('आइयां', 31, 0),
+    ('ाइयां', 31, 0),
+    ('ियां', 30, 0),
+    ('ीं', -1, 0),
+    ('तीं', 35, 1),
+    ('अतीं', 36, 0),
+    ('आतीं', 36, 0),
+    ('ातीं', 36, 0),
+    ('ें', -1, 0),
+    ('ों', -1, 0),
+    ('इयों', 41, 0),
+    ('आइयों', 42, 0),
+    ('ाइयों', 42, 0),
+    ('ियों', 41, 0),
+    ('अ', -1, 0),
+    ('आ', -1, 0),
+    ('इ', -1, 0),
+    ('ई', -1, 0),
+    ('आई', 49, 0),
+    ('ाई', 49, 0),
+    ('उ', -1, 0),
+    ('ऊ', -1, 0),
+    ('ए', -1, 0),
+    ('आए', 54, 0),
+    ('इए', 54, 0),
+    ('आइए', 56, 0),
+    ('ाइए', 56, 0),
+    ('ाए', 54, 0),
+    ('िए', 54, 0),
+    ('ओ', -1, 0),
+    ('आओ', 61, 0),
+    ('ाओ', 61, 0),
+    ('कर', -1, 1),
+    ('अकर', 64, 0),
+    ('आकर', 64, 0),
+    ('ाकर', 64, 0),
+    ('ा', -1, 0),
+    ('ऊंगा', 68, 0),
+    ('आऊंगा', 69, 0),
+    ('ाऊंगा', 69, 0),
+    ('ूंगा', 68, 0),
+    ('एगा', 68, 0),
+    ('आएगा', 73, 0),
+    ('ाएगा', 73, 0),
+    ('ेगा', 68, 0),
+    ('ता', 68, 1),
+    ('अता', 77, 0),
+    ('आता', 77, 0),
+    ('ाता', 77, 0),
+    ('ना', 68, 1),
+    ('अना', 81, 0),
+    ('आना', 81, 0),
+    ('ाना', 81, 0),
+    ('आया', 68, 0),
+    ('ाया', 68, 0),
+    ('ि', -1, 0),
+    ('ी', -1, 0),
+    ('ऊंगी', 88, 0),
+    ('आऊंगी', 89, 0),
+    ('ाऊंगी', 89, 0),
+    ('एंगी', 88, 0),
+    ('आएंगी', 92, 0),
+    ('ाएंगी', 92, 0),
+    ('ूंगी', 88, 0),
+    ('ेंगी', 88, 0),
+    ('एगी', 88, 0),
+    ('आएगी', 97, 0),
+    ('ाएगी', 97, 0),
+    ('ओगी', 88, 0),
+    ('आओगी', 100, 0),
+    ('ाओगी', 100, 0),
+    ('ेगी', 88, 0),
+    ('ोगी', 88, 0),
+    ('ती', 88, 1),
+    ('अती', 105, 0),
+    ('आती', 105, 0),
+    ('ाती', 105, 0),
+    ('नी', 88, 1),
+    ('अनी', 109, 0),
+    ('ु', -1, 0),
+    ('ू', -1, 0),
+    ('े', -1, 0),
+    ('एंगे', 113, 0),
+    ('आएंगे', 114, 0),
+    ('ाएंगे', 114, 0),
+    ('ेंगे', 113, 0),
+    ('ओगे', 113, 0),
+    ('आओगे', 118, 0),
+    ('ाओगे', 118, 0),
+    ('ोगे', 113, 0),
+    ('ते', 113, 1),
+    ('अते', 122, 0),
+    ('आते', 122, 0),
+    ('ाते', 122, 0),
+    ('ने', 113, 1),
+    ('अने', 126, 0),
+    ('आने', 126, 0),
+    ('ाने', 126, 0),
+    ('ो', -1, 0),
+    ('्', -1, 0),
+)
+
+_HI_CONSONANTS = set(
+    "कखगघङचछजझञटठडढणतथदधनऩपफबभमयरऱलळऴवशषसह़क़ख़ग़ज़ड़ढ़फ़य़"
+)
+
+
+def hindi_stem(word: str) -> str:
+    if not word:
+        return word
+    # longest fully-matching entry with the first character protected
+    best = None
+    for i, (suf, _par, _cond) in enumerate(_HI_TABLE):
+        if word.endswith(suf) and len(word) - len(suf) >= 1 and (
+            best is None or len(suf) > len(_HI_TABLE[best][0])
+        ):
+            best = i
+    i = best
+    while i is not None and i >= 0:
+        suf, parent, cond = _HI_TABLE[i]
+        if not word.endswith(suf) or len(word) - len(suf) < 1:
+            i = parent if parent >= 0 else None
+            continue
+        if cond:
+            p = len(word) - len(suf) - 1
+            if p < 1 or word[p] not in _HI_CONSONANTS:
+                i = parent if parent >= 0 else None
+                continue
+        return word[: -len(suf)]
+    return word

@@ -1429,8 +1429,10 @@ def danish_stem(word: str) -> str:
 
 from .light_stemmers import (  # noqa: E402
     bulgarian_stem,
+    hindi_stem,
     indonesian_stem,
     romanian_stem,
+    sanskrit_stem,
     ukrainian_stem,
 )
 
@@ -1438,6 +1440,9 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "bg": bulgarian_stem,  # Lucene light stemmer (reference bg.js)
     "id": indonesian_stem,  # decoded from the compiled Snowball id.js
     "ro": romanian_stem,  # decoded from the compiled Snowball ro.js
+    "in": hindi_stem,  # reference code 'in' = Hindi (compiled Snowball)
+    "hi": hindi_stem,
+    "sk": sanskrit_stem,  # light suffix stripper (reference sk.js)
     "uk": ukrainian_stem,  # regex cascade (reference uk.js)
     "de": german_stem,
     "es": spanish_stem,

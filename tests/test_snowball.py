@@ -10,8 +10,10 @@ import pytest
 
 from search_engine_ray.analysis.light_stemmers import (
     bulgarian_stem,
+    hindi_stem,
     indonesian_stem,
     romanian_stem,
+    sanskrit_stem,
     ukrainian_stem,
 )
 from search_engine_ray.analysis.snowball import (
@@ -46,6 +48,8 @@ FNS = {
     "uk": ukrainian_stem,
     "id": indonesian_stem,
     "ro": romanian_stem,
+    "in": hindi_stem,
+    "sk": sanskrit_stem,
 }
 LANGS = sorted(FNS)
 
