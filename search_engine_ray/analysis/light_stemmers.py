@@ -644,3 +644,55 @@ def hindi_stem(word: str) -> str:
                 continue
         return word[: -len(suf)]
     return word
+
+
+# --- Nepali (np.js — compiled Snowball; decoded control flow + tables) --
+
+_NP_POST_DEL = (  # postpositions deleted unconditionally (case 1)
+    "मार्फत", "द्वारा", "सँगै", "लाइ", "लाई", "सँग", "संग", "पछि",
+    "रत", "मा", "ले", "मै",
+)
+_NP_POST_COND = ("का", "कि", "की", "कै", "को")  # delete UNLESS after ए/े
+_NP_VERB_SUFS = tuple(sorted((
+    "थिए छ इछ एछ िछ ेछ नेछ हुनेछ इन्छ िन्छ हुन्छ एका इएका िएका ेका "
+    "नेका दा इदा िदा देखि माथि एकी इएकी िएकी ेकी देखी थी दी छु एछु "
+    "ेछु नेछु नु हरु हरू छे थे ने एकै ेकै नेकै दै इदै िदै एको इएको "
+    "िएको ेको नेको दो इदो िदो यो इयो भयो ियो थियो दियो थ्यो छौ इछौ "
+    "एछौ िछौ ेछौ नेछौ यौ थियौ छ्यौ थ्यौ छन् इछन् एछन् िछन् ेछन् "
+    "नेछन् लान् छिन् थिन् पर् इस् थिइस् छस् इछस् एछस् िछस् ेछस् "
+    "नेछस् िस् थिस् छेस् होस्"
+).split(), key=len, reverse=True))
+
+
+def nepali_stem(word: str) -> str:
+    w = word
+    # step 1: postpositions
+    best = None
+    for suf in _NP_POST_DEL + _NP_POST_COND:
+        if w.endswith(suf) and (best is None or len(suf) > len(best)):
+            best = suf
+    if best is not None:
+        pos = len(w) - len(best)
+        if best in _NP_POST_COND:
+            if not (w[:pos].endswith("ए") or w[:pos].endswith("े")):
+                w = w[:pos]
+        else:
+            w = w[:pos]
+
+    # step 2: repeat { conditional matra strip; verb-suffix delete }
+    while True:
+        if w.endswith(("ँ", "ं")):
+            if w[:-1].endswith(("यौ", "छौ", "नौ", "थे")):
+                w = w[:-1]
+        elif w.endswith("ै"):
+            if w[:-1].endswith("त्र"):
+                w = w[:-1]
+        removed = False
+        for suf in _NP_VERB_SUFS:
+            if w.endswith(suf):
+                w = w[: -len(suf)]
+                removed = True
+                break
+        if not removed:
+            break
+    return w

@@ -1431,6 +1431,7 @@ from .light_stemmers import (  # noqa: E402
     bulgarian_stem,
     hindi_stem,
     indonesian_stem,
+    nepali_stem,
     romanian_stem,
     sanskrit_stem,
     ukrainian_stem,
@@ -1443,6 +1444,8 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "in": hindi_stem,  # reference code 'in' = Hindi (compiled Snowball)
     "hi": hindi_stem,
     "sk": sanskrit_stem,  # light suffix stripper (reference sk.js)
+    "np": nepali_stem,  # reference code 'np' = Nepali (compiled Snowball)
+    "ne": nepali_stem,
     "uk": ukrainian_stem,  # regex cascade (reference uk.js)
     "de": german_stem,
     "es": spanish_stem,

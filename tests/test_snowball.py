@@ -12,6 +12,7 @@ from search_engine_ray.analysis.light_stemmers import (
     bulgarian_stem,
     hindi_stem,
     indonesian_stem,
+    nepali_stem,
     romanian_stem,
     sanskrit_stem,
     ukrainian_stem,
@@ -50,6 +51,7 @@ FNS = {
     "ro": romanian_stem,
     "in": hindi_stem,
     "sk": sanskrit_stem,
+    "np": nepali_stem,
 }
 LANGS = sorted(FNS)
 
