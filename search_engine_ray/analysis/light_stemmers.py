@@ -696,3 +696,98 @@ def nepali_stem(word: str) -> str:
         if not removed:
             break
     return w
+
+
+# --- Armenian (am.js — compiled Snowball; four sequential among passes
+# within R1, the first additionally conditioned on R2) -------------------
+
+_AM_VOWELS = set("աեէըիուօ")
+
+_AM_STEP1 = (
+    'ությանն', 'ությանը', 'ությանդ', 'ությանս', 'ներում', 'ության',
+    'ներից', 'վանից', 'ներին', 'երում', 'ներով', 'անում', 'ների',
+    'երով', 'անով', 'ներն', 'վանս', 'վանդ', 'ները', 'վանը',
+    'ոջից', 'ներդ', 'երից', 'երին', 'ցից', 'ոջը', 'անը', 'երդ',
+    'վից', 'ոջդ', 'անդ', 'ոջս', 'երը', 'վով', 'ուց', 'ուդ',
+    'երի', 'վան', 'ներ', 'ամբ', 'ուն', 'երն', 'սա', 'ին', 'ից',
+    'ոջ', 'ան', 'եր', 'վի', 'վա', 'ոց', 'ով', 'դ', 'ն', 'ց',
+    'ը', 'ի',
+)
+_AM_STEP2 = (
+    'ացրինք', 'վեցինք', 'ացրեց', 'ացրիք', 'վեցիք', 'ացնալ',
+    'եցվել', 'ացվել', 'ալուց', 'ացրին', 'կոտել', 'ացրիր', 'վեցիր',
+    'եցինք', 'ացանք', 'վեցին', 'ացինք', 'եցնել', 'ելուց', 'եցին',
+    'ատել', 'եցիք', 'ացաք', 'ացրի', 'ոտել', 'ալու', 'ցնել',
+    'եցիր', 'ացան', 'ելիս', 'ացին', 'եցար', 'վեցի', 'ացավ',
+    'ելու', 'ենալ', 'ալով', 'ալիս', 'վում', 'ելով', 'ացար',
+    'եցավ', 'ցանք', 'ացիք', 'անալ', 'ացիր', 'անք', 'ըել', 'ցան',
+    'ցաք', 'ված', 'չել', 'տել', 'ըալ', 'նել', 'ացի', 'վել',
+    'ացա', 'եցա', 'եցի', 'ում', 'աց', 'ել', 'ավ', 'վե', 'եց',
+    'ան', 'ար', 'աք', 'ալ', 'ա',
+)
+_AM_STEP3 = (
+    'երորդ', 'որէն', 'րորդ', 'որակ', 'երեն', 'լայն', 'ովին',
+    'եկեն', 'ական', 'արան', 'ավետ', 'վուն', 'կոտ', 'գին', 'բար',
+    'ակի', 'ալի', 'պես', 'իվ', 'ին', 'ատ', 'եղ', 'են',
+)
+_AM_STEP4 = (
+    'ություն', 'մունք', 'ույթ', 'վածք', 'ալիք', 'ույք', 'յուն',
+    'ավոր', 'անակ', 'եղէն', 'ուստ', 'ուհի', 'անօց', 'արան',
+    'ստան', 'անիք', 'ունք', 'արք', 'ոնք', 'վոր', 'ենք', 'ուս',
+    'գար', 'յակ', 'իչք', 'ուկ', 'պան', 'ածո', 'չեք', 'որդ',
+    'ցի', 'ու', 'իք', 'իչ', 'իկ', 'ան', 'ակ', 'իլ', 'ոց', 'ք',
+)
+
+
+def _am_regions(w: str):
+    """v = position after the FIRST vowel; n = position after the
+    first nonvowel following the second vowel (each scan consumes ONE
+    matching char, am.js region block) — RV-style, not standard R1."""
+    size = len(w)
+    i = 0
+    v = n = size
+    while i < size and w[i] not in _AM_VOWELS:
+        i += 1
+    if i < size:
+        v = i + 1
+        i += 1
+        while i < size and w[i] in _AM_VOWELS:
+            i += 1
+        if i < size:
+            i += 1  # consume the nonvowel
+            while i < size and w[i] not in _AM_VOWELS:
+                i += 1
+            if i < size:
+                i += 1  # second vowel
+                while i < size and w[i] in _AM_VOWELS:
+                    i += 1
+                if i < size:
+                    n = i + 1
+    return v, n
+
+
+def armenian_stem(word: str) -> str:
+    w = word
+    v, n = _am_regions(w)
+    if len(w) < v:
+        return w
+
+    def longest_in(table, lim: int):
+        best = None
+        for suf in table:
+            if w.endswith(suf) and len(w) - len(suf) >= lim and (
+                best is None or len(suf) > len(best)
+            ):
+                best = suf
+        return best
+
+    # step 1: longest case ending within the v-limit; deleted ONLY if
+    # its start is >= n (no fallback to shorter entries on failure)
+    best = longest_in(_AM_STEP1, v)
+    if best is not None and len(w) - len(best) >= n:
+        w = w[: -len(best)]
+    for table in (_AM_STEP2, _AM_STEP3, _AM_STEP4):
+        best = longest_in(table, v)
+        if best is not None:
+            w = w[: -len(best)]
+    return w

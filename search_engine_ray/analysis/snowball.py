@@ -1428,6 +1428,7 @@ def danish_stem(word: str) -> str:
 # ---------------------------------------------------------------------------
 
 from .light_stemmers import (  # noqa: E402
+    armenian_stem,
     bulgarian_stem,
     hindi_stem,
     indonesian_stem,
@@ -1446,6 +1447,8 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "sk": sanskrit_stem,  # light suffix stripper (reference sk.js)
     "np": nepali_stem,  # reference code 'np' = Nepali (compiled Snowball)
     "ne": nepali_stem,
+    "am": armenian_stem,  # reference code 'am' = Armenian (compiled Snowball)
+    "hy": armenian_stem,
     "uk": ukrainian_stem,  # regex cascade (reference uk.js)
     "de": german_stem,
     "es": spanish_stem,

@@ -9,6 +9,7 @@ import pyarrow as pa
 import pytest
 
 from search_engine_ray.analysis.light_stemmers import (
+    armenian_stem,
     bulgarian_stem,
     hindi_stem,
     indonesian_stem,
@@ -52,6 +53,7 @@ FNS = {
     "in": hindi_stem,
     "sk": sanskrit_stem,
     "np": nepali_stem,
+    "am": armenian_stem,
 }
 LANGS = sorted(FNS)
 
