@@ -791,3 +791,111 @@ def armenian_stem(word: str) -> str:
         if best is not None:
             w = w[: -len(best)]
     return w
+
+
+# --- Lithuanian (lt.js — compiled Snowball; decoded tables + flow) ------
+
+_LT_VOWELS = set("aeiouyąęėįųū")
+
+_LT_FIX = {  # step 0: exceptional-case spelling fixes (no region)
+    "ojime": "ojimas", "ėjime": "ėjimas", "avime": "avimas",
+    "okate": "okatė", "aite": "aitė", "uote": "uotė", "asius": "asys",
+    "okatės": "okatė", "aitės": "aitė", "uotės": "uotė", "esiu": "esys",
+}
+
+_LT_CASE = (  # 204 case endings, delete within R1
+    'tumeisi', 'tumėtės', 'tumėmės', 'tumėme', 'tumėte', 'tumeis',
+    'terėti', 'telėti', 'siuosi', 'čiausi', 'iuosna', 'enimis',
+    'iuosi', 'simės', 'erims', 'eryse', 'iomis', 'erimi', 'iuoti',
+    'tumei', 'iatės', 'kimės', 'eriai', 'tumėm', 'iamės', 'iuose',
+    'enyse', 'eryje', 'ėjosi', 'inėti', 'iauti', 'siesi', 'enyje',
+    'enims', 'uosna', 'iosna', 'tumėt', 'eniui', 'sitės', 'atės',
+    'ėmis', 'iesi', 'omis', 'čiau', 'uosi', 'enti', 'ėmės',
+    'iems', 'iumi', 'iuos', 'eniu', 'uisi', 'ausi', 'auti',
+    'enie', 'site', 'ysis', 'imis', 'uoti', 'ioti', 'iuje',
+    'enys', 'eria', 'ėsna', 'iate', 'inti', 'uose', 'iasi',
+    'aisi', 'iams', 'otės', 'tųsi', 'sime', 'enio', 'tute',
+    'enis', 'kite', 'iaus', 'omės', 'ysna', 'ioje', 'osna',
+    'iose', 'erie', 'iame', 'imės', 'asis', 'iais', 'ioms',
+    'ėtės', 'eisi', 'erys', 'amės', 'umis', 'iat', 'uos', 'ios',
+    'yje', 'tųs', 'iam', 'asi', 'ėse', 'iau', 'erį', 'sit',
+    'ite', 'erų', 'isi', 'iui', 'ome', 'ėsi', 'esi', 'uje',
+    'ąsi', 'yti', 'ėti', 'enį', 'ais', 'yse', 'imi', 'ius',
+    'iąs', 'ųsi', 'ens', 'ate', 'osi', 'aus', 'ėms', 'iem',
+    'ies', 'umi', 'usi', 'ams', 'ion', 'ote', 'ėjo', 'ėte',
+    'ias', 'ėme', 'ims', 'ose', 'oje', 'siu', 'ums', 'ame',
+    'iun', 'tum', 'oms', 'ėje', 'oti', 'ers', 'sim', 'iai',
+    'au', 'as', 'ią', 'ės', 'es', 'om', 'at', 'uo', 'io', 'ki',
+    'iu', 'on', 'ys', 'ėn', 'is', 'os', 'ui', 'ti', 'un', 'ėt',
+    'us', 'ai', 'si', 'ia', 'ėm', 'ių', 'oj', 'įs', 'ūs', 'it',
+    'ot', 'ėj', 'im', 'an', 'ei', 'am', 'ąs', 'ie', 'a', 'į',
+    'i', 's', 'e', 'ą', 'ų', 'u', 'y', 'o', 'k', 'ę', 'ė',
+)
+
+_LT_DERIV = (  # derivational endings, deleted repeatedly within R1
+    'utėait', 'učiuk', 'uliuk', 'siant', 'ykšt', 'ykšč', 'iais',
+    'iuot', 'iaus', 'iuos', 'iant', 'zgan', 'iuoj', 'ant', 'jam',
+    'iuk', 'iąs', 'dam', 'ėję', 'aus', 'ing', 'uos', 'iųj',
+    'ies', 'ioj', 'ios', 'iul', 'dav', 'iąj', 'iau', 'auj',
+    'iok', 'iej', 'uoj', 'ais', 'išk', 'iop', 'int', 'uot',
+    'iaj', 'ain', 'esn', 'ias', 'ęs', 'ėl', 'yl', 'ąj', 'op',
+    'am', 'yt', 'ąs', 'ųj', 'aj', 'ok', 'os', 'šv', 'oj', 'ot',
+    'ėt', 'ėj', 'sv', 'ę',
+)
+
+
+def lithuanian_stem(word: str) -> str:
+    w = word
+    # R1 with the quirk: words starting 'a' longer than 6 chars begin
+    # the region scan at index 1
+    start = 1 if (w.startswith("a") and len(w) > 6) else 0
+    n = len(w)
+    r1 = n
+    i = start
+    while i < n and w[i] not in _LT_VOWELS:
+        i += 1
+    if i < n:
+        i += 1
+        while i < n and w[i] in _LT_VOWELS:
+            i += 1
+        if i < n:
+            r1 = i + 1
+
+    def longest(table, lim):
+        best = None
+        for suf in table:
+            if w.endswith(suf) and len(w) - len(suf) >= lim and (
+                best is None or len(suf) > len(best)
+            ):
+                best = suf
+        return best
+
+    # step 0: spelling fixes (longest match, no region)
+    suf = longest(_LT_FIX, 0)
+    if suf is not None:
+        w = w[: -len(suf)] + _LT_FIX[suf]
+
+    # step 1: ONE case-ending deletion within R1
+    if len(w) >= r1:
+        suf = longest(_LT_CASE, r1)
+        if suf is not None:
+            w = w[: -len(suf)]
+
+    def fix_chdz(x: str) -> str:
+        if x.endswith("dž"):
+            return x[:-2] + "d"
+        if x.endswith("č"):
+            return x[:-1] + "t"
+        return x
+
+    w = fix_chdz(w)
+    # step 2: repeated derivational-ending deletion within R1
+    while len(w) >= r1:
+        suf = longest(_LT_DERIV, r1)
+        if suf is None:
+            break
+        w = w[: -len(suf)]
+    w = fix_chdz(w)
+    if w.endswith("gd"):
+        w = w[:-1]
+    return w

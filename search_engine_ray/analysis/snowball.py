@@ -1432,6 +1432,7 @@ from .light_stemmers import (  # noqa: E402
     bulgarian_stem,
     hindi_stem,
     indonesian_stem,
+    lithuanian_stem,
     nepali_stem,
     romanian_stem,
     sanskrit_stem,
@@ -1449,6 +1450,7 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "ne": nepali_stem,
     "am": armenian_stem,  # reference code 'am' = Armenian (compiled Snowball)
     "hy": armenian_stem,
+    "lt": lithuanian_stem,  # decoded from the compiled Snowball lt.js
     "uk": ukrainian_stem,  # regex cascade (reference uk.js)
     "de": german_stem,
     "es": spanish_stem,

@@ -13,6 +13,7 @@ from search_engine_ray.analysis.light_stemmers import (
     bulgarian_stem,
     hindi_stem,
     indonesian_stem,
+    lithuanian_stem,
     nepali_stem,
     romanian_stem,
     sanskrit_stem,
@@ -54,6 +55,7 @@ FNS = {
     "sk": sanskrit_stem,
     "np": nepali_stem,
     "am": armenian_stem,
+    "lt": lithuanian_stem,
 }
 LANGS = sorted(FNS)
 
