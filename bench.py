@@ -89,8 +89,12 @@ def run_bench() -> dict:
     extras["index_total_docs"] = manifest["total_docs"]
     extras["index_n_postings"] = manifest["n_postings"]
 
-    # 2. BM25 query battery over the built index (p50 latency)
-    searcher = IndexSearcher(idx_dir)
+    # 2. BM25 query battery over the built index (p50 latency).
+    # cache_ttl=0: the engine's 300 s TTL query-result cache would turn
+    # every timed iteration into a dict hit — bench must measure query
+    # EXECUTION, not cache lookups (a separate labeled cache-hit metric
+    # is reported below).
+    searcher = IndexSearcher(idx_dir, cache_ttl=0)
     battery = [
         ("the data", "or"),
         ("the of and", "or"),
@@ -129,6 +133,16 @@ def run_bench() -> dict:
     for q, op in jobs:
         searcher.search(q, size=10, operator=op)
     extras["simple_qps_per_replica"] = round(n_q / (time.time() - t0), 1)
+
+    # separate, clearly-labeled cache-hit metric (the 300 s TTL query
+    # cache the serving path uses): NOT engine throughput.
+    cached = IndexSearcher(idx_dir, cache_ttl=300.0)
+    for q, op in simple:
+        cached.search(q, size=10, operator=op)
+    t0 = time.time()
+    for q, op in jobs:
+        cached.search(q, size=10, operator=op)
+    extras["cache_hit_qps"] = round(n_q / (time.time() - t0), 1)
 
     # 3. dedup: minhash-LSH near-dup candidates over sf documents
     t0 = time.time()

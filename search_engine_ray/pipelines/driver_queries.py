@@ -536,16 +536,17 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 # --- rows-only (no SQL oracle) --------------------------------------------
 
 def langid_counts(sf_dir: str) -> pd.DataFrame:
-    out = (
+    # partial value_counts per batch + small groupby merge (terms_agg):
+    # only the per-language totals land on the driver, never per-doc rows.
+    preds = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(LangIdStage(), batch_format="pyarrow")
         .select_columns(["lang_pred"])
-        .to_pandas()["lang_pred"]
-        .value_counts()
     )
+    out = agg.terms_agg(preds, "lang_pred", size=1_000_000)
+    out = out.rename(columns={"doc_count": "n"})
     return (
-        pd.DataFrame({"lang_pred": out.index, "n": out.values})
-        .sort_values(["n", "lang_pred"], ascending=[False, True])
+        out.sort_values(["n", "lang_pred"], ascending=[False, True])
         .reset_index(drop=True)
     )
 

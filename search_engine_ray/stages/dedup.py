@@ -518,11 +518,20 @@ def simhash64(tokens: List[str]) -> int:
         np.int64
     )
     charge = (2 * bits - 1).sum(axis=0)
-    fp = np.uint64(0)
-    for i in range(64):
-        if charge[i] > 0:
-            fp |= np.uint64(1) << np.uint64(i)
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    fp = powers[charge > 0].sum(dtype=np.uint64)
     return int(fp & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bit-table free:
+    byte-view + unpackbits)."""
+    if x.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return (
+        np.unpackbits(b.reshape(x.size, 8), axis=1).sum(axis=1).astype(np.int64)
+    )
 
 
 class SimHashStage:
@@ -553,9 +562,20 @@ def simhash_candidates(
 ) -> pd.DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit fingerprint into
     ``max_hamming+1`` chunks (a pair within distance d shares ≥1 chunk),
-    groupby chunk value → verify Hamming ≤ d.  Returns (a, b, hamming)."""
+    then bucket by chunk value and verify Hamming ≤ d.
+
+    Scale shape (mirrors :func:`minhash_lsh_candidates`): bucketing is a
+    global ``sort(band, chunk)`` + vectorized run-scan in ``map_batches``
+    — NOT a per-bucket ``map_groups``, which pays one Python/pandas
+    dispatch per group on millions of mostly-singleton buckets.  Runs
+    that may straddle a sorted-block boundary (each batch's first/last
+    run) are re-grouped exactly in a small ``groupby`` over the edge rows
+    only.  Hamming verification is a vectorized XOR + unpackbits
+    popcount over the whole run, not a per-pair ``bin().count``.
+    Returns (a, b, hamming), a < b, deduped (min hamming)."""
     nbands = max_hamming + 1
     width = 64 // nbands
+    mask = np.uint64((1 << width) - 1)
 
     fp_ds = ds.map_batches(
         SimHashStage(text_column=text_column, id_column=id_column),
@@ -563,51 +583,128 @@ def simhash_candidates(
     )
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_column].to_pylist()
-        fps = batch["simhash"].to_pylist()
-        ob, oh, oi, of = [], [], [], []
-        for did, fp in zip(ids, fps):
-            for b in range(nbands):
-                chunk = (fp >> (b * width)) & ((1 << width) - 1)
-                ob.append(b)
-                oh.append(chunk)
-                oi.append(did)
-                of.append(fp)
+        n = batch.num_rows
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shifts = (np.arange(nbands, dtype=np.uint64) * np.uint64(width))
+        chunks = ((fps[:, None] >> shifts[None, :]) & mask).astype(np.int64)
         return pa.table(
             {
-                "band": pa.array(ob, pa.int32()),
-                "chunk": pa.array(oh, pa.int64()),
-                "doc_id": pa.array(oi, pa.int64()),
-                "simhash": pa.array(of, pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(nbands, dtype=np.int32), n)
+                ),
+                "chunk": pa.array(chunks.reshape(-1)),
+                "doc_id": pa.array(np.repeat(ids, nbands)),
+                "simhash": pa.array(
+                    np.repeat(fps, nbands).view(np.int64)
+                ),
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
-        df = df.sort_values("doc_id").head(max_bucket)
-        ids = df["doc_id"].to_numpy()
-        fps = df["simhash"].to_numpy().astype(np.uint64)
-        out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = fps[i + 1 :] ^ fps[i]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.flatnonzero(ham <= max_hamming):
-                a, b = ids[i], ids[i + 1 + off]
-                if a == b:
-                    continue
-                out_a.append(int(min(a, b)))
-                out_b.append(int(max(a, b)))
-                out_h.append(int(ham[off]))
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h})
+    def _run_pairs(
+        ids: np.ndarray, fps: np.ndarray
+    ) -> Tuple[List[int], List[int], List[int]]:
+        """All (a<b, hamming≤d) pairs within one bucket run, vectorized."""
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order][:max_bucket]
+        fps = fps[order][:max_bucket]
+        m = len(ids)
+        if m < 2:
+            return [], [], []
+        ii, jj = np.triu_indices(m, k=1)
+        ham = _popcount64(fps[ii] ^ fps[jj])
+        keep = (ham <= max_hamming) & (ids[ii] != ids[jj])
+        lo = np.minimum(ids[ii][keep], ids[jj][keep])
+        hi = np.maximum(ids[ii][keep], ids[jj][keep])
+        return lo.tolist(), hi.tolist(), ham[keep].tolist()
 
-    pairs = (
+    def runs_to_pairs(batch: pa.Table) -> pa.Table:
+        """kind=0 verified pair rows for interior runs; kind=1 edge rows
+        (first/last run of the batch — may continue in adjacent
+        batches) carrying (band, chunk, doc_id, simhash)."""
+        n = batch.num_rows
+        cols = {k: [] for k in ("kind", "x", "y", "z", "w")}
+        if n == 0:
+            return pa.table(
+                {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+            )
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        chunk = batch["chunk"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = (
+            batch["simhash"].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64)
+        )
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band[1:] != band[:-1]) | (chunk[1:] != chunk[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for ri, (s, e) in enumerate(zip(starts, ends)):
+            if ri == 0 or ri == len(starts) - 1:
+                cols["kind"].extend([1] * (e - s))
+                cols["x"].extend(band[s:e].tolist())
+                cols["y"].extend(chunk[s:e].tolist())
+                cols["z"].extend(did[s:e].tolist())
+                cols["w"].extend(fps[s:e].view(np.int64).tolist())
+            elif e - s >= 2:
+                a, b, h = _run_pairs(did[s:e], fps[s:e])
+                cols["kind"].extend([0] * len(a))
+                cols["x"].extend(a)
+                cols["y"].extend(b)
+                cols["z"].extend(h)
+                cols["w"].extend([0] * len(a))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+
+    import pyarrow.compute as _pc
+
+    mixed = (
         fp_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band", "chunk"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .sort(["band", "chunk", "doc_id"])
+        .map_batches(runs_to_pairs, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+
+    interior = (
+        mixed.map_batches(
+            lambda b: b.filter(_pc.equal(b["kind"], 0)).select(["x", "y", "z"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"x": "a", "y": "b", "z": "hamming"})
+    )
+
+    def edge_run_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # one group per boundary-straddling (band, chunk) run — a handful
+        # of groups total, so map_groups overhead is fine here
+        sub = df.drop_duplicates("z")
+        a, b, h = _run_pairs(
+            sub["z"].to_numpy(np.int64),
+            sub["w"].to_numpy(np.int64).view(np.uint64),
+        )
+        return pd.DataFrame(
+            {
+                "a": pd.Series(a, dtype="int64"),
+                "b": pd.Series(b, dtype="int64"),
+                "hamming": pd.Series(h, dtype="int64"),
+            }
+        )
+
+    edge = (
+        mixed.map_batches(
+            lambda b: b.filter(_pc.equal(b["kind"], 1)),
+            batch_format="pyarrow",
+        )
+        .groupby(["x", "y"])  # x=band, y=chunk for edge rows
+        .map_groups(edge_run_pairs, batch_format="pandas")
         .to_pandas()
     )
+
+    pairs = pd.concat([interior, edge], ignore_index=True)
     if pairs.empty:
-        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int64")}
+        )
     pairs = pairs.groupby(["a", "b"], as_index=False)["hamming"].min()
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
