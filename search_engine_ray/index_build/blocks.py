@@ -27,6 +27,19 @@ import pyarrow as pa
 from ..codecs import varbyte_decode, varbyte_encode, varbyte_encode_with_offsets
 from ..stages.tokenize import STATS_TERM
 
+def _binary_values(col) -> memoryview:
+    """Zero-copy view of a binary column's concatenated values (the data
+    buffer region the array covers) — avoids ``to_pylist`` + ``join``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return memoryview(b"")
+    dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(arr.buffers()[1], dtype=dt)
+    lo = int(off[arr.offset])
+    hi = int(off[arr.offset + len(arr)])
+    return memoryview(arr.buffers()[2])[lo:hi]
+
+
 BLOCKS_SCHEMA = pa.schema(
     [
         ("term", pa.string()),
@@ -70,41 +83,38 @@ class BuildBlocks:
             batch = batch.take(pa.array(order))
             terms = terms[order]
 
-        ns = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        docs_col = batch["docs"].to_pylist()
-        tfs_col = batch["tfs"].to_pylist()
-        dls_col = batch["dls"].to_pylist()
-        pos_col = batch["pos"].to_pylist()
-        plens_col = batch["pos_lens"].to_pylist()
-
         # split off + merge stats sentinels
         is_stats = terms == STATS_TERM
         stats_rows: List[tuple] = []
         if is_stats.any():
             tot_docs = tot_dl = 0
+            dls_chunk = batch["dls"]
             for i in np.flatnonzero(is_stats):
-                v = varbyte_decode(dls_col[i])
+                v = varbyte_decode(dls_chunk[int(i)].as_py())
                 tot_docs += int(v[0])
                 tot_dl += int(v[1])
             stats_rows.append((tot_docs, tot_dl))
             keep = ~is_stats
+            batch = batch.filter(pa.array(keep))
             terms = terms[keep]
-            ns = ns[keep]
-            docs_col = [x for x, k in zip(docs_col, keep) if k]
-            tfs_col = [x for x, k in zip(tfs_col, keep) if k]
-            dls_col = [x for x, k in zip(dls_col, keep) if k]
-            pos_col = [x for x, k in zip(pos_col, keep) if k]
-            plens_col = [x for x, k in zip(plens_col, keep) if k]
             m = len(terms)
 
+        ns = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         out = {k: [] for k in BLOCKS_SCHEMA.names}
         total = int(ns.sum()) if m else 0
         if m and total:
-            # whole-batch decode: concatenate all blobs, decode once,
-            # re-split by the known per-mini counts
-            flat_docs = varbyte_decode(b"".join(docs_col)).astype(np.int64)
-            flat_tfs = varbyte_decode(b"".join(tfs_col)).astype(np.int64)
-            flat_dls = varbyte_decode(b"".join(dls_col)).astype(np.int64)
+            # whole-batch decode over the columns' zero-copy value
+            # buffers (a binary column's data buffer IS the row-order
+            # concatenation of its blobs — no to_pylist, no join)
+            flat_docs = varbyte_decode(
+                _binary_values(batch["docs"])
+            ).astype(np.int64)
+            flat_tfs = varbyte_decode(
+                _binary_values(batch["tfs"])
+            ).astype(np.int64)
+            flat_dls = varbyte_decode(
+                _binary_values(batch["dls"])
+            ).astype(np.int64)
             bounds = np.zeros(m + 1, dtype=np.int64)
             np.cumsum(ns, out=bounds[1:])
             # un-delta docs per mini: abs[k] = csum[k] - csum[start-1]
@@ -114,24 +124,19 @@ class BuildBlocks:
             )
             docs_abs = c - base
 
-            have_pos = any(len(p) for p in plens_col)
+            plens_buf = _binary_values(batch["pos_lens"])
+            have_pos = len(plens_buf) > 0
             if have_pos:
-                flat_plens = varbyte_decode(b"".join(plens_col)).astype(
-                    np.int64
+                flat_plens = varbyte_decode(plens_buf).astype(np.int64)
+                # per-posting byte ranges inside the concatenation of all
+                # pos blobs: each mini's blob is exactly its postings'
+                # slices back-to-back, so the k-th posting's slice is
+                # [csum(L)-L, csum(L)) — no per-posting Python slicing
+                allpos = np.frombuffer(
+                    _binary_values(batch["pos"]), dtype=np.uint8
                 )
-                # per-posting byte slices of each mini's pos blob
-                pos_slices: List[bytes] = [b""] * total
-                k = 0
-                for i in range(m):
-                    blob = pos_col[i]
-                    off = 0
-                    for _ in range(int(ns[i])):
-                        ln = int(flat_plens[k])
-                        pos_slices[k] = blob[off: off + ln]
-                        off += ln
-                        k += 1
-            else:
-                pos_slices = [b""] * total
+                pos_ends = np.cumsum(flat_plens)
+                pos_starts = pos_ends - flat_plens
 
             # merge each term's minis by doc id: one global stable sort
             term_ids = np.repeat(np.arange(m, dtype=np.int64), ns)
@@ -191,8 +196,20 @@ class BuildBlocks:
                 dls_blob[dls_off[s]: dls_off[e]] for s, e in zip(bs, be)
             ]
             if have_pos:
+                # vectorized byte gather: permute all pos slices into
+                # output (g) order in one numpy fancy-index, then cut
+                # per-block blobs by byte offsets
+                lg = flat_plens[g]
+                out_bounds = np.zeros(total + 1, dtype=np.int64)
+                np.cumsum(lg, out=out_bounds[1:])
+                byte_idx = (
+                    np.arange(int(out_bounds[-1]), dtype=np.int64)
+                    - np.repeat(out_bounds[:-1], lg)
+                    + np.repeat(pos_starts[g], lg)
+                )
+                permuted = allpos[byte_idx].tobytes()
                 out["pos"] = [
-                    b"".join(pos_slices[g[j]] for j in range(s, e))
+                    permuted[out_bounds[s]: out_bounds[e]]
                     for s, e in zip(bs, be)
                 ]
             else:
@@ -297,8 +314,16 @@ class BuildBlocks:
             out["dls"] = [
                 dls_blob[dls_off[s] : dls_off[e]] for s, e in zip(bs, be)
             ]
+            # rows are already in output order, so each block's pos blob
+            # is a contiguous slice of the row-order concatenation
+            plens = np.fromiter(
+                (len(p) for p in pos_col), dtype=np.int64, count=n
+            )
+            pbounds = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(plens, out=pbounds[1:])
+            allpos = b"".join(pos_col)
             out["pos"] = [
-                b"".join(pos_col[s:e]) for s, e in zip(bs, be)
+                allpos[pbounds[s]: pbounds[e]] for s, e in zip(bs, be)
             ]
 
         for tot_docs, tot_dl in stats_rows:
