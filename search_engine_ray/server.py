@@ -61,10 +61,17 @@ class IndexHandle:
     """Server-side state for one index: config + buffer + searcher."""
 
     def __init__(self, index_dir: str, facet_fields: Optional[List[str]] = None,
-                 mappings: Optional[Dict[str, str]] = None):
+                 mappings: Optional[Dict[str, str]] = None,
+                 auto_compact_partitions: int = 8):
         self.index_dir = index_dir
         self.facet_fields = list(facet_fields or [])
         self.mappings = dict(mappings) if mappings else None
+        # auto-compaction policy (the analog of the reference's
+        # auto-persistence cadence, AutoPersistenceManager.ts:17-69):
+        # when a flush leaves more than this many delta partitions, merge
+        # them LSM-style so query latency stays bounded regardless of how
+        # many small flushes arrived.  0/None disables.
+        self.auto_compact_partitions = auto_compact_partitions
         self.buffer: List[Dict[str, Any]] = []
         self.lock = threading.Lock()
         self._searcher = None
@@ -82,12 +89,17 @@ class IndexHandle:
                 cfg = json.load(f)
             self.facet_fields = cfg.get("facet_fields", self.facet_fields)
             self.mappings = cfg.get("mappings") or self.mappings
+            if "auto_compact_partitions" in cfg:
+                self.auto_compact_partitions = cfg[
+                    "auto_compact_partitions"
+                ]
 
     def _save_config(self) -> None:
         tmp = self._cfg_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"facet_fields": self.facet_fields, "mappings": self.mappings},
+                {"facet_fields": self.facet_fields, "mappings": self.mappings,
+                 "auto_compact_partitions": self.auto_compact_partitions},
                 f, indent=1,
             )
         os.replace(tmp, self._cfg_path)
@@ -142,11 +154,19 @@ class IndexHandle:
         manifest = rewrite_global_manifest(self.index_dir, self.mappings)
         with self.lock:
             self._searcher = None  # pick up the new partition
-        return {
+        out = {
             "flushed": len(docs),
             "partition": pname,
             "totalDocs": manifest["total_docs"],
         }
+        if (
+            self.auto_compact_partitions
+            and manifest["n_partitions"] > self.auto_compact_partitions
+        ):
+            compacted = self.compact()
+            out["autoCompacted"] = True
+            out["partitionsAfterCompact"] = compacted["partitions"]
+        return out
 
     def compact(self) -> Dict[str, Any]:
         """Merge all delta partitions into one (LSM-style)."""
@@ -317,6 +337,9 @@ class SearchServer:
                             os.path.join(server.root_dir, name),
                             facet_fields=b.get("facetFields"),
                             mappings=b.get("mappings"),
+                            auto_compact_partitions=b.get(
+                                "autoCompactPartitions", 8
+                            ),
                         )
                         h._save_config()
                         server.indexes[name] = h

@@ -190,6 +190,156 @@ def _band_rows(
     )
 
 
+def _make_runs_to_pairs(max_bucket: int):
+    """Run-scan over the sorted (band, band_hash, doc_id) stream: kind=0
+    pair rows for interior runs; kind=1 edge rows (the batch's first/last
+    run, which may continue in adjacent batches)."""
+
+    def runs_to_pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {"kind": [], "x": [], "y": [], "z": []}
+        if n == 0:
+            return pa.table(
+                {k: pa.array(v, pa.int64()) for k, v in out.items()}
+            )
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        for ri, (s, e) in enumerate(zip(starts, ends)):
+            is_edge = ri == 0 or ri == len(starts) - 1
+            if is_edge:
+                for i in range(s, e):
+                    out["kind"].append(1)
+                    out["x"].append(int(band[i]))
+                    out["y"].append(int(bh[i]))
+                    out["z"].append(int(did[i]))
+            elif e - s >= 2:
+                ids = np.sort(did[s:e])[:max_bucket]
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        out["kind"].append(0)
+                        out["x"].append(int(ids[i]))
+                        out["y"].append(int(ids[j]))
+                        out["z"].append(0)
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in out.items()}
+        )
+
+    return runs_to_pairs
+
+
+def _minhash_lsh_small(
+    ds: rd.Dataset,
+    *,
+    num_perm: int,
+    bands: int,
+    rows: int,
+    shingle_k: int,
+    text_column: str,
+    id_column: str,
+    jaccard_threshold: float,
+    max_bucket: int,
+) -> pd.DataFrame:
+    """Small-input variant of :func:`minhash_lsh_candidates`: identical
+    banding/bucketing/edge-regroup/estimate semantics, with in-memory
+    signatures and a driver-side estimate instead of 4 parquet
+    checkpoints + 2 hash joins (whose barrier constants dominate below
+    a few hundred thousand rows)."""
+    import ray as _ray
+
+    sig_ds = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm,
+            shingle_k=shingle_k,
+            text_column=text_column,
+            id_column=id_column,
+        ),
+        batch_format="pyarrow",
+        concurrency=default_pool_size(),
+    ).materialize()
+
+    mixed = (
+        sig_ds.map_batches(
+            lambda b: _band_rows(
+                b[id_column].to_pylist(), b["minhash"].to_pylist(),
+                bands, rows,
+            ).drop_columns(["minhash"]),
+            batch_format="pyarrow",
+        )
+        .sort(["band", "band_hash", "doc_id"])
+        .map_batches(
+            _make_runs_to_pairs(max_bucket),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .to_pandas()
+    )
+
+    interior = mixed[mixed["kind"] == 0][["x", "y"]]
+    edge_parts = []
+    for _, grp in mixed[mixed["kind"] == 1].groupby(["x", "y"], sort=False):
+        # same bucket semantics as the distributed edge regroup
+        ids = np.sort(grp["z"].unique())[:max_bucket]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        edge_parts.append(
+            pd.DataFrame({"x": ids[ii].astype("int64"),
+                          "y": ids[jj].astype("int64")})
+        )
+    pairs = pd.concat([interior, *edge_parts], ignore_index=True)
+    pairs = pairs.drop_duplicates(ignore_index=True)
+    empty = pd.DataFrame(
+        {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+         "est_jaccard": pd.Series(dtype="float64")}
+    )
+    if pairs.empty:
+        return empty
+
+    cand_ids = frozenset(
+        int(v) for v in np.union1d(
+            pairs["x"].to_numpy(np.int64), pairs["y"].to_numpy(np.int64)
+        )
+    )
+    ids_ref = _ray.put(cand_ids)
+
+    def _cand_sigs(batch: pa.Table) -> pa.Table:
+        wanted = _ray.get(ids_ref)
+        mask = pa.array(
+            [i in wanted for i in batch[id_column].to_pylist()]
+        )
+        return batch.filter(mask)
+
+    sig_df = sig_ds.map_batches(
+        _cand_sigs, batch_format="pyarrow"
+    ).to_pandas()
+    sig_map = {
+        int(i): np.asarray(s, dtype=np.int64)
+        for i, s in zip(sig_df[id_column], sig_df["minhash"])
+    }
+    sx = np.stack([sig_map[int(v)] for v in pairs["x"]])
+    sy = np.stack([sig_map[int(v)] for v in pairs["y"]])
+    est = (sx == sy).mean(axis=1)
+    keep = est >= jaccard_threshold
+    out = pd.DataFrame(
+        {
+            "a": pairs["x"].to_numpy(np.int64)[keep],
+            "b": pairs["y"].to_numpy(np.int64)[keep],
+            "est_jaccard": est[keep].astype(np.float64),
+        }
+    )
+    if out.empty:
+        return empty
+    return (
+        out.sort_values(["a", "b"]).reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64", "est_jaccard": "float64"})
+    )
+
+
 def minhash_lsh_candidates(
     ds: rd.Dataset,
     *,
@@ -202,6 +352,7 @@ def minhash_lsh_candidates(
     max_bucket: int = 64,
     scratch_dir: Optional[str] = None,
     num_partitions: Optional[int] = None,
+    small_input_rows: int = 300_000,
 ) -> pd.DataFrame:
     """MinHash-LSH near-duplicate candidate pairs with signature-estimated
     Jaccard ≥ threshold.  Returns (a, b, est_jaccard), a < b, deduped.
@@ -240,6 +391,26 @@ def minhash_lsh_candidates(
     rows = num_perm // bands
     nparts = num_partitions or default_pool_size()
 
+    if scratch_dir is None and ds.count() <= small_input_rows:
+        # small-input fast path: same banding sort + run-scan + exact
+        # edge regroup + signature-estimate semantics, but the parquet
+        # checkpoints and the two Acero joins are replaced by an
+        # in-memory materialize and a driver-side estimate (candidates
+        # and their signatures are tiny at this scale).  Above the
+        # threshold — or when the caller wants resumability via
+        # ``scratch_dir`` — the fully distributed shape below runs.
+        return _minhash_lsh_small(
+            ds,
+            num_perm=num_perm,
+            bands=bands,
+            rows=rows,
+            shingle_k=shingle_k,
+            text_column=text_column,
+            id_column=id_column,
+            jaccard_threshold=jaccard_threshold,
+            max_bucket=max_bucket,
+        )
+
     own_scratch = scratch_dir is None
     scratch = scratch_dir or tempfile.mkdtemp(prefix="minhash_lsh_")
     sig_dir = os.path.join(scratch, "sigs")
@@ -270,40 +441,7 @@ def minhash_lsh_candidates(
         batch_format="pyarrow",
     ).sort(["band", "band_hash", "doc_id"])
 
-    def runs_to_pairs(batch: pa.Table) -> pa.Table:
-        """Emit kind=0 pair rows for interior runs; kind=1 edge rows (the
-        batch's first/last run, which may continue in adjacent batches)."""
-        n = batch.num_rows
-        out = {"kind": [], "x": [], "y": [], "z": []}
-        if n == 0:
-            return pa.table(
-                {k: pa.array(v, pa.int64()) for k, v in out.items()}
-            )
-        band = batch["band"].to_numpy(zero_copy_only=False)
-        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
-        did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        change = np.empty(n, dtype=bool)
-        change[0] = True
-        change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n)
-        for ri, (s, e) in enumerate(zip(starts, ends)):
-            is_edge = ri == 0 or ri == len(starts) - 1
-            if is_edge:
-                for i in range(s, e):
-                    out["kind"].append(1)
-                    out["x"].append(int(band[i]))
-                    out["y"].append(int(bh[i]))
-                    out["z"].append(int(did[i]))
-            elif e - s >= 2:
-                ids = np.sort(did[s:e])[:max_bucket]
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        out["kind"].append(0)
-                        out["x"].append(int(ids[i]))
-                        out["y"].append(int(ids[j]))
-                        out["z"].append(0)
-        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+    runs_to_pairs = _make_runs_to_pairs(max_bucket)
 
     # checkpoint the (small, int-only) mixed pair/edge rows so the two
     # consumers below don't re-run the banding sort

@@ -1,12 +1,15 @@
 """Multimodal column plumbing: decode / feature-extract / resize /
 frame-sample stages over opaque ``binary`` payload columns.
 
-Real codec libraries (Pillow, ffmpeg, torchaudio) are NOT in this
-container, so the decode kernels are STUBS: by default they raise
-``NotImplementedError`` with the library that would be plugged in; with
-``fake=True`` they produce a deterministic fake decode (seeded from the
-payload hash) so the Ray-side plumbing — schema, batch sizing, actor
-signatures, output layout — is real and tested end-to-end.
+IMAGE decode is REAL in this container: Pillow when importable, else the
+pure-stdlib PNG decoder in :mod:`.png` (zlib inflate + unfilter) — see
+``ImageDecodeStage``.  Video/audio codec libraries (ffmpeg, pyav,
+soundfile) are NOT available, so those decode kernels remain STUBS: by
+default they raise ``NotImplementedError`` naming the library that would
+be plugged in; with ``fake=True`` they produce a deterministic fake
+decode (seeded from the payload hash) so the Ray-side plumbing —
+schema, batch sizing, actor signatures, output layout — is real and
+tested end-to-end.
 
 Scale notes baked into the design:
 * payload batches are kept in ``batch_format="pyarrow"`` (binary columns
@@ -38,11 +41,12 @@ def _fake_pixels(payload: bytes, shape: Tuple[int, ...]) -> np.ndarray:
 class ImageDecodeStage:
     """binary image payload → (H, W, 3) float tensor (flattened).
 
-    ``fake=False`` uses Pillow when it is importable (decode + RGB convert
-    + resize to the target shape, pixels scaled to [0, 1]); in a container
-    without Pillow it raises ``NotImplementedError`` at construction so
-    the missing codec is a declared, testable contract rather than a
-    runtime surprise mid-pipeline.
+    ``fake=False`` uses Pillow when it is importable (decode + RGB
+    convert + resize, any format Pillow knows); without Pillow it falls
+    back to the pure-stdlib PNG decoder in :mod:`.png` (zlib inflate +
+    unfilter + nearest-neighbor resize) — a REAL decode path that runs
+    in this container.  Non-PNG payloads on the fallback path raise
+    ``ValueError`` per batch, naming the codec that would handle them.
     """
 
     def __init__(
@@ -62,20 +66,30 @@ class ImageDecodeStage:
 
                 self._pil = Image
             except ImportError:
-                raise NotImplementedError(
-                    "image decoding requires Pillow/torchvision (not in "
-                    "this container); construct with fake=True for the "
-                    "deterministic stub decoder"
-                ) from None
+                self._pil = None  # stdlib PNG fallback
 
     def _decode(self, payload: bytes) -> np.ndarray:
         if self.fake:
             return _fake_pixels(payload, (self.h, self.w, 3))
         import io  # noqa: PLC0415
 
-        img = self._pil.open(io.BytesIO(payload)).convert("RGB")
-        img = img.resize((self.w, self.h))
-        return np.asarray(img, dtype=np.float32) / np.float32(255.0)
+        if self._pil is not None:
+            img = self._pil.open(io.BytesIO(payload)).convert("RGB")
+            img = img.resize((self.w, self.h))
+            return np.asarray(img, dtype=np.float32) / np.float32(255.0)
+        from .png import decode_png, to_rgb  # noqa: PLC0415
+
+        if not payload or not payload.startswith(b"\x89PNG"):
+            raise ValueError(
+                "non-PNG payload on the stdlib decode path; JPEG/WebP/"
+                "GIF need Pillow (not in this container)"
+            )
+        rgb = to_rgb(decode_png(payload))
+        ih, iw = rgb.shape[:2]
+        ys = (np.arange(self.h) * ih // self.h).astype(np.int64)
+        xs = (np.arange(self.w) * iw // self.w).astype(np.int64)
+        resized = rgb[ys[:, None], xs[None, :]]
+        return resized.astype(np.float32) / np.float32(255.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tensors = [

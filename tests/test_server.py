@@ -135,3 +135,35 @@ class TestServer:
     def test_performance_counts(self, server):
         code, out = _req(server, "/performance")
         assert code == 200 and out["query"]["count"] >= 2
+
+    def test_auto_compaction_bounds_partitions(self, server):
+        """Auto-compaction policy (the reference's auto-persistence
+        cadence, AutoPersistenceManager.ts:17-69): many small flushes
+        must not grow partitions unboundedly — once the count passes the
+        configured threshold, a flush triggers an automatic LSM merge
+        and search results are unchanged."""
+        code, _ = _req(
+            server, "/index",
+            {"indexName": "autoc", "autoCompactPartitions": 3},
+        )
+        assert code == 201
+        seen_auto = False
+        for i in range(6):
+            _req(server, "/index/autoc/documents",
+                 {"documents": [
+                     {"id": f"d{i}", "title": f"doc number {i}",
+                      "body": f"flush {i} search payload"}]})
+            code, out = _req(server, "/index/autoc/flush", {})
+            assert code == 200
+            if out.get("autoCompacted"):
+                seen_auto = True
+                assert out["partitionsAfterCompact"] == 1
+        assert seen_auto, "no flush triggered auto-compaction"
+        code, res = _req(
+            server, "/search/autoc",
+            {"query": {"match": {"field": "body", "value": "search"}},
+             "size": 10},
+        )
+        assert code == 200 and res["total"] == 6
+        code, health = _req(server, "/")
+        assert code == 200

@@ -562,22 +562,10 @@ class TestMultimodal:
         )
 
     def test_real_decode_contract(self):
-        """fake=False is a CONTRACT: decode a real PNG when Pillow is
-        importable, else fail construction with a declared
-        NotImplementedError (VERDICT r1 #10)."""
+        """fake=False is REAL in this container: Pillow when importable,
+        else the stdlib PNG decoder (zlib inflate + unfilter) — a solid
+        red PNG decodes to red pixels either way (VERDICT r2 #7)."""
         from search_engine_ray.stages.multimodal import ImageDecodeStage
-
-        try:
-            import PIL  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
-
-        if not have_pil:
-            with pytest.raises(NotImplementedError, match="Pillow"):
-                ImageDecodeStage(fake=False)
-            return
 
         stage = ImageDecodeStage(height=4, width=4, fake=False)
         tbl = pa.table({"payload": pa.array([self._tiny_png()], pa.binary())})
@@ -586,6 +574,34 @@ class TestMultimodal:
             4, 4, 3
         )
         assert np.allclose(px[..., 0], 1.0) and np.allclose(px[..., 1:], 0.0)
+
+    def test_real_decode_in_ray_pipeline(self, ray_session):
+        """The real decode path runs as an actor-pool map_batches stage
+        end-to-end (not just a local call)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import ImageDecodeStage
+
+        items = [
+            {"img_id": i, "payload": self._tiny_png(rgb=(0, 255, 0), size=3)}
+            for i in range(6)
+        ]
+        out = (
+            rd.from_items(items)
+            .map_batches(
+                ImageDecodeStage,
+                fn_constructor_kwargs=dict(height=2, width=2, fake=False),
+                batch_format="pyarrow",
+                batch_size=2,
+                concurrency=1,
+            )
+            .to_pandas()
+        )
+        assert len(out) == 6
+        px = np.asarray(out["pixels"].iloc[0], dtype=np.float32).reshape(
+            2, 2, 3
+        )
+        assert np.allclose(px[..., 1], 1.0) and np.allclose(px[..., ::2], 0.0)
 
     def test_audio_stub(self, ray_session):
         import ray.data as rd
