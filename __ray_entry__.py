@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational demos (broadcast join + partial aggregation)
         "pricing_summary": q.pricing_summary,
         "nation_revenue": q.nation_revenue,
+        # near-dedup with an exact-verification oracle
+        "minhash_verified_pairs": q.minhash_verified_pairs,
         # rows-only checks (no SQL-expressible oracle)
         "langid_counts": q.langid_counts,
         "minhash_pairs": q.minhash_pairs,
@@ -344,5 +346,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name
+        """,
+        # exact 5-token-shingle Jaccard >= 0.8 over all pairs: the SQL
+        # side computes it exhaustively via a shingle self-join; the Ray
+        # side proposes candidates with MinHash-LSH then verifies with
+        # the same exact metric (tokens = raw space split, matching
+        # dedup.ngram_jaccard / verify_pairs_exact)
+        "minhash_verified_pairs": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+            ),
+            sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b,
+                   round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ORDER BY a, b
         """,
     }

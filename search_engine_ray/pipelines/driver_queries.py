@@ -560,6 +560,31 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs with EXACT 5-gram Jaccard >= 0.8: MinHash-LSH
+    proposes candidates (recall-oriented est >= 0.5), exact n-gram
+    verification filters — oracle-checkable against a DuckDB shingle
+    self-join (the LSH miss probability for a J>=0.8 pair at 32x4 bands
+    is ~5e-8, so the candidate stage is lossless in practice)."""
+    cand = dd.minhash_lsh_candidates(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
+    )
+    out = dd.verify_pairs_exact(
+        cand[["a", "b"]], _docs(sf_dir, ["doc_id", "text"]),
+        shingle_k=5, threshold=0.8,
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+             "jaccard": pd.Series(dtype="float64")}
+        )
+    out["jaccard"] = out["jaccard"].round(6)
+    return (
+        out.sort_values(["a", "b"]).reset_index(drop=True)
+        .astype({"a": "int64", "b": "int64", "jaccard": "float64"})
+    )
+
+
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
     pairs = dd.simhash_candidates(
         _docs(sf_dir, ["doc_id", "text"]), max_hamming=3

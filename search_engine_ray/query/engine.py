@@ -1252,10 +1252,21 @@ class IndexSearcher:
         """Reference-shaped search result
         (``SearchEngine.ts:639-650``): ``{hits, total, from, size}`` plus
         ``facets``/``aggregations`` when requested.  ``hits`` carry
-        ``_score`` and any enriched docstore columns."""
+        ``_score`` and any enriched docstore columns.
+
+        Single evaluation pass: the per-partition candidate sets are
+        computed ONCE and shared by ``total``, facets and aggregations
+        (previously ``count`` + ``facets`` + ``aggregations`` each
+        re-evaluated the query — 3 full position scans for a stopword
+        phrase, VERDICT r2 #8); the page itself still takes the
+        ``_phrase_topk``/block-max fast paths via :meth:`search`."""
         node = self._normalize(query, operator)
-        total = self.count(query, operator)
         page = self.search(query, size=size, from_=from_, operator=operator)
+        if node is None:
+            cands: List[Tuple[int, np.ndarray]] = []
+        else:
+            cands = self._candidates_all(node)
+        total = sum(ids.size for _, ids in cands)
         if enrich_columns:
             page = self.enrich(page, columns=tuple(enrich_columns))
         hits = [
@@ -1270,9 +1281,11 @@ class IndexSearcher:
             "size": size,
         }
         if facet_fields:
-            out["facets"] = self.facets(query, facet_fields, operator)
+            out["facets"] = self._facets_from_cands(cands, facet_fields)
         if aggs:
-            out["aggregations"] = self.aggregations(query, aggs, operator)
+            out["aggregations"] = self._aggregations_from_cands(
+                cands, aggs, operator
+            )
         return out
 
     def count(self, query, operator: str = "and") -> int:
@@ -1291,14 +1304,19 @@ class IndexSearcher:
     # --- facets & aggregations over result sets ---------------------------
 
     def _candidates_all(self, node) -> List[Tuple[int, np.ndarray]]:
-        out = []
-        for i, r in enumerate(self._readers):
+        def one(ir):
+            i, r = ir
             ev = _PartitionEvaluator(
                 r, self.text_fields, self.stopwords, self.synonyms,
                 token_filter=self.token_filter,
             )
-            out.append((i, ev.evaluate(node)))
-        return out
+            return (i, ev.evaluate(node))
+
+        readers = list(enumerate(self._readers))
+        if len(readers) > 1:
+            # numpy/parquet kernels release the GIL — partitions overlap
+            return list(self._pool().map(one, readers))
+        return [one(readers[0])] if readers else []
 
     def _result_docs_table(
         self, cands: List[Tuple[int, np.ndarray]], columns: List[str]
@@ -1338,6 +1356,9 @@ class IndexSearcher:
         batch analog is a value_counts over the result rows)."""
         node = self._normalize(query, operator)
         cands = self._candidates_all(node)
+        return self._facets_from_cands(cands, facet_fields)
+
+    def _facets_from_cands(self, cands, facet_fields: Sequence[str]):
         df = self._result_docs_table(cands, list(facet_fields))
         out: Dict[str, Dict[str, int]] = {}
         for f in facet_fields:
@@ -1352,10 +1373,14 @@ class IndexSearcher:
         (floor buckets), ``range`` ([from,to)), ``date_histogram``
         (fixed-ms intervals), ``global`` (whole index), ``filter``
         (extra predicate then sub-aggs)."""
-        from ..stages.aggregates import DATE_INTERVALS_MS
-
         node = self._normalize(query, operator)
         cands = self._candidates_all(node)
+        return self._aggregations_from_cands(cands, aggs, operator)
+
+    def _aggregations_from_cands(
+        self, cands, aggs: Dict[str, dict], operator: str = "and"
+    ):
+        from ..stages.aggregates import DATE_INTERVALS_MS
 
         def compute(spec: dict, df_provider) -> dict:
             out: Dict[str, Any] = {}
