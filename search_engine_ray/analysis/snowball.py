@@ -1424,6 +1424,525 @@ def danish_stem(word: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Irish (Snowball 'irish'; reference src/lib/stemmers/ie.js — decoded from
+# the compiled among tables; fuzz-verified word-for-word via node)
+# ---------------------------------------------------------------------------
+
+_GA_VOWELS = set("aeiouáéíóú")
+
+# initial-mutation prefixes (longest match wins), prefix → replacement
+_GA_PREFIXES = sorted(
+    [
+        ("b'", ""), ("d'", ""), ("h-", ""), ("m'", ""), ("n-", ""),
+        ("t-", ""),
+        ("bhf", "f"), ("d'fh", "f"), ("fh", "f"),
+        ("sh", "s"), ("ts", "s"),
+        ("bh", "b"), ("mb", "b"),
+        ("ch", "c"), ("gc", "c"),
+        ("dh", "d"), ("nd", "d"),
+        ("gh", "g"), ("ng", "g"),
+        ("bp", "p"), ("ph", "p"),
+        ("dt", "t"), ("th", "t"),
+        ("mh", "m"),
+    ],
+    key=lambda t: len(t[0]), reverse=True,
+)
+
+# step amongs: (suffix, action); region checks applied to the suffix START
+_GA_STEP1 = sorted(
+    [
+        ("íochta", 1), ("aíochta", 1), ("abh", 1), ("eabh", 1),
+        ("ibh", 1), ("aibh", 1), ("amh", 1), ("eamh", 1), ("imh", 1),
+        ("aimh", 1), ("íocht", 1), ("aíocht", 1),
+        ("ire", 2), ("aire", 2), ("irí", 2), ("airí", 2),
+    ],
+    key=lambda t: len(t[0]), reverse=True,
+)
+_GA_STEP2 = sorted(
+    [
+        ("óideacha", 6), ("patacha", 5), ("achta", 1), ("arcachta", 2),
+        ("eachta", 1), ("grafaíochta", 4), ("paite", 5), ("ach", 1),
+        ("each", 1), ("óideach", 6), ("gineach", 3), ("patach", 5),
+        ("grafaíoch", 4), ("pataigh", 5), ("óidigh", 6), ("achtúil", 1),
+        ("eachtúil", 1), ("gineas", 3), ("ginis", 3), ("acht", 1),
+        ("arcacht", 2), ("eacht", 1), ("grafaíocht", 4),
+        ("arcachtaí", 2), ("grafaíochtaí", 4),
+    ],
+    key=lambda t: len(t[0]), reverse=True,
+)
+_GA_STEP3 = sorted(
+    [
+        ("imid", 1), ("aimid", 1), ("ímid", 1), ("aímid", 1),
+        ("faidh", 1), ("fidh", 1),
+        ("adh", 2), ("eadh", 2), ("áil", 2), ("ain", 2), ("tear", 2),
+        ("tar", 2),
+    ],
+    key=lambda t: len(t[0]), reverse=True,
+)
+
+
+def _ga_regions(w: str):
+    """pV (after first vowel), R1, R2 — all len(w) when undefined."""
+    n = len(w)
+    pv = r1 = r2 = n
+    i = 0
+    while i < n and w[i] not in _GA_VOWELS:
+        i += 1
+    if i >= n:
+        return pv, r1, r2
+    i += 1
+    pv = i
+    while i < n and w[i] in _GA_VOWELS:
+        i += 1
+    if i >= n:
+        return pv, r1, r2
+    i += 1
+    r1 = i
+    while i < n and w[i] not in _GA_VOWELS:
+        i += 1
+    if i >= n:
+        return pv, r1, r2
+    i += 1
+    while i < n and w[i] in _GA_VOWELS:
+        i += 1
+    if i >= n:
+        return pv, r1, r2
+    i += 1
+    r2 = i
+    return pv, r1, r2
+
+
+def irish_stem(word: str) -> str:
+    w = word
+    for pre, rep in _GA_PREFIXES:
+        if w.startswith(pre):
+            w = rep + w[len(pre):]
+            break
+    pv, r1, r2 = _ga_regions(w)
+    # step 1 (noun/adjective endings): longest suffix only, no fallback
+    for suf, act in _GA_STEP1:
+        if w.endswith(suf):
+            start = len(w) - len(suf)
+            if act == 1 and start >= r1:
+                w = w[:start]
+            elif act == 2 and start >= r2:
+                w = w[:start]
+            break
+    # step 2 (derivational endings)
+    for suf, act in _GA_STEP2:
+        if w.endswith(suf):
+            start = len(w) - len(suf)
+            if act == 1:
+                if start >= r2:
+                    w = w[:start]
+            elif act == 2:
+                w = w[:start] + "arc"
+            elif act == 3:
+                w = w[:start] + "gin"
+            elif act == 4:
+                w = w[:start] + "graf"
+            elif act == 5:
+                w = w[:start] + "paite"
+            elif act == 6:
+                w = w[:start] + "óid"
+            break
+    # step 3 (verb endings)
+    for suf, act in _GA_STEP3:
+        if w.endswith(suf):
+            start = len(w) - len(suf)
+            if act == 1 and start >= pv:
+                w = w[:start]
+            elif act == 2 and start >= r1:
+                w = w[:start]
+            break
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Hungarian (Snowball 'hungarian'; reference src/lib/stemmers/hu.js —
+# decoded from the compiled among tables; fuzz-verified via node)
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = set("aeiouáéíóöúüőű")
+_HU_DIGRAPHS = ("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+_HU_DOUBLES = tuple(sorted(
+    ["bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp",
+     "rr", "ccs", "ss", "zzs", "tt", "vv", "ggy", "lly", "nny", "tty",
+     "ssz", "zz"],
+    key=len, reverse=True,
+))
+
+
+def _hu_sorted(pairs):
+    return sorted(pairs, key=lambda t: len(t[0]), reverse=True)
+
+
+# act: 0 = delete, "x" = replace suffix with x
+_HU_CASE = _hu_sorted(
+    [(s, 0) for s in (
+        "ba ra be re ig nak nek val vel ul nál nél ból ról tól ül ből "
+        "ről től n an ban en ben képpen on ön képp kor t at et ként "
+        "anként enként onként ot ért öt hez hoz höz vá vé"
+    ).split()]
+)
+_HU_ANEN = _hu_sorted([("án", "a"), ("én", "e"), ("ánként", "a")])
+_HU_STUL = _hu_sorted(
+    [("stul", 0), ("astul", 0), ("ástul", "a"), ("stül", 0),
+     ("estül", 0), ("éstül", "e")]
+)
+_HU_OWNED = _hu_sorted(
+    [("éi", 0), ("áéi", "a"), ("ééi", "e"), ("é", 0), ("ké", 0),
+     ("aké", 0), ("eké", 0), ("oké", 0), ("áké", "a"), ("éké", "e"),
+     ("öké", 0), ("éé", "e")]
+)
+_HU_SING_OWNER = _hu_sorted(
+    [("a", 0), ("ja", 0), ("d", 0), ("ad", 0), ("ed", 0), ("od", 0),
+     ("ád", "a"), ("éd", "e"), ("öd", 0), ("e", 0), ("je", 0),
+     ("nk", 0), ("unk", 0), ("ánk", "a"), ("énk", "e"), ("ünk", 0),
+     ("uk", 0), ("juk", 0), ("ájuk", "a"), ("ük", 0), ("jük", 0),
+     ("éjük", "e"), ("m", 0), ("am", 0), ("em", 0), ("om", 0),
+     ("ám", "a"), ("ém", "e"), ("o", 0), ("á", "a"), ("é", "e")]
+)
+_HU_PLUR_OWNER = _hu_sorted(
+    [("id", 0), ("aid", 0), ("jaid", 0), ("eid", 0), ("jeid", 0),
+     ("áid", "a"), ("éid", "e"), ("i", 0), ("ai", 0), ("jai", 0),
+     ("ei", 0), ("jei", 0), ("ái", "a"), ("éi", "e"), ("itek", 0),
+     ("eitek", 0), ("jeitek", 0), ("éitek", "e"), ("ik", 0),
+     ("aik", 0), ("jaik", 0), ("eik", 0), ("jeik", 0), ("áik", "a"),
+     ("éik", "e"), ("ink", 0), ("aink", 0), ("jaink", 0), ("eink", 0),
+     ("jeink", 0), ("áink", "a"), ("éink", "e"), ("aitok", 0),
+     ("jaitok", 0), ("áitok", "a"), ("im", 0), ("aim", 0),
+     ("jaim", 0), ("eim", 0), ("jeim", 0), ("áim", "a"), ("éim", "e")]
+)
+_HU_PLURAL = _hu_sorted(
+    [("k", 0), ("ak", 0), ("ek", 0), ("ok", 0), ("ök", 0),
+     ("ák", "a"), ("ék", "e")]
+)
+
+
+def _hu_r1(w: str) -> int:
+    n = len(w)
+    if not n:
+        return n
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for dg in _HU_DIGRAPHS:
+            if w.startswith(dg, i):
+                return i + len(dg)
+        return i + 1
+    i = 0
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    if i >= n:
+        return n
+    return i + 1
+
+
+def _hu_match(w: str, table):
+    for suf, act in table:
+        if w.endswith(suf):
+            return suf, act
+    return None
+
+
+def _hu_undouble(w: str) -> str:
+    # drop the first of the final double letters ("hall" → "hal",
+    # "hoss" after "ccs" → "cs" handled by char-level removal)
+    return w[:-2] + w[-1] if len(w) >= 2 else w
+
+
+def hungarian_stem(word: str) -> str:
+    w = word
+    r1 = _hu_r1(w)
+
+    def apply(table) -> None:
+        nonlocal w
+        m = _hu_match(w, table)
+        if not m:
+            return
+        suf, act = m
+        start = len(w) - len(suf)
+        if start < r1:
+            return
+        w = w[:start] if act == 0 else w[:start] + act
+
+    # step 1: al/el after a double consonant → delete + undouble
+    if w.endswith(("al", "el")):
+        start = len(w) - 2
+        if start >= r1 and any(
+            w[:start].endswith(d) for d in _HU_DOUBLES
+        ):
+            w = _hu_undouble(w[:start])
+    # step 2: case endings, then á/é normalization at the new end
+    m = _hu_match(w, _HU_CASE)
+    if m:
+        suf, _ = m
+        start = len(w) - len(suf)
+        if start >= r1:
+            w = w[:start]
+            if w.endswith("á") and len(w) - 1 >= r1:
+                w = w[:-1] + "a"
+            elif w.endswith("é") and len(w) - 1 >= r1:
+                w = w[:-1] + "e"
+    apply(_HU_ANEN)       # step 3: án/én/ánként
+    apply(_HU_STUL)       # step 4: stul/stül family
+    # step 5: final á/é after a double consonant → delete + undouble
+    if w.endswith(("á", "é")):
+        start = len(w) - 1
+        if start >= r1 and any(
+            w[:start].endswith(d) for d in _HU_DOUBLES
+        ):
+            w = _hu_undouble(w[:start])
+    apply(_HU_OWNED)      # step 6
+    apply(_HU_SING_OWNER)  # step 7
+    apply(_HU_PLUR_OWNER)  # step 8
+    apply(_HU_PLURAL)     # step 9
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Finnish (Snowball 'finnish'; reference src/lib/stemmers/fi.js — decoded
+# from the compiled among tables; fuzz-verified via node).  Suffix amongs
+# run under a setlimit (R1/R2): a longer entry crossing the limit falls
+# back to the longest FITTING suffix entry — implemented as
+# longest-match over entries whose start clears the limit.
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = set("aeiouyäö")
+_FI_VOWELS_NO_Y = set("aeiouäö")
+_FI_PARTICLE_COND = set("aeinotuyäö")  # n, t or vowel
+_FI_CONS = set("bcdfghjklmnpqrstvwxz")
+_FI_AEIA = set("aeiä")
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+_FI_PARTICLES = sorted(
+    ["pa", "sti", "kaan", "han", "kin", "hän", "kään", "ko", "pä", "kö"],
+    key=len, reverse=True,
+)
+_FI_POSS = sorted(
+    ["nsa", "mme", "nne", "ni", "si", "an", "en", "än", "nsä"],
+    key=len, reverse=True,
+)
+_FI_AN_PRE = ("lla", "na", "ssa", "ta", "lta", "sta")
+_FI_AEN_PRE = ("llä", "nä", "ssä", "tä", "ltä", "stä")
+_FI_EN_PRE = ("lle", "ine")
+# case endings: (suffix, action); actions: "del", "hXn:<ch>", "n",
+# "a" (cv condition), "vi" (den/tten/siin — falls back to "n"),
+# "lv" (seen — falls back to "n")
+_FI_CASE = sorted(
+    [
+        ("lla", "del"), ("na", "del"), ("ssa", "del"), ("ta", "del"),
+        ("lta", "del"), ("sta", "del"), ("tta", "hXn:e"),
+        ("lle", "del"), ("ine", "del"), ("ksi", "del"),
+        ("n", "n"), ("han", "hXn:a"), ("den", "vi"), ("seen", "lv"),
+        ("hen", "hXn:e"), ("tten", "vi"), ("hin", "hXn:i"),
+        ("siin", "vi"), ("hon", "hXn:o"), ("hän", "hXn:ä"),
+        ("hön", "hXn:ö"), ("a", "a"), ("ä", "a"), ("llä", "del"),
+        ("nä", "del"), ("ssä", "del"), ("tä", "del"), ("ltä", "del"),
+        ("stä", "del"), ("ttä", "hXn:e"),
+    ],
+    key=lambda t: len(t[0]), reverse=True,
+)
+_FI_COMP = sorted(
+    [("eja", 0), ("mma", 1), ("imma", 0), ("mpa", 1), ("impa", 0),
+     ("mmi", 1), ("immi", 0), ("mpi", 1), ("impi", 0), ("ejä", 0),
+     ("mmä", 1), ("immä", 0), ("mpä", 1), ("impä", 0)],
+    key=lambda t: len(t[0]), reverse=True,
+)
+
+
+def _fi_r1_r2(w: str):
+    n = len(w)
+    r1 = r2 = n
+    i = 0
+    while i < n and w[i] not in _FI_VOWELS:
+        i += 1
+    if i >= n:
+        return r1, r2
+    i += 1
+    while i < n and w[i] in _FI_VOWELS:
+        i += 1
+    if i >= n:
+        return r1, r2
+    i += 1
+    r1 = i
+    while i < n and w[i] not in _FI_VOWELS:
+        i += 1
+    if i >= n:
+        return r1, r2
+    i += 1
+    while i < n and w[i] in _FI_VOWELS:
+        i += 1
+    if i >= n:
+        return r1, r2
+    r2 = i + 1
+    return r1, r2
+
+
+def _fi_longest(w: str, table, limit: int):
+    """Longest suffix entry whose start clears the setlimit."""
+    for item in table:
+        suf = item if isinstance(item, str) else item[0]
+        if w.endswith(suf) and len(w) - len(suf) >= limit:
+            return item
+    return None
+
+
+def finnish_stem(word: str) -> str:
+    w = word
+    r1, r2 = _fi_r1_r2(w)
+
+    # step 1: particles (limit R1)
+    m = _fi_longest(w, _FI_PARTICLES, r1)
+    if m:
+        start = len(w) - len(m)
+        if m == "sti":
+            if start >= r2:
+                w = w[:start]
+        elif start > 0 and w[start - 1] in _FI_PARTICLE_COND:
+            w = w[:start]
+
+    # step 2: possessives (limit R1)
+    m = _fi_longest(w, _FI_POSS, r1)
+    if m:
+        start = len(w) - len(m)
+        if m == "si":
+            if not (start > 0 and w[start - 1] == "k"):
+                w = w[:start]
+        elif m == "ni":
+            w = w[:start]
+            if w.endswith("kse"):
+                w = w[:-3] + "ksi"
+        elif m in ("nsa", "nsä", "mme", "nne"):
+            w = w[:start]
+        elif m == "an":
+            if any(w[:start].endswith(s) for s in _FI_AN_PRE):
+                w = w[:start]
+        elif m == "än":
+            if any(w[:start].endswith(s) for s in _FI_AEN_PRE):
+                w = w[:start]
+        elif m == "en":
+            if any(w[:start].endswith(s) for s in _FI_EN_PRE):
+                w = w[:start]
+
+    # step 3: case endings (limit R1)
+    ended_with_case = False
+
+    def vi_ok(start: int) -> bool:
+        # previous char is 'i' (inside the limit) preceded by a vowel
+        # from the no-y set (also inside the limit)
+        return (
+            start - 1 >= r1
+            and w[start - 1] == "i"
+            and start - 1 > r1 - 1
+            and start - 2 >= r1
+            and w[start - 2] in _FI_VOWELS_NO_Y
+        )
+
+    m = _fi_longest(w, _FI_CASE, r1)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        if act == "vi" and not vi_ok(start):
+            suf, act = "n", "n"  # among parent fallback
+            start = len(w) - 1
+        elif act == "lv":
+            two = w[start - 2: start]
+            if not (start - 2 >= r1 and two in _FI_LONG):
+                suf, act = "n", "n"
+                start = len(w) - 1
+        if act == "del":
+            w = w[:start]
+            ended_with_case = True
+        elif act.startswith("hXn:"):
+            ch = act.split(":", 1)[1]
+            if start > 0 and w[start - 1] == ch:
+                w = w[:start]
+                ended_with_case = True
+        elif act == "vi" or act == "lv":
+            w = w[:start]
+            ended_with_case = True
+        elif act == "n":
+            pre = w[:start]
+            extra = 0
+            if start - 1 >= r1 and (
+                pre[-2:] in _FI_LONG or pre.endswith("ie")
+            ):
+                extra = 1
+            w = w[: start - extra]
+            ended_with_case = True
+        elif act == "a":
+            if (
+                start >= 2
+                and w[start - 1] in _FI_VOWELS
+                and w[start - 2] in _FI_CONS
+            ):
+                w = w[:start]
+                ended_with_case = True
+
+    # step 4: comparatives (limit R2)
+    m = _fi_longest(w, _FI_COMP, r2)
+    if m:
+        suf, act = m
+        start = len(w) - len(suf)
+        if act == 0 or not w[:start].endswith("po"):
+            w = w[:start]
+
+    # step 5: i/j plural (after a case ending) or t plural
+    if ended_with_case:
+        m = _fi_longest(w, ["i", "j"], r1)
+        if m:
+            w = w[: len(w) - 1]
+    else:
+        if (
+            w.endswith("t")
+            and len(w) - 1 >= r1
+            and len(w) - 1 > r1 - 1
+            and len(w) >= 2
+            and len(w) - 2 >= r1
+            and w[-2] in _FI_VOWELS
+        ):
+            w = w[:-1]
+            m = _fi_longest(w, [("mma", 1), ("imma", 0)], r2)
+            if m:
+                suf, act = m
+                start = len(w) - len(suf)
+                if act == 0 or not w[:start].endswith("po"):
+                    w = w[:start]
+
+    # step 6: tidy (limit R1 for the trims; undouble unlimited)
+    n = len(w)
+    if n >= r1:
+        if w[-2:] in _FI_LONG and n > r1:
+            w = w[:-1]
+        n = len(w)
+        if (
+            n > r1
+            and w[-1] in _FI_AEIA
+            and n - 1 > r1
+            and n >= 2
+            and w[-2] in _FI_CONS
+        ):
+            w = w[:-1]
+        if w.endswith(("oj", "uj")) and len(w) - 1 > r1:
+            w = w[:-1]
+        if w.endswith("jo") and len(w) - 1 > r1:
+            w = w[:-1]
+        # undouble the final consonant before any trailing vowels
+        i = len(w)
+        while i > 0 and w[i - 1] in _FI_VOWELS:
+            i -= 1
+        if i > 0 and w[i - 1] in _FI_CONS:
+            if i - 2 >= 0 and w[i - 2] == w[i - 1]:
+                w = w[: i - 1] + w[i:]
+    return w
+
+
+# ---------------------------------------------------------------------------
 # Dispatch + cache (reference Stemmer.ts:43-175 semantics)
 # ---------------------------------------------------------------------------
 
@@ -1464,6 +1983,10 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "no": norwegian_stem,
     "da": danish_stem,
     "dk": danish_stem,  # reference code (src/lib/stemmers/dk.js)
+    "ie": irish_stem,  # reference code 'ie' = Irish (compiled Snowball)
+    "ga": irish_stem,
+    "hu": hungarian_stem,
+    "fi": finnish_stem,
 }
 
 

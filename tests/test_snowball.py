@@ -32,6 +32,9 @@ from search_engine_ray.analysis.snowball import (
     spanish_stem,
     stemmer_for_lang,
     swedish_stem,
+    irish_stem,
+    hungarian_stem,
+    finnish_stem,
 )
 
 GOLDEN = json.load(open("tests/golden/snowball_vectors.json"))
@@ -56,6 +59,9 @@ FNS = {
     "np": nepali_stem,
     "am": armenian_stem,
     "lt": lithuanian_stem,
+    "ie": irish_stem,
+    "hu": hungarian_stem,
+    "fi": finnish_stem,
 }
 LANGS = sorted(FNS)
 

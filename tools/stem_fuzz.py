@@ -85,7 +85,53 @@ SUFFIXES = {
         "ы", "ь", "ю", "я", "а", "е", "ость", "ост", "ейше", "ейш",
         "ать", "ять", "еть", "анн", "авши", "аем", "ающ", "ьейше",
     ],
+    "ie": [
+        "íochta", "aíochta", "ire", "aire", "abh", "eabh", "ibh",
+        "aibh", "amh", "eamh", "imh", "aimh", "íocht", "aíocht",
+        "irí", "airí", "óideacha", "patacha", "achta", "arcachta",
+        "eachta", "grafaíochta", "paite", "ach", "each", "óideach",
+        "gineach", "patach", "grafaíoch", "pataigh", "óidigh",
+        "achtúil", "eachtúil", "gineas", "ginis", "acht", "arcacht",
+        "eacht", "grafaíocht", "arcachtaí", "grafaíochtaí", "imid",
+        "aimid", "ímid", "aímid", "adh", "eadh", "faidh", "fidh",
+        "áil", "ain", "tear", "tar", "a", "e", "í",
+    ],
+    "hu": [
+        "al", "el", "ba", "ra", "be", "re", "ig", "nak", "nek", "val",
+        "vel", "ul", "nál", "nél", "ból", "ról", "tól", "ül", "ből",
+        "ről", "től", "n", "an", "ban", "en", "ben", "képpen", "on",
+        "ön", "képp", "kor", "t", "at", "et", "ként", "anként",
+        "enként", "onként", "ot", "ért", "öt", "hez", "hoz", "höz",
+        "vá", "vé", "án", "én", "ánként", "stul", "astul", "ástul",
+        "stül", "estül", "éstül", "á", "é", "éi", "áéi", "ééi", "ké",
+        "aké", "eké", "oké", "áké", "éké", "öké", "éé", "a", "ja",
+        "d", "ad", "ed", "od", "ád", "éd", "öd", "e", "je", "nk",
+        "unk", "ánk", "énk", "ünk", "uk", "juk", "ájuk", "ük", "jük",
+        "éjük", "m", "am", "em", "om", "ám", "ém", "o", "id", "aid",
+        "jaid", "eid", "jeid", "áid", "éid", "i", "ai", "jai", "ei",
+        "jei", "ái", "itek", "eitek", "jeitek", "éitek", "ik", "aik",
+        "jaik", "eik", "jeik", "áik", "éik", "ink", "aink", "jaink",
+        "eink", "jeink", "áink", "éink", "aitok", "jaitok", "áitok",
+        "im", "aim", "jaim", "eim", "jeim", "áim", "éim", "k", "ak",
+        "ek", "ok", "ök", "ák", "ék", "ll", "tt", "ss", "bb", "ccs",
+        "ssz", "lly",
+    ],
+    "fi": [
+        "pa", "sti", "kaan", "han", "kin", "hän", "kään", "ko", "pä",
+        "kö", "nsa", "nsä", "mme", "nne", "ni", "si", "an", "en", "än",
+        "lla", "na", "ssa", "ta", "lta", "sta", "tta", "lle", "ine",
+        "ksi", "n", "den", "seen", "hen", "tten", "hin", "siin", "hon",
+        "hän", "hön", "a", "ä", "llä", "nä", "ssä", "tä", "ltä", "stä",
+        "ttä", "eja", "mma", "imma", "mpa", "impa", "mmi", "immi",
+        "mpi", "impi", "ejä", "mmä", "immä", "mpä", "impä", "i", "j",
+        "t", "at", "it", "ien", "ssaan", "llaan", "staan", "taan",
+        "kseen", "ksineen", "ineen", "iin", "isiin", "poa", "pommi",
+        "tt", "ll", "kk", "aa", "ee", "ii", "oo", "uu", "ää", "öö",
+        "ie", "oj", "jo",
+    ],
 }
+
+
 
 
 ALPH = {
@@ -96,6 +142,18 @@ ALPH = {
     "it": "abcdefghijlmnopqrstuvzàèìòùáéíóú",
     "nl": "abcdefghijklmnopqrstuvwzyäéëïöü",
     "ru": "абвгдежзиклмнопрстуфхцчшщыьэюя",
+    "ie": "abcdefghilmnoprstuáéíóú",
+    "hu": "abcdefghijklmnoprstuvzáéíóöúüőű",
+    "fi": "abdeghijklmnoprstuvyäö",
+}
+
+# optional word-initial mutation prefixes, applied with p=0.4
+PREFIXES = {
+    "ie": [
+        "b'", "bh", "bhf", "bp", "ch", "d'", "d'fh", "dh", "dt", "fh",
+        "gc", "gh", "h-", "m'", "mb", "mh", "n-", "nd", "ng", "ph",
+        "sh", "t-", "th", "ts",
+    ],
 }
 
 
@@ -110,6 +168,9 @@ def gen_words(lang: str, n: int, seed: int = 7):
         word = stem + rng.choice(sufs) if rng.random() < 0.85 else stem
         if rng.random() < 0.15:
             word += rng.choice(sufs)
+        pres = PREFIXES.get(lang)
+        if pres and rng.random() < 0.4:
+            word = rng.choice(pres) + word
         out.add(word)
     return sorted(out)
 
