@@ -1946,6 +1946,8 @@ def finnish_stem(word: str) -> str:
 # Dispatch + cache (reference Stemmer.ts:43-175 semantics)
 # ---------------------------------------------------------------------------
 
+from .snowball_tr import turkish_stem  # noqa: E402
+from .snowball_ar import arabic_stem  # noqa: E402
 from .light_stemmers import (  # noqa: E402
     armenian_stem,
     bulgarian_stem,
@@ -1987,6 +1989,8 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "ga": irish_stem,
     "hu": hungarian_stem,
     "fi": finnish_stem,
+    "tr": turkish_stem,
+    "ar": arabic_stem,
 }
 
 

@@ -35,6 +35,8 @@ from search_engine_ray.analysis.snowball import (
     irish_stem,
     hungarian_stem,
     finnish_stem,
+    turkish_stem,
+    arabic_stem,
 )
 
 GOLDEN = json.load(open("tests/golden/snowball_vectors.json"))
@@ -62,6 +64,8 @@ FNS = {
     "ie": irish_stem,
     "hu": hungarian_stem,
     "fi": finnish_stem,
+    "tr": turkish_stem,
+    "ar": arabic_stem,
 }
 LANGS = sorted(FNS)
 

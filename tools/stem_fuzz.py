@@ -129,10 +129,43 @@ SUFFIXES = {
         "tt", "ll", "kk", "aa", "ee", "ii", "oo", "uu", "ää", "öö",
         "ie", "oj", "jo",
     ],
+    "tr": [
+        "lar", "ler", "leri", "ları", "ni", "nu", "nü", "nı", "in",
+        "un", "ün", "ın", "a", "e", "na", "ne", "da", "ta", "de",
+        "te", "nda", "nde", "dan", "tan", "den", "ten", "ndan",
+        "nden", "la", "le", "ca", "ce", "im", "um", "üm", "ım",
+        "sin", "sun", "sün", "sın", "iz", "uz", "üz", "ız", "siniz",
+        "sunuz", "sünüz", "sınız", "niz", "nuz", "nüz", "nız", "dir",
+        "tir", "dur", "tur", "dür", "tür", "dır", "tır", "casına",
+        "cesine", "di", "ti", "dik", "tik", "duk", "tuk", "dük",
+        "tük", "dık", "tık", "dim", "tim", "dum", "tum", "düm",
+        "tüm", "dım", "tım", "din", "tin", "dün", "tün", "dın",
+        "tın", "du", "tu", "dü", "tü", "dı", "tı", "sa", "se", "sak",
+        "sek", "sam", "sem", "san", "sen", "miş", "muş", "müş",
+        "mış", "ken", "ki", "kiler", "kilerden", "m", "n", "miz",
+        "niz", "muz", "nuz", "müz", "nüz", "mız", "nız", "ydi",
+        "ydı", "ymuş", "ymış", "yse", "ysa", "yken", "yi", "yu",
+        "yü", "yı", "ya", "ye", "larını", "lerini", "larından",
+        "lerinden", "sındaki", "indeki", "daki", "deki", "teki",
+        "taki", "ndaki", "sinde", "sında", "larında", "lerinde",
+    ],
 }
 
 
 
+
+
+SUFFIXES["ar"] = [
+    "\u0643", "\u0647", "\u064a", "\u0646\u0627", "\u0647\u0627", "\u0643\u0645", "\u0647\u0645", "\u0647\u0646", "\u0643\u0645\u0627", "\u0647\u0645\u0627",
+    "\u0643\u0646", "\u0646\u064a", "\u0643\u0645\u0648", "\u0627", "\u062a", "\u062a\u0627", "\u062a\u0645\u0627", "\u062a\u0646", "\u0627\u0646", "\u0648\u0646",
+    "\u064a\u0646", "\u0648", "\u062a\u0645\u0648", "\u0648\u0627", "\u062a\u0645", "\u0629", "\u0646", "\u0627\u062a", "\u0649",
+]
+
+PREFIX_AR = [
+    "بال", "كال", "ال", "لل", "ف", "و", "ب", "با", "بب", "كك",
+    "سي", "ست", "سن", "سأ", "تست", "نست", "يست", "أأ", "أآ", "أؤ",
+    "أإ", "أا",
+]
 
 ALPH = {
     "de": "abcdefghijklmnopqrstuvwzäöüß",
@@ -145,10 +178,13 @@ ALPH = {
     "ie": "abcdefghilmnoprstuáéíóú",
     "hu": "abcdefghijklmnoprstuvzáéíóöúüőű",
     "fi": "abdeghijklmnoprstuvyäö",
+    "tr": "abcçdefgğhıijklmnoöprsştuüvyz",
+    "ar": "ءآأؤإئابةتثجحخدذرزسشصضطظعغفقكلمنهوىي",
 }
 
 # optional word-initial mutation prefixes, applied with p=0.4
 PREFIXES = {
+    "ar": PREFIX_AR,
     "ie": [
         "b'", "bh", "bhf", "bp", "ch", "d'", "d'fh", "dh", "dt", "fh",
         "gc", "gh", "h-", "m'", "mb", "mh", "n-", "nd", "ng", "ph",
