@@ -1948,6 +1948,7 @@ def finnish_stem(word: str) -> str:
 
 from .snowball_tr import turkish_stem  # noqa: E402
 from .snowball_ar import arabic_stem  # noqa: E402
+from .snowball_gr import greek_stem  # noqa: E402
 from .light_stemmers import (  # noqa: E402
     armenian_stem,
     bulgarian_stem,
@@ -1991,6 +1992,8 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "fi": finnish_stem,
     "tr": turkish_stem,
     "ar": arabic_stem,
+    "gr": greek_stem,
+    "el": greek_stem,
 }
 
 

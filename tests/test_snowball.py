@@ -37,6 +37,7 @@ from search_engine_ray.analysis.snowball import (
     finnish_stem,
     turkish_stem,
     arabic_stem,
+    greek_stem,
 )
 
 GOLDEN = json.load(open("tests/golden/snowball_vectors.json"))
@@ -66,6 +67,7 @@ FNS = {
     "fi": finnish_stem,
     "tr": turkish_stem,
     "ar": arabic_stem,
+    "gr": greek_stem,
 }
 LANGS = sorted(FNS)
 

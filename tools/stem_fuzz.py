@@ -155,6 +155,34 @@ SUFFIXES = {
 
 
 
+SUFFIXES["gr"] = [
+    "ιζα", "ιζε", "ιζαμε", "ιζουμε", "ιζανε", "ιζουνε", "ιζατε",
+    "ιζετε", "ιζει", "ιζαν", "ιζουν", "ιζεσ", "ιζεισ", "ιζω",
+    "ωθηκα", "ωθηκε", "ωθηκαμε", "ωθηκανε", "ωθηκατε", "ωθηκαν",
+    "ωθηκεσ", "ισα", "ισαμε", "ισανε", "ισε", "ισατε", "ισαν",
+    "ισεσ", "ισουμε", "ισουνε", "ισετε", "ισει", "ισουν", "ισεισ",
+    "ισω", "ιστα", "ιστε", "ιστη", "ιστοι", "ιστων", "ιστο",
+    "ιστεσ", "ιστησ", "ιστοσ", "ιστουσ", "ιστου", "ισμοι", "ισμων",
+    "ισμο", "ισμοσ", "ισμουσ", "ισμου", "ουδακια", "αρακια",
+    "ουδακι", "αρακι", "ακια", "ιτσα", "ακι", "ιτσων", "ιτσασ",
+    "ιτσεσ", "ιδια", "ιδιων", "ιδιο", "ισκε", "ισκο", "ισκοσ",
+    "ισκου", "αδων", "αδεσ", "εδων", "εδεσ", "ουδων", "ουδεσ",
+    "εων", "εωσ", "ια", "ιων", "ιου", "ικα", "ικων", "ικο",
+    "ικου", "αγαμε", "ηκαμε", "ηθηκαμε", "ησαμε", "ουσαμε", "αμε",
+    "αγανε", "ηκανε", "ηθηκανε", "ησανε", "ουσανε", "οντανε",
+    "ιοντανε", "ουντανε", "ιουντανε", "οτανε", "ιοτανε", "ανε",
+    "ησετε", "ετε", "οντασ", "ωντασ", "ομαστε", "ιομαστε", "ιεστε",
+    "εστε", "ηθηκα", "ηθηκε", "ηθηκεσ", "ηκα", "ηκε", "ηκεσ",
+    "ουσα", "ουσε", "ουσεσ", "ησα", "ησε", "ησου", "αγα", "αγε",
+    "αγεσ", "ηστε", "ουνε", "ηθουνε", "ησουνε", "ουμε", "ηθουμε",
+    "ησουμε", "ματα", "ματων", "ματοσ", "α", "ε", "η", "ι", "ο",
+    "οσ", "εσ", "ασ", "ωσ", "ου", "ων", "ομαι", "εται", "ονται",
+    "ομουν", "οσουν", "οταν", "ομασταν", "οσασταν", "οτερ",
+    "εστερ", "υτερ", "ωτερ", "οτατ", "εστατ", "υτατ", "ωτατ",
+    "φαγια", "σκαγια", "ολογια", "κρεατα", "περατα", "γεγονοτα",
+    "καθεστωτα", "φωτα",
+]
+
 SUFFIXES["ar"] = [
     "\u0643", "\u0647", "\u064a", "\u0646\u0627", "\u0647\u0627", "\u0643\u0645", "\u0647\u0645", "\u0647\u0646", "\u0643\u0645\u0627", "\u0647\u0645\u0627",
     "\u0643\u0646", "\u0646\u064a", "\u0643\u0645\u0648", "\u0627", "\u062a", "\u062a\u0627", "\u062a\u0645\u0627", "\u062a\u0646", "\u0627\u0646", "\u0648\u0646",
@@ -180,6 +208,7 @@ ALPH = {
     "fi": "abdeghijklmnoprstuvyäö",
     "tr": "abcçdefgğhıijklmnoöprsştuüvyz",
     "ar": "ءآأؤإئابةتثجحخدذرزسشصضطظعغفقكلمنهوىي",
+    "gr": "αβγδεζηθικλμνξοπρστυφχψωάέήίόύώΑΒΓΕΣΤςϊΐ",
 }
 
 # optional word-initial mutation prefixes, applied with p=0.4
