@@ -1949,6 +1949,7 @@ def finnish_stem(word: str) -> str:
 from .snowball_tr import turkish_stem  # noqa: E402
 from .snowball_ar import arabic_stem  # noqa: E402
 from .snowball_gr import greek_stem  # noqa: E402
+from .snowball_ta import tamil_stem  # noqa: E402
 from .light_stemmers import (  # noqa: E402
     armenian_stem,
     bulgarian_stem,
@@ -1994,6 +1995,7 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "ar": arabic_stem,
     "gr": greek_stem,
     "el": greek_stem,
+    "ta": tamil_stem,
 }
 
 

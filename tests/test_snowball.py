@@ -38,6 +38,7 @@ from search_engine_ray.analysis.snowball import (
     turkish_stem,
     arabic_stem,
     greek_stem,
+    tamil_stem,
 )
 
 GOLDEN = json.load(open("tests/golden/snowball_vectors.json"))
@@ -68,6 +69,7 @@ FNS = {
     "tr": turkish_stem,
     "ar": arabic_stem,
     "gr": greek_stem,
+    "ta": tamil_stem,
 }
 LANGS = sorted(FNS)
 

@@ -155,6 +155,26 @@ SUFFIXES = {
 
 
 
+SUFFIXES["ta"] = [
+    "கள்", "ட்கள்", "ற்கள்", "ுங்கள்", "ா", "ே", "ோ", "பி", "வி",
+    "ும்", "ுடன்", "ில்லை", "ிடம்", "ின்றி", "ாகி", "ாகிய",
+    "ென்று", "ுள்ள", "ுடைய", "ுடை", "ெனும்", "ல்ல", "ென",
+    "பட்ட", "பட்டண", "தான்", "படிதான்", "குரிய", "படி", "பற்றி",
+    "படு", "விடு", "பட்டு", "விட்டு", "பட்டது", "ெல்லாம்", "னை",
+    "ினை", "ை", "ொடு", "ோடு", "ில்", "ிற்", "ின்", "ின்று",
+    "ிருந்து", "விட", "ால்", "ாமல்", "ல்", "ுள்", "கண்", "முன்",
+    "மேல்", "மேற்", "கீழ்", "பின்", "து", "ீ", "கொண்டிர்", "மார்",
+    "மின்", "னன்", "னான்", "னாள்", "னார்", "வன்", "னள்", "வள்",
+    "னர்", "வர்", "ன", "ப", "க", "த", "ய", "பன்", "பள்", "பர்",
+    "ிற்று", "பம்", "னம்", "தும்", "றும்", "கும்", "னென்", "வை",
+    "ான்", "ாள்", "ார்", "ேன்", "ாம்", "ெம்", "ேம்", "ோம்",
+    "டும்", "ாய்", "னிர்", "ீர்", "ீயர்", "கு", "கிற", "கின்ற",
+    "ாநின்ற", "கிற்", "கின்ற்", "ந்த்", "ந்த", "ந்", "ய்", "ட்ப்",
+    "ட்க்", "ன்ற்", "ற்க்", "ட்ட்", "த்த்", "ுக்", "ுக்க்", "வ்",
+    "னு", "ங்", "்", "எக்", "அக்", "இத்", "உப்", "வோ", "வொ", "வு",
+    "வூ", "ும்கள்",
+]
+
 SUFFIXES["gr"] = [
     "ιζα", "ιζε", "ιζαμε", "ιζουμε", "ιζανε", "ιζουνε", "ιζατε",
     "ιζετε", "ιζει", "ιζαν", "ιζουν", "ιζεσ", "ιζεισ", "ιζω",
@@ -209,11 +229,15 @@ ALPH = {
     "tr": "abcçdefgğhıijklmnoöprsştuüvyz",
     "ar": "ءآأؤإئابةتثجحخدذرزسشصضطظعغفقكلمنهوىي",
     "gr": "αβγδεζηθικλμνξοπρστυφχψωάέήίόύώΑΒΓΕΣΤςϊΐ",
+    "ta": "கஙசஞடணதநபமயரலவழளறனஜஷஸஹஅஆஇஈஉஊஎஏஐஒஓஔாிீுூெேைொோௌ்",
 }
 
 # optional word-initial mutation prefixes, applied with p=0.4
 PREFIXES = {
     "ar": PREFIX_AR,
+    "ta": ["எக்", "எச்", "எத்", "எப்", "அக்", "அச்", "அத்", "அப்",
+           "இக்", "இச்", "இத்", "இப்", "உக்", "உத்", "எங்", "அவ்",
+           "இந்", "அம்", "வோ", "வு"],
     "ie": [
         "b'", "bh", "bhf", "bp", "ch", "d'", "d'fh", "dh", "dt", "fh",
         "gc", "gh", "h-", "m'", "mb", "mh", "n-", "nd", "ng", "ph",
