@@ -1950,6 +1950,7 @@ from .snowball_tr import turkish_stem  # noqa: E402
 from .snowball_ar import arabic_stem  # noqa: E402
 from .snowball_gr import greek_stem  # noqa: E402
 from .snowball_ta import tamil_stem  # noqa: E402
+from .snowball_rs import serbian_stem  # noqa: E402
 from .light_stemmers import (  # noqa: E402
     armenian_stem,
     bulgarian_stem,
@@ -1996,6 +1997,8 @@ SNOWBALL_STEMMERS: Dict[str, Callable[[str], str]] = {
     "gr": greek_stem,
     "el": greek_stem,
     "ta": tamil_stem,
+    "rs": serbian_stem,  # reference code 'rs' = Serbian (compiled Snowball)
+    "sr": serbian_stem,
 }
 
 

@@ -39,6 +39,7 @@ from search_engine_ray.analysis.snowball import (
     arabic_stem,
     greek_stem,
     tamil_stem,
+    serbian_stem,
 )
 
 GOLDEN = json.load(open("tests/golden/snowball_vectors.json"))
@@ -70,6 +71,7 @@ FNS = {
     "ar": arabic_stem,
     "gr": greek_stem,
     "ta": tamil_stem,
+    "rs": serbian_stem,
 }
 LANGS = sorted(FNS)
 

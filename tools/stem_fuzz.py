@@ -209,6 +209,36 @@ SUFFIXES["ar"] = [
     "\u064a\u0646", "\u0648", "\u062a\u0645\u0648", "\u0648\u0627", "\u062a\u0645", "\u0629", "\u0646", "\u0627\u062a", "\u0649",
 ]
 
+SUFFIXES["rs"] = [
+    'a', 'acak', 'acasmo', 'aceg', 'acem', 'acoj', 'ahu', 'ajac',
+    'ajaka', 'ajeve', 'aji', 'am', 'ama', 'anem', 'ani', 'anih',
+    'anim', 'anjac', 'anjem', 'anjija', 'ano', 'anog', 'anoj', 'anom',
+    'are', 'arom', 'asta', 'astadu', 'astaneš', 'astome', 'astući',
+    'atan', 'atcima', 'avajući', 'avan', 'ačat', 'aše', 'bija',
+    'bilan', 'bojci', 'caje', 'centar', 'centara', 'cinoga', 'cinome',
+    'dijom', 'dušan', 'e', 'ece', 'eceg', 'ecih', 'ecome', 'ecuh',
+    'ekat', 'elim', 'elom', 'ena', 'enat', 'eni', 'enih', 'enim',
+    'eno', 'enog', 'enoj', 'enom', 'enu', 'eran', 'evan', 'evao',
+    'evi', 'evito', 'evo', 'fijima', 'ganijama', 'gasem', 'i', 'ije',
+    'ijega', 'ijemu', 'ijte', 'iju', 'ima', 'injalo', 'injao',
+    'injat', 'inom', 'irajuci', 'iral', 'irala', 'istade',
+    'istadoše', 'istajasmo', 'istajaste', 'istala', 'iti', 'ivaste',
+    'ivati', 'ivem', 'ivim', 'izam', 'izama', 'jaci', 'jacima',
+    'jasa', 'jasem', 'je', 'jetila', 'jetile', 'jetilo', 'kasu',
+    'kije', 'ko', 'kstima', 'kuse', 'laran', 'latima', 'lemama',
+    'luce', 'lucene', 'luci', 'manijom', 'metar', 'mova', 'move',
+    'movi', 'nasima', 'naša', 'nem', 'nijim', 'niju', 'njaca', 'o',
+    'og', 'oga', 'ojac', 'ojaka', 'ojsci', 'olac', 'olaca', 'ole',
+    'olovima', 'om', 'ost', 'ostaješ', 'ostama', 'ostaneš',
+    'ostanila', 'ostima', 'ostom', 'ovah', 'ovao', 'ove', 'ovijima',
+    'ozan', 'ošega', 'ošijemu', 'ošću', 'panijama', 'pletan', 'r',
+    'rr', 'sac', 'save', 'snjijem', 'stavan', 'tasmo', 'tašu',
+    'tetici', 'teticima', 'tilan', 'u', 'ucih', 'ucoga', 'ucomu',
+    'ugom', 'uraše', 'usak', 'utcima', 'ućem', 'voljan', 'zijama',
+    'zije', 'ćajama', 'činama', 'šaca', 'škemu', 'škijega',
+    'škoga', 'škoj', 'šnjoj',
+]
+
 PREFIX_AR = [
     "بال", "كال", "ال", "لل", "ف", "و", "ب", "با", "بب", "كك",
     "سي", "ست", "سن", "سأ", "تست", "نست", "يست", "أأ", "أآ", "أؤ",
@@ -230,6 +260,10 @@ ALPH = {
     "ar": "ءآأؤإئابةتثجحخدذرزسشصضطظعغفقكلمنهوىي",
     "gr": "αβγδεζηθικλμνξοπρστυφχψωάέήίόύώΑΒΓΕΣΤςϊΐ",
     "ta": "கஙசஞடணதநபமயரலவழளறனஜஷஸஹஅஆஇஈஉஊஎஏஐஒஓஔாிீுூெேைொோௌ்",
+    # latin serbian (incl. diacritics) + cyrillic to exercise the
+    # transliteration pass; digraph sources lj/nj/dj appear via random
+    # combination
+    "rs": "abcdefghijklmnoprstuvzćčđšžабвгдђежзијклљмнњопрстћуфхцчџш",
 }
 
 # optional word-initial mutation prefixes, applied with p=0.4
