@@ -852,29 +852,87 @@ def _tf_fallback_scores(
     """The reference's zero-score fallback (SearchEngine.ts:589-604):
     when BM25 leaves every hit at score 0, re-score each candidate by
     counting word-boundary regex matches of each query token in the
-    JSON-serialized document (lowercased), floor 1.  Python loop over
-    docs is faithful to the per-doc regex of the reference and only runs
-    on this rare path."""
+    JSON-serialized document (lowercased), floor 1.
+
+    Two fast paths keep this off the latency cliff the reference pays:
+
+    * no tokens at all (structured query — range/prefix/geo/... — with
+      no text terms): every doc scores ``max(1, 0) = 1``, so the top-k
+      is just the first ``k`` candidates in the pinned (score desc,
+      doc_id asc) order — **no document reads whatsoever** (previously a
+      full candidate-set docstore scan to compute a constant);
+    * with tokens: per-column Arrow ``count_substring_regex`` over the
+      lowercased string-cast values plus a constant per-token count over
+      the column-name scaffolding (JSON.stringify serializes keys too),
+      instead of a Python regex loop over ``to_pylist`` rows."""
     import re as _re
 
     from .wand import topk_select
 
     if cand.size == 0:
         return cand, np.empty(0, dtype=np.float64)
+    if not tokens:
+        ids = np.sort(cand)[:k]
+        return ids, np.ones(ids.size, dtype=np.float64)
     import pyarrow.compute as pc
 
     tbl = reader.docs_table(filter=pc.field("doc_id").isin(cand))
-    pats = [
-        _re.compile(r"\b" + _re.escape(t) + r"\b") for t in tokens
-    ]
     ids = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64)
-    rows = tbl.drop_columns(["doc_id"]).to_pylist()
-    scores = np.empty(len(rows), dtype=np.float64)
-    for i, row in enumerate(rows):
-        text = json.dumps(row, default=str).lower()
-        n = sum(len(p.findall(text)) for p in pats)
-        scores[i] = max(1, n)  # Math.max(1, score), ts:602
+    cols = [c for c in tbl.column_names if c != "doc_id"]
+    regexes = [r"\b" + _re.escape(t) + r"\b" for t in tokens]
+    # JSON.stringify(doc) includes the field NAMES — their token matches
+    # are a per-row constant over the key scaffolding
+    skel = " ".join(cols).lower()
+    base = float(
+        sum(len(_re.findall(rx, skel)) for rx in regexes)
+    )
+    scores = np.full(ids.size, base, dtype=np.float64)
+    for c in cols:
+        col = tbl[c]
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
+            col.type
+        ):
+            col = pc.cast(col, pa.string())
+        # JSON renders missing values as the word "null"
+        col = pc.fill_null(pc.utf8_lower(col), "null")
+        for rx in regexes:
+            cnt = pc.count_substring_regex(col, rx).to_numpy(
+                zero_copy_only=False
+            )
+            scores += cnt.astype(np.float64)
+    np.maximum(scores, 1.0, out=scores)  # Math.max(1, score), ts:602
     return topk_select(ids, scores, k)
+
+
+def _df_bounded(node) -> bool:
+    """True when every leaf of the normalized AST is a term/match —
+    i.e. evaluation cost is bounded by the posting lengths (the ``dfs``
+    the scorer already looked up).  Prefix/wildcard/fuzzy (vocab scans),
+    phrase (position verification), range/geo (docstore scans), nested
+    and match_all are NOT df-bounded."""
+    if node is None:
+        return True
+    if "bool" in node:
+        b = node["bool"]
+        return all(
+            _df_bounded(n)
+            for cl in ("must", "should", "must_not", "filter")
+            for n in b.get(cl, [])
+        )
+    return "term" in node or "match" in node
+
+
+def _est_candidates(node, dfs: Dict[str, int]) -> int:
+    """Rough candidate-count estimate for a df-bounded node, used to
+    pick serial vs threaded partition scoring: a conjunction is bounded
+    by its rarest mandatory term, a disjunction by the df sum."""
+    if node is None or not dfs:
+        return 0
+    if "bool" in node:
+        b = node["bool"]
+        if b.get("must") or b.get("filter"):
+            return min(dfs.values())
+    return sum(dfs.values())
 
 
 class IndexSearcher:
@@ -945,6 +1003,21 @@ class IndexSearcher:
             for p in self.manifest["partitions"]
         ]
         self._readers = [PartitionReader(d) for d in self.part_dirs]
+        self._stats_json = self.stats.to_json()
+        # Ray presets OMP_NUM_THREADS=1, which Arrow adopts as its
+        # compute-pool size — leaving every driver-side parquet decode /
+        # re2 kernel single-threaded.  The searcher is a driver/serving
+        # construct (partition scoring inside Ray tasks uses
+        # PartitionReader directly), so widen the pool once here.
+        try:
+            if pa.cpu_count() < 4:
+                pa.set_cpu_count(min(8, os.cpu_count() or 4))
+        except Exception:
+            pass
+        # df-bounded queries whose estimated candidate count is below
+        # this run serially (thread-pool dispatch costs more than the
+        # scoring)
+        self.serial_df_max = 60_000
         # TTL'd query-result cache, the reference's queryCache
         # (inquir.config.js:133,150: 300 s TTL; SearchEngine.ts caches
         # search results keyed by the serialized query).  Safe here
@@ -1146,7 +1219,7 @@ class IndexSearcher:
                 node,
                 terms,
                 dfs,
-                self.stats.to_json(),
+                self._stats_json,
                 self.text_fields,
                 k,
                 self.field_boosts,
@@ -1166,10 +1239,16 @@ class IndexSearcher:
             parts = ray.get(
                 [fn.remote(*a, doc_boosts=doc_boosts) for a in args]
             )
-        elif len(args) > 1:
+        elif len(args) > 1 and (
+            not _df_bounded(node)
+            or _est_candidates(node, dfs) > self.serial_df_max
+        ):
             # thread the per-partition scoring: the hot kernels (numpy
             # intersections, position gathers, parquet reads) release
-            # the GIL, so partitions genuinely overlap
+            # the GIL, so partitions genuinely overlap.  Only worth it
+            # for heavy queries — pool dispatch + result pickup costs
+            # ~3 ms/query, which DOMINATES a warm df-bounded term query
+            # (~0.4 ms/partition), so those run serially.
 
             def run(ar):
                 a, r = ar
@@ -1208,14 +1287,18 @@ class IndexSearcher:
                 from ..analysis.analyzers import standard_analyzer
 
                 toks = standard_analyzer(query, self.stopwords)
-            parts = []
-            for r in self._readers:
+            def _fb(r):
                 ev = _PartitionEvaluator(
                     r, self.text_fields, self.stopwords, self.synonyms,
                     token_filter=self.token_filter,
                 )
-                cand = ev.evaluate(node)
-                parts.append(_tf_fallback_scores(r, cand, toks, k))
+                return _tf_fallback_scores(r, ev.evaluate(node), toks, k)
+
+            if len(self._readers) > 1 and toks:
+                # docstore reads + re2 counting release the GIL
+                parts = list(self._pool().map(_fb, self._readers))
+            else:
+                parts = [_fb(r) for r in self._readers]
 
         # driver-side k-way merge (rank-correct, unlike the reference's
         # concat merge)
@@ -1313,10 +1396,12 @@ class IndexSearcher:
             return (i, ev.evaluate(node))
 
         readers = list(enumerate(self._readers))
-        if len(readers) > 1:
-            # numpy/parquet kernels release the GIL — partitions overlap
+        if len(readers) > 1 and not _df_bounded(node):
+            # numpy/parquet kernels release the GIL — partitions overlap;
+            # df-bounded (term/match) evaluation is cached-posting array
+            # math, cheaper than the pool dispatch — run it serially
             return list(self._pool().map(one, readers))
-        return [one(readers[0])] if readers else []
+        return [one(r) for r in readers]
 
     def _result_docs_table(
         self, cands: List[Tuple[int, np.ndarray]], columns: List[str]
