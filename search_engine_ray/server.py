@@ -62,7 +62,8 @@ class IndexHandle:
 
     def __init__(self, index_dir: str, facet_fields: Optional[List[str]] = None,
                  mappings: Optional[Dict[str, str]] = None,
-                 auto_compact_partitions: int = 8):
+                 auto_compact_partitions: int = 8,
+                 buffer_store: Optional[Dict[str, Any]] = None):
         self.index_dir = index_dir
         self.facet_fields = list(facet_fields or [])
         self.mappings = dict(mappings) if mappings else None
@@ -72,11 +73,24 @@ class IndexHandle:
         # them LSM-style so query latency stays bounded regardless of how
         # many small flushes arrived.  0/None disables.
         self.auto_compact_partitions = auto_compact_partitions
-        self.buffer: List[Dict[str, Any]] = []
+        # pluggable add-buffer (the reference's DocumentStoreFactory
+        # config, DocumentStoreFactory.ts:9-60): default in-memory; a
+        # {"type": "filesystem"|"parquet", ...} config makes buffered-
+        # but-unflushed adds survive a server restart.
+        self.buffer_store_cfg = dict(buffer_store) if buffer_store else None
         self.lock = threading.Lock()
         self._searcher = None
         os.makedirs(index_dir, exist_ok=True)
         self._load_config()
+        self.buffer = self._make_buffer_store()
+
+    def _make_buffer_store(self):
+        from .state.docstore import create_store
+
+        cfg = dict(self.buffer_store_cfg or {"type": "memory"})
+        if cfg.get("type") in ("filesystem", "parquet") and not cfg.get("root"):
+            cfg["root"] = os.path.join(self.index_dir, "buffer_store")
+        return create_store(cfg)
 
     # --- config persistence --------------------------------------------
     @property
@@ -93,13 +107,16 @@ class IndexHandle:
                 self.auto_compact_partitions = cfg[
                     "auto_compact_partitions"
                 ]
+            if cfg.get("buffer_store"):
+                self.buffer_store_cfg = cfg["buffer_store"]
 
     def _save_config(self) -> None:
         tmp = self._cfg_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
                 {"facet_fields": self.facet_fields, "mappings": self.mappings,
-                 "auto_compact_partitions": self.auto_compact_partitions},
+                 "auto_compact_partitions": self.auto_compact_partitions,
+                 "buffer_store": self.buffer_store_cfg},
                 f, indent=1,
             )
         os.replace(tmp, self._cfg_path)
@@ -108,8 +125,11 @@ class IndexHandle:
     def add_documents(self, docs: List[Dict[str, Any]]) -> Dict[str, Any]:
         with self.lock:
             for d in docs:
-                self.buffer.append({**d, "id": _doc_id_for(d)})
-            return {"addedCount": len(docs), "buffered": len(self.buffer)}
+                self.buffer.put({**d, "id": _doc_id_for(d)}, "buffer")
+            return {
+                "addedCount": len(docs),
+                "buffered": self.buffer.count("buffer"),
+            }
 
     def flush(self) -> Dict[str, Any]:
         """Build buffered docs into a new delta partition."""
@@ -121,7 +141,8 @@ class IndexHandle:
         )
 
         with self.lock:
-            docs, self.buffer = self.buffer, []
+            docs = self.buffer.find("buffer")
+            self.buffer.clear("buffer")
         if not docs:
             return {"flushed": 0, "message": "nothing to flush"}
 
@@ -340,6 +361,7 @@ class SearchServer:
                             auto_compact_partitions=b.get(
                                 "autoCompactPartitions", 8
                             ),
+                            buffer_store=b.get("bufferStore"),
                         )
                         h._save_config()
                         server.indexes[name] = h

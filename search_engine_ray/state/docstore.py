@@ -1,0 +1,730 @@
+"""Pluggable document stores — the engine's analog of the reference's
+``src/infrastructure/stores/*`` family (DocumentStore.ts:61-120 abstract
+contract; DocumentStoreFactory.ts:9-60 config dispatch).
+
+The engine's NATIVE docstore is the columnar parquet side-files each
+index partition writes (``partitions/*/docs/*.parquet``) — that is what
+scales to 100 TB (column pruning, predicate pushdown, immutable
+segments).  This module provides the reference's pluggable row-store
+interface for the SERVING tier: buffered adds, small metadata indexes,
+tests, and anywhere a user of the reference would reach for
+``DocumentStoreFactory.create(...)``.
+
+Implemented backends (reference file in parens):
+
+* :class:`InMemoryDocumentStore` — dict-backed (InMemoryDocumentStore.ts)
+* :class:`FileSystemDocumentStore` — one JSON file per doc under
+  ``root/<index>/<id>.json`` (FileSystemDocumentStore.ts:91-229)
+* :class:`ParquetDocumentStore` — Arrow/parquet segments per index, the
+  bridge to the engine's native columnar layout (bulk-first; ``put``
+  appends a one-row segment, ``compact()`` merges segments LSM-style)
+* :class:`CachedDocumentStore` — TTL'd LRU wrapper over any store
+  (CachedDocumentStore.ts:61-77, 377-391: maxSize 10k, ttl 300 s)
+* :class:`ShardedDocumentStore` — hash/round-robin sharding over child
+  stores (ShardedDocumentStore.ts:28-64)
+
+``RedisDocumentStore`` is deliberately absent: no network services in
+this engine's deployment model; a Ray-native shared store would be an
+actor, which the serving facade already models with immutable segments.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import threading
+import time
+from abc import ABC, abstractmethod
+from collections import OrderedDict
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+Document = Dict[str, Any]
+
+DEFAULT_INDEX = "default"
+
+
+def _require_id(doc: Document) -> str:
+    did = doc.get("id")
+    if did is None or not isinstance(did, str) or not did:
+        raise ValueError("Document must have a non-empty string 'id'")
+    return did
+
+
+class DocumentStore(ABC):
+    """Abstract row-store contract (DocumentStore.ts:61-120), sync and
+    batch-first.  All stores track operation stats; ``find`` supports the
+    reference's DocumentFilter shape (index_name / ids / equality query /
+    limit / offset)."""
+
+    def __init__(self) -> None:
+        self.stats: Dict[str, Any] = {
+            "reads": 0, "writes": 0, "deletes": 0,
+        }
+
+    # --- core CRUD -----------------------------------------------------
+    @abstractmethod
+    def put(self, doc: Document, index_name: str = DEFAULT_INDEX) -> bool: ...
+
+    @abstractmethod
+    def get(
+        self, doc_id: str, index_name: str = DEFAULT_INDEX
+    ) -> Optional[Document]: ...
+
+    @abstractmethod
+    def delete(self, doc_id: str, index_name: str = DEFAULT_INDEX) -> bool: ...
+
+    def exists(self, doc_id: str, index_name: str = DEFAULT_INDEX) -> bool:
+        return self.get(doc_id, index_name) is not None
+
+    # --- bulk ----------------------------------------------------------
+    def put_batch(
+        self, docs: Iterable[Document], index_name: str = DEFAULT_INDEX
+    ) -> Dict[str, Any]:
+        ok = failed = 0
+        errors: List[Dict[str, str]] = []
+        for d in docs:
+            try:
+                self.put(d, index_name)
+                ok += 1
+            except Exception as e:  # noqa: BLE001 — reference collects errors
+                failed += 1
+                errors.append({"id": str(d.get("id")), "error": str(e)})
+        return {
+            "success": failed == 0, "processed": ok, "failed": failed,
+            "errors": errors,
+        }
+
+    def get_batch(
+        self, ids: Iterable[str], index_name: str = DEFAULT_INDEX
+    ) -> Dict[str, Document]:
+        out: Dict[str, Document] = {}
+        for i in ids:
+            d = self.get(i, index_name)
+            if d is not None:
+                out[i] = d
+        return out
+
+    def delete_batch(
+        self, ids: Iterable[str], index_name: str = DEFAULT_INDEX
+    ) -> Dict[str, Any]:
+        ok = failed = 0
+        for i in ids:
+            if self.delete(i, index_name):
+                ok += 1
+            else:
+                failed += 1
+        return {"success": failed == 0, "processed": ok, "failed": failed,
+                "errors": []}
+
+    # --- query ---------------------------------------------------------
+    @abstractmethod
+    def _iter_index(self, index_name: str) -> Iterable[Document]: ...
+
+    def find(
+        self,
+        index_name: str = DEFAULT_INDEX,
+        ids: Optional[List[str]] = None,
+        query: Optional[Dict[str, Any]] = None,
+        limit: Optional[int] = None,
+        offset: int = 0,
+    ) -> List[Document]:
+        """Equality-filter scan (the reference's DocumentFilter.query is
+        field == value matching, DocumentStore.ts:12-18)."""
+        if ids is not None:
+            batch = self.get_batch(ids, index_name)
+            rows: Iterable[Document] = (batch[i] for i in ids if i in batch)
+        else:
+            rows = self._iter_index(index_name)
+        out = []
+        skipped = 0
+        for d in rows:
+            if query and any(d.get(k) != v for k, v in query.items()):
+                continue
+            if skipped < offset:
+                skipped += 1
+                continue
+            out.append(d)
+            if limit is not None and len(out) >= limit:
+                break
+        return out
+
+    def count(
+        self, index_name: str = DEFAULT_INDEX,
+        query: Optional[Dict[str, Any]] = None,
+    ) -> int:
+        if query is None:
+            return sum(1 for _ in self._iter_index(index_name))
+        return len(self.find(index_name, query=query, limit=None))
+
+    # --- index management ---------------------------------------------
+    @abstractmethod
+    def create_index(self, index_name: str) -> bool: ...
+
+    @abstractmethod
+    def delete_index(self, index_name: str) -> bool: ...
+
+    @abstractmethod
+    def list_indexes(self) -> List[str]: ...
+
+    # --- persistence / maintenance -------------------------------------
+    def flush(self) -> bool:
+        return True
+
+    def compact(self) -> bool:
+        return True
+
+    def clear(self, index_name: Optional[str] = None) -> bool:
+        for ix in [index_name] if index_name else self.list_indexes():
+            self.delete_index(ix)
+            self.create_index(ix)
+        return True
+
+    def get_stats(self) -> Dict[str, Any]:
+        return {
+            "totalDocuments": sum(
+                self.count(ix) for ix in self.list_indexes()
+            ),
+            "totalIndexes": len(self.list_indexes()),
+            "operations": dict(self.stats),
+        }
+
+    # --- lifecycle ------------------------------------------------------
+    def initialize(self) -> None:  # noqa: B027 — optional hook
+        pass
+
+    def shutdown(self) -> None:  # noqa: B027
+        pass
+
+    def is_healthy(self) -> bool:
+        return True
+
+
+class InMemoryDocumentStore(DocumentStore):
+    """Dict-backed store (InMemoryDocumentStore.ts:44) — the serving
+    buffer / test default."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._data: Dict[str, "OrderedDict[str, Document]"] = {}
+        self._lock = threading.Lock()
+
+    def put(self, doc: Document, index_name: str = DEFAULT_INDEX) -> bool:
+        did = _require_id(doc)
+        with self._lock:
+            self._data.setdefault(index_name, OrderedDict())[did] = dict(doc)
+        self.stats["writes"] += 1
+        return True
+
+    def get(self, doc_id, index_name=DEFAULT_INDEX):
+        self.stats["reads"] += 1
+        with self._lock:
+            d = self._data.get(index_name, {}).get(doc_id)
+            return dict(d) if d is not None else None
+
+    def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
+        with self._lock:
+            hit = self._data.get(index_name, {}).pop(doc_id, None)
+        if hit is not None:
+            self.stats["deletes"] += 1
+            return True
+        return False
+
+    def _iter_index(self, index_name):
+        with self._lock:
+            rows = list(self._data.get(index_name, {}).values())
+        return (dict(r) for r in rows)
+
+    def create_index(self, index_name) -> bool:
+        with self._lock:
+            self._data.setdefault(index_name, OrderedDict())
+        return True
+
+    def delete_index(self, index_name) -> bool:
+        with self._lock:
+            return self._data.pop(index_name, None) is not None
+
+    def list_indexes(self):
+        with self._lock:
+            return sorted(self._data)
+
+
+class FileSystemDocumentStore(DocumentStore):
+    """One JSON file per document under ``root/<index>/<id>.json``
+    (FileSystemDocumentStore.ts:91-229, getDocumentPath:569).  Ids are
+    sanitized to a filesystem-safe name the same way the reference does
+    (non-alnum → ``_`` with an 8-hex blake hash suffix to keep distinct
+    ids distinct)."""
+
+    def __init__(self, root: str) -> None:
+        super().__init__()
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, doc_id: str, index_name: str) -> str:
+        safe = "".join(c if c.isalnum() or c in "-_" else "_" for c in doc_id)
+        if safe != doc_id:
+            h = hashlib.blake2b(doc_id.encode(), digest_size=4).hexdigest()
+            safe = f"{safe}.{h}"
+        return os.path.join(self.root, index_name, safe + ".json")
+
+    def put(self, doc: Document, index_name: str = DEFAULT_INDEX) -> bool:
+        did = _require_id(doc)
+        p = self._path(did, index_name)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, default=str)
+        os.replace(tmp, p)  # atomic, like the reference's write-then-rename
+        self.stats["writes"] += 1
+        return True
+
+    def get(self, doc_id, index_name=DEFAULT_INDEX):
+        self.stats["reads"] += 1
+        try:
+            with open(self._path(doc_id, index_name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
+        try:
+            os.remove(self._path(doc_id, index_name))
+            self.stats["deletes"] += 1
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _iter_index(self, index_name):
+        for p in sorted(
+            glob.glob(os.path.join(self.root, index_name, "*.json"))
+        ):
+            with open(p) as f:
+                yield json.load(f)
+
+    def create_index(self, index_name) -> bool:
+        os.makedirs(os.path.join(self.root, index_name), exist_ok=True)
+        return True
+
+    def delete_index(self, index_name) -> bool:
+        import shutil
+
+        d = os.path.join(self.root, index_name)
+        if not os.path.isdir(d):
+            return False
+        shutil.rmtree(d)
+        return True
+
+    def list_indexes(self):
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n))
+        )
+
+
+class ParquetDocumentStore(DocumentStore):
+    """Arrow/parquet segment store — the bridge between the reference's
+    row-store contract and the engine's native columnar docstore layout.
+
+    Writes land as immutable one-or-more-row parquet SEGMENTS under
+    ``root/<index>/seg-*.parquet`` (documents serialized to a
+    ``(id, doc_json)`` schema so heterogeneous docs coexist);
+    ``compact()`` merges segments LSM-style keeping the LATEST version
+    of each id (same keep-latest rule as the index build's dedup).
+    Batch-first: ``put_batch`` writes ONE segment for the whole batch —
+    the shape that scales (per-``put`` one-row segments are for API
+    parity, with compaction to clean up)."""
+
+    def __init__(self, root: str) -> None:
+        super().__init__()
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._lock = threading.Lock()
+        self._seq = 0
+
+    def _dir(self, index_name: str) -> str:
+        return os.path.join(self.root, index_name)
+
+    def _segments(self, index_name: str) -> List[str]:
+        return sorted(glob.glob(os.path.join(self._dir(index_name), "seg-*.parquet")))
+
+    def _next_seg(self, index_name: str) -> str:
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        return os.path.join(
+            self._dir(index_name),
+            f"seg-{int(time.time() * 1000):015d}-{seq:06d}.parquet",
+        )
+
+    def _write_rows(self, rows: List[Document], index_name: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._dir(index_name), exist_ok=True)
+        tbl = pa.table({
+            "id": pa.array([r["id"] for r in rows], pa.string()),
+            "doc_json": pa.array(
+                [json.dumps(r, default=str) for r in rows], pa.string()
+            ),
+        })
+        path = self._next_seg(index_name)
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    def put(self, doc: Document, index_name: str = DEFAULT_INDEX) -> bool:
+        _require_id(doc)
+        self._write_rows([dict(doc)], index_name)
+        self.stats["writes"] += 1
+        return True
+
+    def put_batch(self, docs, index_name=DEFAULT_INDEX):
+        docs = [dict(d) for d in docs]
+        errors = []
+        good = []
+        for d in docs:
+            try:
+                _require_id(d)
+                good.append(d)
+            except Exception as e:  # noqa: BLE001
+                errors.append({"id": str(d.get("id")), "error": str(e)})
+        if good:
+            self._write_rows(good, index_name)
+            self.stats["writes"] += len(good)
+        return {"success": not errors, "processed": len(good),
+                "failed": len(errors), "errors": errors}
+
+    def get_batch(self, ids, index_name=DEFAULT_INDEX):
+        ids = list(ids)
+        self.stats["reads"] += len(ids)
+        found = self._scan(index_name, want_ids=set(ids))
+        return {i: found[i][1] for i in ids if i in found}
+
+    def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
+        """Tombstone write (doc_json = null marker); compact drops them."""
+        if self.get(doc_id, index_name) is None:
+            return False
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "id": pa.array([doc_id], pa.string()),
+            "doc_json": pa.array([None], pa.string()),
+        })
+        path = self._next_seg(index_name)
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        self.stats["deletes"] += 1
+        return True
+
+    def _iter_index(self, index_name):
+        latest = self._scan(index_name)
+        for did in sorted(latest):
+            _, doc = latest[did]
+            if doc is not None:
+                yield doc
+
+    def _scan(
+        self, index_name: str, want_ids: Optional[set] = None
+    ) -> Dict[str, Tuple[int, Optional[Document]]]:
+        """Latest version per id across segments (filename order = write
+        order, later wins); tombstones surface as ``None`` docs."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        latest: Dict[str, Tuple[int, Optional[Document]]] = {}
+        for gen, seg in enumerate(self._segments(index_name)):
+            tbl = pq.read_table(seg)
+            if want_ids is not None:
+                tbl = tbl.filter(
+                    pc.is_in(tbl["id"], value_set=pa.array(list(want_ids)))
+                )
+            for did, dj in zip(
+                tbl["id"].to_pylist(), tbl["doc_json"].to_pylist()
+            ):
+                latest[did] = (
+                    gen, json.loads(dj) if dj is not None else None
+                )
+        return latest
+
+    def get(self, doc_id, index_name=DEFAULT_INDEX):
+        self.stats["reads"] += 1
+        hit = self._scan(index_name, want_ids={doc_id}).get(doc_id)
+        return hit[1] if hit else None
+
+    def compact(self) -> bool:
+        """Merge all segments per index into one, dropping superseded
+        versions and tombstones (keep-latest, the index build's dedup
+        rule)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for ix in self.list_indexes():
+            segs = self._segments(ix)
+            if len(segs) <= 1:
+                continue
+            latest = self._scan(ix)
+            rows = [
+                doc for _, doc in (
+                    latest[d] for d in sorted(latest)
+                ) if doc is not None
+            ]
+            path = self._next_seg(ix)
+            tbl = pa.table({
+                "id": pa.array([r["id"] for r in rows], pa.string()),
+                "doc_json": pa.array(
+                    [json.dumps(r, default=str) for r in rows], pa.string()
+                ),
+            })
+            pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            for s in segs:
+                os.remove(s)
+        return True
+
+    def create_index(self, index_name) -> bool:
+        os.makedirs(self._dir(index_name), exist_ok=True)
+        return True
+
+    def delete_index(self, index_name) -> bool:
+        import shutil
+
+        d = self._dir(index_name)
+        if not os.path.isdir(d):
+            return False
+        shutil.rmtree(d)
+        return True
+
+    def list_indexes(self):
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, n))
+        )
+
+
+class CachedDocumentStore(DocumentStore):
+    """TTL'd LRU read-through cache over any backing store
+    (CachedDocumentStore.ts:61-77 defaults maxSize=10000 ttl=300 s;
+    :377-391 expiry + size eviction).  Writes go through to the backing
+    store and update the cache."""
+
+    def __init__(
+        self, backing: DocumentStore,
+        max_size: int = 10_000, ttl: float = 300.0,
+    ) -> None:
+        super().__init__()
+        self.backing = backing
+        self.max_size = max_size
+        self.ttl = ttl
+        self._cache: "OrderedDict[Tuple[str, str], Tuple[float, Optional[Document]]]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
+
+    def _key(self, doc_id: str, index_name: str) -> Tuple[str, str]:
+        return (index_name, doc_id)
+
+    def _cache_put(self, key, doc: Optional[Document]) -> None:
+        with self._lock:
+            self._cache[key] = (time.monotonic(), doc)
+            self._cache.move_to_end(key)
+            while len(self._cache) > self.max_size:
+                self._cache.popitem(last=False)
+                self.cache_stats["evictions"] += 1
+
+    def put(self, doc, index_name=DEFAULT_INDEX) -> bool:
+        ok = self.backing.put(doc, index_name)
+        if ok:
+            self._cache_put(self._key(doc["id"], index_name), dict(doc))
+        self.stats["writes"] += 1
+        return ok
+
+    def get(self, doc_id, index_name=DEFAULT_INDEX):
+        self.stats["reads"] += 1
+        key = self._key(doc_id, index_name)
+        with self._lock:
+            hit = self._cache.get(key)
+            if hit is not None:
+                ts, doc = hit
+                if time.monotonic() - ts <= self.ttl:
+                    self._cache.move_to_end(key)
+                    self.cache_stats["hits"] += 1
+                    return dict(doc) if doc is not None else None
+                del self._cache[key]
+                self.cache_stats["evictions"] += 1
+        self.cache_stats["misses"] += 1
+        doc = self.backing.get(doc_id, index_name)
+        self._cache_put(key, dict(doc) if doc is not None else None)
+        return doc
+
+    def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
+        ok = self.backing.delete(doc_id, index_name)
+        with self._lock:
+            self._cache.pop(self._key(doc_id, index_name), None)
+        if ok:
+            self.stats["deletes"] += 1
+        return ok
+
+    def _iter_index(self, index_name):
+        return self.backing._iter_index(index_name)
+
+    def create_index(self, index_name):
+        return self.backing.create_index(index_name)
+
+    def delete_index(self, index_name):
+        with self._lock:
+            for k in [k for k in self._cache if k[0] == index_name]:
+                del self._cache[k]
+        return self.backing.delete_index(index_name)
+
+    def list_indexes(self):
+        return self.backing.list_indexes()
+
+    def flush(self):
+        return self.backing.flush()
+
+    def compact(self):
+        return self.backing.compact()
+
+    def get_stats(self):
+        out = self.backing.get_stats()
+        total = self.cache_stats["hits"] + self.cache_stats["misses"]
+        out["cacheHitRate"] = (
+            self.cache_stats["hits"] / total if total else 0.0
+        )
+        out["cache"] = dict(self.cache_stats)
+        return out
+
+
+class ShardedDocumentStore(DocumentStore):
+    """Hash- or round-robin-sharded store over N children
+    (ShardedDocumentStore.ts:28-64).  Hash sharding uses a SEEDED blake2
+    of the id — NOT builtin ``hash()``, which is per-process salted and
+    would route the same id to different shards across restarts."""
+
+    def __init__(
+        self, shards: List[DocumentStore], strategy: str = "hash"
+    ) -> None:
+        super().__init__()
+        if not shards:
+            raise ValueError("need at least one shard")
+        if strategy not in ("hash", "round-robin"):
+            raise ValueError(f"unknown sharding strategy: {strategy}")
+        self.shards = list(shards)
+        self.strategy = strategy
+        self._rr = 0
+        self._rr_lock = threading.Lock()
+
+    def _shard_for(self, doc_id: str) -> DocumentStore:
+        if self.strategy == "hash":
+            h = int.from_bytes(
+                hashlib.blake2b(doc_id.encode(), digest_size=8).digest(),
+                "big",
+            )
+            return self.shards[h % len(self.shards)]
+        with self._rr_lock:
+            self._rr = (self._rr + 1) % len(self.shards)
+            return self.shards[self._rr]
+
+    def _locate(self, doc_id: str, index_name: str) -> Optional[DocumentStore]:
+        if self.strategy == "hash":
+            s = self._shard_for(doc_id)
+            return s if s.exists(doc_id, index_name) else None
+        for s in self.shards:  # round-robin: placement is not derivable
+            if s.exists(doc_id, index_name):
+                return s
+        return None
+
+    def put(self, doc, index_name=DEFAULT_INDEX) -> bool:
+        did = _require_id(doc)
+        if self.strategy == "round-robin":
+            old = self._locate(did, index_name)
+            if old is not None:  # update in place, don't duplicate
+                return old.put(doc, index_name)
+        self.stats["writes"] += 1
+        return self._shard_for(did).put(doc, index_name)
+
+    def get(self, doc_id, index_name=DEFAULT_INDEX):
+        self.stats["reads"] += 1
+        if self.strategy == "hash":
+            return self._shard_for(doc_id).get(doc_id, index_name)
+        s = self._locate(doc_id, index_name)
+        return s.get(doc_id, index_name) if s else None
+
+    def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
+        s = (
+            self._shard_for(doc_id)
+            if self.strategy == "hash"
+            else self._locate(doc_id, index_name)
+        )
+        if s is None:
+            return False
+        ok = s.delete(doc_id, index_name)
+        if ok:
+            self.stats["deletes"] += 1
+        return ok
+
+    def _iter_index(self, index_name):
+        for s in self.shards:
+            yield from s._iter_index(index_name)
+
+    def create_index(self, index_name):
+        return all(s.create_index(index_name) for s in self.shards)
+
+    def delete_index(self, index_name):
+        return any([s.delete_index(index_name) for s in self.shards])
+
+    def list_indexes(self):
+        out = set()
+        for s in self.shards:
+            out.update(s.list_indexes())
+        return sorted(out)
+
+    def flush(self):
+        return all(s.flush() for s in self.shards)
+
+    def compact(self):
+        return all(s.compact() for s in self.shards)
+
+
+def create_store(config: Optional[Dict[str, Any]] = None) -> DocumentStore:
+    """DocumentStoreFactory.create analog (DocumentStoreFactory.ts:9-60).
+
+    config: ``{"type": "memory" | "filesystem" | "parquet" | "sharded",
+    "root": ..., "cached": bool, "cache_max_size": int, "cache_ttl": s,
+    "shards": int, "sharding_strategy": "hash" | "round-robin"}``."""
+    cfg = dict(config or {})
+    kind = cfg.get("type", "memory")
+    root = cfg.get("root")
+
+    def base(sub: Optional[str] = None) -> DocumentStore:
+        r = os.path.join(root, sub) if (root and sub) else root
+        if kind == "memory":
+            return InMemoryDocumentStore()
+        if kind == "filesystem":
+            if not r:
+                raise ValueError("filesystem store needs 'root'")
+            return FileSystemDocumentStore(r)
+        if kind == "parquet":
+            if not r:
+                raise ValueError("parquet store needs 'root'")
+            return ParquetDocumentStore(r)
+        raise ValueError(f"unknown document store type: {kind}")
+
+    n_shards = int(cfg.get("shards", 0))
+    store: DocumentStore
+    if n_shards > 1:
+        store = ShardedDocumentStore(
+            [base(f"shard-{i:03d}") for i in range(n_shards)],
+            strategy=cfg.get("sharding_strategy", "hash"),
+        )
+    else:
+        store = base()
+    if cfg.get("cached"):
+        store = CachedDocumentStore(
+            store,
+            max_size=int(cfg.get("cache_max_size", 10_000)),
+            ttl=float(cfg.get("cache_ttl", 300.0)),
+        )
+    return store

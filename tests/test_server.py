@@ -167,3 +167,66 @@ class TestServer:
         assert code == 200 and res["total"] == 6
         code, health = _req(server, "/")
         assert code == 200
+
+
+class TestDurableBuffer:
+    def test_filesystem_buffer_survives_restart(
+        self, tmp_path_factory, ray_session
+    ):
+        """A bufferStore config (the reference's DocumentStoreFactory
+        wiring, DocumentStoreFactory.ts:9-60) makes buffered-but-
+        unflushed adds durable: kill the server after add, restart,
+        flush — the docs are indexed."""
+        from search_engine_ray.server import SearchServer
+
+        root = str(tmp_path_factory.mktemp("srvdur"))
+        srv = SearchServer(root)
+        port = srv.start()
+        try:
+            code, _ = _req(
+                port, "/index",
+                {"indexName": "dur",
+                 "bufferStore": {"type": "filesystem"}},
+            )
+            assert code == 201
+            code, out = _req(
+                port, "/index/dur/documents",
+                {"documents": [
+                    {"id": "1", "title": "durable buffered doc",
+                     "body": "survives a restart"}]},
+            )
+            assert code == 200 and out["buffered"] == 1
+        finally:
+            srv.stop()
+
+        srv2 = SearchServer(root)  # fresh process analog: re-discovers
+        port2 = srv2.start()
+        try:
+            code, out = _req(port2, "/index/dur/flush", {})
+            assert code == 200 and out["flushed"] == 1
+            code, res = _req(
+                port2, "/search/dur",
+                {"query": {"match": {"field": "body", "value": "survives"}},
+                 "size": 5},
+            )
+            assert code == 200 and res["total"] == 1
+        finally:
+            srv2.stop()
+
+    def test_memory_buffer_default_unchanged(
+        self, tmp_path_factory, ray_session
+    ):
+        from search_engine_ray.server import SearchServer
+        from search_engine_ray.state.docstore import InMemoryDocumentStore
+
+        root = str(tmp_path_factory.mktemp("srvmem"))
+        srv = SearchServer(root)
+        port = srv.start()
+        try:
+            code, _ = _req(port, "/index", {"indexName": "m"})
+            assert code == 201
+            assert isinstance(
+                srv.indexes["m"].buffer, InMemoryDocumentStore
+            )
+        finally:
+            srv.stop()
