@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.simhash_pairs,
         "embedding_lsh_pairs": q.embedding_lsh_pairs,
         "ivf_top10": q.ivf_top10,
+        "multimodal_frames": q.multimodal_frames,
     }
 
 

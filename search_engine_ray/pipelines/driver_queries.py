@@ -597,3 +597,60 @@ def embedding_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     out = sim.lsh_bucketed_neardup(ds, threshold=0.42, n_planes=8, n_tables=32)
     out["sim"] = out["sim"].round(6)
     return out.astype({"a": "int64", "b": "int64"}, errors="ignore")
+
+
+def multimodal_frames(sf_dir: str) -> pd.DataFrame:
+    """Rows-only multimodal gate: per document, synthesize a REAL PNG
+    payload (pixels seeded from the doc's content hash, encoded with the
+    stdlib PNG encoder) and run the real decode → feature pipeline —
+    ``ImageDecodeStage(fake=False)`` actor pool, then
+    ``ImageFeatureStage``.  Deterministic end-to-end.  Bounded to the 64
+    lowest doc_ids (distributed sort + early-stop limit), so the result
+    landing on the driver is tiny regardless of corpus size."""
+    from ..stages.multimodal import ImageDecodeStage, ImageFeatureStage
+    from ..stages.png import encode_png
+
+    def make_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            seed = hashlib.blake2b(
+                f"{did}:{(text or '')[:64]}".encode(), digest_size=8
+            ).digest()
+            rng = np.random.default_rng(int.from_bytes(seed, "big"))
+            img = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+            payloads.append(encode_png(img))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .sort("doc_id")
+        .limit(64)
+        .map_batches(make_payload, batch_format="pyarrow")
+        .map_batches(
+            ImageDecodeStage,
+            fn_constructor_kwargs=dict(height=8, width=8, fake=False),
+            batch_format="pyarrow",
+            batch_size=32,
+            concurrency=2,
+        )
+        .map_batches(
+            ImageFeatureStage,
+            fn_constructor_kwargs=dict(hw=(8, 8)),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .select_columns(["doc_id", "features"])
+        .to_pandas()
+    )
+    feats = np.stack(out["features"].to_numpy())
+    res = pd.DataFrame({
+        "doc_id": out["doc_id"].astype("int64"),
+        "f_mean": np.round(feats.mean(axis=1), 6),
+        "f_l2": np.round(np.linalg.norm(feats, axis=1), 6),
+    })
+    return res.sort_values("doc_id").reset_index(drop=True)

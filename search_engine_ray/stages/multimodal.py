@@ -1,15 +1,19 @@
 """Multimodal column plumbing: decode / feature-extract / resize /
 frame-sample stages over opaque ``binary`` payload columns.
 
-IMAGE decode is REAL in this container: Pillow when importable, else the
-pure-stdlib PNG decoder in :mod:`.png` (zlib inflate + unfilter) — see
-``ImageDecodeStage``.  Video/audio codec libraries (ffmpeg, pyav,
-soundfile) are NOT available, so those decode kernels remain STUBS: by
-default they raise ``NotImplementedError`` naming the library that would
-be plugged in; with ``fake=True`` they produce a deterministic fake
-decode (seeded from the payload hash) so the Ray-side plumbing —
-schema, batch sizing, actor signatures, output layout — is real and
-tested end-to-end.
+All three decode kernels are REAL in this container via stdlib-only
+codecs, with a full codec library used instead when importable:
+
+* image — Pillow if importable, else the pure-stdlib PNG decoder in
+  :mod:`.png` (zlib inflate + unfilter);
+* video — pyav if importable, else the pure-stdlib animated-GIF decoder
+  in :mod:`.gif` (LZW + compositing);
+* audio — soundfile if importable, else stdlib ``wave`` (RIFF/WAVE PCM).
+
+Payload formats outside what the active codec can handle raise
+``ValueError`` naming the library that would decode them.  ``fake=True``
+swaps in a deterministic fake decode (seeded from the payload hash) for
+plumbing tests that don't want to carry media fixtures.
 
 Scale notes baked into the design:
 * payload batches are kept in ``batch_format="pyarrow"`` (binary columns
@@ -150,10 +154,16 @@ class ImageFeatureStage:
 
 
 class VideoFrameSampleStage:
-    """binary video payload → ``n_frames`` sampled frames, each decoded to
-    a small pixel tensor (stub decode).  Emits one ROW PER FRAME
-    (flat_map-shaped: frame_index + pixels), the layout a downstream
-    per-frame embedder expects."""
+    """binary video payload → ``n_frames`` frames sampled evenly across
+    the clip, each decoded to a small pixel tensor.  Emits one ROW PER
+    FRAME (flat_map-shaped: frame_index + pixels), the layout a
+    downstream per-frame embedder expects.
+
+    ``fake=False`` uses pyav when importable (any container ffmpeg
+    knows); without it, the pure-stdlib animated-GIF decoder in
+    :mod:`.gif` — a REAL decode path that runs in this container.
+    Non-GIF payloads on the fallback path raise ``ValueError`` naming
+    the codec that would handle them."""
 
     def __init__(
         self,
@@ -166,11 +176,58 @@ class VideoFrameSampleStage:
         self.n_frames = n_frames
         self.h, self.w = height, width
         self.payload_column = payload_column
+        self.fake = fake
+        self._av = None
         if not fake:
-            raise NotImplementedError(
-                "video decoding requires ffmpeg/pyav (not in this "
-                "container); construct with fake=True for the stub decoder"
-            )
+            try:
+                import av  # noqa: PLC0415
+
+                self._av = av
+            except ImportError:
+                self._av = None  # stdlib GIF fallback
+
+    def _resize(self, rgb: np.ndarray) -> np.ndarray:
+        ih, iw = rgb.shape[:2]
+        ys = (np.arange(self.h) * ih // self.h).astype(np.int64)
+        xs = (np.arange(self.w) * iw // self.w).astype(np.int64)
+        return (
+            rgb[ys[:, None], xs[None, :]].astype(np.float32)
+            / np.float32(255.0)
+        )
+
+    def _decode_frames(self, payload: bytes) -> list:
+        """→ list of n_frames (h, w, 3) float32 tensors."""
+        if self.fake:
+            return [
+                _fake_pixels(
+                    (payload or b"") + f.to_bytes(4, "big"),
+                    (self.h, self.w, 3),
+                )
+                for f in range(self.n_frames)
+            ]
+        if self._av is not None:
+            import io  # noqa: PLC0415
+
+            frames = []
+            with self._av.open(io.BytesIO(payload)) as container:
+                for frame in container.decode(video=0):
+                    frames.append(frame.to_ndarray(format="rgb24"))
+        else:
+            if not payload or not payload.startswith((b"GIF87a", b"GIF89a")):
+                raise ValueError(
+                    "non-GIF payload on the stdlib decode path; mp4/webm/"
+                    "mkv need pyav/ffmpeg (not in this container)"
+                )
+            from .gif import iter_gif_frames  # noqa: PLC0415
+
+            frames = list(iter_gif_frames(payload))
+        if not frames:
+            raise ValueError("video payload decoded to zero frames")
+        # sample n_frames evenly across the clip (repeats when short)
+        picks = np.round(
+            np.linspace(0, len(frames) - 1, self.n_frames)
+        ).astype(np.int64)
+        return [self._resize(frames[i]) for i in picks]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         other_cols = [
@@ -180,18 +237,11 @@ class VideoFrameSampleStage:
         out["frame_index"] = []
         out["pixels"] = []
         for i, payload in enumerate(batch[self.payload_column].to_pylist()):
-            for f in range(self.n_frames):
+            for f, tensor in enumerate(self._decode_frames(payload)):
                 for c in other_cols:
                     out[c].append(batch[c][i].as_py())
                 out["frame_index"].append(f)
-                out["pixels"].append(
-                    _fake_pixels(
-                        (payload or b"") + f.to_bytes(4, "big"),
-                        (self.h, self.w, 3),
-                    )
-                    .reshape(-1)
-                    .tolist()
-                )
+                out["pixels"].append(tensor.reshape(-1).tolist())
         arrays = {c: pa.array(v) for c, v in out.items()}
         arrays["frame_index"] = pa.array(out["frame_index"], pa.int32())
         arrays["pixels"] = pa.array(out["pixels"], pa.list_(pa.float32()))
@@ -199,7 +249,14 @@ class VideoFrameSampleStage:
 
 
 class AudioFrameSampleStage:
-    """binary audio payload → sampled frame energies (stub decode)."""
+    """binary audio payload → per-window RMS energies (``n_frames``
+    equal windows across the clip).
+
+    ``fake=False`` uses soundfile when importable (any libsndfile
+    format); without it, stdlib ``wave`` decodes RIFF/WAVE PCM (8/16/32
+    bit, any channel count, mixed to mono) — a REAL decode path that
+    runs in this container.  Non-WAV payloads on the fallback path
+    raise ``ValueError`` naming the codec that would handle them."""
 
     def __init__(
         self,
@@ -209,15 +266,66 @@ class AudioFrameSampleStage:
     ):
         self.n_frames = n_frames
         self.payload_column = payload_column
+        self.fake = fake
+        self._sf = None
         if not fake:
-            raise NotImplementedError(
-                "audio decoding requires soundfile/ffmpeg (not in this "
-                "container); construct with fake=True for the stub decoder"
+            try:
+                import soundfile  # noqa: PLC0415
+
+                self._sf = soundfile
+            except ImportError:
+                self._sf = None  # stdlib wave fallback
+
+    def _samples(self, payload: bytes) -> np.ndarray:
+        """→ mono float32 samples in [-1, 1]."""
+        import io  # noqa: PLC0415
+
+        if self._sf is not None:
+            data, _sr = self._sf.read(io.BytesIO(payload), dtype="float32")
+            return data.mean(axis=1) if data.ndim > 1 else data
+        if not payload or not payload.startswith(b"RIFF"):
+            raise ValueError(
+                "non-WAV payload on the stdlib decode path; mp3/flac/ogg "
+                "need soundfile/ffmpeg (not in this container)"
             )
+        import wave  # noqa: PLC0415
+
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        if width == 1:  # unsigned 8-bit
+            x = np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+            x = (x - 128.0) / 128.0
+        elif width == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif width == 4:
+            x = (
+                np.frombuffer(raw, dtype="<i4").astype(np.float32)
+                / 2147483648.0
+            )
+        else:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        if n_ch > 1:
+            x = x[: len(x) // n_ch * n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x
+
+    def _energies(self, payload: bytes) -> list:
+        if self.fake:
+            return _fake_pixels(payload, (self.n_frames,)).tolist()
+        x = self._samples(payload)
+        if len(x) == 0:
+            return [0.0] * self.n_frames
+        edges = np.linspace(0, len(x), self.n_frames + 1).astype(np.int64)
+        # per-window RMS via cumulative sum of squares (vectorized)
+        csq = np.concatenate([[0.0], np.cumsum(x.astype(np.float64) ** 2)])
+        counts = np.maximum(edges[1:] - edges[:-1], 1)
+        rms = np.sqrt((csq[edges[1:]] - csq[edges[:-1]]) / counts)
+        return rms.astype(np.float32).tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         frames = [
-            _fake_pixels(p, (self.n_frames,)).tolist()
+            self._energies(p)
             for p in batch[self.payload_column].to_pylist()
         ]
         return batch.drop_columns([self.payload_column]).append_column(

@@ -131,3 +131,32 @@ def to_rgb(img: np.ndarray) -> np.ndarray:
     if c == 4:
         return img[:, :, :3]
     return img
+
+
+_ENCODE_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a uint8 (H, W) or (H, W, C) array as a PNG byte payload
+    (filter 0, non-interlaced) — the inverse of :func:`decode_png`,
+    used to synthesize real image payloads for tests and gate queries
+    without a codec library."""
+    arr = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in _ENCODE_COLOR_TYPE:
+        raise ValueError(f"cannot encode {c}-channel image")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _ENCODE_COLOR_TYPE[c], 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )

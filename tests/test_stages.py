@@ -617,6 +617,55 @@ class TestMultimodal:
         ).to_pandas()
         assert len(out) == 5 and len(out["frame_energy"].iloc[0]) == 8
 
+    @staticmethod
+    def _tiny_wav(n: int = 8000, rate: int = 8000) -> bytes:
+        """Real 16-bit mono WAV via stdlib wave: first half silence,
+        second half a full-scale 440 Hz sine."""
+        import io
+        import wave
+
+        t = np.arange(n, dtype=np.float64) / rate
+        x = np.where(
+            np.arange(n) < n // 2,
+            0.0,
+            0.9 * np.sin(2 * np.pi * 440.0 * t),
+        )
+        pcm = (x * 32767).astype("<i2").tobytes()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(pcm)
+        return buf.getvalue()
+
+    def test_audio_real_wav_decode(self, ray_session):
+        """fake=False decodes a real RIFF/WAVE payload via stdlib wave:
+        silent first half → ~0 energy, sine second half → ~A/sqrt(2)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import AudioFrameSampleStage
+
+        ds = rd.from_items([{"payload": self._tiny_wav()}])
+        out = ds.map_batches(
+            AudioFrameSampleStage,
+            fn_constructor_kwargs=dict(n_frames=4, fake=False),
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        e = np.asarray(out["frame_energy"].iloc[0], dtype=np.float32)
+        assert len(e) == 4
+        assert e[0] < 1e-4 and e[1] < 1e-4  # silence
+        expected = 0.9 / np.sqrt(2.0)
+        assert abs(e[2] - expected) < 0.02 and abs(e[3] - expected) < 0.02
+
+    def test_audio_real_rejects_non_wav(self):
+        from search_engine_ray.stages.multimodal import AudioFrameSampleStage
+
+        stage = AudioFrameSampleStage(n_frames=4, fake=False)
+        with pytest.raises(ValueError, match="non-WAV"):
+            stage(pa.table({"payload": pa.array([b"ID3junk"], pa.binary())}))
+
 
 class TestVideoFrames:
     def test_frame_expansion(self, ray_session):
@@ -641,3 +690,97 @@ class TestVideoFrames:
         a = out[(out.item_id == 0) & (out.frame_index == 0)]["pixels"].iloc[0]
         b = out[(out.item_id == 0) & (out.frame_index == 1)]["pixels"].iloc[0]
         assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+    @staticmethod
+    def _tiny_gif(frames, size=4) -> bytes:
+        """Hand-built animated GIF (stdlib-only): each frame a solid
+        color index into a 4-color global table.  LZW stream emits a
+        clear code before every pixel so the dictionary never grows —
+        valid (if bloated) GIF-LZW."""
+        import struct
+
+        palette = bytes(
+            [255, 0, 0,  0, 0, 255,  0, 0, 0,  255, 255, 255]
+        )  # red, blue, black, white
+        min_code = 2
+        clear, eoi = 4, 5
+
+        def lzw(indices):
+            bits = []
+            for i in indices:
+                bits.append((clear, 3))
+                bits.append((i, 3))
+            bits.append((eoi, 3))
+            out = bytearray()
+            acc = n = 0
+            for code, width in bits:
+                acc |= code << n
+                n += width
+                while n >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    n -= 8
+            if n:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        gif = bytearray(b"GIF89a")
+        gif += struct.pack("<HHBBB", size, size, 0x80 | 0x01, 2, 0)
+        gif += palette
+        for color_index in frames:
+            gif += b"\x21\xf9\x04\x04\x00\x00\x00\x00"  # GCE, disposal=1
+            gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, size, size, 0)
+            gif += bytes([min_code])
+            data = lzw([color_index] * (size * size))
+            gif += bytes([len(data)]) + data + b"\x00"
+        gif += b"\x3b"
+        return bytes(gif)
+
+    def test_gif_decoder_roundtrip(self):
+        """The pure-stdlib GIF decoder recovers the planted frame
+        colors (red then blue) from a real LZW-encoded stream."""
+        from search_engine_ray.stages.gif import decode_gif
+
+        frames = decode_gif(self._tiny_gif([0, 1]))
+        assert frames.shape == (2, 4, 4, 3)
+        assert (frames[0] == [255, 0, 0]).all()
+        assert (frames[1] == [0, 0, 255]).all()
+
+    def test_video_real_gif_decode(self, ray_session):
+        """fake=False samples evenly across a real 2-frame animated GIF:
+        4 sampled frames → red, red, blue, blue."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import VideoFrameSampleStage
+
+        ds = rd.from_items(
+            [{"clip_id": 7, "payload": self._tiny_gif([0, 1])}]
+        )
+        out = ds.map_batches(
+            VideoFrameSampleStage,
+            fn_constructor_kwargs=dict(
+                n_frames=4, height=2, width=2, fake=False
+            ),
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        assert len(out) == 4
+        px = [
+            np.asarray(p, dtype=np.float32).reshape(2, 2, 3)
+            for p in out.sort_values("frame_index")["pixels"]
+        ]
+        for img in px[:2]:  # red frames
+            assert np.allclose(img[..., 0], 1.0) and np.allclose(
+                img[..., 1:], 0.0
+            )
+        for img in px[2:]:  # blue frames
+            assert np.allclose(img[..., 2], 1.0) and np.allclose(
+                img[..., :2], 0.0
+            )
+
+    def test_video_real_rejects_non_gif(self):
+        from search_engine_ray.stages.multimodal import VideoFrameSampleStage
+
+        stage = VideoFrameSampleStage(n_frames=2, fake=False)
+        with pytest.raises(ValueError, match="non-GIF"):
+            stage(pa.table({"payload": pa.array([b"mp4junk"], pa.binary())}))
