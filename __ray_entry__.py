@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": q.embedding_lsh_pairs,
         "ivf_top10": q.ivf_top10,
         "multimodal_frames": q.multimodal_frames,
+        # training-data scrubbing / curation (stages/scrub.py)
+        "pii_redact": q.pii_redact,
+        "sample_stratified": q.sample_stratified,
+        "decontaminate_docs": q.decontaminate_docs,
+        "pack_bins": q.pack_bins,
     }
 
 
@@ -378,5 +383,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
             ORDER BY a, b
+        """,
+        # PII redaction: patterns run verbatim in both engines (RE2 on
+        # both sides); counts are taken on the progressively-redacted
+        # text in the same order as stages/scrub.py::PII_PATTERNS
+        "pii_redact": """
+            WITH base AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com ip 10.0.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn '
+                          || CAST(doc_id % 900 + 100 AS VARCHAR) || '-42-'
+                          || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+              FROM documents WHERE doc_id < 300
+            ), s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                  AS n_email,
+                regexp_replace(t,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t
+              FROM base
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                len(regexp_extract_all(t,
+                  '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+                regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                  '<SSN>', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ssn,
+                len(regexp_extract_all(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                  AS n_ipv4,
+                regexp_replace(t,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                  '<IP>', 'g') AS t
+              FROM s2
+            ), s4 AS (
+              SELECT doc_id, n_email, n_ssn, n_ipv4,
+                len(regexp_extract_all(t,
+                  '\\+?\\d{1,2}[ .-]\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))
+                  AS n_phone,
+                regexp_replace(t,
+                  '\\+?\\d{1,2}[ .-]\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}',
+                  '<PHONE>', 'g') AS t
+              FROM s3
+            )
+            SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone,
+                   t AS text_redacted
+            FROM s4 ORDER BY doc_id
+        """,
+        # deterministic stratified hash sampling: the md5-hex-prefix
+        # coordinate is bit-identical to stages/scrub.py::
+        # hash_sample_values; rates are exact binary fractions so the
+        # *4294967296 truncation agrees across engines
+        "sample_stratified": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5('s1' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT
+                  < CAST(CASE source WHEN 'src0' THEN 1.0
+                                     WHEN 'src1' THEN 0.25
+                                     ELSE 0.5 END * 4294967296 AS BIGINT)
+            ORDER BY doc_id
         """,
     }

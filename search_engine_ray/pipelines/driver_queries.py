@@ -654,3 +654,156 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
         "f_l2": np.round(np.linalg.norm(feats, axis=1), 6),
     })
     return res.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- training-data scrubbing / curation (stages/scrub.py) ------------------
+
+def pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII redaction + per-kind counts, oracle-checked against DuckDB's
+    regexp_replace / regexp_extract_all (both engines are RE2, so the
+    patterns run verbatim on both sides).  Deterministic PII is injected
+    per doc (the synthetic corpus carries none) with the same string
+    expression the SQL oracle uses."""
+    from ..stages.scrub import PIIRedactStage
+
+    def inject(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id"], 300)
+        batch = batch.filter(mask)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        injected = [
+            f"{t} contact user{d}@example.com ip 10.0.{d % 256}.7 "
+            f"ssn {d % 900 + 100:03d}-42-{d % 9000 + 1000:04d}"
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array(injected, pa.string()),
+        })
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(PIIRedactStage(), batch_format="pyarrow")
+        .select_columns(
+            ["doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone",
+             "text_redacted"]
+        )
+        .to_pandas()
+    )
+    return (
+        out.astype({"doc_id": "int64", "n_email": "int64",
+                    "n_ssn": "int64", "n_ipv4": "int64",
+                    "n_phone": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def sample_stratified(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified hash sampling (training-mix
+    downsampling): keep-rate 1.0 for src0, 0.25 for src1, 0.5
+    elsewhere, keyed on md5(salt+doc_id) — bit-identical to the DuckDB
+    oracle's ('0x'||substr(md5(...),1,8))::BIGINT coordinate.  Rates
+    are exact binary fractions so int truncation agrees across
+    engines."""
+    from ..stages.scrub import sample_by_hash
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    out = sample_by_hash(
+        ds, "doc_id", rate=0.5, salt="s1",
+        strata={"source": {"src0": 1.0, "src1": 0.25}},
+    ).to_pandas()
+    return (
+        out.astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (rows-only: word-n-gram overlap is not
+    SQL-expressible at reasonable cost).  The 'benchmark' is the
+    doc_id % 97 == 0 subset; a deterministic leaked passage is planted
+    into both the benchmark docs and the doc_id % 89 == 0 docs (the
+    synthetic corpus shares no natural 8-grams), so the flagged set is
+    exactly the planted leaks.  The benchmark n-gram hash set is
+    broadcast once via ray.put."""
+    from ..stages.scrub import decontaminate
+
+    _passages = [
+        "the canary passage about distributed posting lists and "
+        "varbyte compressed blocks variant %d",
+    ]
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        planted = [
+            (t or "")
+            + (
+                " " + _passages[0] % (d % 3)
+                if (d % 97 == 0 or d % 89 == 0)
+                else ""
+            )
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": pa.array(planted)}
+        )
+
+    def keep_bench(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 97 == 0))
+
+    def keep_flagged(batch: pa.Table) -> pa.Table:
+        nonbench = batch["doc_id"].to_numpy() % 97 != 0
+        return batch.filter(
+            pc.and_(pa.array(nonbench), batch["contaminated"])
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    bench_texts = (
+        docs.map_batches(keep_bench, batch_format="pyarrow")
+        .to_pandas()["text"]
+        .tolist()
+    )
+    flagged = (
+        decontaminate(docs, bench_texts, n=8)
+        .map_batches(keep_flagged, batch_format="pyarrow")
+        .select_columns(["doc_id", "bench_overlap"])
+        .to_pandas()
+    )
+    if flagged.empty:
+        flagged = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             "bench_overlap": pd.Series(dtype="int64")}
+        )
+    return (
+        flagged.astype({"doc_id": "int64", "bench_overlap": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def pack_bins(sf_dir: str) -> pd.DataFrame:
+    """Token-budget sequence packing (rows-only: greedy next-fit is a
+    sequential fold, not SQL-expressible without recursion): per
+    source, docs in doc_id order are packed into 20k-char bins."""
+    from ..stages.scrub import pack_sequences
+
+    out = pack_sequences(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        capacity=20_000,
+        token_column="n_chars",
+        group_column="source",
+        order_column="doc_id",
+    )
+    return (
+        out[["doc_id", "source", "bin_id", "bin_offset"]]
+        .astype({"doc_id": "int64", "bin_id": "int64",
+                 "bin_offset": "int64"})
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,278 @@
+"""Training-data scrubbing / curation operators: PII redaction,
+benchmark decontamination, deterministic hash sampling, and
+token-budget sequence packing.
+
+These are engine extensions beyond the reference's surface (the ops a
+large-scale LLM training-data pipeline runs alongside indexing/dedup);
+the reference analog is its analyzer/token-filter family
+(`/root/reference/src/lib/analyzers/*`, e.g. the email/phone analyzers
+whose PATTERNS these redactors reuse in spirit).
+
+Scale notes baked into the design:
+
+* PII redaction and counting are single-pass RE2 kernels
+  (`pyarrow.compute.replace_substring_regex` / `count_substring_regex`)
+  over zero-copy Arrow batches — no Python loop over rows, no state, so
+  the stage is a plain task-pool ``map_batches``.
+* Decontamination broadcasts the (small) benchmark n-gram hash set via
+  ``ray.put`` ONCE and reads it inside each task — never re-shipped per
+  batch, never a shuffle join.
+* Hash sampling is stateless and deterministic (salted md5 < rate):
+  resumable, cluster-size-independent, and exactly reproducible in SQL
+  (``('0x' || substr(md5(expr), 1, 8))::BIGINT / 2^32 < rate``).
+* Sequence packing is greedy next-fit per group, ordered by the sort
+  key — the only honest distributed shape is the session-window one
+  (global sort + per-range scan); ``pack_sequences`` documents the
+  partitioning assumption and handles group boundaries exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+# (name, RE2 pattern, replacement) — applied IN ORDER (email before
+# phone so the local-part digits of an address are never phone-masked;
+# ssn before phone so xxx-xx-xxxx isn't half-eaten as a phone).  The
+# same patterns run verbatim in DuckDB's regexp_replace (both RE2), so
+# redaction is oracle-checkable.
+PII_PATTERNS: Tuple[Tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,2}[ .-]\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}", "<PHONE>"),
+)
+
+
+class PIIRedactStage:
+    """Mask PII spans in a text column and count what was masked.
+
+    Emits ``<col>_redacted`` plus one ``n_<kind>`` int32 column per
+    pattern.  Pure vectorized RE2 — safe as a task-pool stage."""
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        patterns: Sequence[Tuple[str, str, str]] = PII_PATTERNS,
+    ):
+        self.text_column = text_column
+        self.patterns = tuple(patterns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = pc.cast(batch[self.text_column], pa.string())
+        out = batch
+        redacted = col
+        for name, pattern, repl in self.patterns:
+            out = out.append_column(
+                f"n_{name}",
+                pc.cast(
+                    pc.count_substring_regex(redacted, pattern), pa.int32()
+                ),
+            )
+            redacted = pc.replace_substring_regex(redacted, pattern, repl)
+        return out.append_column(f"{self.text_column}_redacted", redacted)
+
+
+def _ngram_hashes(text: str, n: int) -> set:
+    """Hashes of word n-grams (lowercased, whitespace tokenized) —
+    blake2b-64 so Python and the broadcast set agree across processes
+    (builtin ``hash`` is per-process salted)."""
+    words = (text or "").lower().split()
+    out = set()
+    for i in range(len(words) - n + 1):
+        g = " ".join(words[i: i + n])
+        out.add(
+            int.from_bytes(
+                hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+            )
+        )
+    return out
+
+
+def build_benchmark_ngrams(texts: Iterable[str], n: int = 8) -> set:
+    """Driver-side: collect the benchmark set's n-gram hashes (the
+    small side — benchmark suites are ≪ corpus)."""
+    out: set = set()
+    for t in texts:
+        out |= _ngram_hashes(t, n)
+    return out
+
+
+class DecontaminateStage:
+    """Flag documents that share ≥ ``min_overlap`` word n-grams with a
+    broadcast benchmark set (training-data decontamination: drop or
+    flag likely eval-set leaks before training).
+
+    The benchmark hash set is put in the object store ONCE
+    (``ray.put``); each actor fetches it in ``__init__`` — zero-copy
+    shared on a node, never per-batch."""
+
+    def __init__(
+        self,
+        benchmark_ref,  # ray.ObjectRef -> set[int] (or a plain set in tests)
+        n: int = 8,
+        min_overlap: int = 1,
+        text_column: str = "text",
+    ):
+        self.bench = (
+            ray.get(benchmark_ref)
+            if isinstance(benchmark_ref, ray.ObjectRef)
+            else benchmark_ref
+        )
+        self.n = n
+        self.min_overlap = min_overlap
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        overlaps = []
+        for t in batch[self.text_column].to_pylist():
+            grams = _ngram_hashes(t, self.n)
+            overlaps.append(len(grams & self.bench))
+        ov = pa.array(overlaps, pa.int32())
+        return batch.append_column("bench_overlap", ov).append_column(
+            "contaminated",
+            pc.greater_equal(ov, self.min_overlap),
+        )
+
+
+def decontaminate(
+    ds: rd.Dataset,
+    benchmark_texts: List[str],
+    n: int = 8,
+    min_overlap: int = 1,
+    text_column: str = "text",
+    concurrency: Optional[int] = None,
+) -> rd.Dataset:
+    """Dataset-level decontamination: flags every row against the
+    benchmark texts' n-grams."""
+    ref = ray.put(build_benchmark_ngrams(benchmark_texts, n))
+    return ds.map_batches(
+        DecontaminateStage,
+        fn_constructor_kwargs=dict(
+            benchmark_ref=ref,
+            n=n,
+            min_overlap=min_overlap,
+            text_column=text_column,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency or 4,
+    )
+
+
+def hash_sample_values(keys: Sequence, salt: str = "") -> np.ndarray:
+    """md5(salt + str(key)) first 8 hex digits as int64 in [0, 2^32) —
+    the deterministic sampling coordinate.  Identical in SQL:
+    ``('0x' || substr(md5(salt || CAST(k AS VARCHAR)), 1, 8))::BIGINT``."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:8], 16)
+            for k in keys
+        ),
+        dtype=np.int64,
+        count=len(keys),
+    )
+
+
+def hash_sample_mask(keys: Sequence, rate: float, salt: str = "") -> np.ndarray:
+    """Deterministic membership mask: kept iff hash value / 2^32 < rate."""
+    return hash_sample_values(keys, salt) < int(rate * 4294967296)
+
+
+def sample_by_hash(
+    ds: rd.Dataset,
+    key_column: str,
+    rate: float,
+    salt: str = "",
+    strata: Optional[Dict[str, Dict[str, float]]] = None,
+) -> rd.Dataset:
+    """Deterministic (re-runnable, cluster-size-independent) sampling.
+
+    ``rate`` is the default keep-rate; ``strata`` optionally overrides
+    it per value of a stratum column: ``{"source": {"web": 0.1,
+    "wiki": 1.0}}`` keeps 10% of web rows but all wiki rows — the
+    standard training-mix downsampling shape.  Pure filter: no shuffle,
+    no state, streams at full width."""
+    if strata and len(strata) != 1:
+        raise ValueError("strata must map exactly one column")
+    strat_col, rates = (next(iter(strata.items())) if strata else (None, {}))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_column].to_pylist()
+        vals = hash_sample_values(keys, salt)
+        if strat_col is None:
+            thresholds = int(rate * 4294967296)
+        else:
+            groups = batch[strat_col].to_pylist()
+            thresholds = np.fromiter(
+                (int(rates.get(g, rate) * 4294967296) for g in groups),
+                dtype=np.int64,
+                count=len(groups),
+            )
+        return batch.filter(pa.array(vals < thresholds))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    capacity: int,
+    token_column: str = "n_tokens",
+    group_column: Optional[str] = None,
+    order_column: str = "doc_id",
+) -> pd.DataFrame:
+    """Greedy next-fit token packing: walk rows in ``order_column``
+    order (per ``group_column`` when given) and open a new bin whenever
+    adding the row would exceed ``capacity``; rows longer than capacity
+    get a bin of their own.  Returns (group?, order, bin_id,
+    bin_offset) — the layout a sequence-packing data loader consumes.
+
+    Distribution shape: the scan is sequential per group by
+    construction (bin boundaries depend on every previous row), the
+    same dependency class as session windows.  This implementation
+    sorts distributed, then runs the scan per group on the driver over
+    the (group, order, n_tokens) PROJECTION ONLY — ~12 bytes/row, so
+    the driver pass is bounded by metadata size, not corpus size; the
+    session-window range-chain treatment applies verbatim if even that
+    projection outgrows the driver."""
+    cols = [order_column, token_column] + (
+        [group_column] if group_column else []
+    )
+    pdf = (
+        ds.select_columns(cols)
+        .sort(([group_column] if group_column else []) + [order_column])
+        .to_pandas()
+    )
+    toks = pdf[token_column].to_numpy()
+    if group_column:
+        groups = pdf[group_column].to_numpy()
+        new_group = np.concatenate([[True], groups[1:] != groups[:-1]])
+    else:
+        new_group = np.zeros(len(pdf), dtype=bool)
+        if len(new_group):
+            new_group[0] = True
+    bin_id = np.empty(len(pdf), dtype=np.int64)
+    bin_off = np.empty(len(pdf), dtype=np.int64)
+    cur_bin = -1
+    cur_fill = 0
+    for i in range(len(pdf)):
+        t = int(toks[i])
+        if new_group[i]:
+            cur_bin = -1
+        if cur_bin < 0 or cur_fill + t > capacity:
+            cur_bin += 1
+            cur_fill = 0
+        bin_id[i] = cur_bin
+        bin_off[i] = cur_fill
+        cur_fill += t
+    out = pdf.reset_index(drop=True)
+    out["bin_id"] = bin_id
+    out["bin_offset"] = bin_off
+    return out

@@ -1,0 +1,170 @@
+"""Scrubbing / curation operator tests: PII redaction, hash sampling
+(including bit-parity with the DuckDB oracle expression),
+decontamination, and sequence packing."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class TestPIIRedact:
+    def test_planted_pii_redacted_and_counted(self):
+        from search_engine_ray.stages.scrub import PIIRedactStage
+
+        stage = PIIRedactStage()
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([
+                "mail a.b-c%d@sub.example.org or call +1 (415) 555-2671 "
+                "from 10.1.2.3, ssn 123-45-6789",
+                "no pii here at all",
+            ]),
+        })
+        out = stage(tbl).to_pandas()
+        r = out.loc[0]
+        assert (r.n_email, r.n_ssn, r.n_ipv4, r.n_phone) == (1, 1, 1, 1)
+        red = r.text_redacted
+        for tokn in ("<EMAIL>", "<SSN>", "<IP>", "<PHONE>"):
+            assert tokn in red
+        for leak in ("example.org", "6789", "10.1.2.3", "555-2671"):
+            assert leak not in red
+        clean = out.loc[1]
+        assert clean.text_redacted == "no pii here at all"
+        assert (clean.n_email, clean.n_ssn, clean.n_ipv4,
+                clean.n_phone) == (0, 0, 0, 0)
+
+    def test_email_redacted_before_phone_touches_digits(self):
+        """Pattern ORDER: the email eats its local-part digits before
+        the phone pattern can see them."""
+        from search_engine_ray.stages.scrub import PIIRedactStage
+
+        out = PIIRedactStage()(
+            pa.table({"text": pa.array(["reach 12 345-678-9012@x.co now"])})
+        ).to_pandas()
+        assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_phone"] == 0
+
+
+class TestHashSampling:
+    def test_deterministic_and_rate_accurate(self):
+        from search_engine_ray.stages.scrub import hash_sample_mask
+
+        keys = list(range(20_000))
+        m1 = hash_sample_mask(keys, 0.25, salt="s")
+        m2 = hash_sample_mask(keys, 0.25, salt="s")
+        assert (m1 == m2).all()
+        assert abs(m1.mean() - 0.25) < 0.02
+        # nested property: a lower rate keeps a SUBSET (same coordinate)
+        m_low = hash_sample_mask(keys, 0.1, salt="s")
+        assert (~(m_low & ~m1)).all()
+
+    def test_bit_parity_with_duckdb_oracle_expression(self):
+        """The Python sampling coordinate equals the SQL oracle's
+        ('0x'||substr(md5(salt||key),1,8))::BIGINT for every key."""
+        from search_engine_ray.stages.scrub import hash_sample_values
+
+        keys = [0, 1, 42, 999983, 2**31]
+        py = hash_sample_values(keys, salt="s1").tolist()
+        sql = [
+            duckdb.sql(
+                "SELECT ('0x' || substr(md5('s1' || "
+                f"CAST({k} AS VARCHAR)), 1, 8))::BIGINT"
+            ).fetchone()[0]
+            for k in keys
+        ]
+        assert py == sql
+
+    def test_strata_rates(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.scrub import sample_by_hash
+
+        df = pd.DataFrame({
+            "k": range(4000),
+            "g": ["keepall" if i % 2 else "droplots" for i in range(4000)],
+        })
+        out = sample_by_hash(
+            rd.from_pandas(df), "k", rate=0.5, salt="x",
+            strata={"g": {"keepall": 1.0, "droplots": 0.0}},
+        ).to_pandas()
+        assert set(out["g"]) == {"keepall"}
+        assert len(out) == 2000  # rate 1.0 keeps every keepall row
+
+
+class TestDecontaminate:
+    def test_planted_leak_flagged(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.scrub import decontaminate
+
+        leak = (
+            "the secret benchmark passage with exactly enough words "
+            "to form shared eight grams"
+        )
+        df = pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [
+                f"some prefix then {leak} and a suffix",
+                "entirely unrelated text with no overlap whatsoever in "
+                "any of its eight word windows today",
+            ],
+        })
+        out = (
+            decontaminate(rd.from_pandas(df), [leak], n=8)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert bool(out.loc[1, "contaminated"])
+        assert out.loc[1, "bench_overlap"] >= 1
+        assert not bool(out.loc[2, "contaminated"])
+
+
+class TestPackSequences:
+    def test_exact_next_fit(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.scrub import pack_sequences
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "grp": ["a", "a", "a", "a", "b", "b"],
+            "n_tokens": [60, 50, 90, 120, 30, 30],
+        })
+        out = pack_sequences(
+            rd.from_pandas(df), capacity=100, token_column="n_tokens",
+            group_column="grp", order_column="doc_id",
+        )
+        got = out.set_index("doc_id")[["bin_id", "bin_offset"]]
+        # a: 60 -> bin0@0; 50 overflows -> bin1@0; 90 overflows -> bin2@0;
+        #    120 > capacity -> own bin3@0.  b restarts: 30 -> bin0@0;
+        #    30 fits -> bin0@30.
+        assert got.loc[1].tolist() == [0, 0]
+        assert got.loc[2].tolist() == [1, 0]
+        assert got.loc[3].tolist() == [2, 0]
+        assert got.loc[4].tolist() == [3, 0]
+        assert got.loc[5].tolist() == [0, 0]
+        assert got.loc[6].tolist() == [0, 30]
+
+    def test_invariants_on_real_table(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.scrub import pack_sequences
+
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "source", "n_chars"],
+        )
+        cap = 20_000
+        out = pack_sequences(
+            ds, capacity=cap, token_column="n_chars",
+            group_column="source", order_column="doc_id",
+        )
+        # fill never exceeds capacity unless the row alone does
+        over = out[out.bin_offset + out.n_chars > cap]
+        assert (over.bin_offset == 0).all()
+        # bins are contiguous non-decreasing per group, starting at 0
+        for _, g in out.groupby("source"):
+            bins = g.sort_values("doc_id")["bin_id"].to_numpy()
+            assert bins[0] == 0
+            assert ((np.diff(bins) == 0) | (np.diff(bins) == 1)).all()
