@@ -174,9 +174,23 @@ def run_bench() -> dict:
     )
     results["aggregates"] = round(time.time() - t0, 3)
 
+    # 6. scrub: PII redaction + counts over the full page corpus (the
+    #    vectorized-RE2 curation path; docs/s is the headline number)
+    from search_engine_ray.stages.scrub import PIIRedactStage
+
+    t0 = time.time()
+    n_red = (
+        rd.read_parquet(corpus, columns=["url", "text"])
+        .map_batches(PIIRedactStage(), batch_format="pyarrow")
+        .count()
+    )
+    dt = time.time() - t0
+    results["pii_redact"] = round(dt, 3)
+    extras["pii_redact_docs_per_sec"] = round(n_red / dt, 1)
+
     ray.shutdown()
     return {
-        "metric": "headline pipelines wall time (index build + BM25 + dedup + similarity + aggregates)",
+        "metric": "headline pipelines wall time (index build + BM25 + dedup + similarity + aggregates + scrub)",
         "value": round(sum(results.values()), 3),
         "unit": "sec",
         "queries": results,
