@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": q.sample_stratified,
         "decontaminate_docs": q.decontaminate_docs,
         "pack_bins": q.pack_bins,
+        # distributed as-of join (stages/joins.py)
+        "asof_view_attribution": q.asof_view_attribution,
     }
 
 
@@ -447,5 +449,20 @@ def oracle_sql() -> dict[str, str]:
                                      WHEN 'src1' THEN 0.25
                                      ELSE 0.5 END * 4294967296 AS BIGINT)
             ORDER BY doc_id
+        """,
+        # distributed as-of join vs DuckDB's native ASOF LEFT JOIN:
+        # each purchase gets the latest view with view.ts <= purchase.ts
+        # per user ((user_id, ts) is unique, so no tie ambiguity)
+        "asof_view_attribution": """
+            SELECT p.event_id,
+                   p.user_id,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+                   COALESCE(v.event_id, -1) AS view_event_id,
+                   COALESCE(round(v.value, 6), 0.0) AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id
         """,
     }

@@ -807,3 +807,36 @@ def pack_bins(sf_dir: str) -> pd.DataFrame:
         .sort_values(["source", "doc_id"])
         .reset_index(drop=True)
     )
+
+
+def asof_view_attribution(sf_dir: str) -> pd.DataFrame:
+    """Distributed as-of join (stages/joins.py), oracle-checked against
+    DuckDB's native ASOF LEFT JOIN: each purchase event gets the most
+    recent prior-or-simultaneous view event of the same user (classic
+    attribution).  (user_id, ts) is unique in the events table, so the
+    <= tie-break is unambiguous on both sides."""
+    from ..stages.joins import asof_join
+
+    def only(kind):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], kind))
+
+        return fn
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    purchases = events.map_batches(only("purchase"), batch_format="pyarrow")
+    views = events.map_batches(only("view"), batch_format="pyarrow")
+    out = asof_join(
+        purchases, views, "user_id", "ts",
+        left_cols=["event_id"], right_cols=["event_id", "value"],
+        right_prefix="view_",
+    )
+    res = pd.DataFrame({
+        "event_id": out["event_id"].astype("int64"),
+        "user_id": out["user_id"].astype("int64"),
+        "ts_us": out["ts"].astype("int64"),
+        "view_event_id": out["view_event_id"].fillna(-1).astype("int64"),
+        "view_value": out["view_value"].fillna(0.0).round(6),
+    })
+    return res.sort_values("event_id").reset_index(drop=True)

@@ -168,3 +168,58 @@ class TestPackSequences:
             bins = g.sort_values("doc_id")["bin_id"].to_numpy()
             assert bins[0] == 0
             assert ((np.diff(bins) == 0) | (np.diff(bins) == 1)).all()
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof_across_range_splits(self, ray_session):
+        """Hot-key stress: one key holds most rows and the input is
+        split into many blocks, so the global sort cuts the key's
+        timeline across ranges — the boundary carry must resolve
+        left rows whose match lives in an earlier range."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.joins import asof_join
+
+        rng = np.random.default_rng(11)
+        n_l, n_r = 900, 300
+        left = pd.DataFrame({
+            "k": np.where(rng.random(n_l) < 0.8, 1, rng.integers(2, 6, n_l)),
+            "ts": rng.integers(0, 1_000_000, n_l),
+            "lv": rng.random(n_l).round(3),
+        }).drop_duplicates(["k", "ts"])
+        right = pd.DataFrame({
+            "k": np.where(rng.random(n_r) < 0.8, 1, rng.integers(2, 6, n_r)),
+            "ts": rng.integers(0, 1_000_000, n_r),
+            "rv": rng.random(n_r).round(3),
+        }).drop_duplicates(["k", "ts"])
+
+        got = asof_join(
+            rd.from_pandas(left).repartition(16),
+            rd.from_pandas(right).repartition(16),
+            "k", "ts", left_cols=["lv"], right_cols=["rv"],
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        ).sort_values(["k", "ts"]).reset_index(drop=True)
+        got_c = got.sort_values(["k", "ts"]).reset_index(drop=True)
+        assert len(got_c) == len(want)
+        assert (got_c["k"].to_numpy() == want["k"].to_numpy()).all()
+        assert np.allclose(got_c["lv"], want["lv"])
+        g, w = got_c["r_rv"].to_numpy(), want["rv"].to_numpy()
+        both_nan = np.isnan(g) & np.isnan(w)
+        assert (both_nan | np.isclose(g, w, equal_nan=False)).all()
+
+    def test_equal_ts_is_inclusive(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.joins import asof_join
+
+        left = pd.DataFrame({"k": [1], "ts": [100], "lv": [1.0]})
+        right = pd.DataFrame({"k": [1], "ts": [100], "rv": [7.0]})
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "k", "ts", ["lv"], ["rv"],
+        )
+        assert out.loc[0, "r_rv"] == 7.0
