@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q.pack_bins,
         # distributed as-of join (stages/joins.py)
         "asof_view_attribution": q.asof_view_attribution,
+        # per-event trailing window aggregate (stages/windows.py)
+        "trailing_1h_user_value": q.trailing_1h_user_value,
     }
 
 
@@ -464,5 +466,19 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT * FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.event_id
+        """,
+        # per-event trailing 1-hour window vs DuckDB's RANGE frame;
+        # cent-scaled integer sums make the float order-independent
+        "trailing_1h_user_value": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   round(SUM(CAST(round(value * 100) AS BIGINT))
+                         OVER w / 100.0, 6) AS trail_sum,
+                   COUNT(*) OVER w AS trail_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
         """,
     }

@@ -840,3 +840,26 @@ def asof_view_attribution(sf_dir: str) -> pd.DataFrame:
         "view_value": out["view_value"].fillna(0.0).round(6),
     })
     return res.sort_values("event_id").reset_index(drop=True)
+
+
+def trailing_1h_user_value(sf_dir: str) -> pd.DataFrame:
+    """Per-event trailing 1-hour window aggregate (stages/windows.py::
+    trailing_window_agg), oracle-checked against DuckDB's
+    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING window frame.  Values are
+    summed as scaled integers (cents) so the result is bit-exact and
+    order-independent across engines."""
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = win.trailing_window_agg(
+        events, key_field="user_id", ts_field="ts", id_field="event_id",
+        window_us=3_600_000_000, value_field="value", value_scale=100,
+    )
+    return (
+        out[["event_id", "user_id", "ts_us", "trail_sum", "trail_n"]]
+        .astype({"event_id": "int64", "user_id": "int64",
+                 "ts_us": "int64", "trail_n": "int64"})
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )

@@ -245,3 +245,185 @@ def session_window(
             "n_events", "sum_value",
         ]
     ].reset_index(drop=True)
+
+
+def trailing_window_agg(
+    ds: rd.Dataset,
+    key_field: str,
+    ts_field: str,
+    id_field: str,
+    window_us: int,
+    value_field: str,
+    value_scale: int = 100,
+) -> pd.DataFrame:
+    """Per-EVENT trailing window aggregate: for every row, the sum and
+    count of same-key rows with ts in ``[row.ts - window_us, row.ts]``
+    — SQL's ``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW``
+    (DuckDB is the oracle; values are scaled to integers so the sum is
+    order-independent and bit-exact across engines).
+
+    With duplicate (key, ts) rows the frame is cut at the current row's
+    (ts, id) position — deterministic, but SQL RANGE mode would instead
+    include ALL equal-ts peers; the SQL oracle pairing therefore assumes
+    unique (key, ts), which holds for the events table.
+
+    Skew-safe shape (same family as ``session_window``): global
+    (key, ts, id) sort — ``id_field`` must be unique per row; it makes
+    cross-range tie exclusion exact when duplicate ts exist — then each
+    sorted range resolves rows whose whole window is in-range with one
+    vectorized searchsorted + prefix-sum pass.  Rows whose window is
+    clamped at the key's first in-range row (at most window-occupancy
+    rows per range edge) are finished in a driver pass against
+    per-range tail metadata (each range's last-``window_us`` rows per
+    key), so driver traffic is O(window occupancy × ranges), never
+    O(rows)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch[ts_field]
+        if pa.types.is_timestamp(col.type):
+            ts = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        else:
+            ts = pc.cast(col, pa.int64())
+        v = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.cast(batch[value_field], pa.float64()),
+                    pa.scalar(float(value_scale)),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({
+            key_field: batch[key_field],
+            "__ts": ts,
+            id_field: pc.cast(batch[id_field], pa.int64()),
+            "__v": v,
+        })
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow").sort(
+        [key_field, "__ts", id_field]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("kind", pa.int8()),
+            (key_field, batch.schema.field(key_field).type),
+            ("__ts", pa.int64()),
+            (id_field, pa.int64()),
+            ("__v", pa.int64()),
+            ("trail_v", pa.int64()),
+            ("trail_n", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_id", pa.int64()),
+        ])
+        n = batch.num_rows
+        if n == 0:
+            return schema.empty_table()
+        keys = batch[key_field].to_numpy(zero_copy_only=False)
+        ts = batch["__ts"].to_numpy(zero_copy_only=False)
+        ids = batch[id_field].to_numpy(zero_copy_only=False)
+        v = batch["__v"].to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        seg_start_of = np.maximum.accumulate(np.where(new, np.arange(n), -1))
+        csum = np.cumsum(v)
+        # window start index per row (within its key segment)
+        j = np.empty(n, dtype=np.int64)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            j[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - window_us, "left")
+        trail_n = np.arange(n) - j + 1
+        trail_v = csum - np.where(j > 0, csum[j - 1], 0)
+        clamped = j == seg_start_of  # window may continue in earlier range
+        parts = []
+
+        def emit(kind, sel, extra_ts=None, extra_id=None):
+            m = int(sel.sum()) if sel.dtype == bool else len(sel)
+            if m == 0:
+                return
+            ix = np.flatnonzero(sel) if sel.dtype == bool else sel
+            parts.append(pa.table({
+                "kind": pa.array(np.full(m, kind, dtype=np.int8)),
+                key_field: pa.array(keys[ix]),
+                "__ts": pa.array(ts[ix], pa.int64()),
+                id_field: pa.array(ids[ix], pa.int64()),
+                "__v": pa.array(v[ix], pa.int64()),
+                "trail_v": pa.array(trail_v[ix], pa.int64()),
+                "trail_n": pa.array(trail_n[ix], pa.int64()),
+                "first_ts": pa.array(
+                    ts[seg_start_of[ix]]
+                    if extra_ts is None else extra_ts, pa.int64()
+                ),
+                "first_id": pa.array(
+                    ids[seg_start_of[ix]]
+                    if extra_id is None else extra_id, pa.int64()
+                ),
+            }, schema=schema))
+
+        emit(0, ~clamped)
+        emit(1, clamped)  # provisional: needs earlier ranges' tail rows
+        # tail metadata: per key, rows within window_us of the key's
+        # last in-range ts (everything a later range's head could need)
+        seg_last = ends - 1
+        tail_sel = np.zeros(n, dtype=bool)
+        for s, e in zip(starts, ends):
+            lo = s + np.searchsorted(ts[s:e], ts[e - 1] - window_us, "left")
+            tail_sel[lo:e] = True
+        emit(2, tail_sel)
+        return pa.concat_tables(parts) if parts else schema.empty_table()
+
+    mixed = sorted_ds.map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if mixed.empty:
+        return pd.DataFrame(
+            columns=[key_field, "ts_us", id_field, "trail_sum", "trail_n"]
+        )
+    done = mixed[mixed["kind"] == 0]
+    heads = mixed[mixed["kind"] == 1]
+    tails = mixed[mixed["kind"] == 2]
+    fixed = []
+    if len(heads):
+        tails_by_key = {k: g for k, g in tails.groupby(key_field, sort=False)}
+        h_keys = heads[key_field].to_numpy()
+        h_ts = heads["__ts"].to_numpy()
+        h_ids = heads[id_field].to_numpy()
+        h_tv = heads["trail_v"].to_numpy().copy()
+        h_tn = heads["trail_n"].to_numpy().copy()
+        h_fts = heads["first_ts"].to_numpy()
+        h_fid = heads["first_id"].to_numpy()
+        for i in range(len(heads)):
+            g = tails_by_key.get(h_keys[i])
+            if g is not None:
+                gts = g["__ts"].to_numpy()
+                gid = g[id_field].to_numpy()
+                gv = g["__v"].to_numpy()
+                # in-window rows STRICTLY BEFORE the key's first in-range
+                # row (lexicographic (ts, id)) — i.e. from earlier ranges
+                # only, exact even with duplicate ts
+                m = (gts >= h_ts[i] - window_us) & (
+                    (gts < h_fts[i])
+                    | ((gts == h_fts[i]) & (gid < h_fid[i]))
+                )
+                if m.any():
+                    h_tv[i] += int(gv[m].sum())
+                    h_tn[i] += int(m.sum())
+        fixed = pd.DataFrame({
+            key_field: h_keys, "__ts": h_ts, id_field: h_ids,
+            "trail_v": h_tv, "trail_n": h_tn,
+        })
+    out = pd.concat(
+        [done[[key_field, "__ts", id_field, "trail_v", "trail_n"]]]
+        + ([fixed] if len(heads) else []),
+        ignore_index=True,
+    )
+    res = pd.DataFrame({
+        key_field: out[key_field],
+        "ts_us": out["__ts"].astype("int64"),
+        id_field: out[id_field].astype("int64"),
+        "trail_sum": (out["trail_v"] / float(value_scale)).round(6),
+        "trail_n": out["trail_n"].astype("int64"),
+    })
+    return res.sort_values(id_field).reset_index(drop=True)

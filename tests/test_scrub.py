@@ -223,3 +223,43 @@ class TestAsofJoin:
             "k", "ts", ["lv"], ["rv"],
         )
         assert out.loc[0, "r_rv"] == 7.0
+
+
+class TestTrailingWindow:
+    def test_matches_duckdb_across_range_splits(self, ray_session):
+        """Hot-key stress: 16 input blocks force the sort to split one
+        key's timeline across ranges — the head/tail boundary pass must
+        reproduce DuckDB's RANGE-frame result exactly."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.windows import trailing_window_agg
+
+        rng = np.random.default_rng(3)
+        n = 1200
+        df = pd.DataFrame({
+            "user_id": np.where(
+                rng.random(n) < 0.7, 1, rng.integers(2, 8, n)
+            ),
+            "ts": rng.integers(0, 500_000, n),
+            "value": (rng.integers(0, 10_000, n) / 100.0),
+        }).drop_duplicates(["user_id", "ts"])  # SQL RANGE peers differ
+        df["event_id"] = np.arange(len(df))
+        got = trailing_window_agg(
+            rd.from_pandas(df).repartition(16),
+            key_field="user_id", ts_field="ts", id_field="event_id",
+            window_us=50_000, value_field="value", value_scale=100,
+        )
+        want = duckdb.sql("""
+            SELECT event_id, user_id, CAST(ts AS BIGINT) AS ts_us,
+                   round(SUM(CAST(round(value*100) AS BIGINT))
+                         OVER w / 100.0, 6) AS trail_sum,
+                   COUNT(*) OVER w AS trail_n
+            FROM df
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """).df()
+        cols = ["event_id", "user_id", "ts_us", "trail_sum", "trail_n"]
+        got = got.sort_values("event_id").reset_index(drop=True)[cols]
+        want = want[cols].astype(got.dtypes.to_dict()).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
