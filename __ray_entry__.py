@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_view_attribution": q.asof_view_attribution,
         # per-event trailing window aggregate (stages/windows.py)
         "trailing_1h_user_value": q.trailing_1h_user_value,
+        # distributed range (band) self-join (stages/joins.py)
+        "band_pairs_2h": q.band_pairs_2h,
     }
 
 
@@ -480,5 +482,19 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # range (band) self-join vs a DuckDB inequality join: ordered
+        # same-user event pairs at most 2 hours apart
+        "band_pairs_2h": """
+            SELECT a.user_id,
+                   a.event_id AS a_id,
+                   b.event_id AS b_id,
+                   CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT)
+                       AS dt_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 2 HOUR
+            ORDER BY a_id, b_id
         """,
     }

@@ -863,3 +863,25 @@ def trailing_1h_user_value(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_id")
         .reset_index(drop=True)
     )
+
+
+def band_pairs_2h(sf_dir: str) -> pd.DataFrame:
+    """Distributed range (band) self-join (stages/joins.py::
+    band_self_join), oracle-checked against a DuckDB inequality join:
+    ordered pairs of same-user events at most 2 hours apart."""
+    from ..stages.joins import band_self_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    out = band_self_join(
+        events, key_field="user_id", ts_field="ts", id_field="event_id",
+        band_us=7_200_000_000,
+    )
+    return (
+        out[["user_id", "a_id", "b_id", "dt_us"]]
+        .astype({"user_id": "int64", "a_id": "int64",
+                 "b_id": "int64", "dt_us": "int64"})
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )

@@ -228,3 +228,157 @@ def _pad(ds: rd.Dataset, missing: List[str]) -> rd.Dataset:
         return batch
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def band_self_join(
+    ds: rd.Dataset,
+    key_field: str,
+    ts_field: str,
+    id_field: str,
+    band_us: int,
+) -> pd.DataFrame:
+    """Range (band) self-join: all ordered pairs (a, b) of same-key rows
+    with ``0 < b.ts - a.ts <= band_us`` (SQL: an inequality join on
+    ``b.ts > a.ts AND b.ts <= a.ts + band``).  Returns
+    (key, a_id, b_id, dt_us).
+
+    Same distribution shape as :func:`asof_join` /
+    ``windows.trailing_window_agg``: one global (key, ts, id) sort, each
+    sorted range expands its in-range pairs with one vectorized
+    searchsorted + repeat pass, and rows whose band window clamps at the
+    range edge are paired against earlier ranges' tail metadata (each
+    range's last-``band_us`` rows per key) in an O(edge × occupancy)
+    driver pass — exact under duplicate ts via lexicographic (ts, id)
+    exclusion.  Pair COUNT is the output's natural hazard (a key with k
+    rows inside one band emits k² pairs); callers bound ``band_us``, not
+    this function."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch[ts_field]
+        if pa.types.is_timestamp(col.type):
+            ts = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        else:
+            ts = pc.cast(col, pa.int64())
+        return pa.table({
+            key_field: batch[key_field],
+            "__ts": ts,
+            id_field: pc.cast(batch[id_field], pa.int64()),
+        })
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow").sort(
+        [key_field, "__ts", id_field]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("kind", pa.int8()),
+            (key_field, batch.schema.field(key_field).type),
+            ("a_id", pa.int64()),
+            ("b_id", pa.int64()),
+            ("dt_us", pa.int64()),
+            ("__ts", pa.int64()),
+            ("first_ts", pa.int64()),
+            ("first_id", pa.int64()),
+        ])
+        n = batch.num_rows
+        if n == 0:
+            return schema.empty_table()
+        keys = batch[key_field].to_numpy(zero_copy_only=False)
+        ts = batch["__ts"].to_numpy(zero_copy_only=False)
+        ids = batch[id_field].to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        seg_start_of = np.maximum.accumulate(np.where(new, np.arange(n), -1))
+        lo = np.empty(n, dtype=np.int64)
+        hi = np.empty(n, dtype=np.int64)
+        for s, e in zip(starts, ends):
+            lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - band_us, "left")
+            hi[s:e] = s + np.searchsorted(ts[s:e], ts[s:e], "left")
+        c = hi - lo  # in-range a-candidates per b row
+        parts = []
+        total = int(c.sum())
+        if total:
+            b_flat = np.repeat(np.arange(n), c)
+            off = np.repeat(np.cumsum(c) - c, c)
+            a_flat = np.arange(total) - off + np.repeat(lo, c)
+            parts.append(pa.table({
+                "kind": pa.array(np.zeros(total, dtype=np.int8)),
+                key_field: pa.array(keys[b_flat]),
+                "a_id": pa.array(ids[a_flat], pa.int64()),
+                "b_id": pa.array(ids[b_flat], pa.int64()),
+                "dt_us": pa.array(ts[b_flat] - ts[a_flat], pa.int64()),
+                "__ts": pa.array(ts[b_flat], pa.int64()),
+                "first_ts": pa.array(ts[seg_start_of[b_flat]], pa.int64()),
+                "first_id": pa.array(ids[seg_start_of[b_flat]], pa.int64()),
+            }, schema=schema))
+
+        def emit_rows(kind, sel):
+            m = int(sel.sum())
+            if m == 0:
+                return
+            ix = np.flatnonzero(sel)
+            parts.append(pa.table({
+                "kind": pa.array(np.full(m, kind, dtype=np.int8)),
+                key_field: pa.array(keys[ix]),
+                "a_id": pa.array(ids[ix], pa.int64()),
+                "b_id": pa.array(ids[ix], pa.int64()),
+                "dt_us": pa.array(np.zeros(m, dtype=np.int64)),
+                "__ts": pa.array(ts[ix], pa.int64()),
+                "first_ts": pa.array(ts[seg_start_of[ix]], pa.int64()),
+                "first_id": pa.array(ids[seg_start_of[ix]], pa.int64()),
+            }, schema=schema))
+
+        # kind 1: b rows whose band window clamps at the segment start —
+        # they may have additional a-partners in earlier ranges
+        emit_rows(1, lo == seg_start_of)
+        # kind 2: tail metadata (a-candidates for later ranges)
+        tail_sel = np.zeros(n, dtype=bool)
+        for s, e in zip(starts, ends):
+            t0 = s + np.searchsorted(ts[s:e], ts[e - 1] - band_us, "left")
+            tail_sel[t0:e] = True
+        emit_rows(2, tail_sel)
+        return pa.concat_tables(parts) if parts else schema.empty_table()
+
+    mixed = sorted_ds.map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    cols = [key_field, "a_id", "b_id", "dt_us"]
+    if mixed.empty:
+        return pd.DataFrame(columns=cols)
+    pairs = mixed[mixed["kind"] == 0][cols]
+    heads = mixed[mixed["kind"] == 1]
+    tails = mixed[mixed["kind"] == 2]
+    extra = []
+    if len(heads) and len(tails):
+        tails_by_key = {k: g for k, g in tails.groupby(key_field, sort=False)}
+        h_keys = heads[key_field].to_numpy()
+        h_ts = heads["__ts"].to_numpy()
+        h_ids = heads["b_id"].to_numpy()
+        h_fts = heads["first_ts"].to_numpy()
+        h_fid = heads["first_id"].to_numpy()
+        for i in range(len(heads)):
+            g = tails_by_key.get(h_keys[i])
+            if g is None:
+                continue
+            gts = g["__ts"].to_numpy()
+            gid = g["a_id"].to_numpy()
+            m = (
+                (gts >= h_ts[i] - band_us)
+                & (gts < h_ts[i])
+                & (
+                    (gts < h_fts[i])
+                    | ((gts == h_fts[i]) & (gid < h_fid[i]))
+                )
+            )
+            for j in np.flatnonzero(m):
+                extra.append((
+                    h_keys[i], int(gid[j]), int(h_ids[i]),
+                    int(h_ts[i] - gts[j]),
+                ))
+    out = pd.concat(
+        [pairs, pd.DataFrame(extra, columns=cols)], ignore_index=True
+    )
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)

@@ -263,3 +263,35 @@ class TestTrailingWindow:
         got = got.sort_values("event_id").reset_index(drop=True)[cols]
         want = want[cols].astype(got.dtypes.to_dict()).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestBandJoin:
+    def test_matches_duckdb_across_range_splits(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.joins import band_self_join
+
+        rng = np.random.default_rng(5)
+        n = 800
+        df = pd.DataFrame({
+            "k": np.where(rng.random(n) < 0.7, 1, rng.integers(2, 6, n)),
+            "ts": rng.integers(0, 200_000, n),
+        }).drop_duplicates(["k", "ts"])
+        df["eid"] = np.arange(len(df))
+        got = band_self_join(
+            rd.from_pandas(df).repartition(16),
+            key_field="k", ts_field="ts", id_field="eid",
+            band_us=5_000,
+        )
+        want = duckdb.sql("""
+            SELECT a.k, a.eid AS a_id, b.eid AS b_id,
+                   CAST(b.ts - a.ts AS BIGINT) AS dt_us
+            FROM df a JOIN df b
+              ON a.k = b.k AND b.ts > a.ts AND b.ts <= a.ts + 5000
+            ORDER BY a_id, b_id
+        """).df()
+        cols = ["k", "a_id", "b_id", "dt_us"]
+        got = got[cols].reset_index(drop=True)
+        want = want[cols].astype(got.dtypes.to_dict()).reset_index(drop=True)
+        assert len(got) > 100  # the band actually produces pairs
+        pd.testing.assert_frame_equal(got, want)
