@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_1h_user_value": q.trailing_1h_user_value,
         # distributed range (band) self-join (stages/joins.py)
         "band_pairs_2h": q.band_pairs_2h,
+        # per-group cap (stages/scrub.py::cap_per_group)
+        "capped_sources": q.capped_sources,
     }
 
 
@@ -496,5 +498,15 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts > a.ts
              AND b.ts <= a.ts + INTERVAL 2 HOUR
             ORDER BY a_id, b_id
+        """,
+        # per-group cap vs SQL ROW_NUMBER(): 10 lowest doc_ids/source
+        "capped_sources": """
+            SELECT source, doc_id FROM (
+              SELECT source, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 10
+            ORDER BY source, doc_id
         """,
     }

@@ -885,3 +885,20 @@ def band_pairs_2h(sf_dir: str) -> pd.DataFrame:
         .sort_values(["a_id", "b_id"])
         .reset_index(drop=True)
     )
+
+
+def capped_sources(sf_dir: str) -> pd.DataFrame:
+    """Per-group cap (stages/scrub.py::cap_per_group — the "at most N
+    docs per domain" curation rule), oracle-checked against SQL
+    ROW_NUMBER() <= N: the 10 lowest doc_ids per source."""
+    from ..stages.scrub import cap_per_group
+
+    out = cap_per_group(
+        _docs(sf_dir, ["doc_id", "source"]),
+        group_field="source", order_field="doc_id", cap=10,
+    )
+    return (
+        out.astype({"doc_id": "int64"})
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )

@@ -276,3 +276,112 @@ def pack_sequences(
     out["bin_id"] = bin_id
     out["bin_offset"] = bin_off
     return out
+
+
+def cap_per_group(
+    ds: rd.Dataset,
+    group_field: str,
+    order_field: str,
+    cap: int,
+) -> pd.DataFrame:
+    """Per-group cap (the C4/RefinedWeb "at most N documents per
+    domain" curation rule): keep the first ``cap`` rows of every group
+    in ``order_field`` order — SQL's ``ROW_NUMBER() OVER (PARTITION BY
+    g ORDER BY o) <= cap``.
+
+    Distribution shape: global (group, order) sort; each sorted range
+    emits at most ``cap`` KEEP-CANDIDATES per group (rows ranked ≤ cap
+    locally — a row ranked > cap in its range is beyond the cap
+    globally too) plus one (group, first_order, n_rows) metadata row.
+    The driver computes each range's carry-in rank (sum of same-group
+    counts from ranges with smaller first_order — exact because ranges
+    partition the sort order) and keeps candidates whose global rank ≤
+    cap.  Driver traffic is O(cap × groups + ranges × groups-per-range)
+    — never O(rows).  ``order_field`` must be unique per group (doc ids
+    are)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group_field: batch[group_field],
+            order_field: pc.cast(batch[order_field], pa.int64()),
+        })
+
+    sorted_ds = ds.map_batches(prep, batch_format="pyarrow").sort(
+        [group_field, order_field]
+    )
+
+    def scan(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            ("kind", pa.int8()),
+            (group_field, batch.schema.field(group_field).type),
+            (order_field, pa.int64()),
+            ("local_rank", pa.int64()),
+            ("first_order", pa.int64()),
+            ("n_rows", pa.int64()),
+        ])
+        n = batch.num_rows
+        if n == 0:
+            return schema.empty_table()
+        groups = batch[group_field].to_numpy(zero_copy_only=False)
+        order = batch[order_field].to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = groups[1:] != groups[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        seg_start_of = np.maximum.accumulate(np.where(new, np.arange(n), -1))
+        local_rank = np.arange(n) - seg_start_of + 1
+        cand = local_rank <= cap
+        parts = [pa.table({
+            "kind": pa.array(np.zeros(int(cand.sum()), dtype=np.int8)),
+            group_field: pa.array(groups[cand]),
+            order_field: pa.array(order[cand], pa.int64()),
+            "local_rank": pa.array(local_rank[cand], pa.int64()),
+            "first_order": pa.array(order[seg_start_of[cand]], pa.int64()),
+            "n_rows": pa.array(np.zeros(int(cand.sum()), dtype=np.int64)),
+        }, schema=schema)]
+        m = len(starts)
+        parts.append(pa.table({
+            "kind": pa.array(np.full(m, 2, dtype=np.int8)),
+            group_field: pa.array(groups[starts]),
+            order_field: pa.array(order[starts], pa.int64()),
+            "local_rank": pa.array(np.zeros(m, dtype=np.int64)),
+            "first_order": pa.array(order[starts], pa.int64()),
+            "n_rows": pa.array(
+                (ends - starts).astype(np.int64), pa.int64()
+            ),
+        }, schema=schema))
+        return pa.concat_tables(parts)
+
+    mixed = sorted_ds.map_batches(
+        scan, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if mixed.empty:
+        return pd.DataFrame(columns=[group_field, order_field])
+    cands = mixed[mixed["kind"] == 0]
+    meta = mixed[mixed["kind"] == 2].sort_values([group_field, "first_order"])
+    # carry-in rank per (group, range first_order): counts of the same
+    # group in ranges that start earlier
+    meta = meta.assign(
+        carry=meta.groupby(group_field, sort=False)["n_rows"]
+        .cumsum()
+        .to_numpy()
+        - meta["n_rows"].to_numpy()
+    )
+    carry_map = {
+        (g, f): c
+        for g, f, c in zip(
+            meta[group_field], meta["first_order"], meta["carry"]
+        )
+    }
+    carries = np.fromiter(
+        (
+            carry_map[(g, f)]
+            for g, f in zip(cands[group_field], cands["first_order"])
+        ),
+        dtype=np.int64,
+        count=len(cands),
+    )
+    keep = (cands["local_rank"].to_numpy() + carries) <= cap
+    out = cands[keep][[group_field, order_field]]
+    return out.sort_values([group_field, order_field]).reset_index(drop=True)

@@ -295,3 +295,32 @@ class TestBandJoin:
         want = want[cols].astype(got.dtypes.to_dict()).reset_index(drop=True)
         assert len(got) > 100  # the band actually produces pairs
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestCapPerGroup:
+    def test_matches_row_number_across_range_splits(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.scrub import cap_per_group
+
+        rng = np.random.default_rng(9)
+        n = 2000
+        df = pd.DataFrame({
+            "g": np.where(
+                rng.random(n) < 0.6, "hot", rng.integers(0, 9, n).astype(str)
+            ),
+            "o": rng.permutation(n),
+        })
+        got = cap_per_group(
+            rd.from_pandas(df).repartition(16),
+            group_field="g", order_field="o", cap=25,
+        )
+        want = duckdb.sql("""
+            SELECT g, o FROM (
+              SELECT g, o,
+                     ROW_NUMBER() OVER (PARTITION BY g ORDER BY o) AS rn
+              FROM df) WHERE rn <= 25 ORDER BY g, o
+        """).df()
+        got = got.reset_index(drop=True)
+        want = want.astype(got.dtypes.to_dict()).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
