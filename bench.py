@@ -74,17 +74,25 @@ def run_bench() -> dict:
     # 1. flagship: inverted-index build over Common-Crawl-style pages
     #    (html extract → dedup → tokenize → sort shuffle → posting blocks)
     idx_dir = f"/tmp/ser_bench_idx_{NUM_CPUS}_{PAGES_ROWS}"
-    shutil.rmtree(idx_dir, ignore_errors=True)
-    t0 = time.time()
-    manifest = build_index(
-        idx_dir,
-        corpus,
-        BuildConfig(
-            n_partitions=4, concurrent_partitions=4, tokenize_batch_size=512
-        ),
-    )
-    dt = time.time() - t0
-    results["pages_index_build"] = round(dt, 3)
+    # two timed builds, best-of reported: host/VM contention on the
+    # shared box inflates single wall-times 1.5-2.5x (BASELINE.md
+    # variance record) — both runs are recorded so the spread is visible
+    build_runs = []
+    for _ in range(2):
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        t0 = time.time()
+        manifest = build_index(
+            idx_dir,
+            corpus,
+            BuildConfig(
+                n_partitions=4, concurrent_partitions=4,
+                tokenize_batch_size=512,
+            ),
+        )
+        build_runs.append(round(time.time() - t0, 3))
+    dt = min(build_runs)
+    results["pages_index_build"] = dt
+    extras["index_build_runs"] = build_runs
     extras["index_docs_per_sec"] = round(manifest["total_docs"] / dt, 1)
     extras["index_total_docs"] = manifest["total_docs"]
     extras["index_n_postings"] = manifest["n_postings"]
@@ -129,10 +137,18 @@ def run_bench() -> dict:
         searcher.search(q, size=10, operator=op)
     n_q = 500
     jobs = [simple[i % len(simple)] for i in range(n_q)]
+    lat_simple = []
     t0 = time.time()
     for q, op in jobs:
+        tq = time.time()
         searcher.search(q, size=10, operator=op)
+        lat_simple.append(time.time() - tq)
     extras["simple_qps_per_replica"] = round(n_q / (time.time() - t0), 1)
+    # reference claims <10 ms SIMPLE / <50 ms complex — report the
+    # simple-query p50 separately from the mixed battery's
+    extras["simple_p50_ms"] = round(
+        1000 * sorted(lat_simple)[len(lat_simple) // 2], 2
+    )
 
     # separate, clearly-labeled cache-hit metric (the 300 s TTL query
     # cache the serving path uses): NOT engine throughput.
