@@ -432,10 +432,10 @@ def oracle_sql() -> dict[str, str]:
             ), s4 AS (
               SELECT doc_id, n_email, n_ssn, n_ipv4,
                 len(regexp_extract_all(t,
-                  '\\+?\\d{1,2}[ .-]\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))
+                  '(?:\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b'))
                   AS n_phone,
                 regexp_replace(t,
-                  '\\+?\\d{1,2}[ .-]\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}',
+                  '(?:\\+?\\d{1,2}[ .-])?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}\\b',
                   '<PHONE>', 'g') AS t
               FROM s3
             )

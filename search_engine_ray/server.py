@@ -83,6 +83,8 @@ class IndexHandle:
         os.makedirs(index_dir, exist_ok=True)
         self._load_config()
         self.buffer = self._make_buffer_store()
+        # one scan at construction, then maintained incrementally
+        self._buffered = self.buffer.count("buffer")
 
     def _make_buffer_store(self):
         from .state.docstore import create_store
@@ -126,13 +128,21 @@ class IndexHandle:
         with self.lock:
             for d in docs:
                 self.buffer.put({**d, "id": _doc_id_for(d)}, "buffer")
+            # cached counter: count() on a filesystem/parquet buffer
+            # store parses every buffered doc — O(n²) ingest otherwise
+            self._buffered += len(docs)
             return {
                 "addedCount": len(docs),
-                "buffered": self.buffer.count("buffer"),
+                "buffered": self._buffered,
             }
 
     def flush(self) -> Dict[str, Any]:
-        """Build buffered docs into a new delta partition."""
+        """Build buffered docs into a new delta partition.
+
+        The buffer is cleared only AFTER the partition build succeeds
+        (and only the snapshotted ids, so adds landing during the build
+        survive): a durable bufferStore must not lose docs to a crash
+        mid-build."""
         from .index_build import BuildConfig
         from .index_build.build import build_partition
         from .index_build.compact import (
@@ -142,7 +152,6 @@ class IndexHandle:
 
         with self.lock:
             docs = self.buffer.find("buffer")
-            self.buffer.clear("buffer")
         if not docs:
             return {"flushed": 0, "message": "nothing to flush"}
 
@@ -175,6 +184,12 @@ class IndexHandle:
         manifest = rewrite_global_manifest(self.index_dir, self.mappings)
         with self.lock:
             self._searcher = None  # pick up the new partition
+            # the delta partition is durable: drop exactly the flushed
+            # ids (adds that arrived during the build stay buffered)
+            self.buffer.delete_batch(
+                [d["id"] for d in docs], "buffer"
+            )
+            self._buffered = self.buffer.count("buffer")
         out = {
             "flushed": len(docs),
             "partition": pname,

@@ -59,7 +59,20 @@ def asof_join(
     """
     r_out = [f"{right_prefix}{c}" for c in right_cols]
 
-    def prep(side: int, payload: List[str], other: List[str]):
+    # payload columns keep their NATIVE Arrow types (the other side is
+    # padded with typed nulls) — a float64 coercion would corrupt int64
+    # ids above 2^53 and crash on string payloads
+    def _types(ds: rd.Dataset, cols: List[str]) -> dict:
+        sch = ds.schema()
+        m = dict(zip(sch.names, sch.types))
+        return {c: m[c] for c in cols}
+
+    l_types = _types(left, left_cols)
+    r_types = _types(right, right_cols)
+    ptype = {f"__p_L{c}": t for c, t in l_types.items()}
+    ptype.update({f"__p_R{c}": t for c, t in r_types.items()})
+
+    def prep(side: int, payload: List[str]):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
             cols = {
@@ -68,31 +81,26 @@ def asof_join(
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
             }
             for c in payload:
-                cols[f"__p_{c}"] = pc.cast(batch[c], pa.float64())
-            for c in other:
-                cols[f"__p_{c}"] = pa.nulls(n, pa.float64())
+                cols[f"__p_{c}"] = batch[c]
             return pa.table(cols)
 
         return fn
 
-    # both sides share one schema: key, ts, side, all payloads (nulls on
-    # the other side's columns), so union + one global sort co-locates
-    # and co-orders them
     lp = [f"L{c}" for c in left_cols]
     rp = [f"R{c}" for c in right_cols]
     lt = left.map_batches(
-        lambda b, _f=prep(1, left_cols, []): _rename(_f(b), left_cols, "L"),
+        lambda b, _f=prep(1, left_cols): _rename(_f(b), left_cols, "L"),
         batch_format="pyarrow",
     )
     rt = right.map_batches(
-        lambda b, _f=prep(0, right_cols, []): _rename(_f(b), right_cols, "R"),
+        lambda b, _f=prep(0, right_cols): _rename(_f(b), right_cols, "R"),
         batch_format="pyarrow",
     )
     order = [key_field, "__ts", "__side"] + [f"__p_{c}" for c in lp + rp]
-    lt = _pad(lt, rp).map_batches(
+    lt = _pad(lt, [f"__p_{c}" for c in rp], ptype).map_batches(
         lambda b: b.select(order), batch_format="pyarrow"
     )
-    rt = _pad(rt, lp).map_batches(
+    rt = _pad(rt, [f"__p_{c}" for c in lp], ptype).map_batches(
         lambda b: b.select(order), batch_format="pyarrow"
     )
     merged = lt.union(rt).sort([key_field, "__ts", "__side"])
@@ -105,7 +113,7 @@ def asof_join(
                 (key_field, batch.schema.field(key_field).type),
                 ("__ts", pa.int64()),
             ]
-            + [(f"__p_{c}", pa.float64()) for c in lp + rp]
+            + [(f"__p_{c}", ptype[f"__p_{c}"]) for c in lp + rp]
         )
         if n == 0:
             return out_schema.empty_table()
@@ -139,14 +147,14 @@ def asof_join(
                 cols[f"__p_{c}"] = (
                     pc.take(batch[f"__p_{c}"], pa.array(sel))
                     if kind != 2
-                    else pa.nulls(m, pa.float64())
+                    else pa.nulls(m, ptype[f"__p_{c}"])
                 )
             src = payload_from if payload_from is not None else sel
             for c in rp:
                 cols[f"__p_{c}"] = (
                     pc.take(batch[f"__p_{c}"], pa.array(src))
                     if kind != 1
-                    else pa.nulls(m, pa.float64())
+                    else pa.nulls(m, ptype[f"__p_{c}"])
                 )
             parts.append(pa.table(cols, schema=out_schema))
 
@@ -219,11 +227,11 @@ def _rename(tbl: pa.Table, cols: List[str], tag: str) -> pa.Table:
     return tbl.rename_columns(names)
 
 
-def _pad(ds: rd.Dataset, missing: List[str]) -> rd.Dataset:
+def _pad(ds: rd.Dataset, missing: List[str], types: dict) -> rd.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         for c in missing:
             batch = batch.append_column(
-                f"__p_{c}", pa.nulls(batch.num_rows, pa.float64())
+                c, pa.nulls(batch.num_rows, types[c])
             )
         return batch
 

@@ -208,26 +208,37 @@ class VideoFrameSampleStage:
         if self._av is not None:
             import io  # noqa: PLC0415
 
+            # resize each frame AS IT STREAMS: retaining full-resolution
+            # ndarrays for a long clip would OOM the worker (a 2-min
+            # 1080p30 clip is ~22 GB raw); resized thumbnails are ~3 KB
             frames = []
             with self._av.open(io.BytesIO(payload)) as container:
                 for frame in container.decode(video=0):
-                    frames.append(frame.to_ndarray(format="rgb24"))
-        else:
-            if not payload or not payload.startswith((b"GIF87a", b"GIF89a")):
-                raise ValueError(
-                    "non-GIF payload on the stdlib decode path; mp4/webm/"
-                    "mkv need pyav/ffmpeg (not in this container)"
-                )
-            from .gif import iter_gif_frames  # noqa: PLC0415
+                    frames.append(
+                        self._resize(frame.to_ndarray(format="rgb24"))
+                    )
+            if not frames:
+                raise ValueError("video payload decoded to zero frames")
+            picks = np.round(
+                np.linspace(0, len(frames) - 1, self.n_frames)
+            ).astype(np.int64)
+            return [frames[i] for i in picks]
+        if not payload or not payload.startswith((b"GIF87a", b"GIF89a")):
+            raise ValueError(
+                "non-GIF payload on the stdlib decode path; mp4/webm/"
+                "mkv need pyav/ffmpeg (not in this container)"
+            )
+        from .gif import iter_gif_frames  # noqa: PLC0415
 
-            frames = list(iter_gif_frames(payload))
+        # same streaming-resize discipline as the pyav path
+        frames = [self._resize(f) for f in iter_gif_frames(payload)]
         if not frames:
             raise ValueError("video payload decoded to zero frames")
         # sample n_frames evenly across the clip (repeats when short)
         picks = np.round(
             np.linspace(0, len(frames) - 1, self.n_frames)
         ).astype(np.int64)
-        return [self._resize(frames[i]) for i in picks]
+        return [frames[i] for i in picks]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         other_cols = [

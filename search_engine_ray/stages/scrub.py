@@ -48,7 +48,13 @@ PII_PATTERNS: Tuple[Tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d{1,2}[ .-]\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}", "<PHONE>"),
+    # country prefix OPTIONAL so plain US formats (415-555-2671,
+    # (415) 555-2671) are caught, not just +1-prefixed ones; trailing
+    # \b stops mid-run overmatch (no leading \b — it would reject a
+    # leading "(")
+    ("phone",
+     r"(?:\+?\d{1,2}[ .-])?\(?\d{3}\)?[ .-]\d{3}[ .-]\d{4}\b",
+     "<PHONE>"),
 )
 
 

@@ -289,7 +289,11 @@ def trailing_window_agg(
                 pc.multiply(
                     pc.cast(batch[value_field], pa.float64()),
                     pa.scalar(float(value_scale)),
-                )
+                ),
+                # DuckDB/Python round() is half-away-from-zero; Arrow's
+                # default is half-to-even — an exact .5 product (e.g.
+                # value=2.125 at scale 100) would break oracle parity
+                round_mode="half_towards_infinity",
             ),
             pa.int64(),
         )
@@ -366,7 +370,6 @@ def trailing_window_agg(
         emit(1, clamped)  # provisional: needs earlier ranges' tail rows
         # tail metadata: per key, rows within window_us of the key's
         # last in-range ts (everything a later range's head could need)
-        seg_last = ends - 1
         tail_sel = np.zeros(n, dtype=bool)
         for s, e in zip(starts, ends):
             lo = s + np.searchsorted(ts[s:e], ts[e - 1] - window_us, "left")

@@ -340,7 +340,9 @@ class ParquetDocumentStore(DocumentStore):
         super().__init__()
         self.root = root
         os.makedirs(root, exist_ok=True)
-        self._lock = threading.Lock()
+        # RLock serializes scan/write/compact so compaction never loses
+        # a concurrent update and readers never race a segment delete
+        self._lock = threading.RLock()
         self._seq = 0
 
     def _dir(self, index_name: str) -> str:
@@ -362,6 +364,10 @@ class ParquetDocumentStore(DocumentStore):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        with self._lock:
+            self._write_rows_locked(rows, index_name, pa, pq)
+
+    def _write_rows_locked(self, rows, index_name, pa, pq) -> None:
         os.makedirs(self._dir(index_name), exist_ok=True)
         tbl = pa.table({
             "id": pa.array([r["id"] for r in rows], pa.string()),
@@ -403,20 +409,21 @@ class ParquetDocumentStore(DocumentStore):
 
     def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
         """Tombstone write (doc_json = null marker); compact drops them."""
-        if self.get(doc_id, index_name) is None:
-            return False
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pa.table({
-            "id": pa.array([doc_id], pa.string()),
-            "doc_json": pa.array([None], pa.string()),
-        })
-        path = self._next_seg(index_name)
-        pq.write_table(tbl, path + ".tmp")
-        os.replace(path + ".tmp", path)
-        self.stats["deletes"] += 1
-        return True
+        with self._lock:
+            if self.get(doc_id, index_name) is None:
+                return False
+            tbl = pa.table({
+                "id": pa.array([doc_id], pa.string()),
+                "doc_json": pa.array([None], pa.string()),
+            })
+            path = self._next_seg(index_name)
+            pq.write_table(tbl, path + ".tmp")
+            os.replace(path + ".tmp", path)
+            self.stats["deletes"] += 1
+            return True
 
     def _iter_index(self, index_name):
         latest = self._scan(index_name)
@@ -435,8 +442,13 @@ class ParquetDocumentStore(DocumentStore):
         import pyarrow.parquet as pq
 
         latest: Dict[str, Tuple[int, Optional[Document]]] = {}
-        for gen, seg in enumerate(self._segments(index_name)):
-            tbl = pq.read_table(seg)
+        with self._lock:
+            segs = self._segments(index_name)
+        for gen, seg in enumerate(segs):
+            try:
+                tbl = pq.read_table(seg)
+            except FileNotFoundError:
+                continue  # compacted away between glob and read
             if want_ids is not None:
                 tbl = tbl.filter(
                     pc.is_in(tbl["id"], value_set=pa.array(list(want_ids)))
@@ -461,27 +473,31 @@ class ParquetDocumentStore(DocumentStore):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        for ix in self.list_indexes():
-            segs = self._segments(ix)
-            if len(segs) <= 1:
-                continue
-            latest = self._scan(ix)
-            rows = [
-                doc for _, doc in (
-                    latest[d] for d in sorted(latest)
-                ) if doc is not None
-            ]
-            path = self._next_seg(ix)
-            tbl = pa.table({
-                "id": pa.array([r["id"] for r in rows], pa.string()),
-                "doc_json": pa.array(
-                    [json.dumps(r, default=str) for r in rows], pa.string()
-                ),
-            })
-            pq.write_table(tbl, path + ".tmp")
-            os.replace(path + ".tmp", path)
-            for s in segs:
-                os.remove(s)
+        with self._lock:  # no put/get may interleave: a write landing
+            # between scan and delete would be superseded by the merged
+            # segment (which sorts last) — a silent lost update
+            for ix in self.list_indexes():
+                segs = self._segments(ix)
+                if len(segs) <= 1:
+                    continue
+                latest = self._scan(ix)
+                rows = [
+                    doc for _, doc in (
+                        latest[d] for d in sorted(latest)
+                    ) if doc is not None
+                ]
+                path = self._next_seg(ix)
+                tbl = pa.table({
+                    "id": pa.array([r["id"] for r in rows], pa.string()),
+                    "doc_json": pa.array(
+                        [json.dumps(r, default=str) for r in rows],
+                        pa.string(),
+                    ),
+                })
+                pq.write_table(tbl, path + ".tmp")
+                os.replace(path + ".tmp", path)
+                for s in segs:
+                    os.remove(s)
         return True
 
     def create_index(self, index_name) -> bool:
@@ -696,6 +712,12 @@ def create_store(config: Optional[Dict[str, Any]] = None) -> DocumentStore:
     "shards": int, "sharding_strategy": "hash" | "round-robin"}``."""
     cfg = dict(config or {})
     kind = cfg.get("type", "memory")
+    n_shards = int(cfg.get("shards", 0))
+    if kind == "sharded":
+        # the documented "sharded" type: children default to memory,
+        # overridable via shard_backend; at least 2 shards
+        kind = cfg.get("shard_backend", "memory")
+        n_shards = max(n_shards, 2)
     root = cfg.get("root")
 
     def base(sub: Optional[str] = None) -> DocumentStore:
@@ -712,7 +734,6 @@ def create_store(config: Optional[Dict[str, Any]] = None) -> DocumentStore:
             return ParquetDocumentStore(r)
         raise ValueError(f"unknown document store type: {kind}")
 
-    n_shards = int(cfg.get("shards", 0))
     store: DocumentStore
     if n_shards > 1:
         store = ShardedDocumentStore(

@@ -208,3 +208,35 @@ class TestFactory:
             sh.put({"id": f"d{i}"}, "ix")
         assert os.path.isdir(os.path.join(root, "shard-000"))
         assert sh.count("ix") == 10
+
+
+class TestShardedFactoryType:
+    def test_type_sharded_dispatches(self, tmp_path):
+        """Regression: the documented {"type": "sharded"} config must
+        build a sharded store (memory children by default), not raise."""
+        from search_engine_ray.state.docstore import (
+            ShardedDocumentStore,
+            create_store,
+        )
+
+        s = create_store({"type": "sharded", "shards": 3})
+        assert isinstance(s, ShardedDocumentStore)
+        assert len(s.shards) == 3
+        s.put({"id": "a", "v": 1})
+        assert s.get("a")["v"] == 1
+
+    def test_type_sharded_filesystem_backend(self, tmp_path):
+        from search_engine_ray.state.docstore import (
+            FileSystemDocumentStore,
+            ShardedDocumentStore,
+            create_store,
+        )
+
+        s = create_store({
+            "type": "sharded", "shard_backend": "filesystem",
+            "shards": 2, "root": str(tmp_path),
+        })
+        assert isinstance(s, ShardedDocumentStore)
+        assert all(
+            isinstance(c, FileSystemDocumentStore) for c in s.shards
+        )

@@ -324,3 +324,22 @@ class TestCapPerGroup:
         got = got.reset_index(drop=True)
         want = want.astype(got.dtypes.to_dict()).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestPIIPhoneFormats:
+    def test_plain_us_formats_redacted(self):
+        """Regression: the country prefix is optional — plain US phone
+        formats must be caught, not just +1-prefixed ones."""
+        from search_engine_ray.stages.scrub import PIIRedactStage
+
+        out = PIIRedactStage()(
+            pa.table({"text": pa.array([
+                "call 415-555-2671 now",
+                "or (415) 555-2671 works",
+                "also 555-123-4567 ok",
+                "and +1 415 555 2671 too",
+            ])})
+        ).to_pandas()
+        assert out["n_phone"].tolist() == [1, 1, 1, 1]
+        for red in out["text_redacted"]:
+            assert "<PHONE>" in red and "2671" not in red or "4567" not in red
