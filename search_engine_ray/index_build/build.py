@@ -32,6 +32,7 @@ partitions are removed too.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -182,6 +183,7 @@ def _docs_pipeline(
     dedup_meta_files: Optional[List[str]] = None,
     eager_winners: bool = False,
     winner: Optional[Dict[str, tuple]] = None,
+    scratch_dir: Optional[str] = None,
 ) -> rd.Dataset:
     if cfg.mappings is not None:
         ds = rd.read_parquet(files, columns=cfg.read_columns)
@@ -207,6 +209,7 @@ def _docs_pipeline(
             meta_files=dedup_meta_files,
             eager_winners=eager_winners,
             winner=winner,
+            scratch_dir=scratch_dir,
         )
     if cfg.extract_html:
         # extraction runs AFTER dedup, so loser duplicates are never parsed
@@ -362,6 +365,7 @@ def _dedup_split(
     meta_files: Optional[List[str]] = None,
     eager_winners: bool = False,
     winner: Optional[Dict[str, tuple]] = None,
+    scratch_dir: Optional[str] = None,
 ) -> rd.Dataset:
     """Exact dedup by url, keep max warc_ts, without shuffling payloads.
 
@@ -433,13 +437,25 @@ def _dedup_split(
         # checkpoint them to parquet: a groupby left inside the main DAG
         # is an extra all-to-all barrier per partition branch, which
         # serializes a fused multi-partition job (measured 1.5-2x
-        # slowdown there); a single-partition job tolerates it fine
-        import tempfile
+        # slowdown there); a single-partition job tolerates it fine.
+        # The checkpoint lives under the partition dir when given (wiped
+        # on rebuild + removed after a successful build) — tempfile dirs
+        # leaked across builds before.
+        if scratch_dir:
+            winners_dir = scratch_dir
+            os.makedirs(winners_dir, exist_ok=True)
+        else:
+            import tempfile
 
-        winners_dir = tempfile.mkdtemp(prefix="dedup_winners_")
+            winners_dir = tempfile.mkdtemp(prefix="dedup_winners_")
         dup_pipeline.map_batches(
             lambda b: b.select(cols), batch_format="pyarrow"
         ).write_parquet(winners_dir)
+        if not glob.glob(os.path.join(winners_dir, "*.parquet")):
+            # zero winner rows in this partition's files (all dups here
+            # are losers): Ray writes no files for an empty dataset and
+            # read_parquet on an empty dir raises
+            return uniq
         dup_rows = rd.read_parquet(winners_dir, columns=cols)
     else:
         dup_rows = dup_pipeline
@@ -500,7 +516,10 @@ def build_partition(
             combine=cfg.combine,
             stem_by_lang=cfg.stem_by_lang,
         )
-    ds = _docs_pipeline(files, cfg, dedup_meta_files, winner=winner)
+    ds = _docs_pipeline(
+        files, cfg, dedup_meta_files, winner=winner,
+        scratch_dir=os.path.join(part_dir, ".winners"),
+    )
     t_stage1 = time.time() - t0
     kwargs: Dict = dict(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
@@ -539,12 +558,15 @@ def build_partition(
         "n_postings": n_postings,
         "n_blocks": n_blocks,
         "store_positions": cfg.store_positions,
+        "stem_by_lang": cfg.stem_by_lang,
+        "stopwords": sorted(cfg.stopwords),
         "block_size": cfg.block_size,
         "fields": [list(f) for f in cfg.fields],
         "build_seconds": round(time.time() - t0, 3),
         "stage1_seconds": round(t_stage1, 3),
         "stage2_seconds": round(time.time() - t0 - t_stage1, 3),
     }
+    shutil.rmtree(os.path.join(part_dir, ".winners"), ignore_errors=True)
     _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
     return manifest
 
@@ -657,6 +679,7 @@ def build_partitions_fused(
         sub = _docs_pipeline(
             files, cfg, dedup_meta_files, eager_winners=True,
             winner=None if winners is None else winners.get(pi, {}),
+            scratch_dir=os.path.join(part_dir, ".winners"),
         )
         branch_kwargs = dict(tok_kwargs, docs_out_dir=docs_dirs[pi])
         if cfg.tokenize_concurrency:
@@ -711,11 +734,16 @@ def build_partitions_fused(
             "n_postings": n_postings,
             "n_blocks": n_blocks,
             "store_positions": cfg.store_positions,
+            "stem_by_lang": cfg.stem_by_lang,
+            "stopwords": sorted(cfg.stopwords),
             "block_size": cfg.block_size,
             "fields": [list(f) for f in cfg.fields],
             "build_seconds": build_seconds,
             "fused_chunk": [c[0] for c in chunk],
         }
+        shutil.rmtree(
+            os.path.join(part_dir, ".winners"), ignore_errors=True
+        )
         _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
         manifests[pi] = manifest
     shutil.rmtree(out_tmp, ignore_errors=True)
@@ -875,6 +903,8 @@ def build_index(
         "n_postings": sum(m["n_postings"] for m in part_manifests),
         "n_blocks": sum(m["n_blocks"] for m in part_manifests),
         "store_positions": cfg.store_positions,
+        "stem_by_lang": cfg.stem_by_lang,
+        "stopwords": sorted(cfg.stopwords),
         "fields": [list(f) for f in cfg.fields],
         "partitions": [
             f"p{pi:05d}" for pi in range(len(parts))

@@ -58,6 +58,8 @@ def rewrite_global_manifest(index_dir: str, mappings=None) -> dict:
         "n_postings": sum(m["n_postings"] for m in pms),
         "n_blocks": sum(m["n_blocks"] for m in pms),
         "store_positions": pms[-1]["store_positions"] if pms else True,
+        "stem_by_lang": pms[-1].get("stem_by_lang", False) if pms else False,
+        "stopwords": pms[-1].get("stopwords", []) if pms else [],
         "fields": pms[-1]["fields"] if pms else [],
         "partitions": parts,
     }
@@ -102,6 +104,10 @@ def compact_index(
             fields=[tuple(f) for f in gm.get("fields", [])],
             mappings=mappings,
             store_positions=gm.get("store_positions", True),
+            # a compaction that re-tokenized without the build's stemmer
+            # or stopwords would silently change the index's term space
+            stem_by_lang=gm.get("stem_by_lang", False),
+            stopwords=frozenset(gm.get("stopwords", [])),
             id_column="doc_id",
             extract_html=False,
             dedup=False,

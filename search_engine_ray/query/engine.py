@@ -315,7 +315,15 @@ class _PartitionEvaluator:
         self._cache: Dict[str, TermPostings] = {}
 
     def prefetch(self, terms: Sequence[str], with_positions=False) -> None:
-        missing = [t for t in terms if t not in self._cache]
+        # a cached entry fetched WITHOUT positions must be refetched for
+        # a positions read (same rule as postings()): a term clause
+        # caching 'f:t' before a phrase clause using 'f:t' would
+        # otherwise leave pos_blobs=None and crash the phrase scan
+        missing = [
+            t for t in terms
+            if t not in self._cache
+            or (with_positions and self._cache[t].pos_blobs is None)
+        ]
         if missing:
             self._cache.update(
                 self.r.read_terms(missing, with_positions=with_positions)
@@ -797,11 +805,7 @@ def _score_partition(
         and pruning != "off"
     ):
         got = _phrase_topk(
-            _PartitionEvaluator(
-                reader if reader is not None else PartitionReader(part_dir),
-                text_fields, stopwords, synonyms,
-                token_filter=token_filter,
-            ),
+            ev,  # reuse the evaluator (and its reader/posting cache)
             node["phrase"], scoring_terms, global_dfs, stats, k,
             field_boosts, scorer,
         )
@@ -892,7 +896,21 @@ def _tf_fallback_scores(
         if not pa.types.is_string(col.type) and not pa.types.is_large_string(
             col.type
         ):
-            col = pc.cast(col, pa.string())
+            try:
+                col = pc.cast(col, pa.string())
+            except pa.lib.ArrowNotImplementedError:
+                # struct/list columns (e.g. geo 'location') have no
+                # string cast kernel — JSON-render them like the
+                # reference's JSON.stringify would (candidate-bounded)
+                import json as _json  # noqa: PLC0415
+
+                col = pa.array(
+                    [
+                        _json.dumps(v, default=str)
+                        for v in col.to_pylist()
+                    ],
+                    pa.string(),
+                )
         # JSON renders missing values as the word "null"
         col = pc.fill_null(pc.utf8_lower(col), "null")
         for rx in regexes:
@@ -1168,6 +1186,7 @@ class IndexSearcher:
         from_: int = 0,
         operator: str = "and",
         user_id: Optional[str] = None,
+        _resolved: Optional[tuple] = None,
     ) -> pd.DataFrame:
         """Run a query; returns a DataFrame (doc_id, score) of the top
         ``from_+size`` hits sliced to the requested page
@@ -1207,7 +1226,14 @@ class IndexSearcher:
                     for t in terms
                 )
             )
-        node, rewritten = self._resolve_bool_fallbacks(raw_node)
+        # _resolved lets search_full share its already-resolved node —
+        # _resolve_bool_fallbacks probes every partition for bool+should
+        # queries, so resolving twice doubles that cost per request
+        node, rewritten = (
+            _resolved
+            if _resolved is not None
+            else self._resolve_bool_fallbacks(raw_node)
+        )
         # a rewritten node's pruning plan would score with different terms
         # than the original query — use the exact path for those
         pruning = "off" if rewritten else self.pruning
@@ -1343,8 +1369,16 @@ class IndexSearcher:
         re-evaluated the query — 3 full position scans for a stopword
         phrase, VERDICT r2 #8); the page itself still takes the
         ``_phrase_topk``/block-max fast paths via :meth:`search`."""
-        node = self._normalize(query, operator)
-        page = self.search(query, size=size, from_=from_, operator=operator)
+        self._validate(query)
+        raw = normalize_query(query, operator)
+        resolved = (
+            self._resolve_bool_fallbacks(raw) if raw is not None else None
+        )
+        node = resolved[0] if resolved is not None else None
+        page = self.search(
+            query, size=size, from_=from_, operator=operator,
+            _resolved=resolved,
+        )
         if node is None:
             cands: List[Tuple[int, np.ndarray]] = []
         else:
@@ -1378,7 +1412,8 @@ class IndexSearcher:
         total = 0
         for r in self._readers:
             ev = _PartitionEvaluator(
-                r, self.text_fields, self.stopwords, self.synonyms
+                r, self.text_fields, self.stopwords, self.synonyms,
+                token_filter=self.token_filter,
             )
             total += int(ev.evaluate(node).size)
         return total
@@ -1597,7 +1632,8 @@ class IndexSearcher:
                     sub_cands = []
                     for (pi, ids), r in zip(cands, self._readers):
                         ev = _PartitionEvaluator(
-                            r, self.text_fields, self.stopwords, self.synonyms
+                            r, self.text_fields, self.stopwords,
+                            self.synonyms, token_filter=self.token_filter,
                         )
                         extra = ev.evaluate(sub_node)
                         sub_cands.append(

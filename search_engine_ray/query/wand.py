@@ -143,7 +143,9 @@ def topk_blockmax(
     (decoded arrays + block metadata).  Returns (doc_ids, scores) sorted.
     """
     terms = [t for t in terms if t in postings and global_dfs.get(t, 0) > 0]
-    if mode == "and" and len(terms) < len(set(terms)):
+    # collect_scoring_terms dedupes before we're called; this guard keeps
+    # direct callers honest (condition was inverted and thus dead before)
+    if len(set(terms)) < len(terms):
         terms = list(dict.fromkeys(terms))
     if not terms:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)

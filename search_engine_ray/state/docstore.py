@@ -442,13 +442,13 @@ class ParquetDocumentStore(DocumentStore):
         import pyarrow.parquet as pq
 
         latest: Dict[str, Tuple[int, Optional[Document]]] = {}
+        # hold the lock across glob AND reads: a compact() between them
+        # would delete the globbed segments while the merged replacement
+        # is absent from this snapshot — a transient miss of live docs
         with self._lock:
             segs = self._segments(index_name)
-        for gen, seg in enumerate(segs):
-            try:
-                tbl = pq.read_table(seg)
-            except FileNotFoundError:
-                continue  # compacted away between glob and read
+            tables = [pq.read_table(seg) for seg in segs]
+        for gen, tbl in enumerate(tables):
             if want_ids is not None:
                 tbl = tbl.filter(
                     pc.is_in(tbl["id"], value_set=pa.array(list(want_ids)))

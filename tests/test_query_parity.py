@@ -233,3 +233,96 @@ def test_use_ray_custom_scorer_forwarded(setup, ray_session):
     assert np.allclose(a["score"], b["score"], rtol=0, atol=0)
     # tf scorer yields integer-valued sums — proves BM25 wasn't used
     assert all(float(s).is_integer() for s in b["score"])
+
+
+class TestRegressionFixes:
+    def test_term_then_phrase_sharing_token(self, setup):
+        """Regression: a bool with a term clause AND a phrase clause
+        sharing a token crashed — the term clause cached the postings
+        WITHOUT positions and prefetch() trusted the cache."""
+        searcher, oracle, tbl = setup
+        # pick a token that actually occurs twice in a row somewhere
+        q = {"bool": {"must": [
+            {"match": {"field": "text", "value": "batch"}},
+            {"match_phrase": {"field": "text", "value": "batch batch"}},
+        ]}}
+        out = searcher.search_full(q, size=5)
+        assert out["total"] >= 0  # no AssertionError crash
+        # and the phrase alone agrees with the combined total
+        alone = searcher.search_full(
+            {"match_phrase": {"field": "text", "value": "batch batch"}},
+            size=5,
+        )
+        assert out["total"] == alone["total"]
+
+    def test_count_uses_token_filter(self, tmp_path_factory, ray_session):
+        """Regression: count() (and the filter agg) dropped the
+        searcher's token_filter, returning 0 on stemmed indexes."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        root = tmp_path_factory.mktemp("stemcount")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([
+                "runners running quickly",
+                "the runner runs",
+                "walking slowly",
+            ]),
+            "lang": pa.array(["en", "en", "en"]),
+        }), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            fields=(("text", "standard"),), id_column="doc_id",
+            read_columns=["doc_id", "text", "lang"],
+            extract_html=False, dedup=False, n_partitions=1,
+            stem_by_lang=True,
+        ))
+        s = IndexSearcher(idx, stem_lang="en")
+        q = {"match": {"field": "text", "value": "running"}}
+        hits = s.search(q, size=10)
+        assert len(hits) >= 2  # stemmed: run/runs/running unify
+        assert s.count(q) == len(hits)
+
+    def test_compaction_preserves_stemming(
+        self, tmp_path_factory, ray_session
+    ):
+        """Regression: compact_index rebuilt with a default BuildConfig,
+        silently dropping stem_by_lang — stemmed queries went empty
+        after compaction."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.index_build.compact import compact_index
+        from search_engine_ray.query import IndexSearcher
+
+        root = tmp_path_factory.mktemp("stemcompact")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "running fast", "the runner", "runs daily", "walking",
+            ]),
+            "lang": pa.array(["en"] * 4),
+        }), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            fields=(("text", "standard"),), id_column="doc_id",
+            read_columns=["doc_id", "text", "lang"],
+            extract_html=False, dedup=False, n_partitions=2,
+            stem_by_lang=True,
+        ))
+        q = {"match": {"field": "text", "value": "running"}}
+        before = IndexSearcher(idx, stem_lang="en").search(q, size=10)
+        m = compact_index(idx)
+        assert m["n_partitions"] == 1
+        after = IndexSearcher(idx, stem_lang="en").search(q, size=10)
+        assert sorted(after["doc_id"]) == sorted(before["doc_id"])
+        # 'running'/'runs' stem to 'run'; Porter keeps 'runner' distinct
+        assert len(after) == 2
