@@ -94,9 +94,12 @@ def rolling_fingerprints(text: str, window: int = 8) -> List[int]:
     power = pow(_ROLL_BASE, window - 1, _ROLL_MOD)
     h = 0
     for i, v in enumerate(hashes):
-        h = (h * _ROLL_BASE + v) % _ROLL_MOD
+        # remove the outgoing token BEFORE the multiply: subtracting
+        # after (at B^(window-1)) left residue from every earlier token,
+        # so identical shingles at different offsets never matched
         if i >= window:
             h = (h - hashes[i - window] * power) % _ROLL_MOD
+        h = (h * _ROLL_BASE + v) % _ROLL_MOD
         if i >= window - 1:
             out.append(h)
     return out

@@ -79,6 +79,10 @@ class IndexHandle:
         # but-unflushed adds survive a server restart.
         self.buffer_store_cfg = dict(buffer_store) if buffer_store else None
         self.lock = threading.Lock()
+        # serializes flush/compact end-to-end: two concurrent flushes
+        # would otherwise pick the SAME next partition name (one build
+        # wipes the other's dir) and index the same docs twice
+        self.write_lock = threading.Lock()
         self._searcher = None
         os.makedirs(index_dir, exist_ok=True)
         self._load_config()
@@ -150,6 +154,18 @@ class IndexHandle:
             rewrite_global_manifest,
         )
 
+        with self.write_lock:
+            return self._flush_locked()
+
+    def _flush_locked(self) -> Dict[str, Any]:
+        from .index_build import BuildConfig
+        from .index_build.build import build_partition
+        from .index_build.compact import (
+            next_partition_name,
+            rewrite_global_manifest,
+        )
+
+        self._clean_crashed_partitions()
         with self.lock:
             docs = self.buffer.find("buffer")
         if not docs:
@@ -185,9 +201,12 @@ class IndexHandle:
         with self.lock:
             self._searcher = None  # pick up the new partition
             # the delta partition is durable: drop exactly the flushed
-            # ids (adds that arrived during the build stay buffered)
+            # VERSIONS — an id re-added (updated) during the build keeps
+            # its newer buffered doc for the next flush
+            snap = {d["id"]: d for d in docs}
+            cur = self.buffer.get_batch(list(snap), "buffer")
             self.buffer.delete_batch(
-                [d["id"] for d in docs], "buffer"
+                [i for i, d in snap.items() if cur.get(i) == d], "buffer"
             )
             self._buffered = self.buffer.count("buffer")
         out = {
@@ -199,15 +218,37 @@ class IndexHandle:
             self.auto_compact_partitions
             and manifest["n_partitions"] > self.auto_compact_partitions
         ):
-            compacted = self.compact()
+            compacted = self._compact_locked()  # write_lock held
             out["autoCompacted"] = True
             out["partitionsAfterCompact"] = compacted["partitions"]
         return out
 
+    def _clean_crashed_partitions(self) -> None:
+        """Remove partition dirs without a manifest.json — remnants of a
+        flush that died mid-build (manifest is written LAST, so a dir
+        without one holds no committed data); left in place they wedge
+        every manifest rewrite."""
+        import shutil
+
+        parts_dir = os.path.join(self.index_dir, "partitions")
+        if not os.path.isdir(parts_dir):
+            return
+        for p in os.listdir(parts_dir):
+            d = os.path.join(parts_dir, p)
+            if os.path.isdir(d) and not os.path.exists(
+                os.path.join(d, "manifest.json")
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+
     def compact(self) -> Dict[str, Any]:
         """Merge all delta partitions into one (LSM-style)."""
+        with self.write_lock:
+            return self._compact_locked()
+
+    def _compact_locked(self) -> Dict[str, Any]:
         from .index_build.compact import compact_index
 
+        self._clean_crashed_partitions()
         manifest = compact_index(self.index_dir)
         with self.lock:
             self._searcher = None
@@ -330,11 +371,21 @@ class SearchServer:
 
             def _search(self, name: str):
                 h = server.indexes.get(name)
-                s = h.searcher() if h else None
-                if s is None:
+                if h is None:
                     return self._json(
                         404, {"error": f"Index '{name}' not found"}
                     )
+                s = h.searcher()
+                if s is None:  # created but never flushed: empty index
+                    b = self._body()
+                    return self._json(200, {
+                        "hits": [], "total": 0,
+                        "from": int(b.get("from", 0)),
+                        "size": int(b.get("size", 10)),
+                        "aggregations": {}, "facets": {},
+                        "_performance": {"queryTime": "0.0ms",
+                                         "cached": False},
+                    })
                 b = self._body()
                 t0 = time.time()
                 try:
@@ -353,8 +404,9 @@ class SearchServer:
                         return self._json(400, {"error": str(e)})
                     raise
                 ms = (time.time() - t0) * 1e3
-                server.query_count += 1
-                server.query_ms_total += ms
+                with server.lock:  # += on handler threads races
+                    server.query_count += 1
+                    server.query_ms_total += ms
                 out.setdefault("aggregations", {})
                 out.setdefault("facets", {})
                 out["_performance"] = {

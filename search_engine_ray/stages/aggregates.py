@@ -143,11 +143,9 @@ def range_agg(
     FacetEngine.ts:394-398).  Ranges may overlap; each is counted
     independently (vectorized per batch, summed across batches)."""
     labels = [
-        f"{'' if lo is None else lo:g}".replace("None", "*")
+        (f"{lo:g}" if lo is not None else "*")
         + "-"
         + (f"{hi:g}" if hi is not None else "*")
-        if lo is not None
-        else f"*-{hi:g}" if hi is not None else "*-*"
         for lo, hi in ranges
     ]
 

@@ -391,7 +391,14 @@ def minhash_lsh_candidates(
     rows = num_perm // bands
     nparts = num_partitions or default_pool_size()
 
-    if scratch_dir is None and ds.count() <= small_input_rows:
+    # size probe via early-stopped limit+count, NOT ds.count(): count()
+    # on a transformed dataset executes the whole upstream pipeline once
+    # just to measure it, then the chosen path executes it again
+    small = (
+        scratch_dir is None
+        and ds.limit(small_input_rows + 1).count() <= small_input_rows
+    )
+    if small:
         # small-input fast path: same banding sort + run-scan + exact
         # edge regroup + signature-estimate semantics, but the parquet
         # checkpoints and the two Acero joins are replaced by an

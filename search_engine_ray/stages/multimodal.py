@@ -253,7 +253,14 @@ class VideoFrameSampleStage:
                     out[c].append(batch[c][i].as_py())
                 out["frame_index"].append(f)
                 out["pixels"].append(tensor.reshape(-1).tolist())
-        arrays = {c: pa.array(v) for c, v in out.items()}
+        # carried columns keep the INPUT schema's types (inference from
+        # Python values would give null-typed columns on an empty batch
+        # and can widen types, breaking schema unification across blocks)
+        arrays = {
+            c: pa.array(v, type=batch.schema.field(c).type)
+            for c, v in out.items()
+            if c in batch.column_names
+        }
         arrays["frame_index"] = pa.array(out["frame_index"], pa.int32())
         arrays["pixels"] = pa.array(out["pixels"], pa.list_(pa.float32()))
         return pa.table(arrays)

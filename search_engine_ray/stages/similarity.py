@@ -47,17 +47,34 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class _PartialTopK:
     """Per-batch exact cosine vs a broadcast query matrix → partial top-k."""
 
-    def __init__(self, queries_ref, k: int, column: str, id_column: str, dtype=np.float32):
+    def __init__(self, queries_ref, k: int, column: str, id_column: str,
+                 dtype=np.float32, exclude_ids=None):
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
         self.dtype = dtype
         self.q = _normalize(np.asarray(q, dtype=dtype))
         self.k = k
         self.column = column
         self.id_column = id_column
+        # exclusion must happen BEFORE the per-batch truncation: dropped
+        # afterwards, an excluded id would consume a top-k slot and push
+        # a legitimate candidate out of the partial result
+        self.exclude = (
+            np.asarray(sorted(exclude_ids), dtype=np.int64)
+            if exclude_ids else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_batch_matrix(batch, self.column, self.dtype))
         ids = np.asarray(batch[self.id_column].to_pylist(), dtype=np.int64)
+        if self.exclude is not None and len(ids):
+            keep = ~np.isin(ids, self.exclude)
+            m, ids = m[keep], ids[keep]
+        if not len(ids):
+            return pa.table({
+                "qid": pa.array([], pa.int32()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
         sims = m @ self.q.T  # (B, Q)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
@@ -95,13 +112,11 @@ def brute_force_topk(
         _PartialTopK,
         fn_constructor_kwargs=dict(
             queries_ref=qref, k=k, column=column, id_column=id_column,
-            dtype=dtype,
+            dtype=dtype, exclude_ids=exclude_ids,
         ),
         batch_format="pyarrow",
         concurrency=default_pool_size(),
     ).to_pandas()
-    if exclude_ids:
-        partial = partial[~partial["vec_id"].isin(exclude_ids)]
     partial = partial.sort_values(
         ["qid", "sim", "vec_id"], ascending=[True, False, True]
     )
