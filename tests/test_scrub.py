@@ -343,3 +343,23 @@ class TestPIIPhoneFormats:
         assert out["n_phone"].tolist() == [1, 1, 1, 1]
         for red in out["text_redacted"]:
             assert "<PHONE>" in red and "2671" not in red or "4567" not in red
+
+
+class TestRollingFingerprints:
+    def test_shift_invariance(self):
+        """Regression: identical shingles at different offsets must hash
+        identically (the old recurrence removed the outgoing token at
+        the wrong power, leaving residue from every earlier token)."""
+        from search_engine_ray.analysis.quality import rolling_fingerprints
+
+        shingle = "alpha beta gamma delta epsilon zeta eta theta"
+        a = rolling_fingerprints(shingle, window=8)
+        b = rolling_fingerprints("xx yy " + shingle, window=8)
+        c = rolling_fingerprints(shingle + " tail words here", window=8)
+        assert len(a) == 1
+        assert a[0] == b[-1] == c[0]
+        # and distinct shingles still differ
+        d = rolling_fingerprints(
+            "alpha beta gamma delta epsilon zeta eta OTHER", window=8
+        )
+        assert d[0] != a[0]
