@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_pairs_2h": q.band_pairs_2h,
         # per-group cap (stages/scrub.py::cap_per_group)
         "capped_sources": q.capped_sources,
+        # semi-structured JSON field extraction + aggregation
+        "props_k_sum": q.props_k_sum,
     }
 
 
@@ -508,5 +510,13 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             WHERE rn <= 10
             ORDER BY source, doc_id
+        """,
+        # JSON field extraction vs DuckDB json_extract
+        "props_k_sum": """
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                       AS k_sum,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }
