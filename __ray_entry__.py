@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "capped_sources": q.capped_sources,
         # semi-structured JSON field extraction + aggregation
         "props_k_sum": q.props_k_sum,
+        # exact distributed per-group quantiles
+        "quantiles_nchars": q.quantiles_nchars,
     }
 
 
@@ -518,5 +520,19 @@ def oracle_sql() -> dict[str, str]:
                        AS k_sum,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # exact per-group quantiles vs DuckDB quantile_disc
+        "quantiles_nchars": """
+            SELECT source, q, CAST(v AS BIGINT) AS n_chars FROM (
+              SELECT source, 0.25 AS q,
+                     quantile_disc(n_chars, 0.25) AS v
+              FROM documents GROUP BY source
+              UNION ALL
+              SELECT source, 0.5, quantile_disc(n_chars, 0.5)
+              FROM documents GROUP BY source
+              UNION ALL
+              SELECT source, 0.75, quantile_disc(n_chars, 0.75)
+              FROM documents GROUP BY source)
+            ORDER BY source, q
         """,
     }

@@ -941,3 +941,20 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type")
         .reset_index(drop=True)
     )
+
+
+def quantiles_nchars(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed per-group quantiles (stages/aggregates.py::
+    group_quantiles), oracle-checked against DuckDB quantile_disc:
+    25/50/75th percentile of n_chars per source.  qs are exact binary
+    fractions so the ceil(q*n) index math agrees across engines."""
+    out = agg.group_quantiles(
+        _docs(sf_dir, ["doc_id", "source", "n_chars"]),
+        group_field="source", value_field="n_chars",
+        qs=[0.25, 0.5, 0.75], id_field="doc_id",
+    )
+    return (
+        out.astype({"n_chars": "int64", "q": "float64"})
+        .sort_values(["source", "q"])
+        .reset_index(drop=True)
+    )

@@ -199,3 +199,144 @@ def stats_agg(ds: rd.Dataset, field: str) -> pd.DataFrame:
         Sum(field, alias_name="sum"),
     )
     return pd.DataFrame([out])
+
+
+def group_quantiles(
+    ds: rd.Dataset,
+    group_field: str,
+    value_field: str,
+    qs: Sequence[float],
+    id_field: Optional[str] = None,
+) -> pd.DataFrame:
+    """EXACT per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: the group's value at rank ``max(0, ceil(q*n) - 1)`` in
+    value order) — not a sketch.
+
+    Distribution shape: one global (group, value, id) sort
+    materialized ONCE, then two cheap passes over the SAME sorted
+    blocks: (1) per-range (group, first-key, n_rows) metadata —
+    O(groups × ranges) to the driver — from which the driver derives
+    each range's rank carry-in and each group's target ranks; (2) a
+    selection pass that emits only rows whose global rank is a target.
+    Nothing corpus-sized touches the driver and no group is ever held
+    in one task (hot groups split across ranges by the sort).
+    ``id_field`` (unique per row) disambiguates range identity under
+    duplicate values; when None a deterministic row hash of the value
+    is NOT enough, so the input row order id is required."""
+    if id_field is None:
+        raise ValueError("group_quantiles needs a unique id_field")
+    qs = list(qs)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            group_field: batch[group_field],
+            value_field: batch[value_field],
+            id_field: pc.cast(batch[id_field], pa.int64()),
+        })
+
+    sorted_ds = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort([group_field, value_field, id_field])
+        .materialize()  # both passes must see IDENTICAL blocks
+    )
+
+    def meta_scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        schema = pa.schema([
+            (group_field, batch.schema.field(group_field).type),
+            ("first_value", batch.schema.field(value_field).type),
+            ("first_id", pa.int64()),
+            ("n_rows", pa.int64()),
+        ])
+        if n == 0:
+            return schema.empty_table()
+        groups = batch[group_field].to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = groups[1:] != groups[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        return pa.table({
+            group_field: pa.array(groups[starts]),
+            "first_value": pc.take(
+                batch[value_field], pa.array(starts)
+            ),
+            "first_id": pc.take(batch[id_field], pa.array(starts)),
+            "n_rows": pa.array(
+                (ends - starts).astype(np.int64), pa.int64()
+            ),
+        }, schema=schema)
+
+    meta = (
+        sorted_ds.map_batches(
+            meta_scan, batch_format="pyarrow", batch_size=None
+        )
+        .to_pandas()
+        .sort_values([group_field, "first_value", "first_id"])
+    )
+    if meta.empty:
+        return pd.DataFrame(columns=[group_field, "q", value_field])
+    meta["carry"] = (
+        meta.groupby(group_field, sort=False)["n_rows"].cumsum()
+        - meta["n_rows"]
+    )
+    carry_map = {
+        (g, f): int(c)
+        for g, f, c in zip(
+            meta[group_field], meta["first_id"], meta["carry"]
+        )
+    }
+    sizes = meta.groupby(group_field, sort=False)["n_rows"].sum()
+    # target rank per (group, q): DuckDB quantile_disc index rule
+    targets: Dict = {}
+    for g, n_g in sizes.items():
+        ranks = {}
+        for q in qs:
+            idx = max(0, int(np.ceil(q * int(n_g))) - 1)
+            ranks.setdefault(idx, []).append(q)
+        targets[g] = ranks
+
+    def select_scan(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([
+            (group_field, batch.schema.field(group_field).type),
+            ("q", pa.float64()),
+            (value_field, batch.schema.field(value_field).type),
+        ])
+        n = batch.num_rows
+        if n == 0:
+            return schema.empty_table()
+        groups = batch[group_field].to_numpy(zero_copy_only=False)
+        ids = batch[id_field].to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = groups[1:] != groups[:-1]
+        out_g, out_q, out_i = [], [], []
+        for s in np.flatnonzero(new):
+            g = groups[s]
+            ranks = targets.get(g)
+            if not ranks:
+                continue
+            carry = carry_map[(g, int(ids[s]))]
+            e = n
+            nxt = np.flatnonzero(new[s + 1:])
+            if len(nxt):
+                e = s + 1 + nxt[0]
+            for idx, qlist in ranks.items():
+                pos = s + (idx - carry)
+                if s <= pos < e:
+                    for q in qlist:
+                        out_g.append(g)
+                        out_q.append(q)
+                        out_i.append(pos)
+        return pa.table({
+            group_field: pa.array(out_g, schema.field(group_field).type),
+            "q": pa.array(out_q, pa.float64()),
+            value_field: pc.take(
+                batch[value_field], pa.array(out_i, pa.int64())
+            ),
+        }, schema=schema)
+
+    out = sorted_ds.map_batches(
+        select_scan, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return out.sort_values([group_field, "q"]).reset_index(drop=True)

@@ -363,3 +363,41 @@ class TestRollingFingerprints:
             "alpha beta gamma delta epsilon zeta eta OTHER", window=8
         )
         assert d[0] != a[0]
+
+
+class TestGroupQuantiles:
+    def test_matches_quantile_disc_across_range_splits(self, ray_session):
+        """Exact distributed quantiles: 16 input blocks force the sort
+        to split the hot group across ranges — the rank-carry pass must
+        still select exactly DuckDB's quantile_disc values."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.aggregates import group_quantiles
+
+        rng = np.random.default_rng(21)
+        n = 3000
+        df = pd.DataFrame({
+            "g": np.where(
+                rng.random(n) < 0.7, "hot", rng.integers(0, 7, n).astype(str)
+            ),
+            "v": rng.integers(0, 500, n),  # heavy duplicate values
+        })
+        df["rid"] = np.arange(n)
+        got = group_quantiles(
+            rd.from_pandas(df).repartition(16),
+            group_field="g", value_field="v",
+            qs=[0.25, 0.5, 0.75], id_field="rid",
+        )
+        want = duckdb.sql("""
+            SELECT g, q, v FROM (
+              SELECT g, 0.25 AS q, quantile_disc(v, 0.25) AS v
+              FROM df GROUP BY g
+              UNION ALL
+              SELECT g, 0.5, quantile_disc(v, 0.5) FROM df GROUP BY g
+              UNION ALL
+              SELECT g, 0.75, quantile_disc(v, 0.75) FROM df GROUP BY g)
+            ORDER BY g, q
+        """).df()
+        got = got[["g", "q", "v"]].reset_index(drop=True)
+        want = want.astype(got.dtypes.to_dict()).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
