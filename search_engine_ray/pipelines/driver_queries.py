@@ -919,10 +919,20 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
             ),
             pa.int64(),
         )
-        return pa.table({
-            "event_type": batch["event_type"],
-            "k_partial": ks,
-        })
+        # map-side combine: the shuffle moves |event_type| rows per
+        # batch instead of every event row
+        return (
+            pa.table({
+                "event_type": batch["event_type"],
+                "k_partial": ks,
+                "n_partial": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int64)
+                ),
+            })
+            .group_by("event_type")
+            .aggregate([("k_partial", "sum"), ("n_partial", "sum")])
+            .rename_columns(["event_type", "k_partial", "n_partial"])
+        )
 
     out = (
         rd.read_parquet(
@@ -932,7 +942,7 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
         .groupby("event_type")
         .aggregate(
             Sum("k_partial", alias_name="k_sum"),
-            Count(alias_name="n"),
+            Sum("n_partial", alias_name="n"),
         )
         .to_pandas()
     )

@@ -310,17 +310,15 @@ def group_quantiles(
         new = np.empty(n, dtype=bool)
         new[0] = True
         new[1:] = groups[1:] != groups[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
         out_g, out_q, out_i = [], [], []
-        for s in np.flatnonzero(new):
+        for s, e in zip(starts, ends):
             g = groups[s]
             ranks = targets.get(g)
             if not ranks:
                 continue
             carry = carry_map[(g, int(ids[s]))]
-            e = n
-            nxt = np.flatnonzero(new[s + 1:])
-            if len(nxt):
-                e = s + 1 + nxt[0]
             for idx, qlist in ranks.items():
                 pos = s + (idx - carry)
                 if s <= pos < e:
