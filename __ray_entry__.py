@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": q.nation_revenue,
         # near-dedup with an exact-verification oracle
         "minhash_verified_pairs": q.minhash_verified_pairs,
+        # near-dup pairs -> duplicate groups (connected components)
+        "near_dup_clusters": q.near_dup_clusters,
         # rows-only checks (no SQL-expressible oracle)
         "langid_counts": q.langid_counts,
         "minhash_pairs": q.minhash_pairs,
@@ -395,6 +397,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
             ORDER BY a, b
+        """,
+        # connected components over the SAME verified-pair SQL: a
+        # recursive CTE enumerates (node, reachable-label) pairs
+        # (UNION dedups, so the closure terminates), min per node is
+        # the component's canonical keeper
+        "near_dup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+            ),
+            sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            dup_pairs AS (
+              SELECT a, b
+              FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM dup_pairs
+              UNION
+              SELECT b AS u, a AS v FROM dup_pairs
+            ),
+            cc AS (
+              SELECT u AS v, u AS l FROM edges
+              UNION
+              SELECT e.v, cc.l FROM cc JOIN edges e ON e.u = cc.v
+            )
+            SELECT v::BIGINT AS doc_id, min(l)::BIGINT AS cluster_id
+            FROM cc GROUP BY v ORDER BY doc_id
         """,
         # PII redaction: patterns run verbatim in both engines (RE2 on
         # both sides); counts are taken on the progressively-redacted

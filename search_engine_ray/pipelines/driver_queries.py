@@ -585,6 +585,30 @@ def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs → duplicate GROUPS: connected components over the
+    exact-verified minhash pairs (stages/dedup.py::cluster_pairs,
+    distributed hash-min label propagation), cluster_id = the smallest
+    doc_id of the component — i.e. the canonical keeper each duplicate
+    doc would collapse onto.  Oracle-checked against a DuckDB recursive
+    CTE (transitive closure + min label) over the same verified-pair
+    SQL used by ``minhash_verified_pairs``."""
+    pairs = minhash_verified_pairs(sf_dir)
+    if pairs.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "cluster_id": pd.Series(dtype="int64"),
+        })
+    out = dd.cluster_pairs(
+        rd.from_pandas(pairs[["a", "b"]]), id_a="a", id_b="b"
+    ).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "cluster_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
     pairs = dd.simhash_candidates(
         _docs(sf_dir, ["doc_id", "text"]), max_hamming=3

@@ -853,3 +853,137 @@ def simhash_candidates(
         )
     pairs = pairs.groupby(["a", "b"], as_index=False)["hamming"].min()
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Connected components over near-dup pairs (pairs -> clusters)
+# --------------------------------------------------------------------------
+
+def cluster_pairs(
+    pairs: rd.Dataset,
+    id_a: str = "a",
+    id_b: str = "b",
+    *,
+    num_partitions: Optional[int] = None,
+    scratch_dir: Optional[str] = None,
+    max_iters: int = 25,
+) -> rd.Dataset:
+    """Connected components over a near-dup pair list: the missing step
+    between "LSH found pairs" and "keep one doc per duplicate GROUP"
+    (pairs are not transitive — A~B and B~C must collapse into one
+    cluster even when A~C was never proposed).
+
+    Returns a Dataset ``(doc_id, cluster_id)`` covering every doc that
+    appears in a pair, with ``cluster_id`` = the smallest doc_id of its
+    component (the canonical keeper, deterministic at any parallelism).
+
+    Distribution shape — hash-min label propagation:
+      * the pair list is expanded once to a bidirectional edge list with
+        self-loops and checkpointed to parquet (read per round, never
+        re-derived through upstream lineage);
+      * each round is one hash join (attach the current label of ``u``
+        to every edge ``u -> v``) + one ``groupby(v).Min`` (take the
+        smallest label heard, including one's own via the self-loop) —
+        labels are O(|nodes in pairs|) rows, never the corpus;
+      * labels decrease monotonically per node, so the label SUM is a
+        strictly decreasing integer until the fixpoint — an O(1)-row
+        convergence check, no diff join;
+      * rounds needed = component diameter, which for duplicate
+        clusters is small (near-clique neighborhoods); ``max_iters`` is
+        a backstop, not a truncation — hitting it raises.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Min
+
+    P = num_partitions or default_pool_size()
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="ser_cc_")
+    own_scratch = scratch_dir is None
+
+    def bidir(b: pa.Table) -> pa.Table:
+        a = _pc.cast(b[id_a], pa.int64())
+        v = _pc.cast(b[id_b], pa.int64())
+        # both directions + self-loops: with self-loops the update is a
+        # single join+groupby (each node always hears its own label)
+        return pa.concat_tables([
+            pa.table({"u": a, "v": v}),
+            pa.table({"u": v, "v": a}),
+            pa.table({"u": a, "v": a}),
+            pa.table({"u": v, "v": v}),
+        ])
+
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "cluster_id": pa.array([], pa.int64()),
+    })
+
+    edges_dir = os.path.join(scratch, "edges")
+    pairs.map_batches(bidir, batch_format="pyarrow").write_parquet(edges_dir)
+    # an empty pair list writes no files at all (write_parquet skips
+    # empty datasets) — that's the "no duplicates anywhere" case
+    if not os.path.isdir(edges_dir) or not os.listdir(edges_dir):
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+        return rd.from_arrow(empty)
+    edges = rd.read_parquet(edges_dir)
+    if edges.count() == 0:
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+        return rd.from_arrow(empty)
+
+    def _as_u_l(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["u", "l"])
+
+    # L0(v) = min(N(v) ∪ {v}) — the first hash-min round applied to
+    # the identity labeling, for free off the edge list itself
+    cur = os.path.join(scratch, "labels_0")
+    (
+        edges.groupby("v")
+        .aggregate(Min("u", alias_name="l"))
+        .map_batches(_as_u_l, batch_format="pyarrow")
+        .write_parquet(cur)
+    )
+    prev_sum = rd.read_parquet(cur).sum("l")
+
+    converged = False
+    for it in range(1, max_iters + 1):
+        lbl = rd.read_parquet(cur)
+        nxt = os.path.join(scratch, f"labels_{it}")
+        (
+            edges.join(lbl, join_type="inner", num_partitions=P, on=("u",))
+            .map_batches(
+                lambda b: b.select(["v", "l"]), batch_format="pyarrow"
+            )
+            .groupby("v")
+            .aggregate(Min("l", alias_name="l"))
+            .map_batches(_as_u_l, batch_format="pyarrow")
+            .write_parquet(nxt)
+        )
+        cur = nxt
+        s = rd.read_parquet(cur).sum("l")
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    if not converged:
+        if own_scratch:
+            shutil.rmtree(scratch, ignore_errors=True)
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters; raise max_iters)"
+        )
+
+    out = (
+        rd.read_parquet(cur)
+        .map_batches(
+            lambda b: b.rename_columns(["doc_id", "cluster_id"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    if own_scratch:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

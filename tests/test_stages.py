@@ -165,6 +165,78 @@ class TestMinHash:
         assert ((pairs["a"] == 0) & (pairs["b"] == 99)).any()
 
 
+class TestClusterPairs:
+    """Connected components over near-dup pairs (hash-min label
+    propagation) vs a driver union-find reference."""
+
+    @staticmethod
+    def _union_find(pairs_df):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs_df["a"], pairs_df["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = set(pairs_df["a"].astype(int)) | set(pairs_df["b"].astype(int))
+        return {n: find(n) for n in nodes}
+
+    def test_chain_needs_multiple_rounds(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cluster_pairs
+
+        # chain of diameter 7 (forces >1 propagation round), a triangle
+        # with a redundant edge, and an isolated pair
+        pairs = pd.DataFrame({
+            "a": [10, 11, 12, 13, 14, 15, 16, 1, 2, 1, 100],
+            "b": [11, 12, 13, 14, 15, 16, 17, 2, 3, 3, 200],
+        })
+        out = cluster_pairs(rd.from_pandas(pairs)).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+        assert got == self._union_find(pairs)
+
+    def test_random_graph_matches_union_find(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cluster_pairs
+
+        rng = np.random.default_rng(7)
+        a = rng.integers(0, 500, 800)
+        b = rng.integers(0, 500, 800)
+        m = a != b
+        pairs = pd.DataFrame({"a": a[m], "b": b[m]})
+        out = cluster_pairs(rd.from_pandas(pairs)).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+        assert got == self._union_find(pairs)
+
+    def test_empty_pairs(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cluster_pairs
+
+        out = cluster_pairs(rd.from_pandas(
+            pd.DataFrame({"a": pd.Series(dtype="int64"),
+                          "b": pd.Series(dtype="int64")})
+        ))
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "cluster_id"]
+
+    def test_max_iters_backstop(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cluster_pairs
+
+        chain = pd.DataFrame({"a": list(range(20)), "b": list(range(1, 21))})
+        with pytest.raises(RuntimeError, match="did not converge"):
+            cluster_pairs(rd.from_pandas(chain), max_iters=2)
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, ray_session):
