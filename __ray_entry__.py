@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_verified_pairs": q.minhash_verified_pairs,
         # near-dup pairs -> duplicate groups (connected components)
         "near_dup_clusters": q.near_dup_clusters,
+        # substring-level dedup: exact duplicated k-token spans
+        "dup_spans_top100": q.dup_spans_top100,
         # rows-only checks (no SQL-expressible oracle)
         "langid_counts": q.langid_counts,
         "minhash_pairs": q.minhash_pairs,
@@ -438,6 +440,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v::BIGINT AS doc_id, min(l)::BIGINT AS cluster_id
             FROM cc GROUP BY v ORDER BY doc_id
+        """,
+        # exact duplicated 5-token spans across documents; docs shorter
+        # than 5 tokens produce no spans (range upper bound 0), and the
+        # (n_docs, n_occ, span) ordering makes the top-100 cut
+        # deterministic in both engines
+        "dup_spans_top100": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+            )
+            SELECT s AS span,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_occ
+            FROM sh GROUP BY s
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, n_occ DESC, span ASC
+            LIMIT 100
         """,
         # PII redaction: patterns run verbatim in both engines (RE2 on
         # both sides); counts are taken on the progressively-redacted

@@ -609,6 +609,35 @@ def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def dup_spans_top100(sf_dir: str) -> pd.DataFrame:
+    """Substring-level dedup (Lee et al. 2021): the top-100 exact
+    5-token spans shared by >= 2 distinct documents, ranked by
+    (n_docs desc, n_occ desc, span asc) — detection output a scrubbing
+    pass would cut from every doc but one.  stages/dedup.py::
+    duplicate_spans; oracle = DuckDB token-shingle GROUP BY."""
+    out = dd.duplicate_spans(
+        _docs(sf_dir, ["doc_id", "text"]), k=5, min_docs=2
+    )
+    top = (
+        out.sort(
+            ["n_docs", "n_occ", "span"], descending=[True, True, False]
+        )
+        .limit(100)
+        .to_pandas()
+    )
+    if top.empty:
+        return pd.DataFrame({
+            "span": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_occ": pd.Series(dtype="int64"),
+        })
+    return (
+        top.astype({"n_docs": "int64", "n_occ": "int64"})
+        .sort_values(["span"])
+        .reset_index(drop=True)
+    )
+
+
 def simhash_pairs(sf_dir: str) -> pd.DataFrame:
     pairs = dd.simhash_candidates(
         _docs(sf_dir, ["doc_id", "text"]), max_hamming=3

@@ -856,6 +856,158 @@ def simhash_candidates(
 
 
 # --------------------------------------------------------------------------
+# Exact duplicate-span detection (substring-level dedup, Lee et al. 2021
+# "Deduplicating Training Data Makes Language Models Better" — the
+# token-window variant of suffix-array duplicate-substring mining)
+# --------------------------------------------------------------------------
+
+_SPAN_POW_BASE = np.uint64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+
+
+def _span_hash_rows(
+    texts: List[str], ids: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, List[List[str]]]:
+    """Vectorized rolling hash of every k-token window in a batch.
+
+    Returns (span_hash int63, doc_id, start_offset_within_doc,
+    doc_index_within_batch, tokens per doc).  One concatenated
+    token-hash array + one sliding-window pass covers the whole batch;
+    windows that would cross a document boundary are excluded by
+    construction (per-doc start ranges).
+    """
+    toks = [t.split() if t else [] for t in texts]
+    lens = np.array([len(t) for t in toks], dtype=np.int64)
+    n_spans = np.maximum(lens - k + 1, 0)
+    total = int(n_spans.sum())
+    if total == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy(), e.copy(), toks
+    flat = [w for t in toks for w in t]
+    th = pd.util.hash_array(
+        np.asarray(flat, dtype=object)
+    )  # fixed-key siphash: deterministic across processes
+    offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    # valid window starts: for doc d, offsets[d] .. offsets[d]+lens[d]-k
+    doc_idx = np.repeat(np.arange(len(toks)), n_spans)
+    within = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(n_spans)))[:-1], n_spans
+    )
+    starts = offsets[doc_idx] + within
+    win = np.lib.stride_tricks.sliding_window_view(th, k)[starts]
+    powers = _SPAN_POW_BASE ** np.arange(k, dtype=np.uint64)
+    h = (win * powers).sum(axis=1)  # uint64 wraparound arithmetic
+    h = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+    return h, ids[doc_idx], within, doc_idx, toks
+
+
+def duplicate_spans(
+    ds: rd.Dataset,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """EXACT cross-document duplicate k-token spans: every distinct
+    k-token window that occurs in at least ``min_docs`` distinct
+    documents, with its exact distinct-doc and total-occurrence counts
+    — the detection half of substring-level dedup.  Documents shorter
+    than ``k`` tokens produce no spans.
+
+    Returns a Dataset ``(span, n_docs, n_occ)``.
+
+    Distribution shape (two passes, exact despite hashing):
+      * pass A ships only ``(span_hash int64, doc_id)`` rows (batch-
+        deduped) through ``groupby(hash)`` twice to find hashes seen in
+        ≥ min_docs docs.  A hash collision can only MERGE two spans and
+        promote a false candidate — it can never demote a true one —
+        so the candidate set is a strict superset.
+      * pass B broadcasts the candidate hash set once (``ray.put``),
+        re-scans the corpus, reconstructs span TEXT only for candidate
+        hits, pre-aggregates (span, doc) per batch, and computes exact
+        per-span-text counts with two small groupbys; the ``min_docs``
+        filter re-applied on exact counts discards any false
+        candidates.  Only candidate spans (≪ corpus spans) ever carry
+        text through a shuffle.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    def pass_a(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        h, docs, _, _, _ = _span_hash_rows(texts, ids, k)
+        pairs = np.unique(np.stack([h, docs]), axis=1)
+        return pa.table({
+            "h": pa.array(pairs[0], pa.int64()),
+            "d": pa.array(pairs[1], pa.int64()),
+        })
+
+    cand = (
+        ds.map_batches(pass_a, batch_format="pyarrow")
+        .groupby(["h", "d"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("h")
+        .aggregate(Count(alias_name="nd"))
+    )
+    cand_df = cand.filter(expr=f"nd >= {int(min_docs)}").to_pandas()
+    # a fully-filtered Dataset loses its schema in to_pandas()
+    cand_hashes = (
+        np.sort(cand_df["h"].to_numpy(np.int64))
+        if "h" in cand_df.columns
+        else np.empty(0, dtype=np.int64)
+    )
+    empty = pa.table({
+        "span": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_occ": pa.array([], pa.int64()),
+    })
+    if len(cand_hashes) == 0:
+        return rd.from_arrow(empty)
+    cand_ref = _ray.put(cand_hashes)
+
+    def pass_b(batch: pa.Table) -> pa.Table:
+        cands = _ray.get(cand_ref)
+        texts = batch[text_column].to_pylist()
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        h, docs, within, doc_idx, toks = _span_hash_rows(texts, ids, k)
+        if len(h) == 0:
+            return pa.table({
+                "span": pa.array([], pa.string()),
+                "d": pa.array([], pa.int64()),
+                "occ": pa.array([], pa.int64()),
+            })
+        pos = np.searchsorted(cands, h)
+        pos[pos == len(cands)] = 0
+        hit = cands[pos] == h
+        spans = [
+            " ".join(toks[di][s : s + k])
+            for di, s in zip(doc_idx[hit], within[hit])
+        ]
+        df = pd.DataFrame({"span": spans, "d": docs[hit]})
+        part = df.groupby(["span", "d"], as_index=False).size()
+        return pa.table({
+            "span": pa.array(part["span"], pa.string()),
+            "d": pa.array(part["d"].to_numpy(np.int64), pa.int64()),
+            "occ": pa.array(part["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    per_doc = (
+        ds.map_batches(pass_b, batch_format="pyarrow")
+        .groupby(["span", "d"])
+        .aggregate(Sum("occ", alias_name="occ"))
+    )
+    out = (
+        per_doc.groupby("span")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("occ", alias_name="n_occ"),
+        )
+        .filter(expr=f"n_docs >= {int(min_docs)}")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
 # Connected components over near-dup pairs (pairs -> clusters)
 # --------------------------------------------------------------------------
 

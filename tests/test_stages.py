@@ -165,6 +165,75 @@ class TestMinHash:
         assert ((pairs["a"] == 0) & (pairs["b"] == 99)).any()
 
 
+class TestDuplicateSpans:
+    """Exact duplicate k-token span mining vs a naive Python scan."""
+
+    def test_exact_vs_naive(self, ray_session):
+        from collections import defaultdict
+
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import duplicate_spans
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i}" for i in range(60)]
+        texts, ids = [], []
+        for i in range(120):
+            texts.append(
+                " ".join(rng.choice(vocab, size=rng.integers(2, 40)).tolist())
+            )
+            ids.append(i)
+        # planted 7-token span in docs 0,1,2 (twice in doc 2) → its three
+        # 5-token windows each have n_docs=3, n_occ=4
+        shared = "alpha beta gamma delta eps zeta eta"
+        texts[0] = texts[0] + " " + shared
+        texts[1] = shared + " " + texts[1]
+        texts[2] = shared + " xx " + shared
+
+        ds = rd.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": texts})
+        ).repartition(6)
+        out = duplicate_spans(ds, k=5, min_docs=2).to_pandas()
+
+        ref = defaultdict(lambda: [set(), 0])
+        for i, t in zip(ids, texts):
+            tk = t.split()
+            for s in range(len(tk) - 4):
+                sp = " ".join(tk[s : s + 5])
+                ref[sp][0].add(i)
+                ref[sp][1] += 1
+        ref = {
+            sp: (len(d), n) for sp, (d, n) in ref.items() if len(d) >= 2
+        }
+        got = {r.span: (r.n_docs, r.n_occ) for r in out.itertuples()}
+        assert got == ref
+        assert got["alpha beta gamma delta eps"] == (3, 4)
+
+    def test_no_duplicates(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import duplicate_spans
+
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["a b c d e f", "g h i j k l"],
+        }))
+        out = duplicate_spans(ds, k=5, min_docs=2)
+        assert out.count() == 0
+
+    def test_short_docs_produce_no_spans(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import duplicate_spans
+
+        # identical 4-token docs < k=5 → no spans at all
+        ds = rd.from_pandas(pd.DataFrame({
+            "doc_id": [0, 1],
+            "text": ["a b c d", "a b c d"],
+        }))
+        assert duplicate_spans(ds, k=5, min_docs=2).count() == 0
+
+
 class TestClusterPairs:
     """Connected components over near-dup pairs (hash-min label
     propagation) vs a driver union-find reference."""
