@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": q.near_dup_clusters,
         # substring-level dedup: exact duplicated k-token spans
         "dup_spans_top100": q.dup_spans_top100,
+        # Gopher-style repetition quality signals
+        "repetition_stats": q.repetition_stats,
         # rows-only checks (no SQL-expressible oracle)
         "langid_counts": q.langid_counts,
         "minhash_pairs": q.minhash_pairs,
@@ -440,6 +442,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v::BIGINT AS doc_id, min(l)::BIGINT AS cluster_id
             FROM cc GROUP BY v ORDER BY doc_id
+        """,
+        # per-doc repetition signals: most-frequent token / bigram
+        # fraction, duplicated-trigram occurrence fraction (token-count
+        # variants of the Gopher heuristics); guards mirror the Ray
+        # side's zero-denominator rule
+        "repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            base AS (SELECT doc_id, len(t) AS n FROM toks),
+            c1 AS (
+              SELECT doc_id, max(c) AS m FROM (
+                SELECT doc_id, u.w AS s, count(*) AS c
+                FROM toks, UNNEST(t) AS u(w) GROUP BY 1, 2
+              ) GROUP BY doc_id
+            ),
+            c2 AS (
+              SELECT doc_id, max(c) AS m FROM (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS s,
+                       count(*) AS c
+                FROM toks,
+                     UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+                GROUP BY 1, 2
+              ) GROUP BY doc_id
+            ),
+            c3 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+              FROM (
+                SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s,
+                       count(*) AS c
+                FROM toks,
+                     UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+                GROUP BY 1, 2
+              ) GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   b.n::BIGINT AS n_tokens,
+                   CASE WHEN b.n > 0
+                        THEN round(c1.m * 1.0 / b.n, 6) ELSE 0.0
+                   END AS top_token_frac,
+                   CASE WHEN b.n >= 2
+                        THEN round(c2.m * 1.0 / (b.n - 1), 6) ELSE 0.0
+                   END AS top_bigram_frac,
+                   CASE WHEN b.n >= 3
+                        THEN round(c3.dup * 1.0 / (b.n - 2), 6) ELSE 0.0
+                   END AS dup_trigram_frac
+            FROM base b
+            LEFT JOIN c1 USING (doc_id)
+            LEFT JOIN c2 USING (doc_id)
+            LEFT JOIN c3 USING (doc_id)
+            ORDER BY b.doc_id
         """,
         # exact duplicated 5-token spans across documents; docs shorter
         # than 5 tokens produce no spans (range upper bound 0), and the

@@ -609,6 +609,30 @@ def near_dup_clusters(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style within-document repetition quality signals
+    (stages/textstats.py::repetition_metrics): most-frequent token /
+    bigram fraction and duplicated-trigram occurrence fraction per doc
+    — the filters MassiveText/FineWeb cut repetitive boilerplate with.
+    Oracle-checked against a DuckDB n-gram GROUP BY per document."""
+    from ..stages.textstats import repetition_metrics
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(repetition_metrics, batch_format="pyarrow")
+        .select_columns([
+            "doc_id", "n_tokens", "top_token_frac",
+            "top_bigram_frac", "dup_trigram_frac",
+        ])
+        .to_pandas()
+    )
+    return (
+        out.astype({"doc_id": "int64", "n_tokens": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def dup_spans_top100(sf_dir: str) -> pd.DataFrame:
     """Substring-level dedup (Lee et al. 2021): the top-100 exact
     5-token spans shared by >= 2 distinct documents, ranked by

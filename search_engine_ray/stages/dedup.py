@@ -876,16 +876,27 @@ def _span_hash_rows(
     construction (per-doc start ranges).
     """
     toks = [t.split() if t else [] for t in texts]
+    h, within, doc_idx = _span_hashes_from_toks(toks, k)
+    return h, ids[doc_idx], within, doc_idx, toks
+
+
+def _span_hashes_from_toks(
+    toks: List[List[str]], k: int,
+    token_hashes: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Core of :func:`_span_hash_rows` over pre-split tokens; accepts a
+    precomputed concatenated token-hash array so multiple k values can
+    share one hashing pass.  Returns (span_hash, within, doc_idx)."""
     lens = np.array([len(t) for t in toks], dtype=np.int64)
     n_spans = np.maximum(lens - k + 1, 0)
     total = int(n_spans.sum())
     if total == 0:
         e = np.empty(0, dtype=np.int64)
-        return e, e.copy(), e.copy(), e.copy(), toks
-    flat = [w for t in toks for w in t]
-    th = pd.util.hash_array(
-        np.asarray(flat, dtype=object)
-    )  # fixed-key siphash: deterministic across processes
+        return e, e.copy(), e.copy()
+    if token_hashes is None:
+        token_hashes = pd.util.hash_array(
+            np.asarray([w for t in toks for w in t], dtype=object)
+        )  # fixed-key siphash: deterministic across processes
     offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
     # valid window starts: for doc d, offsets[d] .. offsets[d]+lens[d]-k
     doc_idx = np.repeat(np.arange(len(toks)), n_spans)
@@ -893,11 +904,11 @@ def _span_hash_rows(
         np.concatenate(([0], np.cumsum(n_spans)))[:-1], n_spans
     )
     starts = offsets[doc_idx] + within
-    win = np.lib.stride_tricks.sliding_window_view(th, k)[starts]
+    win = np.lib.stride_tricks.sliding_window_view(token_hashes, k)[starts]
     powers = _SPAN_POW_BASE ** np.arange(k, dtype=np.uint64)
     h = (win * powers).sum(axis=1)  # uint64 wraparound arithmetic
     h = (h & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
-    return h, ids[doc_idx], within, doc_idx, toks
+    return h, within, doc_idx
 
 
 def duplicate_spans(

@@ -80,6 +80,83 @@ class TokenCountStage:
         )
 
 
+def repetition_metrics(
+    batch: pa.Table,
+    text_column: str = "text",
+) -> pa.Table:
+    """Gopher/MassiveText-style within-document repetition signals, the
+    token-count variants (Rae et al. 2021 §A1.1 quality heuristics):
+
+    * ``top_token_frac``   — occurrences of the most frequent token
+      over total tokens;
+    * ``top_bigram_frac``  — occurrences of the most frequent 2-gram
+      over total 2-grams;
+    * ``dup_trigram_frac`` — occurrences belonging to 3-grams that
+      appear ≥2 times, over total 3-grams.
+
+    Fully vectorized across the batch: ONE token hashing pass shared by
+    all three n-gram sizes (dedup.py::_span_hashes_from_toks), then
+    per-(doc, gram) counts via lexsort + run-length, and per-doc
+    max / dup-sum via ``np.maximum.at`` / ``np.add.at``.  Within-doc
+    hash collisions are the only error source (~n_grams²/2⁶⁴ per doc —
+    negligible at any real document length).  Fractions are rounded to
+    6 decimals; documents with no n-grams of a size get 0.0.
+    """
+    import numpy as np
+
+    from .dedup import _span_hashes_from_toks
+
+    import pandas as pd
+
+    texts = batch[text_column].to_pylist()
+    n_docs = len(texts)
+    toks = [t.split() if t else [] for t in texts]
+    flat = [w for t in toks for w in t]
+    th = (
+        pd.util.hash_array(np.asarray(flat, dtype=object))
+        if flat
+        else np.empty(0, dtype=np.uint64)
+    )
+
+    def per_doc(k: int):
+        h, _, doc_idx = _span_hashes_from_toks(toks, k, token_hashes=th)
+        tot = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        maxc = np.zeros(n_docs, np.int64)
+        dupocc = np.zeros(n_docs, np.int64)
+        if len(h):
+            order = np.lexsort((h, doc_idx))
+            d, hh = doc_idx[order], h[order]
+            new = np.empty(len(hh), bool)
+            new[0] = True
+            new[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+            starts = np.flatnonzero(new)
+            counts = np.diff(np.append(starts, len(hh)))
+            gdoc = d[starts]
+            np.maximum.at(maxc, gdoc, counts)
+            np.add.at(dupocc, gdoc, np.where(counts >= 2, counts, 0))
+        return tot, maxc, dupocc
+
+    tot1, max1, _ = per_doc(1)
+    tot2, max2, _ = per_doc(2)
+    tot3, _, dup3 = per_doc(3)
+
+    def frac(num, den):
+        out = np.zeros(n_docs, np.float64)
+        nz = den > 0
+        out[nz] = np.round(num[nz] / den[nz], 6)
+        return out
+
+    return batch.append_column(
+        "n_tokens", pa.array(tot1, pa.int64())
+    ).append_column(
+        "top_token_frac", pa.array(frac(max1, tot1), pa.float64())
+    ).append_column(
+        "top_bigram_frac", pa.array(frac(max2, tot2), pa.float64())
+    ).append_column(
+        "dup_trigram_frac", pa.array(frac(dup3, tot3), pa.float64())
+    )
+
+
 class FingerprintStage:
     """md5 fingerprint of the normalized (standard-analyzed) token stream;
     the exact-dedup/key column for content-identical documents."""

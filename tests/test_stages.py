@@ -165,6 +165,49 @@ class TestMinHash:
         assert ((pairs["a"] == 0) & (pairs["b"] == 99)).any()
 
 
+class TestRepetitionMetrics:
+    def test_vs_counter_reference(self, ray_session):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        from search_engine_ray.stages.textstats import repetition_metrics
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = ["spam spam spam ham eggs spam", "a b", "x", ""]
+        for _ in range(50):
+            texts.append(
+                " ".join(rng.choice(vocab, size=rng.integers(1, 60)).tolist())
+            )
+        batch = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        out = repetition_metrics(batch).to_pandas()
+
+        for i, t in enumerate(texts):
+            tk = t.split()
+            n = len(tk)
+            row = out.iloc[i]
+            assert row["n_tokens"] == n
+            exp_tok = round(max(Counter(tk).values()) / n, 6) if n else 0.0
+            assert row["top_token_frac"] == pytest.approx(exp_tok)
+            bi = Counter(zip(tk, tk[1:]))
+            exp_bi = round(max(bi.values()) / (n - 1), 6) if n >= 2 else 0.0
+            assert row["top_bigram_frac"] == pytest.approx(exp_bi)
+            tri = Counter(zip(tk, tk[1:], tk[2:]))
+            dup = sum(c for c in tri.values() if c >= 2)
+            exp_tri = round(dup / (n - 2), 6) if n >= 3 else 0.0
+            assert row["dup_trigram_frac"] == pytest.approx(exp_tri)
+
+        # planted: "spam" 4/6 tokens; no repeated trigram
+        assert out.iloc[0]["top_token_frac"] == pytest.approx(
+            round(4 / 6, 6)
+        )
+        assert out.iloc[0]["dup_trigram_frac"] == 0.0
+
+
 class TestDuplicateSpans:
     """Exact duplicate k-token span mining vs a naive Python scan."""
 
