@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": q.session_windows,
         # similarity search
         "similarity_top10": q.similarity_top10,
+        # hybrid lexical+vector retrieval (reciprocal-rank fusion)
+        "hybrid_rrf_top10": q.hybrid_rrf_top10,
         "embedding_pairs": q.embedding_pairs,
         # relational demos (broadcast join + partial aggregation)
         "pricing_summary": q.pricing_summary,
@@ -162,6 +164,76 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score, 6) AS score FROM scored
             ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        # hybrid RRF: BM25 ranks (same scoring CTE as bm25_top10, raw
+        # scores) + cosine ranks, fused as 1/(60+r) + 1/(60+r) — both
+        # terms are identical IEEE doubles in both engines, so ordering
+        # and the round-6 output match exactly
+        "hybrid_rrf_top10": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT sum(len({_TOKS})) FROM documents) AS sdl
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+            ),
+            df AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM toks
+              WHERE term IN ('spark', 'join') GROUP BY term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum(
+                       ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1) *
+                       (tf.tf * (1.2 + 1)) /
+                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 *
+                           (dl.dl / (stats.sdl * 1.0 / stats.n))))
+                     ) AS score
+              FROM tf
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+              GROUP BY tf.doc_id
+            ),
+            brank AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                         AS r
+              FROM scored
+              QUALIFY r <= 50
+            ),
+            vq AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS q
+              FROM embeddings WHERE vec_id = 0
+            ),
+            vsim AS (
+              SELECT vec_id,
+                     list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]), (SELECT q FROM vq)
+                     ) AS sim
+              FROM embeddings
+            ),
+            vrank AS (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+                         AS r
+              FROM vsim
+              QUALIFY r <= 50
+            )
+            SELECT COALESCE(b.doc_id, v.vec_id)::BIGINT AS doc_id,
+                   round(COALESCE(1.0 / (60 + b.r), 0)
+                         + COALESCE(1.0 / (60 + v.r), 0), 6) AS rrf
+            FROM brank b
+            FULL OUTER JOIN vrank v ON b.doc_id = v.vec_id
+            ORDER BY (COALESCE(1.0 / (60 + b.r), 0)
+                      + COALESCE(1.0 / (60 + v.r), 0)) DESC,
+                     doc_id ASC
+            LIMIT 10
         """,
         "phrase_docs": f"""
             SELECT doc_id FROM documents

@@ -385,6 +385,47 @@ def similarity_top10(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
 
 
+def hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
+    """Hybrid lexical+vector search: BM25 top-50 ("spark join", OR) and
+    exact cosine top-50 (query = doc 0's embedding) fused with
+    reciprocal-rank fusion (Cormack et al. 2009: score = Σ 1/(60+rank)).
+    Both legs are the existing distributed operators (scatter-gather
+    BM25 engine; broadcast-matrix partial top-k); the fusion runs over
+    ≤100 (doc, rank) rows.  Oracle: the bm25_top10 SQL + DuckDB
+    list_cosine_similarity with row_number ranks, fused identically —
+    the 1/(60+r) terms are the same IEEE doubles in both engines."""
+    s = _searcher(sf_dir)
+    bm = s.search("spark join", size=50, operator="or")
+    bm_rank = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qv = (
+        ds.map_batches(
+            lambda b: b.filter(pc.field("vec_id") == 0),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["embedding"]
+        .iloc[0]
+    )
+    vec = sim.brute_force_topk(
+        ds, np.asarray(qv, dtype=np.float64), k=50, dtype=np.float64
+    )
+    vec_rank = {int(d): i + 1 for i, d in enumerate(vec["vec_id"])}
+
+    docs = sorted(set(bm_rank) | set(vec_rank))
+    rrf = [
+        (1.0 / (60 + bm_rank[d]) if d in bm_rank else 0.0)
+        + (1.0 / (60 + vec_rank[d]) if d in vec_rank else 0.0)
+        for d in docs
+    ]
+    out = pd.DataFrame({"doc_id": docs, "rrf": rrf})
+    out = out.sort_values(
+        ["rrf", "doc_id"], ascending=[False, True]
+    ).head(10)
+    out["rrf"] = out["rrf"].round(6)
+    return out.reset_index(drop=True).astype({"doc_id": "int64"})
+
+
 def embedding_pairs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = sim.all_pairs_above(ds, threshold=0.42, dtype=np.float64)
