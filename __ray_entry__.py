@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_user_value": q.tumbling_user_value,
         "sliding_user_value": q.sliding_user_value,
         "session_windows": q.session_windows,
+        # exact distributed count(DISTINCT) per tumbling window
+        "distinct_users_hourly": q.distinct_users_hourly,
         # similarity search
         "similarity_top10": q.similarity_top10,
         # hybrid lexical+vector retrieval (reciprocal-rank fusion)
@@ -344,6 +346,12 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CAST(round(value * 1000000) AS BIGINT))
                          / 1000000.0, 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "distinct_users_hourly": """
+            SELECT (CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                    * 3600000000)::BIGINT AS window_us,
+                   count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "sliding_user_value": """
             WITH starts AS (

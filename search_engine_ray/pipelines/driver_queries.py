@@ -366,6 +366,17 @@ def ivf_top10(sf_dir: str) -> pd.DataFrame:
     return out.astype({"qid": "int64", "vec_id": "int64"})
 
 
+def distinct_users_hourly(sf_dir: str) -> pd.DataFrame:
+    """Exact count(DISTINCT user_id) per 1h tumbling window
+    (stages/windows.py::tumbling_distinct) — the two-level dedup shape
+    that replaces a per-window HyperLogLog when exactness matters."""
+    out = win.tumbling_distinct(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"]),
+        ts_field="ts", window_us=3_600_000_000, distinct_field="user_id",
+    )
+    return out.astype({"window_us": "int64", "n_distinct": "int64"})
+
+
 def similarity_top10(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = (

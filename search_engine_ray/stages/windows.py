@@ -62,6 +62,45 @@ def tumbling_window(
     return merged.sort_values([key_field, "window_us"]).reset_index(drop=True)
 
 
+def tumbling_distinct(
+    ds: rd.Dataset,
+    ts_field: str,
+    window_us: int,
+    distinct_field: str,
+) -> pd.DataFrame:
+    """EXACT distinct-count per tumbling window (``count(DISTINCT k)``
+    as a distributed op, not a sketch): per-batch (window, k) dedup
+    shrinks the shuffle to unique pairs per batch, a first
+    ``groupby(window, k)`` finishes the global dedup, and a second tiny
+    ``groupby(window)`` counts — at no point does any task hold a whole
+    window's key set."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_field], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        win = (ts // window_us) * window_us
+        df = pd.DataFrame({
+            "window_us": win,
+            "k": batch[distinct_field].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_us", "k"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda b: b.select(["window_us"]), batch_format="pyarrow"
+        )
+        .groupby("window_us")
+        .aggregate(Count(alias_name="n_distinct"))
+        .to_pandas()
+    )
+    return out.sort_values("window_us").reset_index(drop=True)
+
+
 def sliding_window(
     ds: rd.Dataset,
     ts_field: str,

@@ -564,6 +564,30 @@ class TestWindows:
         assert u1["n_events"].tolist() == [2, 1]
 
 
+class TestTumblingDistinct:
+    def test_exact_distinct_across_batches(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.windows import tumbling_distinct
+
+        rng = np.random.default_rng(17)
+        n = 5000
+        ts = rng.integers(0, 10 * 3_600_000_000, n)
+        users = rng.integers(0, 40, n)  # heavy repeats across batches
+        df = pd.DataFrame({"ts": ts, "user_id": users})
+        out = tumbling_distinct(
+            rd.from_pandas(df).repartition(8),
+            ts_field="ts", window_us=3_600_000_000,
+            distinct_field="user_id",
+        )
+        ref = (
+            df.assign(w=(df["ts"] // 3_600_000_000) * 3_600_000_000)
+            .groupby("w")["user_id"].nunique()
+        )
+        got = dict(zip(out["window_us"], out["n_distinct"]))
+        assert got == {int(w): int(c) for w, c in ref.items()}
+
+
 class TestSessionHotKey:
     def test_hot_key_sessions_match_pandas_reference(self, ray_session):
         """One user owns 50% of 40k events: the skew-safe path (sorted
