@@ -79,3 +79,47 @@ def test_doc_id_stable():
     assert url_doc_id("https://a.example/x") == url_doc_id("https://a.example/x")
     assert url_doc_id("https://a.example/x") != url_doc_id("https://a.example/y")
     assert 0 <= url_doc_id("u") < 2**63
+
+
+class TestUrlCanonicalization:
+    def test_canonical_forms(self, ray_session):
+        import pyarrow as pa
+
+        from search_engine_ray.stages.urls import canonicalize_urls
+
+        cases = [
+            ("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&id=3#frag",
+             "http://example.com/a/b?id=3", "example.com"),
+            ("https://Example.com:443/", "https://example.com/",
+             "example.com"),
+            ("https://example.com", "https://example.com/",
+             "example.com"),
+            ("https://host3.example/p/1/doc-9",
+             "https://host3.example/p/1/doc-9", "host3.example"),
+            ("https://a.b/x?fbclid=1&gclid=2&utm_campaign=3",
+             "https://a.b/x", "a.b"),
+            ("https://a.b/x?keep=1&utm_x=2&also=3",
+             "https://a.b/x?keep=1&also=3", "a.b"),
+            ("https://www.a.b:8080/x/", "https://a.b:8080/x", "a.b:8080"),
+            ("not a url", "not a url", None),
+        ]
+        batch = pa.table({"url": pa.array([c[0] for c in cases])})
+        out = canonicalize_urls(batch)
+        assert out["url_canon"].to_pylist() == [c[1] for c in cases]
+        assert out["host"].to_pylist() == [c[2] for c in cases]
+
+    def test_host_doc_counts_over_corpus(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from search_engine_ray.sources import generate_pages
+        from search_engine_ray.stages.urls import host_doc_counts
+
+        generate_pages(str(tmp_path / "corpus"), n_rows=500, seed=1,
+                       n_files=2)
+        ds = rd.read_parquet(str(tmp_path / "corpus"), columns=["url"])
+        out = host_doc_counts(ds)
+        assert out["n_docs"].sum() == 500
+        # generator urls are https://hostN.example/... → hosts look right
+        assert out["host"].str.match(r"host\d+\.example").all()
+        # descending counts, host asc tie-break
+        assert (out["n_docs"].diff().dropna() <= 0).all()
