@@ -26,8 +26,9 @@ def varbyte_encode(values: np.ndarray) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # exact byte length per value: 1 + (#thresholds <= v)
-    lengths = 1 + (v[:, None] >= _THRESH[None, :]).sum(axis=1)
+    # exact byte length per value: 1 + (#thresholds <= v), via binary
+    # search (no n×9 comparison matrix)
+    lengths = np.searchsorted(_THRESH, v, side="right") + 1
     offsets = np.zeros(v.size, dtype=np.int64)
     np.cumsum(lengths[:-1], out=offsets[1:])
     out = np.zeros(int(lengths.sum()), dtype=np.uint8)
@@ -50,7 +51,7 @@ def varbyte_encode_with_offsets(values: np.ndarray) -> Tuple[bytes, np.ndarray]:
     bounds = np.zeros(v.size + 1, dtype=np.int64)
     if v.size == 0:
         return b"", bounds
-    lengths = 1 + (v[:, None] >= _THRESH[None, :]).sum(axis=1)
+    lengths = np.searchsorted(_THRESH, v, side="right") + 1
     np.cumsum(lengths, out=bounds[1:])
     offsets = bounds[:-1]
     out = np.zeros(int(bounds[-1]), dtype=np.uint8)

@@ -106,21 +106,18 @@ class BuildBlocks:
             # whole-batch decode over the columns' zero-copy value
             # buffers (a binary column's data buffer IS the row-order
             # concatenation of its blobs — no to_pylist, no join)
-            flat_docs = varbyte_decode(
-                _binary_values(batch["docs"])
-            ).astype(np.int64)
-            flat_tfs = varbyte_decode(
-                _binary_values(batch["tfs"])
-            ).astype(np.int64)
-            flat_dls = varbyte_decode(
-                _binary_values(batch["dls"])
-            ).astype(np.int64)
+            flat_docs = varbyte_decode(_binary_values(batch["docs"]))
+            flat_tfs = varbyte_decode(_binary_values(batch["tfs"]))
+            flat_dls = varbyte_decode(_binary_values(batch["dls"]))
             bounds = np.zeros(m + 1, dtype=np.int64)
             np.cumsum(ns, out=bounds[1:])
             # un-delta docs per mini: abs[k] = csum[k] - csum[start-1]
-            c = np.cumsum(flat_docs)
+            c = np.cumsum(flat_docs)  # uint64 — keep every temp unsigned
             base = np.repeat(
-                np.concatenate(([0], c[bounds[1:-1] - 1])), ns
+                np.concatenate(
+                    (np.zeros(1, np.uint64), c[bounds[1:-1] - 1])
+                ),
+                ns,
             )
             docs_abs = c - base
 
@@ -166,16 +163,12 @@ class BuildBlocks:
                 block_starts.extend(range(int(s), int(e), B))
             bs = np.asarray(block_starts, dtype=np.int64)
             be = np.append(bs[1:], n)
-            gaps = docs_s.astype(np.uint64).copy()
-            gaps[1:] = (docs_s[1:] - docs_s[:-1]).astype(np.uint64)
-            gaps[bs] = docs_s[bs].astype(np.uint64)
+            gaps = docs_s.copy()  # already uint64
+            gaps[1:] = docs_s[1:] - docs_s[:-1]
+            gaps[bs] = docs_s[bs]
             docs_blob, docs_off = varbyte_encode_with_offsets(gaps)
-            tfs_blob, tfs_off = varbyte_encode_with_offsets(
-                tfs_s.astype(np.uint64)
-            )
-            dls_blob, dls_off = varbyte_encode_with_offsets(
-                dls_s.astype(np.uint64)
-            )
+            tfs_blob, tfs_off = varbyte_encode_with_offsets(tfs_s)
+            dls_blob, dls_off = varbyte_encode_with_offsets(dls_s)
             out["term"] = term_of_run[run_s[bs]].tolist()
             out["n"] = (be - bs).astype(np.int32).tolist()
             out["doc_min"] = docs_s[bs].tolist()
@@ -202,11 +195,10 @@ class BuildBlocks:
                 lg = flat_plens[g]
                 out_bounds = np.zeros(total + 1, dtype=np.int64)
                 np.cumsum(lg, out=out_bounds[1:])
-                byte_idx = (
-                    np.arange(int(out_bounds[-1]), dtype=np.int64)
-                    - np.repeat(out_bounds[:-1], lg)
-                    + np.repeat(pos_starts[g], lg)
-                )
+                # one repeat instead of two: shift maps each output
+                # byte's position to its source position
+                byte_idx = np.arange(int(out_bounds[-1]), dtype=np.int64)
+                byte_idx += np.repeat(pos_starts[g] - out_bounds[:-1], lg)
                 permuted = allpos[byte_idx].tobytes()
                 out["pos"] = [
                     permuted[out_bounds[s]: out_bounds[e]]
@@ -285,7 +277,7 @@ class BuildBlocks:
             be = np.append(bs[1:], n)
             # a block never crosses a term boundary: every run start is a
             # block start, so each block's rows share one term
-            gaps = docs.astype(np.uint64).copy()
+            gaps = docs.astype(np.uint64)  # astype always copies
             gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
             gaps[bs] = docs[bs].astype(np.uint64)
 

@@ -25,9 +25,10 @@ so the vectorized chain is byte-identical to
 
 from __future__ import annotations
 
-from typing import Dict, FrozenSet, List, Sequence, Tuple
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -84,9 +85,14 @@ def combine_postings_batch(
     n_docs: int,
     sum_dl: int,
     store_positions: bool,
+    term_ids: "Optional[np.ndarray]" = None,
 ) -> pa.Table:
     """Batch postings → mini-list rows (one per distinct term), plus the
-    STATS_TERM sentinel carrying (n_docs, sum_dl) in ``dls``."""
+    STATS_TERM sentinel carrying (n_docs, sum_dl) in ``dls``.
+
+    ``term_ids`` (optional): a per-posting integer id with the same
+    equality classes as ``terms`` — lets the group-by sort run on ints
+    instead of O(P log P) object-string comparisons."""
     P = len(terms)
     out = {k: [] for k in MINI_POSTINGS_SCHEMA.names}
     if P:
@@ -94,13 +100,21 @@ def combine_postings_batch(
         doc = np.asarray(t_doc, dtype=np.int64)
         tf = np.asarray(t_tf, dtype=np.int64)
         dl = np.asarray(t_dl, dtype=np.int64)
-        order = np.lexsort((doc, term_arr))
+        if term_ids is not None:
+            order = np.lexsort((doc, term_ids))
+            grp = term_ids[order]
+        else:
+            order = np.lexsort((doc, term_arr))
+            grp = None
         term_s, doc_s, tf_s, dl_s = (
             term_arr[order], doc[order], tf[order], dl[order]
         )
         change = np.empty(P, dtype=bool)
         change[0] = True
-        change[1:] = term_s[1:] != term_s[:-1]
+        if grp is not None:
+            change[1:] = grp[1:] != grp[:-1]
+        else:
+            change[1:] = term_s[1:] != term_s[:-1]
         rs = np.flatnonzero(change)
         re_ = np.append(rs[1:], P)
 
@@ -485,68 +499,111 @@ class TokenizePostings:
             ]
         n = len(doc_ids)
 
-        terms: List[str] = []
-        t_doc: List[int] = []
-        t_tf: List[int] = []
-        t_dl: List[int] = []
-        sum_dl = 0
-        # position payloads for ALL postings in the batch are accumulated
-        # flat ([count, first, gaps...] per posting) and varbyte-encoded in
-        # ONE vectorized pass, then sliced per posting by byte offsets —
-        # a per-posting encode call here dominates the whole build otherwise
-        flat_pos: List[int] = []
-        pos_bounds: List[int] = [0]
-
-        for i in range(n):
-            # doc length: total tokens over top-level string fields
-            # (SearchEngine.ts:234-237)
-            dl = 0
-            row_entries: Dict[str, List[int]] = {}
-            for field, _ in self.fields:
-                toks_list = per_field.get(field)
-                if toks_list is None:
-                    continue
-                toks = toks_list[i]
-                dl += len(toks)
-                pref = field + ":"
-                for p, tok in enumerate(toks):
-                    key = pref + tok
-                    lst = row_entries.get(key)
-                    if lst is None:
-                        row_entries[key] = [p]
-                    else:
-                        lst.append(p)
-            sum_dl += dl
-            did = int(doc_ids[i])
-            for key, positions in row_entries.items():
-                terms.append(key)
-                t_doc.append(did)
-                t_tf.append(len(positions))
-                t_dl.append(dl)
-                if self.store_positions:
-                    flat_pos.append(len(positions))
-                    prev = 0
-                    for p in positions:
-                        flat_pos.append(p - prev)
-                        prev = p
-                    pos_bounds.append(len(flat_pos))
-
-        if self.store_positions:
-            blob, offs = varbyte_encode_with_offsets(
-                np.asarray(flat_pos, dtype=np.uint64)
+        # ---- vectorized posting assembly -------------------------------
+        # Flatten every field's token occurrences once, factorize tokens
+        # to integer ids (pd.factorize, C speed), and group occurrences
+        # into (row, term) postings with ONE stable integer argsort —
+        # replaces the per-token dict/append loop that used to dominate
+        # this stage's CPU.  Semantics are identical: positions are
+        # field-local ascending, dl = total tokens over configured
+        # fields, duplicate doc_ids in one batch stay separate rows.
+        occ_tid: List[np.ndarray] = []
+        occ_row: List[np.ndarray] = []
+        occ_pos: List[np.ndarray] = []
+        uniq_terms: List[np.ndarray] = []
+        offset = 0
+        dl_per_row = np.zeros(n, dtype=np.int64)
+        for field, _ in self.fields:
+            toks_list = per_field.get(field)
+            if toks_list is None:
+                continue
+            lens = np.fromiter(
+                (len(t) for t in toks_list), np.int64, count=n
             )
+            dl_per_row += lens
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.empty(total, dtype=object)
+            w = 0
+            for toks in toks_list:
+                flat[w : w + len(toks)] = toks
+                w += len(toks)
+            codes, uniques = pd.factorize(flat)
+            occ_tid.append(codes.astype(np.int64) + offset)
+            occ_row.append(np.repeat(np.arange(n, dtype=np.int64), lens))
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            occ_pos.append(
+                np.arange(total, dtype=np.int64)
+                - np.repeat(starts, lens)
+            )
+            pref = field + ":"
+            uniq_terms.append(
+                np.asarray([pref + t for t in uniques], dtype=object)
+            )
+            offset += len(uniques)
+        sum_dl = int(dl_per_row.sum())
+
+        if occ_tid:
+            tid = np.concatenate(occ_tid)
+            row = np.concatenate(occ_row)
+            posv = np.concatenate(occ_pos)
+            all_terms = np.concatenate(uniq_terms)
+            key = row * offset + tid  # row-major, term-id within row
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            pos_s = posv[order]
+            n_occ = len(key_s)
+            new = np.empty(n_occ, dtype=bool)
+            new[0] = True
+            new[1:] = key_s[1:] != key_s[:-1]
+            rs = np.flatnonzero(new)
+            tf_arr = np.diff(np.append(rs, n_occ))
+            run_tid = tid[order][rs]
+            run_row = row[order][rs]
+            terms_np = all_terms[run_tid]
+            t_doc_np = doc_ids[run_row]
+            t_dl_np = dl_per_row[run_row]
+        else:
+            tf_arr = np.empty(0, dtype=np.int64)
+            run_tid = np.empty(0, dtype=np.int64)
+            terms_np = np.empty(0, dtype=object)
+            t_doc_np = np.empty(0, dtype=np.int64)
+            t_dl_np = np.empty(0, dtype=np.int64)
+
+        n_runs = len(tf_arr)
+        if self.store_positions and n_runs:
+            # flat layout per posting: [tf, first, gaps...] — encoded in
+            # one vectorized pass, sliced per posting by byte offsets
+            gaps = pos_s.astype(np.uint64)
+            gaps[1:] = (pos_s[1:] - pos_s[:-1]).astype(np.uint64)
+            gaps[rs] = pos_s[rs].astype(np.uint64)
+            run_of_occ = np.cumsum(new) - 1
+            flat_vals = np.empty(n_occ + n_runs, dtype=np.uint64)
+            flat_vals[rs + np.arange(n_runs)] = tf_arr.astype(np.uint64)
+            flat_vals[
+                np.arange(n_occ, dtype=np.int64) + run_of_occ + 1
+            ] = gaps
+            blob, offs = varbyte_encode_with_offsets(flat_vals)
+            pb = np.zeros(n_runs + 1, dtype=np.int64)
+            np.cumsum(tf_arr + 1, out=pb[1:])
             t_pos = [
-                blob[offs[pos_bounds[j]] : offs[pos_bounds[j + 1]]]
-                for j in range(len(terms))
+                blob[offs[pb[j]] : offs[pb[j + 1]]]
+                for j in range(n_runs)
             ]
         else:
-            t_pos = [b""] * len(terms)
+            t_pos = [b""] * n_runs
 
         if self.combine:
             return combine_postings_batch(
-                terms, t_doc, t_tf, t_dl, t_pos, n, sum_dl,
-                self.store_positions,
+                terms_np, t_doc_np, tf_arr, t_dl_np, t_pos, n, sum_dl,
+                self.store_positions, term_ids=run_tid,
             )
+        terms = terms_np.tolist()
+        t_doc = t_doc_np.tolist()
+        t_tf = tf_arr.tolist()
+        t_dl = t_dl_np.tolist()
 
         # per-batch doc-stat partial
         terms.append(STATS_TERM)
