@@ -1040,14 +1040,51 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
     with a tiny groupby — oracle-checked against DuckDB's
     ``json_extract``.  (At 100 TB the per-batch partial keeps the
     shuffle to |event_type| rows per task.)"""
+    # Vectorized fast path: a FLAT JSON object whose values are all plain
+    # numbers (no nested objects/arrays, no string values a '"k":' could
+    # hide inside) — there the first top-level "k" integer IS $.k.  Rows
+    # that don't match the strict shape (nested JSON, string values,
+    # float k, missing k) fall back to per-row json.loads with DuckDB
+    # CAST-to-BIGINT semantics; on this corpus that's zero rows.
+    _num = r'"[^"\\]*"\s*:\s*-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?'
+    _fast = (
+        r'^\{\s*(?:' + _num + r'\s*,\s*)*"k"\s*:\s*(?P<k>-?\d+)'
+        r'\s*(?:,\s*' + _num + r')*\s*\}$'
+    )
+
+    def _k_slow(s) -> "int | None":
+        import json
+        import math
+
+        try:
+            v = json.loads(s).get("k") if s is not None else None
+        except (ValueError, AttributeError):
+            return None
+        if isinstance(v, bool) or isinstance(v, int):
+            return int(v)
+        if isinstance(v, float):
+            # DuckDB CAST(DOUBLE AS BIGINT) rounds half-away-from-zero
+            return int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5))
+        if isinstance(v, str):
+            try:
+                return int(v)
+            except ValueError:
+                return None
+        return None
+
     def partial(batch: pa.Table) -> pa.Table:
         ks = pc.cast(
-            pc.struct_field(
-                pc.extract_regex(batch["props"], r'"k":\s*(?P<k>-?\d+)'),
-                "k",
-            ),
+            pc.struct_field(pc.extract_regex(batch["props"], _fast), "k"),
             pa.int64(),
         )
+        miss = pc.is_null(ks).to_numpy(zero_copy_only=False)
+        if miss.any():
+            idx = np.flatnonzero(miss)
+            raw = batch["props"].take(pa.array(idx)).to_pylist()
+            vals = ks.to_pylist()
+            for i, s in zip(idx, raw):
+                vals[i] = _k_slow(s)
+            ks = pa.array(vals, pa.int64())
         # map-side combine: the shuffle moves |event_type| rows per
         # batch instead of every event row
         return (

@@ -1063,8 +1063,14 @@ def cluster_pairs(
     from ray.data.aggregate import Min
 
     P = num_partitions or default_pool_size()
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="ser_cc_")
-    own_scratch = scratch_dir is None
+    # ``scratch_dir`` is the PARENT location (e.g. a big disk) — each run
+    # works in a fresh private subdir so reruns never read stale files,
+    # and the subdir is always cleaned (the result is materialized).
+    if scratch_dir is not None:
+        os.makedirs(scratch_dir, exist_ok=True)
+        scratch = tempfile.mkdtemp(prefix="ser_cc_", dir=scratch_dir)
+    else:
+        scratch = tempfile.mkdtemp(prefix="ser_cc_")
 
     def bidir(b: pa.Table) -> pa.Table:
         a = _pc.cast(b[id_a], pa.int64())
@@ -1083,70 +1089,68 @@ def cluster_pairs(
         "cluster_id": pa.array([], pa.int64()),
     })
 
-    edges_dir = os.path.join(scratch, "edges")
-    pairs.map_batches(bidir, batch_format="pyarrow").write_parquet(edges_dir)
-    # an empty pair list writes no files at all (write_parquet skips
-    # empty datasets) — that's the "no duplicates anywhere" case
-    if not os.path.isdir(edges_dir) or not os.listdir(edges_dir):
-        if own_scratch:
-            shutil.rmtree(scratch, ignore_errors=True)
-        return rd.from_arrow(empty)
-    edges = rd.read_parquet(edges_dir)
-    if edges.count() == 0:
-        if own_scratch:
-            shutil.rmtree(scratch, ignore_errors=True)
-        return rd.from_arrow(empty)
+    try:
+        edges_dir = os.path.join(scratch, "edges")
+        pairs.map_batches(bidir, batch_format="pyarrow").write_parquet(
+            edges_dir
+        )
+        # an empty pair list writes no files at all (write_parquet skips
+        # empty datasets) — that's the "no duplicates anywhere" case
+        if not os.path.isdir(edges_dir) or not os.listdir(edges_dir):
+            return rd.from_arrow(empty)
+        edges = rd.read_parquet(edges_dir)
+        if edges.count() == 0:
+            return rd.from_arrow(empty)
 
-    def _as_u_l(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["u", "l"])
+        def _as_u_l(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["u", "l"])
 
-    # L0(v) = min(N(v) ∪ {v}) — the first hash-min round applied to
-    # the identity labeling, for free off the edge list itself
-    cur = os.path.join(scratch, "labels_0")
-    (
-        edges.groupby("v")
-        .aggregate(Min("u", alias_name="l"))
-        .map_batches(_as_u_l, batch_format="pyarrow")
-        .write_parquet(cur)
-    )
-    prev_sum = rd.read_parquet(cur).sum("l")
-
-    converged = False
-    for it in range(1, max_iters + 1):
-        lbl = rd.read_parquet(cur)
-        nxt = os.path.join(scratch, f"labels_{it}")
+        # L0(v) = min(N(v) ∪ {v}) — the first hash-min round applied to
+        # the identity labeling, for free off the edge list itself
+        cur = os.path.join(scratch, "labels_0")
         (
-            edges.join(lbl, join_type="inner", num_partitions=P, on=("u",))
-            .map_batches(
-                lambda b: b.select(["v", "l"]), batch_format="pyarrow"
-            )
-            .groupby("v")
-            .aggregate(Min("l", alias_name="l"))
+            edges.groupby("v")
+            .aggregate(Min("u", alias_name="l"))
             .map_batches(_as_u_l, batch_format="pyarrow")
-            .write_parquet(nxt)
+            .write_parquet(cur)
         )
-        cur = nxt
-        s = rd.read_parquet(cur).sum("l")
-        if s == prev_sum:
-            converged = True
-            break
-        prev_sum = s
-    if not converged:
-        if own_scratch:
-            shutil.rmtree(scratch, ignore_errors=True)
-        raise RuntimeError(
-            f"cluster_pairs did not converge in {max_iters} rounds "
-            "(component diameter exceeds max_iters; raise max_iters)"
-        )
+        prev_sum = rd.read_parquet(cur).sum("l")
 
-    out = (
-        rd.read_parquet(cur)
-        .map_batches(
-            lambda b: b.rename_columns(["doc_id", "cluster_id"]),
-            batch_format="pyarrow",
+        converged = False
+        for it in range(1, max_iters + 1):
+            lbl = rd.read_parquet(cur)
+            nxt = os.path.join(scratch, f"labels_{it}")
+            (
+                edges.join(
+                    lbl, join_type="inner", num_partitions=P, on=("u",)
+                )
+                .map_batches(
+                    lambda b: b.select(["v", "l"]), batch_format="pyarrow"
+                )
+                .groupby("v")
+                .aggregate(Min("l", alias_name="l"))
+                .map_batches(_as_u_l, batch_format="pyarrow")
+                .write_parquet(nxt)
+            )
+            cur = nxt
+            s = rd.read_parquet(cur).sum("l")
+            if s == prev_sum:
+                converged = True
+                break
+            prev_sum = s
+        if not converged:
+            raise RuntimeError(
+                f"cluster_pairs did not converge in {max_iters} rounds "
+                "(component diameter exceeds max_iters; raise max_iters)"
+            )
+
+        return (
+            rd.read_parquet(cur)
+            .map_batches(
+                lambda b: b.rename_columns(["doc_id", "cluster_id"]),
+                batch_format="pyarrow",
+            )
+            .materialize()
         )
-        .materialize()
-    )
-    if own_scratch:
+    finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    return out

@@ -143,7 +143,12 @@ def repetition_metrics(
     def frac(num, den):
         out = np.zeros(n_docs, np.float64)
         nz = den > 0
-        out[nz] = np.round(num[nz] / den[nz], 6)
+        # DuckDB round() is half-away-from-zero (std::round on the
+        # scaled double); np.round is half-to-even and diverges on exact
+        # .5 ties (e.g. 5/128 → .039062 vs .039063).  Values are ≥0 here,
+        # so half-away == floor(x·1e6 + 0.5).
+        x = num[nz] / den[nz]
+        out[nz] = np.floor(x * 1e6 + 0.5) / 1e6
         return out
 
     return batch.append_column(

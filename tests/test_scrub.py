@@ -401,3 +401,39 @@ class TestGroupQuantiles:
         got = got[["g", "q", "v"]].reset_index(drop=True)
         want = want.astype(got.dtypes.to_dict()).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestPropsKSum:
+    def test_tricky_json_matches_duckdb(self, ray_session, tmp_path):
+        """$.k extraction must agree with DuckDB json_extract on JSON the
+        vectorized fast path can't guarantee: nested objects shadowing k,
+        string values containing '"k":', float k, missing k."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.pipelines.driver_queries import props_k_sum
+
+        props = [
+            '{"k": 87}',                          # fast path
+            '{"a": 1, "k": -3, "b": 2}',          # fast path, mid-object
+            '{"a": {"k": 1}, "k": 2}',            # nested decoy
+            '{"note": "\\"k\\": 7", "k": 5}',     # string decoy
+            '{"k": 1.5}',                         # float → CAST rounds
+            '{"a": 9}',                           # missing k → NULL
+            '{"k": "7"}',                         # quoted number → 7
+        ]
+        t = pa.table({
+            "event_type": pa.array(["t"] * len(props)),
+            "props": pa.array(props),
+        })
+        pq.write_table(t, tmp_path / "events.parquet")
+        got = props_k_sum(str(tmp_path))
+        want = duckdb.sql(f"""
+            SELECT event_type,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+                   count(*)::BIGINT AS n
+            FROM read_parquet('{tmp_path}/events.parquet')
+            GROUP BY event_type ORDER BY event_type
+        """).df()
+        want = want.astype(got.dtypes.to_dict())
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want)

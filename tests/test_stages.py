@@ -207,6 +207,27 @@ class TestRepetitionMetrics:
         )
         assert out.iloc[0]["dup_trigram_frac"] == 0.0
 
+    def test_half_away_rounding_ties(self, ray_session):
+        """Exact .5 ties must round half-away-from-zero like DuckDB's
+        round(), not half-to-even: 5/128 = 0.0390625 → 0.039063 (np.round
+        would give 0.039062 and break the oracle hash at scale)."""
+        import pyarrow as pa
+
+        from search_engine_ray.stages.textstats import repetition_metrics
+
+        toks = ["z"] * 5 + [f"u{i}" for i in range(123)]
+        batch = pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array([" ".join(toks)], pa.string()),
+        })
+        out = repetition_metrics(batch).to_pandas()
+        assert out.iloc[0]["n_tokens"] == 128
+        assert out.iloc[0]["top_token_frac"] == 0.039063
+        import duckdb
+
+        oracle = duckdb.sql("SELECT round(5::DOUBLE / 128, 6)").fetchone()[0]
+        assert out.iloc[0]["top_token_frac"] == oracle
+
 
 class TestDuplicateSpans:
     """Exact duplicate k-token span mining vs a naive Python scan."""
@@ -347,6 +368,31 @@ class TestClusterPairs:
         chain = pd.DataFrame({"a": list(range(20)), "b": list(range(1, 21))})
         with pytest.raises(RuntimeError, match="did not converge"):
             cluster_pairs(rd.from_pandas(chain), max_iters=2)
+
+    def test_scratch_dir_reuse(self, ray_session, tmp_path):
+        """A caller-supplied scratch_dir is a PARENT location: two runs
+        into the same dir must not read each other's edge files, and the
+        per-run subdirs are cleaned up."""
+        import os
+
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cluster_pairs
+
+        scratch = str(tmp_path / "cc_scratch")
+        p1 = pd.DataFrame({"a": [1, 2], "b": [2, 3]})
+        p2 = pd.DataFrame({"a": [10], "b": [11]})
+        out1 = cluster_pairs(
+            rd.from_pandas(p1), scratch_dir=scratch
+        ).to_pandas()
+        out2 = cluster_pairs(
+            rd.from_pandas(p2), scratch_dir=scratch
+        ).to_pandas()
+        assert set(out1["doc_id"]) == {1, 2, 3}
+        # run 2 must see ONLY its own edges — no stale merge with run 1
+        assert set(out2["doc_id"]) == {10, 11}
+        assert set(out2["cluster_id"]) == {10}
+        assert os.listdir(scratch) == []
 
 
 class TestSimilarity:
