@@ -32,7 +32,6 @@ partitions are removed too.
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -181,9 +180,7 @@ def _docs_pipeline(
     files: List[str],
     cfg: BuildConfig,
     dedup_meta_files: Optional[List[str]] = None,
-    eager_winners: bool = False,
     winner: Optional[Dict[str, tuple]] = None,
-    scratch_dir: Optional[str] = None,
 ) -> rd.Dataset:
     if cfg.mappings is not None:
         ds = rd.read_parquet(files, columns=cfg.read_columns)
@@ -202,15 +199,14 @@ def _docs_pipeline(
         if not cfg.extract_html and "text" not in cols:
             cols.append("text")
     cols = sorted(set(cols))
-    ds = rd.read_parquet(files, columns=cols)
     if cfg.dedup:
         ds = _dedup_split(
-            files, cols, ds,
+            files, cols,
             meta_files=dedup_meta_files,
-            eager_winners=eager_winners,
             winner=winner,
-            scratch_dir=scratch_dir,
         )
+    else:
+        ds = rd.read_parquet(files, columns=cols)
     if cfg.extract_html:
         # extraction runs AFTER dedup, so loser duplicates are never parsed
         ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
@@ -222,172 +218,224 @@ def _docs_pipeline(
     return ds
 
 
+_TS_BIAS = 1 << 63  # composite encoding survives negative timestamps
+
+
+def _comp_encode(ts_us: int, path: str) -> str:
+    """Order-preserving composite of (timestamp, path): fixed-width
+    zero-padded unsigned ts, then path — lexicographic max == row with
+    (max ts, then max path)."""
+    return f"{ts_us + _TS_BIAS:020d}|{path}"
+
+
+def _comp_decode(comp: str) -> Tuple[int, str]:
+    ts_s, path = comp.split("|", 1)
+    return int(ts_s) - _TS_BIAS, path
+
+
 def compute_dedup_winners(
     parts_files: List[List[str]],
     global_mode: bool = False,
 ) -> Dict[int, Dict[str, tuple]]:
-    """ONE metadata Ray job deciding dedup winners for EVERY build
-    partition (instead of one eager groupby job per partition, whose
-    launch+barrier constants dominated stage1 at small scale: ~12 s per
-    partition measured at 50k rows/partition on 32 cpus).
+    """ONE metadata Ray job designating the exact dedup winner ROW for
+    every duplicated url of every build partition, so the payload scan
+    can keep winners with a pure filter (no second corpus read, no
+    groupby in the build DAG — both measured costs at bench scale).
 
-    Non-global mode: winners are per-(partition, url) — the metadata
-    read tags each row with its partition id (via the file path) and
-    groups on a composite ``pid|url`` key, preserving the exact
-    per-partition keep-latest semantics of the original per-partition
-    pass.  Global mode: winners are per-url corpus-wide with a
-    designated winner file (max path among max-ts rows) so exactly one
-    partition keeps exactly one copy.
+    Winner designation per duplicated key (``pid|url`` per-partition, or
+    ``url`` corpus-wide in global mode):
 
-    Returns {partition_index: {url: (max_ts, winner_path | None)}} with
-    only duplicated urls present (empty dict → partition has no dups).
+    * ``max_ts``  — the keep-latest timestamp (reference re-add upsert,
+      ``SearchEngine.ts:223-225``);
+    * ``wpath``   — deterministic tie-break across files: max input path
+      among rows carrying ``max_ts``;
+    * ``n_win``   — how many rows carry exactly ``(max_ts, wpath)``.
+      ``n_win == 1`` (the overwhelmingly common case) → the winner row is
+      uniquely identified and a stateless filter keeps it; ``n_win > 1``
+      (same url, same timestamp, same FILE) → the build routes only those
+      urls through a tiny keep-latest groupby.
+
+    Returns ``{partition_index: {url: (max_ts_us, wpath, n_win)}}`` with
+    only duplicated urls present.  Timestamps are int64 (the column cast
+    to int64, i.e. epoch micros for ``timestamp[us]``).
     """
-    from ray.data.aggregate import Count, Max
+    from ray.data.aggregate import Max
 
     import ray as _ray
 
     all_files = sorted({f for fs in parts_files for f in fs})
+    n_parts = len(parts_files)
     if global_mode:
-        meta = rd.read_parquet(all_files, columns=["url", "warc_ts"])
-        counts = meta.groupby("url").aggregate(
-            Count(alias_name="n"), Max("warc_ts", alias_name="max_ts")
-        )
-        dups = counts.map_batches(
-            lambda b: b.filter(pc.field("n") > 1).select(["url", "max_ts"]),
-            batch_format="pyarrow",
-        ).to_pandas()
-        if dups.empty:
-            return {pi: {} for pi in range(len(parts_files))}
-        winner_ts = dict(zip(dups["url"], dups["max_ts"]))
-        ts_ref = _ray.put(winner_ts)
-
-        def _max_ts_rows(batch: pa.Table) -> pa.Table:
-            d = _ray.get(ts_ref)
-            urls = batch["url"].to_pylist()
-            tss = batch["warc_ts"].to_pylist()
-            mask = pa.array(
-                [u in d and ts == d[u] for u, ts in zip(urls, tss)]
-            )
-            return batch.filter(mask).select(["url", "path"])
-
-        wins = (
-            rd.read_parquet(
-                all_files, columns=["url", "warc_ts"], include_paths=True
-            )
-            .map_batches(_max_ts_rows, batch_format="pyarrow")
-            .groupby("url")
-            .aggregate(Max("path", alias_name="wpath"))
-        ).to_pandas()
-        winner_path = dict(zip(wins["url"], wins["wpath"]))
-        winner = {
-            u: (ts, winner_path.get(u)) for u, ts in winner_ts.items()
+        pid_ref = None
+    else:
+        file_pid = {
+            os.path.abspath(f): pi
+            for pi, fs in enumerate(parts_files)
+            for f in fs
         }
-        return {pi: winner for pi in range(len(parts_files))}
+        pid_ref = _ray.put(file_pid)
 
-    file_pid = {
-        os.path.abspath(f): pi
-        for pi, fs in enumerate(parts_files)
-        for f in fs
-    }
-    pid_ref = _ray.put(file_pid)
+    def _keyed(batch: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
 
-    def _key_rows(batch: pa.Table) -> pa.Table:
-        fp = _ray.get(pid_ref)
         paths = batch["path"].to_pylist()
         urls = batch["url"].to_pylist()
-        keys = [
-            f"{fp.get(os.path.abspath(p), -1)}|{u}"
-            for p, u in zip(paths, urls)
-        ]
+        if pid_ref is None:
+            keys = urls
+        else:
+            fp = _ray.get(pid_ref)
+            keys = [
+                f"{fp.get(os.path.abspath(p), -1)}|{u}"
+                for p, u in zip(paths, urls)
+            ]
+        tss = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        return pd.DataFrame(
+            {
+                "key": keys,
+                "comp": [_comp_encode(t, p) for t, p in zip(tss, paths)],
+            }
+        )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        """Per-batch partial: one row per distinct key carrying
+        (n rows, max composite, rows at that composite) — constant
+        per-key size, so the merge input is metadata-scale."""
+        df = _keyed(batch)
+        cc = (
+            df.groupby(["key", "comp"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        tot = cc.groupby("key", sort=False)["n"].sum()
+        win = cc.loc[
+            cc.groupby("key", sort=False)["comp"].transform("max")
+            == cc["comp"]
+        ].set_index("key")
+        out = win.join(tot.rename("n_total"))
         return pa.table(
-            {"key": pa.array(keys), "warc_ts": batch["warc_ts"]}
+            {
+                "key": pa.array(out.index, pa.string()),
+                "comp": pa.array(out["comp"], pa.string()),
+                "n_at_max": pa.array(out["n"], pa.int64()),
+                "n_total": pa.array(out["n_total"], pa.int64()),
+            }
         )
 
     total_bytes = sum(os.path.getsize(f) for f in all_files)
+    meta = rd.read_parquet(
+        all_files, columns=["url", "warc_ts"], include_paths=True
+    )
     if total_bytes <= _WINNERS_DRIVER_MERGE_BYTES:
-        # small-input fast path: per-task pyarrow partial aggregation +
-        # driver merge of per-key partials — skips the groupby exchange,
-        # whose per-job barrier constants (~5 s at 32 cpus) dominate at
-        # bench scale.  Above the threshold the distributed groupby keeps
-        # the driver out of the metadata path (scale shape unchanged).
-        def _partial(batch: pa.Table) -> pa.Table:
-            keyed = _key_rows(batch)
-            return (
-                keyed.group_by("key")
-                .aggregate([("warc_ts", "max"), ("key", "count")])
-                .rename_columns(["key", "max_ts", "n"])
-            )
-
-        parts_df = (
-            rd.read_parquet(all_files, columns=["url", "warc_ts"],
-                            include_paths=True)
-            .map_batches(_partial, batch_format="pyarrow")
-            .to_pandas()
+        # small-input fast path: per-task partials + driver merge —
+        # skips the groupby exchange, whose per-job barrier constants
+        # (~5 s at 32 cpus) dominate at bench scale.
+        parts_df = meta.map_batches(
+            _partial, batch_format="pyarrow"
+        ).to_pandas()
+        if parts_df.empty:
+            return {pi: {} for pi in range(n_parts)}
+        g = parts_df.groupby("key", sort=False)
+        n = g["n_total"].sum()
+        dup_keys = n[n > 1]
+        if dup_keys.empty:
+            return {pi: {} for pi in range(n_parts)}
+        sub = parts_df[parts_df["key"].isin(dup_keys.index)]
+        wcomp = sub.groupby("key", sort=False)["comp"].max()
+        at_w = sub.merge(
+            wcomp.rename("wcomp"), left_on="key", right_index=True
         )
-        merged = parts_df.groupby("key", sort=False).agg(
-            n=("n", "sum"), max_ts=("max_ts", "max")
-        )
-        dups = (
-            merged[merged["n"] > 1]
-            .reset_index()[["key", "max_ts"]]
-        )
+        at_w = at_w[at_w["comp"] == at_w["wcomp"]]
+        n_win = at_w.groupby("key", sort=False)["n_at_max"].sum()
+        dups = [
+            (k, wcomp[k], int(n_win[k])) for k in dup_keys.index
+        ]
     else:
+        # distributed shape: the same per-batch partials merged by plain
+        # C-speed aggregates (the exchange moves one metadata row per
+        # (key, batch)).  Pass 1 yields each dup key's total count and
+        # winner composite; pass 2 re-derives partials and sums
+        # rows-at-winner — only batches whose local max equals the global
+        # winner can contain it, and several batches can (one file's row
+        # groups split across read tasks), hence the sum.
+        from ray.data.aggregate import Sum
+
         counts = (
-            rd.read_parquet(all_files, columns=["url", "warc_ts"],
-                            include_paths=True)
-            .map_batches(_key_rows, batch_format="pyarrow")
+            meta.map_batches(_partial, batch_format="pyarrow")
             .groupby("key")
             .aggregate(
-                Count(alias_name="n"), Max("warc_ts", alias_name="max_ts")
+                Sum("n_total", alias_name="n"),
+                Max("comp", alias_name="wcomp"),
             )
         )
-        dups = counts.map_batches(
-            lambda b: b.filter(pc.field("n") > 1).select(["key", "max_ts"]),
+        dup_df = counts.map_batches(
+            lambda b: b.filter(pc.field("n") > 1).select(["key", "wcomp"]),
             batch_format="pyarrow",
         ).to_pandas()
-    out: Dict[int, Dict[str, tuple]] = {
-        pi: {} for pi in range(len(parts_files))
-    }
-    if dups.empty:
-        return out
-    for key, ts in zip(dups["key"], dups["max_ts"]):
-        pid_s, url = key.split("|", 1)
-        pi = int(pid_s)
-        if pi >= 0:
-            out[pi][url] = (ts, None)
+        if dup_df.empty:
+            return {pi: {} for pi in range(n_parts)}
+        wcomp_ref = _ray.put(dict(zip(dup_df["key"], dup_df["wcomp"])))
+
+        def _at_winner(batch: pa.Table) -> pa.Table:
+            part = _partial(batch)
+            wc = _ray.get(wcomp_ref)
+            keys = part["key"].to_pylist()
+            comps = part["comp"].to_pylist()
+            mask = pa.array(
+                [wc.get(k) == c for k, c in zip(keys, comps)]
+            )
+            return part.filter(mask).select(["key", "n_at_max"])
+
+        nw_df = (
+            meta.map_batches(_at_winner, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("n_at_max", alias_name="n_win"))
+        ).to_pandas()
+        n_win_by_key = dict(zip(nw_df["key"], nw_df["n_win"]))
+        dups = [
+            (k, c, int(n_win_by_key[k]))
+            for k, c in zip(dup_df["key"], dup_df["wcomp"])
+        ]
+    out: Dict[int, Dict[str, tuple]] = {pi: {} for pi in range(n_parts)}
+    for key, comp, n_win in dups:
+        ts, wpath = _comp_decode(comp)
+        if global_mode:
+            for pi in range(n_parts):
+                out[pi][key] = (ts, wpath, n_win)
+        else:
+            pid_s, url = key.split("|", 1)
+            pi = int(pid_s)
+            if pi >= 0:
+                out[pi][url] = (ts, wpath, n_win)
     return out
 
 
 def _dedup_split(
     files: List[str],
     cols: List[str],
-    full: rd.Dataset,
     meta_files: Optional[List[str]] = None,
-    eager_winners: bool = False,
     winner: Optional[Dict[str, tuple]] = None,
-    scratch_dir: Optional[str] = None,
 ) -> rd.Dataset:
-    """Exact dedup by url, keep max warc_ts, without shuffling payloads.
+    """Exact dedup by url, keep max warc_ts, in ONE payload scan.
 
-    Pass A reads only (url, warc_ts) — from ``meta_files`` when given
-    (the WHOLE corpus in ``global_dedup`` mode, so winners are decided
-    globally even though each partition streams only its own files) —
-    and aggregates per url; the shuffle moves two small columns.  The
-    (rare) duplicate urls are broadcast as a url→max_ts dict (a Bloom
-    filter+ts sketch replaces this beyond driver memory; false positives
-    only route extra rows through the slow path).  Unique rows stream
-    through untouched; loser duplicate rows (ts < max) are dropped in the
-    filter; winner-candidate rows take a tiny ``groupby(url)``
-    keep-latest.  This avoids the per-group Python cost of a full-corpus
-    ``map_groups`` and the payload shuffle of a full-row groupby.
+    The winners metadata pass (``compute_dedup_winners`` — reads only
+    (url, warc_ts, path), from ``meta_files`` when given so winners are
+    decided corpus-wide in ``global_dedup`` mode) designates the exact
+    winner row per duplicate url: ``(max_ts, winner_path, n_win)``.  The
+    dict is broadcast once via ``ray.put`` (a Bloom filter+sketch
+    replaces this beyond driver memory; false positives only route extra
+    rows through the slow path), and the payload read keeps a row iff
+    its url is unique or the row IS the designated winner — a pure
+    stateless filter, so the build stays one linear pipeline with no
+    second corpus scan, no union barrier, and no groupby.
 
-    Cross-partition ties (global mode): when a duplicate url carries the
-    identical max ``warc_ts`` in files assigned to *different* build
-    partitions, each partition's keep-latest would keep one copy.  The
-    global metadata pass therefore also designates a single winner FILE
-    per duplicate url (max path among its max-ts rows — deterministic),
-    and candidate rows are filtered to that file, so exactly one
-    partition keeps exactly one winner."""
+    Only urls whose winner designation is ambiguous (``n_win > 1``:
+    same url, same max timestamp, same FILE — vanishingly rare) take a
+    side branch: a predicate-pushdown read of just those urls feeding a
+    tiny ``groupby(url)`` keep-latest, unioned back in.
+
+    Cross-partition ties (global mode): the winner path designation
+    guarantees exactly one partition keeps exactly one copy (the tests
+    lock max-path as the deterministic survivor)."""
     global_mode = meta_files is not None
     import ray as _ray
 
@@ -399,67 +447,61 @@ def _dedup_split(
         else:
             winner = compute_dedup_winners([files], False)[0]
     if not winner:
-        return full
-    ref = _ray.put(winner)
+        return rd.read_parquet(files, columns=cols)
 
-    def keep_unique(batch: pa.Table) -> pa.Table:
-        d = _ray.get(ref)
-        mask = pa.array([u not in d for u in batch["url"].to_pylist()])
-        return batch.filter(mask)
+    exact = {
+        u: (ts, p) for u, (ts, p, nw) in winner.items() if nw == 1
+    }
+    amb = {u: (ts, p) for u, (ts, p, nw) in winner.items() if nw > 1}
+    ref = _ray.put((frozenset(winner), exact))
 
-    def keep_winner_candidates(batch: pa.Table) -> pa.Table:
-        d = _ray.get(ref)
+    def keep_unique_or_winner(batch: pa.Table) -> pa.Table:
+        dups, ex = _ray.get(ref)
         urls = batch["url"].to_pylist()
-        tss = batch["warc_ts"].to_pylist()
-        if "path" in batch.column_names:
-            paths = batch["path"].to_pylist()
-            mask = pa.array(
-                [
-                    u in d and (ts, p) == d[u]
-                    for u, ts, p in zip(urls, tss, paths)
-                ]
-            )
-            return batch.filter(mask).drop_columns(["path"])
+        tss = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        paths = batch["path"].to_pylist()
         mask = pa.array(
-            [u in d and ts == d[u][0] for u, ts in zip(urls, tss)]
+            [
+                (u not in dups) or ((ts, p) == ex.get(u))
+                for u, ts, p in zip(urls, tss, paths)
+            ]
         )
-        return batch.filter(mask)
+        return batch.filter(mask).drop_columns(["path"])
 
-    uniq = full.map_batches(keep_unique, batch_format="pyarrow")
-    dup_pipeline = (
-        rd.read_parquet(files, columns=cols, include_paths=global_mode)
-        .map_batches(keep_winner_candidates, batch_format="pyarrow")
+    uniq = rd.read_parquet(
+        files, columns=cols, include_paths=True
+    ).map_batches(keep_unique_or_winner, batch_format="pyarrow")
+    if not amb:
+        return uniq
+
+    amb_ref = _ray.put(amb)
+
+    def keep_amb_candidates(batch: pa.Table) -> pa.Table:
+        d = _ray.get(amb_ref)
+        urls = batch["url"].to_pylist()
+        tss = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        paths = batch["path"].to_pylist()
+        mask = pa.array(
+            [
+                (ts, p) == d.get(u)
+                for u, ts, p in zip(urls, tss, paths)
+            ]
+        )
+        return batch.filter(mask).drop_columns(["path"])
+
+    amb_rows = (
+        rd.read_parquet(
+            files,
+            columns=cols,
+            include_paths=True,
+            filter=pads.field("url").isin(list(amb)),
+        )
+        .map_batches(keep_amb_candidates, batch_format="pyarrow")
         .groupby("url")
         .map_groups(_dedup_keep_latest, batch_format="pandas")
+        .map_batches(lambda b: b.select(cols), batch_format="pyarrow")
     )
-    if eager_winners:
-        # resolve the (few) winner rows EAGERLY in their own tiny job and
-        # checkpoint them to parquet: a groupby left inside the main DAG
-        # is an extra all-to-all barrier per partition branch, which
-        # serializes a fused multi-partition job (measured 1.5-2x
-        # slowdown there); a single-partition job tolerates it fine.
-        # The checkpoint lives under the partition dir when given (wiped
-        # on rebuild + removed after a successful build) — tempfile dirs
-        # leaked across builds before.
-        if scratch_dir:
-            winners_dir = scratch_dir
-            os.makedirs(winners_dir, exist_ok=True)
-        else:
-            import tempfile
-
-            winners_dir = tempfile.mkdtemp(prefix="dedup_winners_")
-        dup_pipeline.map_batches(
-            lambda b: b.select(cols), batch_format="pyarrow"
-        ).write_parquet(winners_dir)
-        if not glob.glob(os.path.join(winners_dir, "*.parquet")):
-            # zero winner rows in this partition's files (all dups here
-            # are losers): Ray writes no files for an empty dataset and
-            # read_parquet on an empty dir raises
-            return uniq
-        dup_rows = rd.read_parquet(winners_dir, columns=cols)
-    else:
-        dup_rows = dup_pipeline
-    return uniq.union(dup_rows)
+    return uniq.union(amb_rows)
 
 
 def build_partition(
@@ -516,10 +558,7 @@ def build_partition(
             combine=cfg.combine,
             stem_by_lang=cfg.stem_by_lang,
         )
-    ds = _docs_pipeline(
-        files, cfg, dedup_meta_files, winner=winner,
-        scratch_dir=os.path.join(part_dir, ".winners"),
-    )
+    ds = _docs_pipeline(files, cfg, dedup_meta_files, winner=winner)
     t_stage1 = time.time() - t0
     kwargs: Dict = dict(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
@@ -566,7 +605,6 @@ def build_partition(
         "stage1_seconds": round(t_stage1, 3),
         "stage2_seconds": round(time.time() - t0 - t_stage1, 3),
     }
-    shutil.rmtree(os.path.join(part_dir, ".winners"), ignore_errors=True)
     _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
     return manifest
 
@@ -677,9 +715,8 @@ def build_partitions_fused(
     def build_branch(item):
         pi, part_dir, files = item
         sub = _docs_pipeline(
-            files, cfg, dedup_meta_files, eager_winners=True,
+            files, cfg, dedup_meta_files,
             winner=None if winners is None else winners.get(pi, {}),
-            scratch_dir=os.path.join(part_dir, ".winners"),
         )
         branch_kwargs = dict(tok_kwargs, docs_out_dir=docs_dirs[pi])
         if cfg.tokenize_concurrency:
@@ -693,8 +730,9 @@ def build_partitions_fused(
             sub = sub.map_batches(tok_cls(**branch_kwargs), **kwargs)
         return sub.map_batches(tag(pi), batch_format="pyarrow")
 
-    # branch planning triggers small eager dedup jobs per partition —
-    # overlap them with threads instead of paying each serially
+    # standalone calls (no precomputed winners) run one metadata winners
+    # job per branch during planning — overlap them with threads instead
+    # of paying each serially; with winners passed in, planning is pure
     if len(chunk) > 1:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -741,9 +779,6 @@ def build_partitions_fused(
             "build_seconds": build_seconds,
             "fused_chunk": [c[0] for c in chunk],
         }
-        shutil.rmtree(
-            os.path.join(part_dir, ".winners"), ignore_errors=True
-        )
         _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
         manifests[pi] = manifest
     shutil.rmtree(out_tmp, ignore_errors=True)

@@ -495,6 +495,132 @@ class TestGlobalDedup:
         assert len(s.search({"term": {"field": "text", "value": "alpha"}})) == 1  # a/1's own text
 
 
+def _mk_dedup_file(path, rows):
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "text": pa.array([r[2] for r in rows], pa.large_string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+class TestWinnerDesignation:
+    """The winners metadata pass designates the exact winner row
+    (max_ts, max path, n_win); the build keeps it with a pure filter."""
+
+    def test_ambiguous_tie_same_file_single_survivor(
+        self, tmp_path, ray_session
+    ):
+        """Same url, same max warc_ts, TWICE in one file (n_win>1) must
+        route through the keep-latest groupby and keep exactly one."""
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.index_build.build import (
+            compute_dedup_winners,
+        )
+        from search_engine_ray.query import IndexSearcher
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        _mk_dedup_file(
+            str(corpus / "a.parquet"),
+            [("https://a/1", 100, "alpha beta"),
+             ("https://dup/t", 200, "copy one"),
+             ("https://dup/t", 200, "copy two"),
+             ("https://dup/t", 150, "stale copy")],
+        )
+        files = [str(corpus / "a.parquet")]
+        w = compute_dedup_winners([files], False)[0]
+        assert set(w) == {"https://dup/t"}
+        ts, path, n_win = w["https://dup/t"]
+        assert ts == 200 and path.endswith("a.parquet") and n_win == 2
+
+        m = build_index(
+            str(tmp_path / "idx"), str(corpus),
+            BuildConfig(extract_html=False, n_partitions=1),
+        )
+        assert m["total_docs"] == 2
+        s = IndexSearcher(str(tmp_path / "idx"))
+        assert len(s.search({"term": {"field": "text", "value": "copy"}})) == 1
+        assert len(s.search({"term": {"field": "text", "value": "stale"}})) == 0
+
+    def test_same_partition_cross_file_tie_max_path_wins(
+        self, tmp_path, ray_session
+    ):
+        """Equal max ts in two files of the SAME partition: winner is the
+        row in the max path (deterministic designation, n_win == 1)."""
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        _mk_dedup_file(
+            str(corpus / "a.parquet"),
+            [("https://dup/t", 200, "from alpha")],
+        )
+        _mk_dedup_file(
+            str(corpus / "b.parquet"),
+            [("https://dup/t", 200, "from bravo")],
+        )
+        m = build_index(
+            str(tmp_path / "idx"), str(corpus),
+            BuildConfig(
+                extract_html=False, n_partitions=1,
+                concurrent_partitions=1,
+            ),
+        )
+        assert m["total_docs"] == 1
+        s = IndexSearcher(str(tmp_path / "idx"))
+        assert len(s.search({"term": {"field": "text", "value": "bravo"}})) == 1
+        assert len(s.search({"term": {"field": "text", "value": "alpha"}})) == 0
+
+    def test_distributed_winners_branch_matches_fast_path(
+        self, tmp_path, ray_session, monkeypatch
+    ):
+        """Forcing the distributed groupby+join branch (threshold = 0)
+        must produce identical winner designations to the driver-merge
+        fast path, in both modes."""
+        from search_engine_ray.index_build import build as b
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        _mk_dedup_file(
+            str(corpus / "a.parquet"),
+            [("https://a/1", 100, "alpha"),
+             ("https://dup/x", 100, "old"),
+             ("https://dup/t", 200, "t one"),
+             ("https://dup/t", 200, "t two")],
+        )
+        _mk_dedup_file(
+            str(corpus / "b.parquet"),
+            [("https://b/1", 100, "gamma"),
+             ("https://dup/x", 200, "new"),
+             ("https://dup/t", 200, "t three")],
+        )
+        files = sorted(str(p) for p in corpus.iterdir())
+        parts = [[files[0]], [files[1]]]
+
+        fast_g = b.compute_dedup_winners([files], True)
+        fast_l = b.compute_dedup_winners(parts, False)
+        monkeypatch.setattr(b, "_WINNERS_DRIVER_MERGE_BYTES", 0)
+        dist_g = b.compute_dedup_winners([files], True)
+        dist_l = b.compute_dedup_winners(parts, False)
+        assert fast_g == dist_g
+        assert fast_l == dist_l
+        # sanity of the designation itself: dup/t winner is the max-path
+        # max-ts row, which is unique (n_win == 1) because file b has one
+        gw = fast_g[0]
+        ts, path, n_win = gw["https://dup/t"]
+        assert ts == 200 and path.endswith("b.parquet") and n_win == 1
+        assert gw["https://dup/x"][0] == 200
+
+
 class TestCompaction:
     def test_compact_pages_index(self, tmp_path, ray_session):
         """compact_index merges a multi-partition page index into ONE
