@@ -100,6 +100,32 @@ class BuildBlocks:
             m = len(terms)
 
         ns = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # ---- copy-through fast path --------------------------------
+        # A term with exactly ONE mini in this range whose count fits a
+        # block is already a finished block: the mini encodings (docs =
+        # varbyte[first, gaps...], tfs/dls varbyte, pos = back-to-back
+        # [tf, first, gaps...] slices) ARE the block encodings.  Those
+        # rows pass through untouched — only multi-mini terms and
+        # oversized minis pay the decode→merge→re-encode.
+        easy_tbl = None
+        if m:
+            tchange0 = np.empty(m, dtype=bool)
+            tchange0[0] = True
+            tchange0[1:] = terms[1:] != terms[:-1]
+            run_id0 = np.cumsum(tchange0) - 1
+            run_minis = np.bincount(run_id0)
+            easy = (run_minis[run_id0] == 1) & (ns <= self.block_size)
+            if easy.any():
+                easy_tbl = batch.filter(pa.array(easy)).select(
+                    BLOCKS_SCHEMA.names
+                )
+                keep = ~easy
+                batch = batch.filter(pa.array(keep))
+                terms = terms[keep]
+                ns = ns[keep]
+                m = len(terms)
+
         out = {k: [] for k in BLOCKS_SCHEMA.names}
         total = int(ns.sum()) if m else 0
         if m and total:
@@ -207,21 +233,42 @@ class BuildBlocks:
             else:
                 out["pos"] = [b""] * len(bs)
 
-        for tot_docs, tot_dl in stats_rows:
-            out["term"].append(STATS_TERM)
-            out["n"].append(0)
-            out["doc_min"].append(0)
-            out["doc_max"].append(0)
-            out["max_tf"].append(0)
-            out["min_dl"].append(0)
-            out["docs"].append(b"")
-            out["tfs"].append(b"")
-            out["dls"].append(
-                varbyte_encode(np.array([tot_docs, tot_dl], dtype=np.uint64))
-            )
-            out["pos"].append(b"")
+        parts: List[pa.Table] = []
+        hard_tbl = pa.table(out, schema=BLOCKS_SCHEMA)
+        if easy_tbl is not None and easy_tbl.num_rows:
+            combined = pa.concat_tables([easy_tbl, hard_tbl])
+            # restore (term, doc_min) order across the two paths so the
+            # written file keeps its sorted-vocab row-group structure
+            ct = np.asarray(combined["term"].to_pylist(), dtype=object)
+            cd = combined["doc_min"].to_numpy(zero_copy_only=False)
+            order2 = np.lexsort((cd, ct))
+            if not np.array_equal(order2, np.arange(len(ct))):
+                combined = combined.take(pa.array(order2))
+            parts.append(combined)
+        else:
+            parts.append(hard_tbl)
 
-        return pa.table(out, schema=BLOCKS_SCHEMA)
+        if stats_rows:
+            sent = {k: [] for k in BLOCKS_SCHEMA.names}
+            for tot_docs, tot_dl in stats_rows:
+                sent["term"].append(STATS_TERM)
+                sent["n"].append(0)
+                sent["doc_min"].append(0)
+                sent["doc_max"].append(0)
+                sent["max_tf"].append(0)
+                sent["min_dl"].append(0)
+                sent["docs"].append(b"")
+                sent["tfs"].append(b"")
+                sent["dls"].append(
+                    varbyte_encode(
+                        np.array([tot_docs, tot_dl], dtype=np.uint64)
+                    )
+                )
+                sent["pos"].append(b"")
+            parts.append(pa.table(sent, schema=BLOCKS_SCHEMA))
+        return (
+            parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        )
 
     def _from_rows(self, batch: pa.Table) -> pa.Table:
         terms = np.asarray(batch["term"].to_pylist(), dtype=object)

@@ -76,25 +76,48 @@ MINI_POSTINGS_SCHEMA = pa.schema(
 )
 
 
+def _binary_from_bounds(blob, bounds: np.ndarray) -> pa.Array:
+    """Zero-copy ``binary`` array over ``blob`` sliced at ``bounds``
+    (int array of length n+1, monotonic byte offsets)."""
+    n = len(bounds) - 1
+    if n and int(bounds[-1]) > np.iinfo(np.int32).max:
+        # >2 GiB of payload in one batch: fall back to per-row slices
+        return pa.array(
+            [bytes(blob[bounds[i]: bounds[i + 1]]) for i in range(n)],
+            pa.binary(),
+        )
+    off = np.ascontiguousarray(bounds, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(off), pa.py_buffer(blob)]
+    )
+
+
 def combine_postings_batch(
     terms: List[str],
     t_doc: List[int],
     t_tf: List[int],
     t_dl: List[int],
-    pos_slices: List[bytes],
+    pos_slices: Optional[List[bytes]],
     n_docs: int,
     sum_dl: int,
     store_positions: bool,
     term_ids: "Optional[np.ndarray]" = None,
+    pos_blob: "Optional[np.ndarray]" = None,
+    pos_bounds: "Optional[np.ndarray]" = None,
 ) -> pa.Table:
     """Batch postings → mini-list rows (one per distinct term), plus the
     STATS_TERM sentinel carrying (n_docs, sum_dl) in ``dls``.
 
     ``term_ids`` (optional): a per-posting integer id with the same
     equality classes as ``terms`` — lets the group-by sort run on ints
-    instead of O(P log P) object-string comparisons."""
+    instead of O(P log P) object-string comparisons.
+
+    Position payloads come either as ``pos_slices`` (one bytes object
+    per posting) or zero-copy as ``(pos_blob, pos_bounds)`` — one shared
+    byte buffer plus per-posting byte offsets (input order); the
+    per-term payloads are then assembled with one vectorized gather
+    instead of P object slices + joins."""
     P = len(terms)
-    out = {k: [] for k in MINI_POSTINGS_SCHEMA.names}
     if P:
         term_arr = np.asarray(terms, dtype=object)
         doc = np.asarray(t_doc, dtype=np.int64)
@@ -117,6 +140,7 @@ def combine_postings_batch(
             change[1:] = term_s[1:] != term_s[:-1]
         rs = np.flatnonzero(change)
         re_ = np.append(rs[1:], P)
+        bounds_idx = np.append(rs, P)
 
         gaps = doc_s.astype(np.uint64).copy()
         gaps[1:] = (doc_s[1:] - doc_s[:-1]).astype(np.uint64)
@@ -125,50 +149,83 @@ def combine_postings_batch(
         tfs_blob, tfs_off = varbyte_encode_with_offsets(tf_s.astype(np.uint64))
         dls_blob, dls_off = varbyte_encode_with_offsets(dl_s.astype(np.uint64))
 
-        out["term"] = term_s[rs].tolist()
-        out["doc_min"] = doc_s[rs].tolist()
-        out["n"] = (re_ - rs).astype(np.int32).tolist()
-        out["doc_max"] = doc_s[re_ - 1].tolist()
-        out["max_tf"] = np.maximum.reduceat(tf_s, rs).astype(np.int32).tolist()
-        out["min_dl"] = np.minimum.reduceat(dl_s, rs).astype(np.int32).tolist()
-        out["docs"] = [
-            docs_blob[docs_off[s]: docs_off[e]] for s, e in zip(rs, re_)
-        ]
-        out["tfs"] = [
-            tfs_blob[tfs_off[s]: tfs_off[e]] for s, e in zip(rs, re_)
-        ]
-        out["dls"] = [
-            dls_blob[dls_off[s]: dls_off[e]] for s, e in zip(rs, re_)
-        ]
-        if store_positions:
-            slices = [pos_slices[i] for i in order]
-            lens = np.asarray([len(s) for s in slices], dtype=np.uint64)
-            lens_blob, lens_off = varbyte_encode_with_offsets(lens)
-            out["pos"] = [
-                b"".join(slices[s:e]) for s, e in zip(rs, re_)
-            ]
-            out["pos_lens"] = [
-                lens_blob[lens_off[s]: lens_off[e]] for s, e in zip(rs, re_)
-            ]
+        cols = {
+            "term": pa.array(term_s[rs], pa.string()),
+            "doc_min": pa.array(doc_s[rs], pa.int64()),
+            "n": pa.array((re_ - rs).astype(np.int32), pa.int32()),
+            "doc_max": pa.array(doc_s[re_ - 1], pa.int64()),
+            "max_tf": pa.array(
+                np.maximum.reduceat(tf_s, rs).astype(np.int32), pa.int32()
+            ),
+            "min_dl": pa.array(
+                np.minimum.reduceat(dl_s, rs).astype(np.int32), pa.int32()
+            ),
+            "docs": _binary_from_bounds(docs_blob, docs_off[bounds_idx]),
+            "tfs": _binary_from_bounds(tfs_blob, tfs_off[bounds_idx]),
+            "dls": _binary_from_bounds(dls_blob, dls_off[bounds_idx]),
+        }
+        nruns = len(rs)
+        if not store_positions:
+            z = np.zeros(nruns + 1, dtype=np.int64)
+            cols["pos"] = _binary_from_bounds(b"", z)
+            cols["pos_lens"] = _binary_from_bounds(b"", z)
+        elif pos_blob is not None:
+            # vectorized gather: reorder per-posting byte ranges into
+            # (term, doc) order with one fancy-index over the shared blob
+            s = pos_bounds[:-1][order]
+            l = np.diff(pos_bounds)[order]
+            new_start = np.zeros(P + 1, dtype=np.int64)
+            np.cumsum(l, out=new_start[1:])
+            total = int(new_start[-1])
+            idx = (
+                np.repeat(s, l)
+                + np.arange(total, dtype=np.int64)
+                - np.repeat(new_start[:-1], l)
+            )
+            gathered = pos_blob[idx]
+            cols["pos"] = _binary_from_bounds(
+                gathered, new_start[bounds_idx]
+            )
+            lens_blob, lens_off = varbyte_encode_with_offsets(
+                l.astype(np.uint64)
+            )
+            cols["pos_lens"] = _binary_from_bounds(
+                lens_blob, lens_off[bounds_idx]
+            )
         else:
-            nruns = len(rs)
-            out["pos"] = [b""] * nruns
-            out["pos_lens"] = [b""] * nruns
+            slices = [pos_slices[i] for i in order]
+            lens = np.asarray([len(x) for x in slices], dtype=np.uint64)
+            lens_blob, lens_off = varbyte_encode_with_offsets(lens)
+            cols["pos"] = pa.array(
+                [b"".join(slices[a:b]) for a, b in zip(rs, re_)],
+                pa.binary(),
+            )
+            cols["pos_lens"] = _binary_from_bounds(
+                lens_blob, lens_off[bounds_idx]
+            )
+        body = pa.table(cols, schema=MINI_POSTINGS_SCHEMA)
+    else:
+        body = MINI_POSTINGS_SCHEMA.empty_table()
 
-    out["term"].append(STATS_TERM)
-    out["doc_min"].append(0)
-    out["n"].append(0)
-    out["doc_max"].append(0)
-    out["max_tf"].append(0)
-    out["min_dl"].append(0)
-    out["docs"].append(b"")
-    out["tfs"].append(b"")
-    out["dls"].append(
-        varbyte_encode(np.array([n_docs, sum_dl], dtype=np.uint64))
+    sentinel = pa.table(
+        {
+            "term": [STATS_TERM],
+            "doc_min": [0],
+            "n": [0],
+            "doc_max": [0],
+            "max_tf": [0],
+            "min_dl": [0],
+            "docs": [b""],
+            "tfs": [b""],
+            "dls": [
+                varbyte_encode(np.array([n_docs, sum_dl], dtype=np.uint64))
+            ],
+            "pos": [b""],
+            "pos_lens": [b""],
+        },
+        schema=MINI_POSTINGS_SCHEMA,
     )
-    out["pos"].append(b"")
-    out["pos_lens"].append(b"")
-    return pa.table(out, schema=MINI_POSTINGS_SCHEMA)
+    return pa.concat_tables([body, sentinel])
 
 # (field, analyzer) pairs for the Common-Crawl page shape; mirrors what the
 # reference mapping inference would produce for this document
@@ -183,12 +240,11 @@ PAGE_FIELDS: Tuple[Tuple[str, str], ...] = (
 )
 
 
-def normalize_standard_batch(col: pa.Array) -> List[str]:
-    """Vectorized standard-analyzer normalization of a string column.
-
-    Returns per-row normalized strings whose ``.split(' ')`` (minus empties
-    and len<=1 tokens and stopwords) equals ``standard_analyzer(row)``.
-    """
+def normalize_standard_arrow(col: pa.Array) -> pa.Array:
+    """Vectorized standard-analyzer normalization of a string column
+    (RE2 kernels, C++).  Returns per-row normalized strings whose
+    ``.split(' ')`` (minus empties and len<=1 tokens and stopwords)
+    equals ``standard_analyzer(row)``."""
     a = pc.utf8_lower(col)
     a = pc.replace_substring_regex(a, pattern=r"(\w+)'(\w+)", replacement=r"\1 \2")
     a = pc.replace_substring_regex(a, pattern=r"(\w+)'s\b", replacement=r"\1")
@@ -197,7 +253,58 @@ def normalize_standard_batch(col: pa.Array) -> List[str]:
     a = pc.replace_substring_regex(a, pattern=r"\.+", replacement=" ")
     a = pc.replace_substring_regex(a, pattern=r"\-+", replacement=" ")
     a = pc.replace_substring_regex(a, pattern=r"\s+", replacement=" ")
-    return a.to_pylist()
+    return a
+
+
+def normalize_standard_batch(col: pa.Array) -> List[str]:
+    return normalize_standard_arrow(col).to_pylist()
+
+
+def standard_field_codes(
+    col: pa.Array | pa.ChunkedArray, stopwords: FrozenSet[str]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fully-Arrow standard-analyzer tokenization of a string column:
+    normalize (RE2) → split → drop len<=1 / stopword tokens →
+    dictionary-encode.  No Python token lists — the per-occurrence token
+    ids ARE the factorized form the posting assembly consumes.
+
+    Returns ``(codes, lens, uniques)``: int64 token ids of every kept
+    occurrence in (row-major, in-row) order; kept-token count per row
+    (= position basis and dl contribution, identical to enumerating the
+    analyzer's output); and the unique token strings (object array)
+    indexed by code."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    norm = normalize_standard_arrow(pc.fill_null(pc.cast(col, pa.string()), ""))
+    parts = pc.split_pattern(norm, " ")
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    counts = counts.astype(np.int64)
+    flat = pc.list_flatten(parts)
+    keep = pc.greater(pc.utf8_length(flat), 1)
+    if stopwords:
+        keep = pc.and_(
+            keep,
+            pc.invert(
+                pc.is_in(flat, value_set=pa.array(sorted(stopwords)))
+            ),
+        )
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    kept = flat.filter(keep)
+    n = len(counts)
+    row_of_flat = np.repeat(np.arange(n, dtype=np.int64), counts)
+    lens = np.bincount(row_of_flat[keep_np], minlength=n).astype(np.int64)
+    if len(kept) == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            lens,
+            np.empty(0, dtype=object),
+        )
+    enc = pc.dictionary_encode(kept)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary.to_numpy(zero_copy_only=False).astype(object)
+    return codes, lens, uniques
 
 
 def standard_tokens_from_normalized(
@@ -478,11 +585,32 @@ class TokenizePostings:
                 ]
         return out
 
+    def _needs_py_tokens(self, field: str, analyzer: str) -> bool:
+        """True when the field's tokens must exist as Python lists (a
+        non-standard analyzer, or per-row Snowball stemming)."""
+        if analyzer != "standard":
+            return True
+        return self.stem_by_lang and field == "text"
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.docs_out_dir:
             write_docs_sidefile(batch, self.docs_out_dir, self.id_column)
         doc_ids = self._doc_ids(batch)
-        per_field = self._field_tokens(batch)
+        n = batch.num_rows
+        # Python token lists only where the analyzer chain demands them
+        # (non-standard analyzers, per-row stemming); standard fields go
+        # through the all-Arrow path below.
+        py_fields = [
+            (f, a) for f, a in self.fields if self._needs_py_tokens(f, a)
+        ]
+        per_field: Dict[str, List[List[str]]] = {}
+        if py_fields:
+            saved = self.fields
+            self.fields = tuple(py_fields)
+            try:
+                per_field = self._field_tokens(batch)
+            finally:
+                self.fields = saved
         if (
             self.stem_by_lang
             and "text" in per_field
@@ -497,40 +625,55 @@ class TokenizePostings:
                     per_field["text"], batch["lang"].to_pylist()
                 )
             ]
-        n = len(doc_ids)
 
         # ---- vectorized posting assembly -------------------------------
-        # Flatten every field's token occurrences once, factorize tokens
-        # to integer ids (pd.factorize, C speed), and group occurrences
-        # into (row, term) postings with ONE stable integer argsort —
-        # replaces the per-token dict/append loop that used to dominate
-        # this stage's CPU.  Semantics are identical: positions are
-        # field-local ascending, dl = total tokens over configured
-        # fields, duplicate doc_ids in one batch stay separate rows.
+        # Each field contributes factorized occurrences (token id per
+        # occurrence, kept-token count per row).  Standard fields produce
+        # them entirely in Arrow C++ (``standard_field_codes``: RE2
+        # normalize → split → filter → dictionary_encode); other fields
+        # flatten their Python token lists and factorize.  Occurrences
+        # are then grouped into (row, term) postings with ONE stable
+        # integer argsort.  Semantics: positions are field-local
+        # ascending, dl = total tokens over configured fields, duplicate
+        # doc_ids in one batch stay separate rows.
         occ_tid: List[np.ndarray] = []
         occ_row: List[np.ndarray] = []
         occ_pos: List[np.ndarray] = []
         uniq_terms: List[np.ndarray] = []
         offset = 0
         dl_per_row = np.zeros(n, dtype=np.int64)
-        for field, _ in self.fields:
-            toks_list = per_field.get(field)
-            if toks_list is None:
+        for field, analyzer in self.fields:
+            if field not in batch.column_names:
                 continue
-            lens = np.fromiter(
-                (len(t) for t in toks_list), np.int64, count=n
-            )
+            if not self._needs_py_tokens(field, analyzer):
+                codes, lens, uniques = standard_field_codes(
+                    batch[field], self.stopwords
+                )
+                codes = codes + offset
+            else:
+                toks_list = per_field.get(field)
+                if toks_list is None:
+                    continue
+                lens = np.fromiter(
+                    (len(t) for t in toks_list), np.int64, count=n
+                )
+                total = int(lens.sum())
+                if total:
+                    flat = np.empty(total, dtype=object)
+                    w = 0
+                    for toks in toks_list:
+                        flat[w : w + len(toks)] = toks
+                        w += len(toks)
+                    raw_codes, uniques = pd.factorize(flat)
+                    codes = raw_codes.astype(np.int64) + offset
+                else:
+                    codes = np.empty(0, dtype=np.int64)
+                    uniques = np.empty(0, dtype=object)
             dl_per_row += lens
             total = int(lens.sum())
             if total == 0:
                 continue
-            flat = np.empty(total, dtype=object)
-            w = 0
-            for toks in toks_list:
-                flat[w : w + len(toks)] = toks
-                w += len(toks)
-            codes, uniques = pd.factorize(flat)
-            occ_tid.append(codes.astype(np.int64) + offset)
+            occ_tid.append(codes)
             occ_row.append(np.repeat(np.arange(n, dtype=np.int64), lens))
             starts = np.zeros(n, dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
@@ -573,6 +716,8 @@ class TokenizePostings:
             t_dl_np = np.empty(0, dtype=np.int64)
 
         n_runs = len(tf_arr)
+        pos_blob = pos_bounds = None
+        t_pos: List[bytes] = [b""] * n_runs
         if self.store_positions and n_runs:
             # flat layout per posting: [tf, first, gaps...] — encoded in
             # one vectorized pass, sliced per posting by byte offsets
@@ -588,17 +733,22 @@ class TokenizePostings:
             blob, offs = varbyte_encode_with_offsets(flat_vals)
             pb = np.zeros(n_runs + 1, dtype=np.int64)
             np.cumsum(tf_arr + 1, out=pb[1:])
-            t_pos = [
-                blob[offs[pb[j]] : offs[pb[j + 1]]]
-                for j in range(n_runs)
-            ]
-        else:
-            t_pos = [b""] * n_runs
+            if self.combine:
+                # hand the shared buffer + per-posting byte offsets to
+                # the combiner — no per-posting bytes objects at all
+                pos_blob = np.frombuffer(blob, dtype=np.uint8)
+                pos_bounds = offs[pb]
+            else:
+                t_pos = [
+                    blob[offs[pb[j]] : offs[pb[j + 1]]]
+                    for j in range(n_runs)
+                ]
 
         if self.combine:
             return combine_postings_batch(
-                terms_np, t_doc_np, tf_arr, t_dl_np, t_pos, n, sum_dl,
+                terms_np, t_doc_np, tf_arr, t_dl_np, None, n, sum_dl,
                 self.store_positions, term_ids=run_tid,
+                pos_blob=pos_blob, pos_bounds=pos_bounds,
             )
         terms = terms_np.tolist()
         t_doc = t_doc_np.tolist()
