@@ -147,10 +147,17 @@ class BuildConfig:
 def _dedup_keep_latest(df):
     # keep max warc_ts per url; stable tie-break = last occurrence in input
     # order (mirrors the reference's last-add-wins upsert,
-    # SearchEngine.ts:223-225)
+    # SearchEngine.ts:223-225).  An all-null group (every copy lacks a
+    # crawl timestamp) keeps its last row — NaT == NaT is False, so the
+    # equality filter alone would return an empty frame and crash.
     if len(df) == 1:
         return df
-    cand = df[df["warc_ts"] == df["warc_ts"].max()]
+    import pandas as pd
+
+    mx = df["warc_ts"].max()
+    if pd.isna(mx):
+        return df.iloc[[-1]]
+    cand = df[df["warc_ts"] == mx]
     return cand.iloc[[-1]]
 
 
@@ -233,6 +240,15 @@ def _comp_decode(comp: str) -> Tuple[int, str]:
     return int(ts_s) - _TS_BIAS, path
 
 
+def _ts_ints(col) -> List[int]:
+    """Timestamp column → int64 list with nulls mapped to the minimum
+    (a null crawl timestamp never beats a real one; an all-null dup url
+    still gets exactly one deterministic winner by path)."""
+    return pc.fill_null(
+        pc.cast(col, pa.int64()), -_TS_BIAS
+    ).to_pylist()
+
+
 def compute_dedup_winners(
     parts_files: List[List[str]],
     global_mode: bool = False,
@@ -288,7 +304,7 @@ def compute_dedup_winners(
                 f"{fp.get(os.path.abspath(p), -1)}|{u}"
                 for p, u in zip(paths, urls)
             ]
-        tss = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        tss = _ts_ints(batch["warc_ts"])
         return pd.DataFrame(
             {
                 "key": keys,
@@ -449,24 +465,32 @@ def _dedup_split(
     if not winner:
         return rd.read_parquet(files, columns=cols)
 
+    import numpy as np
+
     exact = {
         u: (ts, p) for u, (ts, p, nw) in winner.items() if nw == 1
     }
     amb = {u: (ts, p) for u, (ts, p, nw) in winner.items() if nw > 1}
-    ref = _ray.put((frozenset(winner), exact))
+    ref = _ray.put((pa.array(sorted(winner), pa.string()), exact))
 
     def keep_unique_or_winner(batch: pa.Table) -> pa.Table:
-        dups, ex = _ray.get(ref)
-        urls = batch["url"].to_pylist()
-        tss = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
-        paths = batch["path"].to_pylist()
-        mask = pa.array(
-            [
-                (u not in dups) or ((ts, p) == ex.get(u))
-                for u, ts, p in zip(urls, tss, paths)
-            ]
-        )
-        return batch.filter(mask).drop_columns(["path"])
+        dup_arr, ex = _ray.get(ref)
+        # vectorized prefilter: rows of non-duplicated urls (the
+        # overwhelming majority) pass with one C-speed membership test;
+        # only duplicate-url rows pay the per-row winner compare
+        isdup = pc.is_in(batch["url"], value_set=dup_arr)
+        if not pc.any(isdup).as_py():
+            return batch.drop_columns(["path"])
+        idx = np.flatnonzero(isdup.to_numpy(zero_copy_only=False))
+        take = pa.array(idx)
+        urls = batch["url"].take(take).to_pylist()
+        tss = _ts_ints(batch["warc_ts"].take(take))
+        paths = batch["path"].take(take).to_pylist()
+        mask = np.ones(batch.num_rows, dtype=bool)
+        mask[idx] = [
+            (ts, p) == ex.get(u) for u, ts, p in zip(urls, tss, paths)
+        ]
+        return batch.filter(pa.array(mask)).drop_columns(["path"])
 
     uniq = rd.read_parquet(
         files, columns=cols, include_paths=True
@@ -479,7 +503,7 @@ def _dedup_split(
     def keep_amb_candidates(batch: pa.Table) -> pa.Table:
         d = _ray.get(amb_ref)
         urls = batch["url"].to_pylist()
-        tss = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+        tss = _ts_ints(batch["warc_ts"])
         paths = batch["path"].to_pylist()
         mask = pa.array(
             [

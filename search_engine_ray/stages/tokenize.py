@@ -260,6 +260,19 @@ def normalize_standard_batch(col: pa.Array) -> List[str]:
     return normalize_standard_arrow(col).to_pylist()
 
 
+# stopword frozenset → Arrow array, built once per process per set (the
+# value_set for pc.is_in on the tokenize hot path)
+_STOPWORD_ARRAYS: Dict[FrozenSet[str], pa.Array] = {}
+
+
+def _stopword_array(stopwords: FrozenSet[str]) -> pa.Array:
+    arr = _STOPWORD_ARRAYS.get(stopwords)
+    if arr is None:
+        arr = pa.array(sorted(stopwords), pa.string())
+        _STOPWORD_ARRAYS[stopwords] = arr
+    return arr
+
+
 def standard_field_codes(
     col: pa.Array | pa.ChunkedArray, stopwords: FrozenSet[str]
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -275,7 +288,13 @@ def standard_field_codes(
     indexed by code."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    norm = normalize_standard_arrow(pc.fill_null(pc.cast(col, pa.string()), ""))
+    if not (
+        pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+    ):
+        col = pc.cast(col, pa.string())
+    # large_string columns stay large (RE2 kernels handle both) — casting
+    # down to 32-bit offsets would overflow on >2 GiB text batches
+    norm = normalize_standard_arrow(pc.fill_null(col, ""))
     parts = pc.split_pattern(norm, " ")
     counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
     counts = counts.astype(np.int64)
@@ -285,7 +304,7 @@ def standard_field_codes(
         keep = pc.and_(
             keep,
             pc.invert(
-                pc.is_in(flat, value_set=pa.array(sorted(stopwords)))
+                pc.is_in(flat, value_set=_stopword_array(stopwords))
             ),
         )
     keep_np = keep.to_numpy(zero_copy_only=False)
@@ -560,11 +579,18 @@ class TokenizePostings:
             [url_doc_id(u) for u in batch["url"].to_pylist()], dtype=np.int64
         )
 
-    def _field_tokens(self, batch: pa.Table) -> Dict[str, List[List[str]]]:
-        """Tokenize each configured field for all rows; vectorized chain for
-        'standard' fields, pure-Python analyzers otherwise."""
+    def _field_tokens(
+        self,
+        batch: pa.Table,
+        fields: Optional[Sequence[Tuple[str, str]]] = None,
+    ) -> Dict[str, List[List[str]]]:
+        """Tokenize the given (default: all configured) fields for all
+        rows; vectorized chain for 'standard' fields, pure-Python
+        analyzers otherwise."""
         out: Dict[str, List[List[str]]] = {}
-        for field, analyzer in self.fields:
+        for field, analyzer in (
+            self.fields if fields is None else fields
+        ):
             if field not in batch.column_names:
                 continue
             col = batch[field]
@@ -605,12 +631,7 @@ class TokenizePostings:
         ]
         per_field: Dict[str, List[List[str]]] = {}
         if py_fields:
-            saved = self.fields
-            self.fields = tuple(py_fields)
-            try:
-                per_field = self._field_tokens(batch)
-            finally:
-                self.fields = saved
+            per_field = self._field_tokens(batch, fields=py_fields)
         if (
             self.stem_by_lang
             and "text" in per_field

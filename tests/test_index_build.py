@@ -580,6 +580,55 @@ class TestWinnerDesignation:
         assert len(s.search({"term": {"field": "text", "value": "bravo"}})) == 1
         assert len(s.search({"term": {"field": "text", "value": "alpha"}})) == 0
 
+    def test_null_warc_ts_rows_survive(self, tmp_path, ray_session):
+        """Null crawl timestamps must not crash the winners pass: a null
+        ts never beats a real one, and an all-null dup url still keeps
+        exactly one copy (max path)."""
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.index_build.build import (
+            compute_dedup_winners,
+        )
+
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "url": pa.array(
+                        ["https://a/1", "https://dup/x", "https://dup/x",
+                         "https://dup/n", "https://dup/n"],
+                        pa.string(),
+                    ),
+                    "warc_ts": pa.array(
+                        [100, None, 200, None, None], pa.timestamp("us")
+                    ),
+                    "text": pa.array(
+                        ["solo", "nullts version", "real version",
+                         "nulla", "nullb"],
+                        pa.large_string(),
+                    ),
+                    "lang": pa.array(["en"] * 5, pa.string()),
+                }
+            ),
+            str(corpus / "a.parquet"),
+        )
+        files = [str(corpus / "a.parquet")]
+        w = compute_dedup_winners([files], False)[0]
+        assert w["https://dup/x"][0] == 200  # real ts beats null
+        m = build_index(
+            str(tmp_path / "idx"), str(corpus),
+            BuildConfig(extract_html=False, n_partitions=1),
+        )
+        assert m["total_docs"] == 3  # solo + one dup/x + one dup/n
+
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(str(tmp_path / "idx"))
+        assert len(s.search({"term": {"field": "text", "value": "real"}})) == 1
+        assert len(s.search({"term": {"field": "text", "value": "nullts"}})) == 0
+
     def test_distributed_winners_branch_matches_fast_path(
         self, tmp_path, ray_session, monkeypatch
     ):
