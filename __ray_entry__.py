@@ -110,6 +110,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_sum": q.props_k_sum,
         # exact distributed per-group quantiles
         "quantiles_nchars": q.quantiles_nchars,
+        # per-doc distinctive keywords (deterministic tf/df ranking)
+        "keywords_top5": q.keywords_top5,
+        # cross-source n-gram overlap audit (decontamination diagnostics)
+        "source_overlap_spans": q.source_overlap_spans,
     }
 
 
@@ -734,5 +738,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, 0.75, quantile_disc(n_chars, 0.75)
               FROM documents GROUP BY source)
             ORDER BY source, q
+        """,
+        "keywords_top5": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM toks GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+              FROM toks GROUP BY token
+            ), ranked AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, df.df ASC, tf.token ASC
+                     ) AS rank
+              FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, rank, token, tf, df
+            FROM ranked WHERE rank <= 5
+            ORDER BY doc_id, rank
+        """,
+        "source_overlap_spans": """
+            WITH toks AS (
+              SELECT source, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+              SELECT DISTINCT source, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*)::BIGINT AS n_shared
+            FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+            GROUP BY a.source, b.source
+            ORDER BY source_a, source_b
         """,
     }

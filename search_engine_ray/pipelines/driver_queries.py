@@ -1134,3 +1134,46 @@ def quantiles_nchars(sf_dir: str) -> pd.DataFrame:
         .sort_values(["source", "q"])
         .reset_index(drop=True)
     )
+
+
+def keywords_top5(sf_dir: str) -> pd.DataFrame:
+    """Per-document distinctive keywords (stages/textstats.py::
+    distinctive_keywords): top-5 tokens by (tf DESC, df ASC, token ASC)
+    — deterministic integer tf-idf-style ranking, so the selection is
+    exactly reproducible in SQL (float tf·idf is tie-unstable between
+    ln() implementations).  Oracle = DuckDB window row_number over a
+    tf × df join."""
+    from ..stages.textstats import distinctive_keywords
+
+    out = distinctive_keywords(
+        _docs(sf_dir, ["doc_id", "text"]), k=5
+    ).to_pandas()
+    return (
+        out.astype({
+            "doc_id": "int64", "rank": "int64",
+            "tf": "int64", "df": "int64",
+        })
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def source_overlap_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-source contamination audit (stages/dedup.py::
+    cross_source_overlap): for every pair of sources, the EXACT number
+    of distinct 5-token spans present in both — what you quantify
+    before decontaminating one split against another.  Oracle = DuckDB
+    shingle self-join on distinct (span, source)."""
+    out = dd.cross_source_overlap(
+        _docs(sf_dir, ["doc_id", "source", "text"]),
+        source_column="source", k=5,
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "n_shared": pd.Series([], dtype="int64"),
+            }
+        )
+    return out.astype({"n_shared": "int64"})

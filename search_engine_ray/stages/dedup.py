@@ -1154,3 +1154,153 @@ def cluster_pairs(
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Cross-source overlap audit (decontamination diagnostics)
+# --------------------------------------------------------------------------
+
+def cross_source_overlap(
+    ds: rd.Dataset,
+    text_column: str = "text",
+    source_column: str = "source",
+    k: int = 5,
+) -> pd.DataFrame:
+    """EXACT count of distinct k-token spans shared between every pair
+    of sources — the audit a training pipeline runs to quantify leakage
+    between splits/sources before decontamination.
+
+    Returns a DataFrame ``(source_a, source_b, n_shared)`` for every
+    unordered pair with at least one shared span (small: |sources|²/2).
+
+    Distribution shape (exact despite hashing, same two-pass trick as
+    :func:`duplicate_spans`):
+      * sources are encoded as BITS; per-span source sets become
+        integer masks via plain ``Sum`` over DISTINCT (span, source)
+        rows — no set-union aggregate needed;
+      * pass A ships only ``(span_hash, source_bit)`` rows (batch-
+        deduped) through one metadata-only groupby; hashes whose mask
+        has ≥2 bits are candidates (collisions can only ADD candidates,
+        never hide one);
+      * pass B re-scans, reconstructs span TEXT for candidate hits only
+        (≪ corpus spans), dedups (span, source), masks per exact text,
+        and reduces to a tiny per-mask histogram; the pair matrix is
+        expanded from that histogram on the driver.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    srcs = sorted(
+        s
+        for s in ds.select_columns([source_column]).unique(source_column)
+        if s is not None
+    )
+    if len(srcs) < 2:
+        return pd.DataFrame(
+            {"source_a": [], "source_b": [], "n_shared": []}
+        )
+    bit_of = {s: 1 << i for i, s in enumerate(srcs)}
+    bit_ref = _ray.put(bit_of)
+
+    def pass_a(batch: pa.Table) -> pa.Table:
+        bits = _ray.get(bit_ref)
+        texts = batch[text_column].to_pylist()
+        sids = np.asarray(
+            [bits.get(s, 0) for s in batch[source_column].to_pylist()],
+            dtype=np.int64,
+        )
+        h, _, _, doc_idx, _ = _span_hash_rows(
+            texts, np.arange(len(texts), dtype=np.int64), k
+        )
+        if len(h) == 0:
+            return pa.table({
+                "h": pa.array([], pa.int64()),
+                "bit": pa.array([], pa.int64()),
+            })
+        pairs = np.unique(np.stack([h, sids[doc_idx]]), axis=1)
+        return pa.table({
+            "h": pa.array(pairs[0], pa.int64()),
+            "bit": pa.array(pairs[1], pa.int64()),
+        })
+
+    masks = (
+        ds.map_batches(pass_a, batch_format="pyarrow")
+        .groupby(["h", "bit"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("h")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+    def _multi_bit(b: pa.Table) -> pa.Table:
+        m = b["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.filter(pa.array((m & (m - 1)) != 0)).select(["h"])
+
+    cand_df = masks.map_batches(
+        _multi_bit, batch_format="pyarrow"
+    ).to_pandas()
+    if cand_df.empty:
+        return pd.DataFrame(
+            {"source_a": [], "source_b": [], "n_shared": []}
+        )
+    cand_ref = _ray.put(np.sort(cand_df["h"].to_numpy(np.int64)))
+
+    def pass_b(batch: pa.Table) -> pa.Table:
+        bits = _ray.get(bit_ref)
+        cands = _ray.get(cand_ref)
+        texts = batch[text_column].to_pylist()
+        sids = np.asarray(
+            [bits.get(s, 0) for s in batch[source_column].to_pylist()],
+            dtype=np.int64,
+        )
+        h, _, within, doc_idx, toks = _span_hash_rows(
+            texts, np.arange(len(texts), dtype=np.int64), k
+        )
+        if len(h) == 0:
+            return pa.table({
+                "span": pa.array([], pa.string()),
+                "bit": pa.array([], pa.int64()),
+            })
+        pos = np.searchsorted(cands, h)
+        pos[pos == len(cands)] = 0
+        hit = cands[pos] == h
+        spans = [
+            " ".join(toks[di][s : s + k])
+            for di, s in zip(doc_idx[hit], within[hit])
+        ]
+        df = pd.DataFrame({"span": spans, "bit": sids[doc_idx[hit]]})
+        part = df.drop_duplicates()
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    span_masks = (
+        ds.map_batches(pass_b, batch_format="pyarrow")
+        .groupby(["span", "bit"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("span")
+        .aggregate(Sum("bit", alias_name="mask"))
+    )
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        m = batch["mask"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals, cnts = np.unique(m, return_counts=True)
+        return pa.table({
+            "mask": pa.array(vals, pa.int64()),
+            "n": pa.array(cnts, pa.int64()),
+        })
+
+    hist = (
+        span_masks.map_batches(mask_hist, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            sel = (
+                hist["mask"].to_numpy(np.int64) & (bit_of[a] | bit_of[b])
+            ) == (bit_of[a] | bit_of[b])
+            n = int(hist["n"].to_numpy(np.int64)[sel].sum())
+            if n:
+                rows.append((a, b, n))
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_shared"]
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)

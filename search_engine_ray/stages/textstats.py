@@ -180,3 +180,138 @@ class FingerprintStage:
             for t in batch[self.text_column].to_pylist()
         ]
         return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def distinctive_keywords(
+    ds,
+    k: int = 5,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_len: int = 2,
+):
+    """Per-document distinctive keywords: the top-``k`` tokens ranked by
+    ``(tf DESC, df ASC, token ASC)`` — the deterministic integer variant
+    of tf-idf ranking (same ordering intent: frequent in the doc, rare
+    in the corpus) with no float scores, so the selection is exactly
+    reproducible across engines (float tf·idf ranking is tie-unstable
+    at the ulp level between ln() implementations).
+
+    Distribution shape:
+      * pass A computes document frequency per token — per-batch
+        distinct (token, doc) partials, one metadata-only
+        ``groupby(token)`` merge; the vocab-sized df table is broadcast
+        once via ``ray.put`` (a distributed hash join replaces the
+        broadcast beyond driver memory);
+      * pass B re-scans the corpus, computes per-doc tf vectorized
+        (Arrow dictionary_encode + one lexsort), ranks candidates per
+        doc with one composite argsort, and emits only the top-k rows.
+
+    Returns a Dataset ``(doc_id, rank, token, tf, df)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def _doc_token_pairs(batch: pa.Table):
+        """(row_idx, code, tf) triples + unique token strings, all Arrow/
+        numpy: split → length filter → dictionary_encode → run-count."""
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(pc.fill_null(col, ""), " ")
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        n = len(counts)
+        row_of_flat = np.repeat(np.arange(n, dtype=np.int64), counts)
+        rows = row_of_flat[keep_np]
+        kept = flat.filter(keep)
+        if len(kept) == 0:
+            e = np.empty(0, dtype=np.int64)
+            return e, e.copy(), e.copy(), np.empty(0, dtype=object)
+        enc = kept.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_numpy(zero_copy_only=False).astype(object)
+        V = len(uniq)
+        key = rows * V + codes
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        new = np.empty(len(ks), dtype=bool)
+        if len(ks):
+            new[0] = True
+            new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.append(starts, len(ks)))
+        pair_key = ks[starts]
+        return pair_key // V, pair_key % V, tf, uniq
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        rows, codes, _tf, uniq = _doc_token_pairs(batch)
+        # distinct (token, doc) within the batch → partial df counts
+        if len(codes) == 0:
+            return pa.table({
+                "token": pa.array([], pa.string()),
+                "df_part": pa.array([], pa.int64()),
+            })
+        cnt = np.bincount(codes, minlength=len(uniq))
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "token": pa.array(uniq[nz], pa.string()),
+            "df_part": pa.array(cnt[nz], pa.int64()),
+        })
+
+    df_tbl = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .to_pandas()
+    )
+    df_map = pd.Series(
+        df_tbl["df"].to_numpy(np.int64),
+        index=df_tbl["token"].to_numpy(object),
+    )
+    df_ref = _ray.put(df_map)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        dfm = _ray.get(df_ref)
+        rows, codes, tf, uniq = _doc_token_pairs(batch)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(codes) == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            })
+        dfs_uniq = dfm.reindex(uniq).to_numpy(np.int64)
+        dfs = dfs_uniq[codes]
+        # rank per doc: (tf desc, df asc, token asc) — one lexsort
+        order = np.lexsort((uniq[codes], dfs, -tf, rows))
+        rows_s = rows[order]
+        new = np.empty(len(rows_s), dtype=bool)
+        new[0] = True
+        new[1:] = rows_s[1:] != rows_s[:-1]
+        run_start = np.cumsum(new) - 1
+        first_pos = np.flatnonzero(new)[run_start]
+        rank = np.arange(len(rows_s), dtype=np.int64) - first_pos + 1
+        sel = rank <= k
+        return pa.table({
+            "doc_id": pa.array(ids[rows_s[sel]], pa.int64()),
+            "rank": pa.array(rank[sel], pa.int64()),
+            "token": pa.array(uniq[codes[order][sel]], pa.string()),
+            "tf": pa.array(tf[order][sel], pa.int64()),
+            "df": pa.array(dfs[order][sel], pa.int64()),
+        })
+
+    return ds.map_batches(topk, batch_format="pyarrow")

@@ -1038,3 +1038,97 @@ class TestVideoFrames:
         stage = VideoFrameSampleStage(n_frames=2, fake=False)
         with pytest.raises(ValueError, match="non-GIF"):
             stage(pa.table({"payload": pa.array([b"mp4junk"], pa.binary())}))
+
+
+class TestDistinctiveKeywords:
+    def test_ranking_tf_desc_df_asc_token_asc(self, ray_session):
+        """tf wins first; rarer tokens (lower df) break tf ties; token
+        string breaks (tf, df) ties."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.textstats import distinctive_keywords
+
+        docs = [
+            # doc 1: 'zz' tf=3; 'common' tf=2 (df=3); 'rare' tf=2 (df=1)
+            {"doc_id": 1,
+             "text": "zz zz zz common common rare rare filler"},
+            {"doc_id": 2, "text": "common alpha beta"},
+            {"doc_id": 3, "text": "common beta gamma"},
+        ]
+        out = (
+            distinctive_keywords(rd.from_items(docs), k=3)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+            .reset_index(drop=True)
+        )
+        d1 = out[out["doc_id"] == 1]
+        assert d1["token"].tolist()[0] == "zz"          # tf=3
+        assert d1["token"].tolist()[1] == "rare"        # tf=2, df=1
+        assert d1["token"].tolist()[2] == "common"      # tf=2, df=3
+        assert d1["tf"].tolist() == [3, 2, 2]
+        assert d1["df"].tolist() == [1, 1, 3]
+        # doc 2: all tf=1 -> df asc, then token asc ('alpha' df=1,
+        # 'beta' df=2, 'common' df=3)
+        d2 = out[out["doc_id"] == 2]
+        assert d2["token"].tolist() == ["alpha", "beta", "common"]
+
+    def test_len_filter_and_k(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.textstats import distinctive_keywords
+
+        docs = [{"doc_id": 7, "text": "a b cc dd"}]  # len-1 tokens drop
+        out = distinctive_keywords(rd.from_items(docs), k=10).to_pandas()
+        assert sorted(out["token"]) == ["cc", "dd"]
+        assert (out["tf"] == 1).all() and (out["df"] == 1).all()
+
+
+class TestCrossSourceOverlap:
+    def test_planted_overlap_counts(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cross_source_overlap
+
+        shared = "one two three four five"          # in A and B
+        shared2 = "six seven eight nine ten"        # in A, B and C
+        docs = [
+            {"doc_id": 1, "source": "A", "text": shared + " xa ya za qa wa"},
+            {"doc_id": 2, "source": "B", "text": shared + " xb yb zb qb wb"},
+            {"doc_id": 3, "source": "A", "text": shared2},
+            {"doc_id": 4, "source": "B", "text": shared2},
+            {"doc_id": 5, "source": "C", "text": shared2},
+            {"doc_id": 6, "source": "C", "text": "lone c doc words here"},
+        ]
+        out = cross_source_overlap(rd.from_items(docs), k=5)
+        got = {
+            (r.source_a, r.source_b): r.n_shared
+            for r in out.itertuples()
+        }
+        # A-B share both 5-grams; A-C and B-C share only shared2
+        assert got[("A", "B")] == 2
+        assert got[("A", "C")] == 1
+        assert got[("B", "C")] == 1
+
+    def test_duplicate_spans_within_source_count_once(self, ray_session):
+        """A span repeated in many docs of the same source still counts
+        once per pair (distinct spans, not occurrences)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cross_source_overlap
+
+        s = "red green blue black white"
+        docs = [
+            {"doc_id": i, "source": "A", "text": s} for i in range(5)
+        ] + [{"doc_id": 99, "source": "B", "text": s}]
+        out = cross_source_overlap(rd.from_items(docs), k=5)
+        assert len(out) == 1
+        assert out.iloc[0]["n_shared"] == 1
+
+    def test_single_source_empty(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import cross_source_overlap
+
+        docs = [{"doc_id": 1, "source": "A", "text": "a b c d e f"}]
+        out = cross_source_overlap(rd.from_items(docs), k=5)
+        assert out.empty
