@@ -297,3 +297,78 @@ class TestPorterStemmer:
     )
     def test_vector(self, word, stem):
         assert porter_stem(word) == stem
+
+
+class TestArrowTokenizeTwin:
+    """The all-Arrow tokenize path (stages/tokenize.py::
+    standard_field_codes) must reproduce the standard analyzer
+    byte-for-byte: same tokens, same per-row counts, same order."""
+
+    def _reconstruct(self, texts, stopwords=frozenset()):
+        import numpy as np
+        import pyarrow as pa
+
+        from search_engine_ray.stages.tokenize import standard_field_codes
+
+        codes, lens, uniq = standard_field_codes(
+            pa.array(texts, pa.large_string()), stopwords
+        )
+        out, pos = [], 0
+        for L in lens:
+            out.append([uniq[c] for c in codes[pos : pos + int(L)]])
+            pos += int(L)
+        return out
+
+    def test_hypothesis_equivalence(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from search_engine_ray.analysis.analyzers import standard_analyzer
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.text(
+                    alphabet=st.characters(
+                        codec="utf-8", exclude_categories=("Cs",)
+                    ),
+                    max_size=60,
+                ),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        def check(texts):
+            got = self._reconstruct(texts)
+            want = [
+                standard_analyzer(t, stopwords=frozenset())
+                for t in texts
+            ]
+            assert got == want
+
+        check()
+
+    def test_english_stopword_text(self):
+        from search_engine_ray.analysis.analyzers import (
+            DEFAULT_STOPWORDS,
+            standard_analyzer,
+        )
+
+        texts = [
+            "the quick brown fox and the lazy dog of it all",
+            "To be or not to be, that is the question!",
+        ]
+        got = self._reconstruct(texts, DEFAULT_STOPWORDS)
+        want = [standard_analyzer(t) for t in texts]
+        assert got == want
+
+    def test_stopwords_and_nulls(self):
+        import pyarrow as pa
+
+        from search_engine_ray.analysis.analyzers import standard_analyzer
+
+        sw = frozenset({"the", "of"})
+        texts = ["The cat OF the hat", None, "", "it's the end-of-line."]
+        got = self._reconstruct(texts, sw)
+        want = [standard_analyzer(t, stopwords=sw) if t else [] for t in texts]
+        assert got == want
