@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keywords_top5": q.keywords_top5,
         # cross-source n-gram overlap audit (decontamination diagnostics)
         "source_overlap_spans": q.source_overlap_spans,
+        # end-to-end near-dup curation (cluster -> keep canonical -> audit)
+        "near_dup_kept": q.near_dup_kept,
     }
 
 
@@ -759,6 +761,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rank, token, tf, df
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank
+        """,
+        "near_dup_kept": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+              FROM toks,
+                   UNNEST(range(1, greatest(len(t) - 4, 1) + 1)) AS u(i)
+            ),
+            sizes AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ),
+            common AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2
+            ),
+            dup_pairs AS (
+              SELECT a, b
+              FROM common
+              JOIN sizes sa ON sa.doc_id = a
+              JOIN sizes sb ON sb.doc_id = b
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ),
+            edges AS (
+              SELECT a AS u, b AS v FROM dup_pairs
+              UNION
+              SELECT b AS u, a AS v FROM dup_pairs
+            ),
+            cc AS (
+              SELECT u AS v, u AS l FROM edges
+              UNION
+              SELECT e.v, cc.l FROM cc JOIN edges e ON e.u = cc.v
+            ),
+            clusters AS (
+              SELECT v AS doc_id, min(l) AS cluster_id FROM cc GROUP BY v
+            ),
+            losers AS (
+              SELECT doc_id FROM clusters WHERE cluster_id <> doc_id
+            )
+            SELECT source, count(*)::BIGINT AS n_kept,
+                   sum(n_chars)::BIGINT AS kept_chars
+            FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+            GROUP BY source ORDER BY source
         """,
         "source_overlap_spans": """
             WITH toks AS (

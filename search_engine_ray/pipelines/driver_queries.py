@@ -1177,3 +1177,52 @@ def source_overlap_spans(sf_dir: str) -> pd.DataFrame:
             }
         )
     return out.astype({"n_shared": "int64"})
+
+
+def near_dup_kept(sf_dir: str) -> pd.DataFrame:
+    """END-TO-END near-dup curation: minhash-LSH candidates → exact
+    Jaccard verify → connected components → drop every cluster member
+    except the canonical keeper (min doc_id) → per-source kept-corpus
+    stats.  The loser set (≪ corpus) is broadcast once via ``ray.put``;
+    the corpus pass is a pure vectorized filter + partial aggregation —
+    the complete dedup pipeline a training-data run executes, ending in
+    the audit numbers.  Oracle = the near_dup_clusters recursive-CTE
+    closure + anti-join in DuckDB."""
+    import ray as _ray
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    clusters = near_dup_clusters(sf_dir)
+    losers = (
+        clusters.loc[
+            clusters["doc_id"] != clusters["cluster_id"], "doc_id"
+        ].to_numpy(np.int64)
+        if not clusters.empty
+        else np.empty(0, dtype=np.int64)
+    )
+    loser_ref = _ray.put(np.sort(losers))
+
+    def drop_losers(batch: pa.Table) -> pa.Table:
+        ls = _ray.get(loser_ref)
+        if len(ls) == 0:
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ls, ids)
+        pos[pos == len(ls)] = 0
+        return batch.filter(pa.array(ls[pos] != ids))
+
+    out = (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .map_batches(drop_losers, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            _Count(alias_name="n_kept"),
+            _Sum("n_chars", alias_name="kept_chars"),
+        )
+        .to_pandas()
+    )
+    return (
+        out.astype({"n_kept": "int64", "kept_chars": "int64"})
+        .sort_values("source")
+        .reset_index(drop=True)
+    )

@@ -1132,3 +1132,34 @@ class TestCrossSourceOverlap:
         docs = [{"doc_id": 1, "source": "A", "text": "a b c d e f"}]
         out = cross_source_overlap(rd.from_items(docs), k=5)
         assert out.empty
+
+
+class TestNearDupKept:
+    def test_planted_cluster_keeps_canonical(self, ray_session, tmp_path):
+        """Three near-identical docs collapse to the min doc_id; the
+        kept-corpus stats count exactly one of them per source."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.pipelines.driver_queries import near_dup_kept
+
+        base = " ".join(f"tok{i}" for i in range(40))
+        rows = [
+            (10, base, "A", len(base)),
+            (11, base + " tail", "A", len(base) + 5),
+            (12, base + " coda", "B", len(base) + 5),
+            (99, " ".join(f"other{i}" for i in range(40)), "B", 300),
+        ]
+        tbl = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.large_string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        out = near_dup_kept(str(d))
+        got = dict(zip(out["source"], out["n_kept"]))
+        # cluster {10,11,12} keeps only doc 10 (source A); doc 99 stays
+        assert got == {"A": 1, "B": 1}
