@@ -228,8 +228,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             vrank AS (
               SELECT vec_id,
-                     row_number() OVER (ORDER BY sim DESC, vec_id ASC)
-                         AS r
+                     row_number() OVER (
+                       ORDER BY round(sim, 9) DESC, vec_id ASC
+                     ) AS r
               FROM vsim
               QUALIFY r <= 50
             )
@@ -285,7 +286,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality": """
             WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+              WHERE text IS NOT NULL AND text <> ''
             )
             SELECT doc_id,
                    len(toks)::BIGINT AS n_tokens,
@@ -412,8 +415,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6)
                      AS sim
             FROM embeddings WHERE vec_id <> 0
-            ORDER BY list_cosine_similarity(
-                CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)) DESC,
+            ORDER BY round(list_cosine_similarity(
+                CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 9) DESC,
                 vec_id ASC
             LIMIT 10
         """,
@@ -425,7 +428,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(e2.embedding AS DOUBLE[])) AS sim
               FROM embeddings e1 JOIN embeddings e2
                 ON e1.vec_id < e2.vec_id
-            ) WHERE sim >= 0.42 ORDER BY a, b
+            ) WHERE round(sim, 9) >= 0.42 ORDER BY a, b
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -608,7 +611,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": """
             WITH base AS (
               SELECT doc_id,
-                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                     coalesce(text, '')
+                          || ' contact user' || CAST(doc_id AS VARCHAR)
                           || '@example.com ip 10.0.'
                           || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn '
                           || CAST(doc_id % 900 + 100 AS VARCHAR) || '-42-'
@@ -725,7 +729,10 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract(props, '$.k') AS BIGINT))
                        AS k_sum,
                    count(*)::BIGINT AS n
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM events GROUP BY event_type
+            HAVING sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                   IS NOT NULL
+            ORDER BY event_type
         """,
         # exact per-group quantiles vs DuckDB quantile_disc
         "quantiles_nchars": """

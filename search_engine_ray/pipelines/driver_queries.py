@@ -81,7 +81,7 @@ def doc_stats(sf_dir: str) -> pd.DataFrame:
         {
             "total_docs": [int(m["total_docs"])],
             "sum_dl": [int(m["sum_dl"])],
-            "avg_dl": [round(m["avg_dl"], 6)],
+            "avg_dl": [float(_round_half_away(m["avg_dl"]))],
         }
     )
 
@@ -110,7 +110,7 @@ def term_df_top50(sf_dir: str) -> pd.DataFrame:
 def bm25_top10(sf_dir: str) -> pd.DataFrame:
     s = _searcher(sf_dir)
     hits = s.search("spark join", size=10, operator="or")
-    hits["score"] = hits["score"].round(6)
+    hits["score"] = _round_half_away(hits["score"])
     return hits.astype({"doc_id": "int64"})
 
 
@@ -184,13 +184,22 @@ def fingerprints(sf_dir: str) -> pd.DataFrame:
 
 
 def quality(sf_dir: str) -> pd.DataFrame:
+    # empty/null docs are dropped on BOTH sides (quality metrics of an
+    # empty doc are undefined; SQL len(string_split('')) is 1, not 0)
+    def _nonempty(b: pa.Table) -> pa.Table:
+        t = b["text"]
+        return b.filter(
+            pc.and_(pc.is_valid(t), pc.greater(pc.utf8_length(t), 0))
+        )
+
     out = (
         _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_nonempty, batch_format="pyarrow")
         .map_batches(QualityStage(), batch_format="pyarrow")
         .select_columns(["doc_id", "n_tokens", "n_uniq_tokens", "mean_token_len"])
         .to_pandas()
     )
-    out["mean_token_len"] = out["mean_token_len"].round(6)
+    out["mean_token_len"] = _round_half_away(out["mean_token_len"])
     return out.sort_values("doc_id").reset_index(drop=True).astype(
         {"doc_id": "int64", "n_tokens": "int64", "n_uniq_tokens": "int64"}
     )
@@ -198,7 +207,10 @@ def quality(sf_dir: str) -> pd.DataFrame:
 
 def token_counts_by_source(sf_dir: str) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
-        n = [len(t.split()) for t in batch["text"].to_pylist()]
+        n = [
+            len(t.split()) if t else 0
+            for t in batch["text"].to_pylist()
+        ]
         return pa.table(
             {
                 "source": batch["source"],
@@ -233,15 +245,32 @@ def histogram_n_chars(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_count": "int64"})
 
 
+def _round_half_away(x, decimals: int = 6):
+    """DuckDB ``round()`` semantics: half AWAY from zero.  numpy/pandas
+    ``round`` are half-to-even, which diverges from every SQL oracle on
+    exact midpoints (e.g. 105/128 = 0.8203125 → 0.820312 vs 0.820313).
+    Every float that reaches a hash-compared output goes through this."""
+    a = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
+def _scale_int_half_away(x, scale: float) -> np.ndarray:
+    """``round(v*scale)`` as int64 with DuckDB half-away semantics (the
+    scaled-integer exact-sum convention's scaling step)."""
+    a = np.asarray(x, dtype=np.float64) * scale
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
 def _scale_value(ds: rd.Dataset, column: str = "value", scale: float = 1e6) -> rd.Dataset:
     """Replace a float column with round(v*scale) int64 so downstream sums
     are exact integers in double — identical regardless of summation order,
     hence bit-equal to the DuckDB oracle's sum (which mirrors the same
-    scaling)."""
+    scaling and the same half-away rounding)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         v = batch[column].to_numpy(zero_copy_only=False).astype(np.float64)
-        sv = np.round(v * scale).astype(np.int64)
+        sv = _scale_int_half_away(v, scale)
         i = batch.schema.get_field_index(column)
         return batch.set_column(i, column, pa.array(sv, pa.int64()))
 
@@ -253,7 +282,7 @@ def date_histogram_events(sf_dir: str) -> pd.DataFrame:
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
     )
     out = agg.date_histogram_agg(ds, "ts", "1d", value_field="value")
-    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    out["sum_value"] = _round_half_away(out["sum_value"] / 1e6)
     return out.astype({"bucket_ms": "int64", "doc_count": "int64"})
 
 
@@ -266,7 +295,7 @@ def range_agg_value(sf_dir: str) -> pd.DataFrame:
 def stats_n_chars(sf_dir: str) -> pd.DataFrame:
     """Global stats agg (SURVEY §2.5 global/stats) over documents.n_chars."""
     out = agg.stats_agg(_docs(sf_dir, ["n_chars"]), "n_chars")
-    out["mean"] = out["mean"].round(6)
+    out["mean"] = _round_half_away(out["mean"])
     return out.astype(
         {"count": "int64", "min": "int64", "max": "int64", "sum": "int64"}
     )
@@ -280,7 +309,7 @@ def filter_stats_en(sf_dir: str) -> pd.DataFrame:
         agg.stats_agg,
         "n_chars",
     )
-    out["mean"] = out["mean"].round(6)
+    out["mean"] = _round_half_away(out["mean"])
     return out.astype(
         {"count": "int64", "min": "int64", "max": "int64", "sum": "int64"}
     )
@@ -293,7 +322,7 @@ def tumbling_user_value(sf_dir: str) -> pd.DataFrame:
         )
     )
     out = win.tumbling_window(ds, "ts", "user_id", 3_600_000_000, "value")
-    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    out["sum_value"] = _round_half_away(out["sum_value"] / 1e6)
     return out.astype(
         {"user_id": "int64", "window_us": "int64", "n_events": "int64"}
     )
@@ -309,7 +338,7 @@ def sliding_user_value(sf_dir: str) -> pd.DataFrame:
     out = win.sliding_window(
         ds, "ts", "user_id", 7_200_000_000, 3_600_000_000, "value"
     )
-    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    out["sum_value"] = _round_half_away(out["sum_value"] / 1e6)
     return out.astype(
         {"user_id": "int64", "window_us": "int64", "n_events": "int64"}
     )
@@ -324,7 +353,7 @@ def session_windows(sf_dir: str) -> pd.DataFrame:
     out = win.session_window(
         ds, "ts", "user_id", gap_us=1_800_000_000, value_field="value"
     )
-    out["sum_value"] = (out["sum_value"] / 1e6).round(6)
+    out["sum_value"] = _round_half_away(out["sum_value"] / 1e6)
     return out.astype(
         {
             "user_id": "int64",
@@ -349,8 +378,14 @@ def ivf_top10(sf_dir: str) -> pd.DataFrame:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     idx = f"/tmp/ser_ivf_{key}"
     import os
+    import shutil
 
     if not os.path.exists(f"{idx}/ivf_meta.json"):
+        # no meta == no valid index: wipe any partial build (a killed
+        # run leaves vector files a rebuild would otherwise APPEND to,
+        # duplicating vectors — meta is written last, so its presence
+        # is the commit marker)
+        shutil.rmtree(idx, ignore_errors=True)
         build_ivf_index(ds, idx, n_centroids=16)
     q = (
         ds.map_batches(
@@ -362,7 +397,7 @@ def ivf_top10(sf_dir: str) -> pd.DataFrame:
         .tolist()
     )
     out = ivf_search(idx, np.asarray(q, dtype=np.float32), k=10, nprobe=4)
-    out["sim"] = out["sim"].round(6)
+    out["sim"] = _round_half_away(out["sim"])
     return out.astype({"qid": "int64", "vec_id": "int64"})
 
 
@@ -387,12 +422,24 @@ def similarity_top10(sf_dir: str) -> pd.DataFrame:
         .to_pandas()["embedding"]
         .iloc[0]
     )
+    # rank by sim rounded to 9 decimals (both engines): the raw cosine
+    # is computed by different fp expression orders in Ray (normalize →
+    # matmul) and DuckDB (dot/norms), so a 1-ulp difference between
+    # adjacent docs could flip the rank order; the round-9 grain
+    # collapses ulp noise into ties broken by vec_id on both sides.
+    # Fetch a margin past k so a tie band at the cut stays complete.
     out = sim.brute_force_topk(
-        ds, np.asarray(q, dtype=np.float64), k=10, exclude_ids=(0,),
+        ds, np.asarray(q, dtype=np.float64), k=26, exclude_ids=(0,),
         dtype=np.float64,
     )
     out = out.drop(columns=["qid"])
-    out["sim"] = out["sim"].round(6)
+    out["_s9"] = _round_half_away(out["sim"], 9)
+    out = (
+        out.sort_values(["_s9", "vec_id"], ascending=[False, True])
+        .head(10)
+        .drop(columns=["_s9"])
+    )
+    out["sim"] = _round_half_away(out["sim"])
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
 
 
@@ -418,9 +465,16 @@ def hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
         .to_pandas()["embedding"]
         .iloc[0]
     )
+    # round-9 rank grain + vec_id tie-break (see similarity_top10): a
+    # 1-ulp cosine difference must not flip ranks between engines —
+    # whole 1/(60+r) fusion steps depend on them
     vec = sim.brute_force_topk(
-        ds, np.asarray(qv, dtype=np.float64), k=50, dtype=np.float64
+        ds, np.asarray(qv, dtype=np.float64), k=66, dtype=np.float64
     )
+    vec["_s9"] = _round_half_away(vec["sim"], 9)
+    vec = vec.sort_values(
+        ["_s9", "vec_id"], ascending=[False, True]
+    ).head(50)
     vec_rank = {int(d): i + 1 for i, d in enumerate(vec["vec_id"])}
 
     docs = sorted(set(bm_rank) | set(vec_rank))
@@ -433,15 +487,20 @@ def hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(
         ["rrf", "doc_id"], ascending=[False, True]
     ).head(10)
-    out["rrf"] = out["rrf"].round(6)
+    out["rrf"] = _round_half_away(out["rrf"])
     return out.reset_index(drop=True).astype({"doc_id": "int64"})
 
 
 def embedding_pairs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = sim.all_pairs_above(ds, threshold=0.42, dtype=np.float64)
-    out["sim"] = out["sim"].round(6)
-    return out.astype({"a": "int64", "b": "int64"})
+    # threshold on the round-9 sim (both engines): a raw-fp threshold
+    # test could include a pair on one side and not the other when the
+    # cosine lands within 1 ulp of 0.42 — fetch with a hair of margin,
+    # cut on the shared grain
+    out = sim.all_pairs_above(ds, threshold=0.42 - 1e-8, dtype=np.float64)
+    out = out[_round_half_away(out["sim"], 9) >= 0.42]
+    out["sim"] = _round_half_away(out["sim"])
+    return out.reset_index(drop=True).astype({"a": "int64", "b": "int64"})
 
 
 # --- relational (broadcast-join / partial-agg demos) -----------------------
@@ -460,12 +519,12 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff]
         # scaled-integer sums: exact in double at any summation order, so
         # they match the DuckDB oracle (which mirrors the same scaling)
-        df["q100"] = np.round(df["l_quantity"] * 100).astype("int64")
-        df["p100"] = np.round(df["l_extendedprice"] * 100).astype("int64")
-        df["d100"] = np.round(df["l_discount"] * 100).astype("int64")
-        df["dp1e4"] = np.round(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
-        ).astype("int64")
+        df["q100"] = _scale_int_half_away(df["l_quantity"], 100)
+        df["p100"] = _scale_int_half_away(df["l_extendedprice"], 100)
+        df["d100"] = _scale_int_half_away(df["l_discount"], 100)
+        df["dp1e4"] = _scale_int_half_away(
+            df["l_extendedprice"] * (1 - df["l_discount"]), 10000
+        )
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             p_qty=("q100", "sum"),
             p_price=("p100", "sum"),
@@ -490,12 +549,12 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
     merged["sum_qty"] = merged["sum_qty"] / 100.0
     merged["sum_base_price"] = merged["sum_base_price"] / 100.0
     merged["sum_disc_price"] = merged["sum_disc_price"] / 10000.0
-    merged["avg_qty"] = (merged["sum_qty"] / merged["count_order"]).round(6)
-    merged["avg_disc"] = (
+    merged["avg_qty"] = _round_half_away(merged["sum_qty"] / merged["count_order"])
+    merged["avg_disc"] = _round_half_away(
         merged["s_disc"] / 100.0 / merged["count_order"]
-    ).round(6)
+    )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
-        merged[c] = merged[c].round(6)
+        merged[c] = _round_half_away(merged[c])
     merged = merged.drop(columns=["s_disc"])
     merged = merged.sort_values(["l_returnflag", "l_linestatus"])
     return merged[
@@ -547,9 +606,9 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     def lineitem_partials(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        rev = np.round(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 10000
-        ).astype("int64")
+        rev = _scale_int_half_away(
+            df["l_extendedprice"] * (1 - df["l_discount"]), 10000
+        )
         g = (
             pd.DataFrame({"l_orderkey": df["l_orderkey"], "rev": rev})
             .groupby("l_orderkey", as_index=False)["rev"]
@@ -581,7 +640,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
         .aggregate(Sum("rev", alias_name="revenue"))
         .to_pandas()
     )
-    merged["revenue"] = (merged["revenue"] / 10000.0).round(6)
+    merged["revenue"] = _round_half_away(merged["revenue"] / 10000.0)
     return merged.sort_values("n_name").reset_index(drop=True)
 
 
@@ -612,12 +671,29 @@ def minhash_pairs(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# minhash_verified_pairs is the base of three gate queries
+# (near_dup_clusters and near_dup_kept build on it) — memoize per
+# sf_dir so one driver suite runs the LSH + exact-verify pipeline once,
+# not three times (at scale that is the whole corpus re-tokenized,
+# re-hashed and re-shuffled per caller)
+_VERIFIED_PAIRS_CACHE: dict = {}
+
+
 def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
     """Near-dup pairs with EXACT 5-gram Jaccard >= 0.8: MinHash-LSH
     proposes candidates (recall-oriented est >= 0.5), exact n-gram
     verification filters — oracle-checkable against a DuckDB shingle
     self-join (the LSH miss probability for a J>=0.8 pair at 32x4 bands
     is ~5e-8, so the candidate stage is lossless in practice)."""
+    hit = _VERIFIED_PAIRS_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit.copy()
+    out = _minhash_verified_pairs_impl(sf_dir)
+    _VERIFIED_PAIRS_CACHE[sf_dir] = out
+    return out.copy()
+
+
+def _minhash_verified_pairs_impl(sf_dir: str) -> pd.DataFrame:
     cand = dd.minhash_lsh_candidates(
         _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.5
     )
@@ -630,7 +706,7 @@ def minhash_verified_pairs(sf_dir: str) -> pd.DataFrame:
             {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
              "jaccard": pd.Series(dtype="float64")}
         )
-    out["jaccard"] = out["jaccard"].round(6)
+    out["jaccard"] = _round_half_away(out["jaccard"])
     return (
         out.sort_values(["a", "b"]).reset_index(drop=True)
         .astype({"a": "int64", "b": "int64", "jaccard": "float64"})
@@ -724,7 +800,7 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
 def embedding_lsh_pairs(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     out = sim.lsh_bucketed_neardup(ds, threshold=0.42, n_planes=8, n_tables=32)
-    out["sim"] = out["sim"].round(6)
+    out["sim"] = _round_half_away(out["sim"])
     return out.astype({"a": "int64", "b": "int64"}, errors="ignore")
 
 
@@ -779,8 +855,8 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
     feats = np.stack(out["features"].to_numpy())
     res = pd.DataFrame({
         "doc_id": out["doc_id"].astype("int64"),
-        "f_mean": np.round(feats.mean(axis=1), 6),
-        "f_l2": np.round(np.linalg.norm(feats, axis=1), 6),
+        "f_mean": _round_half_away(feats.mean(axis=1)),
+        "f_l2": _round_half_away(np.linalg.norm(feats, axis=1)),
     })
     return res.sort_values("doc_id").reset_index(drop=True)
 
@@ -800,8 +876,10 @@ def pii_redact(sf_dir: str) -> pd.DataFrame:
         batch = batch.filter(mask)
         ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        # null text → '' (the oracle mirrors with coalesce(text, '');
+        # a bare f-string would inject the literal 'None')
         injected = [
-            f"{t} contact user{d}@example.com ip 10.0.{d % 256}.7 "
+            f"{t or ''} contact user{d}@example.com ip 10.0.{d % 256}.7 "
             f"ssn {d % 900 + 100:03d}-42-{d % 9000 + 1000:04d}"
             for d, t in zip(ids, texts)
         ]
@@ -966,7 +1044,7 @@ def asof_view_attribution(sf_dir: str) -> pd.DataFrame:
         "user_id": out["user_id"].astype("int64"),
         "ts_us": out["ts"].astype("int64"),
         "view_event_id": out["view_event_id"].fillna(-1).astype("int64"),
-        "view_value": out["view_value"].fillna(0.0).round(6),
+        "view_value": _round_half_away(out["view_value"].fillna(0.0)),
     })
     return res.sort_values("event_id").reset_index(drop=True)
 
@@ -1047,8 +1125,11 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
     # float k, missing k) fall back to per-row json.loads with DuckDB
     # CAST-to-BIGINT semantics; on this corpus that's zero rows.
     _num = r'"[^"\\]*"\s*:\s*-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?'
+    # LAZY prefix (*?) so a duplicate "k" key resolves to the FIRST
+    # occurrence — DuckDB json_extract('$.k') returns the first match,
+    # while a greedy prefix (and plain json.loads) would take the last
     _fast = (
-        r'^\{\s*(?:' + _num + r'\s*,\s*)*"k"\s*:\s*(?P<k>-?\d+)'
+        r'^\{\s*(?:' + _num + r'\s*,\s*)*?"k"\s*:\s*(?P<k>-?\d+)'
         r'\s*(?:,\s*' + _num + r')*\s*\}$'
     )
 
@@ -1057,7 +1138,17 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
         import math
 
         try:
-            v = json.loads(s).get("k") if s is not None else None
+            # first-occurrence-wins object hook mirrors json_extract
+            v = (
+                json.loads(
+                    s,
+                    object_pairs_hook=lambda pairs: {
+                        k2: v2 for k2, v2 in reversed(pairs)
+                    },
+                ).get("k")
+                if s is not None
+                else None
+            )
         except (ValueError, AttributeError):
             return None
         if isinstance(v, bool) or isinstance(v, int):
@@ -1112,6 +1203,9 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    # an event_type whose k values are ALL null sums to null — excluded
+    # on both sides (the oracle mirrors with HAVING ... IS NOT NULL)
+    out = out[out["k_sum"].notna()]
     return (
         out.astype({"k_sum": "int64", "n": "int64"})
         .sort_values("event_type")

@@ -46,12 +46,35 @@ def _md5_64(values: Iterable[str]) -> List[int]:
     return out
 
 
+def _md5_2x63(values: Iterable[str]) -> Tuple[List[int], List[int]]:
+    """Two independent 63-bit halves of the md5 digest.  Keying a dedup
+    group by BOTH (126 bits) pushes the collision probability below
+    2^-60 even at 10^12 documents — a single 63-bit key has an expected
+    collision around ~3e9 docs, which would silently drop a unique doc
+    (the oracle partitions by full text)."""
+    a, b = [], []
+    for v in values:
+        h = hashlib.md5(v.encode("utf-8", "surrogatepass")).digest()
+        a.append(int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF)
+        b.append(int.from_bytes(h[8:], "big") & 0x7FFF_FFFF_FFFF_FFFF)
+    return a, b
+
+
 def add_content_hash(
     batch: pa.Table, column: str = "text", out: str = "content_hash"
 ) -> pa.Table:
     return batch.append_column(
         out, pa.array(_md5_64(batch[column].to_pylist()), pa.int64())
     )
+
+
+def add_content_hash2(
+    batch: pa.Table, column: str = "text"
+) -> pa.Table:
+    ha, hb = _md5_2x63(batch[column].to_pylist())
+    return batch.append_column(
+        "content_hash", pa.array(ha, pa.int64())
+    ).append_column("content_hash2", pa.array(hb, pa.int64()))
 
 
 def exact_dedup(
@@ -61,7 +84,9 @@ def exact_dedup(
     num_partitions: Optional[int] = None,
 ) -> rd.Dataset:
     """Exact dedup by content hash; keeper = smallest id (deterministic at
-    any parallelism).  Shuffle key = 64-bit content hash.
+    any parallelism).  Shuffle key = 126 bits of md5 (two int64 columns
+    — see ``_md5_2x63``), so a key collision between distinct texts is
+    cryptographically negligible even at 10^12 docs.
 
     Shape: ``groupby(hash).aggregate(Min(id))`` decides winners without
     any per-group Python (a ``map_groups`` keeper pays a pandas dispatch
@@ -72,21 +97,21 @@ def exact_dedup(
     import pyarrow.compute as _pc
 
     hashed = ds.map_batches(
-        lambda b: add_content_hash(b, column), batch_format="pyarrow"
+        lambda b: add_content_hash2(b, column), batch_format="pyarrow"
     )
-    winners = hashed.groupby("content_hash").aggregate(
+    winners = hashed.groupby(["content_hash", "content_hash2"]).aggregate(
         Min(id_column, alias_name="__keep_id")
     )
     joined = hashed.join(
         winners,
         join_type="inner",
         num_partitions=num_partitions or default_pool_size(),
-        on=("content_hash",),
+        on=("content_hash", "content_hash2"),
     )
     return joined.map_batches(
         lambda b: b.filter(
             _pc.equal(b[id_column], b["__keep_id"])
-        ).drop_columns(["__keep_id"]),
+        ).drop_columns(["__keep_id", "content_hash2"]),
         batch_format="pyarrow",
     )
 
@@ -641,7 +666,7 @@ def verify_pairs_exact(
         for did, t in zip(
             batch[id_column].to_pylist(), batch[text_column].to_pylist()
         ):
-            texts[did] = t.split()
+            texts[did] = t.split() if t else []
     jac = [
         ngram_jaccard(texts.get(a, []), texts.get(b, []), shingle_k)
         for a, b in zip(pairs["a"], pairs["b"])

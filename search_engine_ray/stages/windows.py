@@ -26,6 +26,28 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 
+
+# NULL-key group support for the groupby exchanges: Ray's sort-based
+# groupby cannot sort None against strings, so object-typed null keys
+# ride the shuffle as a private sentinel and are restored after the
+# merge (SQL GROUP BY keeps a NULL group).  Non-string null keys keep
+# the drop behavior (no sentinel exists in-band for numerics).
+_NULL_KEY = "\x00<null>"
+
+
+def _encode_null_keys(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    if df[key].dtype == object:
+        df[key] = df[key].where(df[key].notna(), _NULL_KEY)
+        return df
+    return df[df[key].notna()]
+
+
+def _decode_null_keys(df: pd.DataFrame, key: str) -> pd.DataFrame:
+    if df[key].dtype == object:
+        df[key] = df[key].where(df[key] != _NULL_KEY, None)
+    return df
+
+
 def tumbling_window(
     ds: rd.Dataset,
     ts_field: str,
@@ -45,6 +67,7 @@ def tumbling_window(
                 "v": batch[value_field].to_numpy(zero_copy_only=False),
             }
         )
+        df = _encode_null_keys(df, key_field)
         g = df.groupby([key_field, "window_us"], as_index=False).agg(
             partial_count=("v", "size"), partial_sum=("v", "sum")
         )
@@ -59,6 +82,7 @@ def tumbling_window(
         )
         .to_pandas()
     )
+    merged = _decode_null_keys(merged, key_field)
     return merged.sort_values([key_field, "window_us"]).reset_index(drop=True)
 
 
@@ -84,7 +108,10 @@ def tumbling_distinct(
         df = pd.DataFrame({
             "window_us": win,
             "k": batch[distinct_field].to_numpy(zero_copy_only=False),
-        }).drop_duplicates()
+        })
+        # SQL count(DISTINCT k) ignores NULLs; drop_duplicates would
+        # have counted NaN as one extra distinct value
+        df = df[df["k"].notna()].drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
     out = (
@@ -128,6 +155,7 @@ def sliding_window(
                 )
             )
         df = pd.concat(frames, ignore_index=True)
+        df = _encode_null_keys(df, key_field)
         g = df.groupby([key_field, "window_us"], as_index=False).agg(
             partial_count=("v", "size"), partial_sum=("v", "sum")
         )
@@ -142,6 +170,7 @@ def sliding_window(
         )
         .to_pandas()
     )
+    merged = _decode_null_keys(merged, key_field)
     return merged.sort_values([key_field, "window_us"]).reset_index(drop=True)
 
 
@@ -171,7 +200,17 @@ def session_window(
             ts = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
         else:
             ts = pc.cast(col, pa.int64())
-        cols = {key_field: batch[key_field], "__ts": ts}
+        key_col = batch[key_field]
+        if pa.types.is_null(key_col.type):
+            key_col = pc.cast(key_col, pa.string())
+        if pa.types.is_string(key_col.type) or pa.types.is_large_string(
+            key_col.type
+        ):
+            # null keys ride the sort as the sentinel (Ray's range sort
+            # cannot order None against strings); SQL PARTITION BY puts
+            # all NULLs in one partition — restored after the merge
+            key_col = pc.fill_null(key_col, _NULL_KEY)
+        cols = {key_field: key_col, "__ts": ts}
         if value_field:
             cols["__v"] = pc.cast(batch[value_field], pa.float64())
         return pa.table(cols)
@@ -203,7 +242,11 @@ def session_window(
         )
         new = np.empty(n, dtype=bool)
         new[0] = True
-        new[1:] = (keys[1:] != keys[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        # null-key rows form ONE partition (SQL PARTITION BY semantics);
+        # a plain != would make every null row its own session
+        kn = pd.isna(keys)
+        key_change = (keys[1:] != keys[:-1]) & ~(kn[1:] & kn[:-1])
+        new[1:] = key_change | ((ts[1:] - ts[:-1]) > gap_us)
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], n)
         kind = np.zeros(len(starts), dtype=np.int8)
@@ -243,9 +286,13 @@ def session_window(
     merged_rows = []
     cur = None
     for row in edges.itertuples(index=False):
+        rk = getattr(row, key_field)
         if (
             cur is not None
-            and getattr(row, key_field) == cur[0]
+            and (
+                rk == cur[0]
+                or (bool(pd.isna(rk)) and bool(pd.isna(cur[0])))
+            )
             and row.session_start - cur[2] <= gap_us
         ):
             cur = (
@@ -278,6 +325,7 @@ def session_window(
         [interior.drop(columns=["kind"]), merged_df], ignore_index=True
     ).sort_values([key_field, "session_start"])
     final["session"] = final.groupby(key_field).cumcount()
+    final = _decode_null_keys(final, key_field)
     return final[
         [
             key_field, "session", "session_start", "session_end",
@@ -461,11 +509,13 @@ def trailing_window_agg(
         + ([fixed] if len(heads) else []),
         ignore_index=True,
     )
+    # half-away rounding (DuckDB round()); pandas .round is half-even
+    tv = out["trail_v"].to_numpy(np.float64) / float(value_scale)
     res = pd.DataFrame({
         key_field: out[key_field],
         "ts_us": out["__ts"].astype("int64"),
         id_field: out[id_field].astype("int64"),
-        "trail_sum": (out["trail_v"] / float(value_scale)).round(6),
+        "trail_sum": np.sign(tv) * np.floor(np.abs(tv) * 1e6 + 0.5) / 1e6,
         "trail_n": out["trail_n"].astype("int64"),
     })
     return res.sort_values(id_field).reset_index(drop=True)

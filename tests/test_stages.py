@@ -1163,3 +1163,103 @@ class TestNearDupKept:
         got = dict(zip(out["source"], out["n_kept"]))
         # cluster {10,11,12} keeps only doc 10 (source A); doc 99 stays
         assert got == {"A": 1, "B": 1}
+
+
+class TestOracleParityEdgeCases:
+    """Round-3 review: cases the sf0.01 gate data never exercises —
+    rounding midpoints, null keys, duplicate JSON keys."""
+
+    def test_round_half_away_matches_duckdb(self):
+        import duckdb
+
+        from search_engine_ray.pipelines.driver_queries import (
+            _round_half_away,
+            _scale_int_half_away,
+        )
+
+        vals = [0.8203125, -0.8203125, 0.0390625, 2.0000005, -2.0000005,
+                1.5e-7, 0.1234565, 123.4567895]
+        con = duckdb.connect()
+        for v in vals:
+            want = con.execute(f"SELECT round({v!r}::DOUBLE, 6)").fetchone()[0]
+            got = float(_round_half_away(v))
+            assert got == want, (v, got, want)
+        for v in (2.0000005, -2.0000005, 2.125, -2.125):
+            want = con.execute(
+                f"SELECT CAST(round({v!r}::DOUBLE * 1000000) AS BIGINT)"
+            ).fetchone()[0]
+            got = int(_scale_int_half_away(np.array([v]), 1e6)[0])
+            assert got == want, (v, got, want)
+
+    def test_tumbling_null_key_kept_distinct_null_excluded(
+        self, ray_session
+    ):
+        import ray.data as rd
+
+        from search_engine_ray.stages.windows import (
+            tumbling_distinct,
+            tumbling_window,
+        )
+
+        rows = [
+            {"ts": 10, "user_id": "u1", "value": 1.0},
+            {"ts": 20, "user_id": None, "value": 2.0},
+            {"ts": 30, "user_id": None, "value": 3.0},
+        ]
+        ds = rd.from_items(rows)
+        out = tumbling_window(ds, "ts", "user_id", 1000, "value")
+        # SQL GROUP BY keeps the NULL group: 2 groups total
+        assert len(out) == 2
+        null_row = out[out["user_id"].isna()]
+        assert len(null_row) == 1
+        assert float(null_row["sum_value"].iloc[0]) == 5.0
+
+        dd_ = tumbling_distinct(ds, "ts", 1000, "user_id")
+        # count(DISTINCT user_id) ignores NULLs → 1
+        assert int(dd_["n_distinct"].iloc[0]) == 1
+
+    def test_session_null_keys_one_partition(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.windows import session_window
+
+        rows = [
+            {"ts": 0, "user_id": None},
+            {"ts": 5, "user_id": None},
+            {"ts": 1000, "user_id": None},  # gap > 100 → new session
+            {"ts": 3, "user_id": "u1"},
+        ]
+        out = session_window(rd.from_items(rows), "ts", "user_id", 100)
+        nulls = out[out["user_id"].isna()]
+        assert len(nulls) == 2  # one partition, two gap-split sessions
+        assert int(nulls["n_events"].sum()) == 3
+
+    def test_props_k_duplicate_key_first_wins(self, ray_session, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.pipelines.driver_queries import props_k_sum
+
+        props = [
+            '{"k":1,"k":2}',          # duplicate key → json_extract = 1
+            '{"a": 3, "k": 7}',
+            '{"a": {"k": 99}, "k": 5}',  # nested k must not win
+            '{"a": 1}',               # missing k → NULL (ignored by sum)
+        ]
+        tbl = pa.table({
+            "event_type": pa.array(["x"] * 4, pa.string()),
+            "props": pa.array(props, pa.string()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        out = props_k_sum(str(d))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        want = con.execute(
+            "SELECT sum(CAST(json_extract(props, '$.k') AS BIGINT)) "
+            "FROM events"
+        ).fetchone()[0]
+        assert int(out["k_sum"].iloc[0]) == int(want) == 13
