@@ -264,20 +264,31 @@ def pack_sequences(
         new_group = np.zeros(len(pdf), dtype=bool)
         if len(new_group):
             new_group[0] = True
-    bin_id = np.empty(len(pdf), dtype=np.int64)
-    bin_off = np.empty(len(pdf), dtype=np.int64)
-    cur_bin = -1
-    cur_fill = 0
-    for i in range(len(pdf)):
-        t = int(toks[i])
-        if new_group[i]:
-            cur_bin = -1
-        if cur_bin < 0 or cur_fill + t > capacity:
-            cur_bin += 1
-            cur_fill = 0
-        bin_id[i] = cur_bin
-        bin_off[i] = cur_fill
-        cur_fill += t
+    n = len(pdf)
+    bin_id = np.empty(n, dtype=np.int64)
+    bin_off = np.empty(n, dtype=np.int64)
+    # next-fit boundaries via a searchsorted recurrence: from a bin
+    # start s, the bin ends at the first index whose cumulative token
+    # sum exceeds csum_before(s) + capacity — O(bins · log n) instead
+    # of a Python loop over every row (the recurrence is inherently
+    # sequential, but only one step per BIN, not per row)
+    toks_i = toks.astype(np.int64)
+    csum = np.cumsum(toks_i)
+    group_starts = np.flatnonzero(new_group)
+    group_ends = np.append(group_starts[1:], n)
+    for gs, ge in zip(group_starts, group_ends):
+        s = gs
+        b = 0
+        while s < ge:
+            base = csum[s - 1] if s else 0
+            e = int(np.searchsorted(csum, base + capacity, side="right"))
+            if e == s:  # oversize row: a bin of its own
+                e = s + 1
+            e = min(e, ge)
+            bin_id[s:e] = b
+            bin_off[s:e] = csum[s:e] - toks_i[s:e] - base
+            b += 1
+            s = e
     out = pdf.reset_index(drop=True)
     out["bin_id"] = bin_id
     out["bin_offset"] = bin_off
