@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_spans": q.source_overlap_spans,
         # end-to-end near-dup curation (cluster -> keep canonical -> audit)
         "near_dup_kept": q.near_dup_kept,
+        # distributed arg-max / max_by (latest event per user)
+        "latest_event_per_user": q.latest_event_per_user,
     }
 
 
@@ -814,6 +816,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
             GROUP BY source ORDER BY source
+        """,
+        "latest_event_per_user": """
+            SELECT user_id,
+                   epoch_us(ts)::BIGINT AS ts_us,
+                   event_id, event_type,
+                   round(value, 6) AS value
+            FROM (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                     ) AS rn
+              FROM events
+            ) WHERE rn = 1
+            ORDER BY user_id
         """,
         "source_overlap_spans": """
             WITH toks AS (

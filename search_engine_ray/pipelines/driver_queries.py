@@ -1320,3 +1320,30 @@ def near_dup_kept(sf_dir: str) -> pd.DataFrame:
         .sort_values("source")
         .reset_index(drop=True)
     )
+
+
+def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Distributed arg-max (SQL ``max_by`` / ``arg_max``): each user's
+    latest event — payload of the row with max (ts, event_id).  One
+    metadata-only groupby; the winning payload rides the aggregate as
+    an order-preserving composite (stages/aggregates.py::group_argmax),
+    so there is no second pass and no join.  Oracle = DuckDB
+    row_number() OVER (PARTITION BY user ORDER BY ts DESC, id DESC)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    out = agg.group_argmax(
+        ds, "user_id", ["ts", "event_id"], ["event_type", "value"]
+    )
+    out["ts_us"] = out.pop("ts")
+    out["value"] = _round_half_away(out["value"])
+    return (
+        out[["user_id", "ts_us", "event_id", "event_type", "value"]]
+        .astype({
+            "user_id": "int64", "ts_us": "int64", "event_id": "int64",
+            "value": "float64",
+        })
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )

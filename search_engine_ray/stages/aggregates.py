@@ -338,3 +338,91 @@ def group_quantiles(
         select_scan, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     return out.sort_values([group_field, "q"]).reset_index(drop=True)
+
+
+def group_argmax(
+    ds,
+    group_field: str,
+    order_fields,
+    payload_fields,
+):
+    """Distributed ``max_by`` / ``arg_max``: for every group, the payload
+    of the row with the lexicographically greatest ``order_fields``
+    (ties broken by the later order fields; make the last one unique —
+    e.g. an id — for full determinism).
+
+    Shape: per-batch partial argmax (one row per group per batch), then
+    ONE metadata-only ``groupby(group).Max(composite)`` — the composite
+    packs the order fields AND the payload into a single
+    order-preserving string (fixed-width unsigned ints first), so the
+    winning row's payload rides the aggregate itself: no second pass,
+    no join, nothing corpus-sized anywhere.
+
+    order_fields values must be int-castable (timestamps cast to
+    epoch micros); payload fields round-trip as strings.
+    """
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    BIAS = 1 << 63
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = {group_field: batch[group_field].to_numpy(
+            zero_copy_only=False
+        )}
+        for f in order_fields:
+            c = batch[f]
+            if pa.types.is_timestamp(c.type):
+                c = pc.cast(pc.cast(c, pa.timestamp("us")), pa.int64())
+            else:
+                c = pc.cast(c, pa.int64())
+            cols[f] = c.to_numpy(zero_copy_only=False)
+        for p in payload_fields:
+            cols[p] = batch[p].to_pylist()
+        df = pd.DataFrame(cols)
+        # vectorized per-batch reduce: one winner row per group; the
+        # composite string is built only for winners
+        win = (
+            df.sort_values(
+                [group_field] + list(order_fields), kind="stable"
+            )
+            .groupby(group_field, as_index=False)
+            .tail(1)
+        )
+        comp = [
+            "".join(f"{int(row[f]) + BIAS:020d}" for f in order_fields)
+            + "|"
+            + json.dumps([row[p] for p in payload_fields])
+            for row in win.to_dict("records")
+        ]
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {group_field: win[group_field].values, "__comp": comp}
+            ),
+            preserve_index=False,
+        )
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_field)
+        .aggregate(Max("__comp", alias_name="__comp"))
+        .to_pandas()
+    )
+    ncols = {group_field: out[group_field]}
+    for j, f in enumerate(order_fields):
+        ncols[f] = [
+            int(c[j * 20 : (j + 1) * 20]) - BIAS for c in out["__comp"]
+        ]
+    payloads = [
+        json.loads(c.split("|", 1)[1]) for c in out["__comp"]
+    ]
+    for j, p in enumerate(payload_fields):
+        ncols[p] = [row[j] for row in payloads]
+    return pd.DataFrame(ncols).sort_values(group_field).reset_index(
+        drop=True
+    )

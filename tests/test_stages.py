@@ -1263,3 +1263,48 @@ class TestOracleParityEdgeCases:
             "FROM events"
         ).fetchone()[0]
         assert int(out["k_sum"].iloc[0]) == int(want) == 13
+
+
+class TestGroupArgmax:
+    def test_ties_and_cross_batch_winners(self, ray_session):
+        """arg-max must pick max (ts, id) per group even when a group's
+        rows span many batches, and break exact ts ties by id."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.aggregates import group_argmax
+
+        rows = []
+        for i in range(500):  # one hot user spread over many blocks
+            rows.append({
+                "user_id": 1, "ts": i % 97, "event_id": i,
+                "event_type": f"t{i}", "value": float(i),
+            })
+        rows.append({"user_id": 2, "ts": 50, "event_id": 7,
+                     "event_type": "a", "value": 1.5})
+        rows.append({"user_id": 2, "ts": 50, "event_id": 9,
+                     "event_type": "b", "value": 2.5})  # tie → id 9 wins
+        ds = rd.from_items(rows).repartition(8)
+        out = group_argmax(
+            ds, "user_id", ["ts", "event_id"], ["event_type", "value"]
+        )
+        u1 = out[out["user_id"] == 1].iloc[0]
+        # max ts = 96; among ts==96 rows (i = 96, 193, 290, 387, 484)
+        # the max event_id is 484
+        assert u1["ts"] == 96 and u1["event_id"] == 484
+        assert u1["event_type"] == "t484" and u1["value"] == 484.0
+        u2 = out[out["user_id"] == 2].iloc[0]
+        assert u2["event_id"] == 9 and u2["event_type"] == "b"
+
+    def test_negative_order_values(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.aggregates import group_argmax
+
+        rows = [
+            {"g": "x", "ts": -5, "event_id": 1, "p": "old"},
+            {"g": "x", "ts": -1, "event_id": 2, "p": "new"},
+        ]
+        out = group_argmax(
+            rd.from_items(rows), "g", ["ts", "event_id"], ["p"]
+        )
+        assert out.iloc[0]["p"] == "new" and out.iloc[0]["ts"] == -1
