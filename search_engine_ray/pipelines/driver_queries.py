@@ -1347,3 +1347,17 @@ def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id")
         .reset_index(drop=True)
     )
+
+
+def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per hour via HyperLogLog
+    (stages/aggregates.py::hll_distinct) — the sketch counterpart to
+    the exact ``distinct_users_hourly``: fixed 16 KiB of state per
+    (window, batch) partial regardless of cardinality.  Deterministic
+    (fixed-key siphash), so the rows-only gate is stable; accuracy vs
+    the exact operator is pytest-locked (<2% at p=14)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+    out = agg.hll_distinct(ds, "ts", 3_600_000_000, "user_id")
+    return out.astype({"window_us": "int64", "n_distinct_est": "int64"})

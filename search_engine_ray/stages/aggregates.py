@@ -426,3 +426,89 @@ def group_argmax(
     return pd.DataFrame(ncols).sort_values(group_field).reset_index(
         drop=True
     )
+
+
+def hll_distinct(
+    ds,
+    ts_field: str,
+    window_us: int,
+    distinct_field: str,
+    p: int = 14,
+):
+    """Approximate distinct-count per tumbling window via HyperLogLog —
+    the SKETCH counterpart to ``windows.tumbling_distinct`` (exact).
+    Where the exact operator shuffles one row per distinct (window,
+    key) pair, the sketch ships a FIXED 2^p-byte register array per
+    (window, batch) partial regardless of cardinality — the right
+    trade at 10^12-scale cardinalities (p=14 → 16 KiB / ~0.8% std
+    error).
+
+    Registers merge by elementwise max, which is associative and
+    commutative, so partials can be combined in any order; the driver
+    merge handles |windows| × 16 KiB — metadata-scale.  Deterministic:
+    keys are hashed with fixed-key siphash (pd.util.hash_array).
+
+    Returns a DataFrame ``(window_us, n_distinct_est)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_field], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        win = (ts // window_us) * window_us
+        keys = batch[distinct_field].to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(keys)
+        win, keys = win[valid], keys[valid]
+        if len(keys) == 0:
+            return pa.table({
+                "window_us": pa.array([], pa.int64()),
+                "regs": pa.array([], pa.binary()),
+            })
+        h = pd.util.hash_array(np.asarray(keys, dtype=object))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        # rank = leading zeros of the remaining 64-p bits + 1 (capped)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - p + 1, dtype=np.int64)
+        # leading zeros via float64 exponent trick is lossy; use a
+        # 16-bit table walk: 4 vectorized steps
+        r = rest[nz]
+        lzv = np.zeros(r.shape, dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = r < (np.uint64(1) << np.uint64(64 - shift))
+            lzv[mask] += shift
+            r[mask] = r[mask] << np.uint64(shift)
+        lz[nz] = np.minimum(lzv + 1, 64 - p + 1)
+        out_w, out_r = [], []
+        df = pd.DataFrame({"w": win, "i": idx, "z": lz})
+        for w, sub in df.groupby("w", sort=False):
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, sub["i"].to_numpy(), sub["z"].to_numpy())
+            out_w.append(int(w))
+            out_r.append(regs.tobytes())
+        return pa.table({
+            "window_us": pa.array(out_w, pa.int64()),
+            "regs": pa.array(out_r, pa.binary()),
+        })
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"window_us": [], "n_distinct_est": []})
+    rows = []
+    for w, sub in parts.groupby("window_us", sort=True):
+        regs = np.zeros(m, dtype=np.uint8)
+        for blob in sub["regs"]:
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:  # small-range correction
+            est = m * np.log(m / zeros)
+        rows.append((int(w), int(round(est))))
+    return pd.DataFrame(rows, columns=["window_us", "n_distinct_est"])

@@ -1308,3 +1308,46 @@ class TestGroupArgmax:
             rd.from_items(rows), "g", ["ts", "event_id"], ["p"]
         )
         assert out.iloc[0]["p"] == "new" and out.iloc[0]["ts"] == -1
+
+
+class TestHLLDistinct:
+    def test_accuracy_and_merge_vs_exact(self, ray_session):
+        """HLL estimate within 2% of the exact distinct count per
+        window, with keys spread over many batches (merge exercised)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.aggregates import hll_distinct
+        from search_engine_ray.stages.windows import tumbling_distinct
+
+        rows = []
+        rng = np.random.default_rng(3)
+        for w in range(3):
+            n_users = [800, 3000, 50][w]
+            for u in rng.integers(0, n_users, size=n_users * 3):
+                rows.append({
+                    "ts": w * 1000 + int(rng.integers(0, 1000)),
+                    "user_id": f"user-{w}-{u}",
+                })
+        ds = rd.from_items(rows).repartition(16)
+        est = hll_distinct(ds, "ts", 1000, "user_id")
+        exact = tumbling_distinct(ds, "ts", 1000, "user_id")
+        merged = est.merge(exact, on="window_us")
+        assert len(merged) == 3
+        for r in merged.itertuples():
+            rel = abs(r.n_distinct_est - r.n_distinct) / r.n_distinct
+            assert rel < 0.02, (r.window_us, r.n_distinct_est, r.n_distinct)
+
+    def test_null_keys_excluded_and_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from search_engine_ray.stages.aggregates import hll_distinct
+
+        rows = [
+            {"ts": 1, "user_id": "a"},
+            {"ts": 2, "user_id": None},
+            {"ts": 3, "user_id": "b"},
+        ]
+        a = hll_distinct(rd.from_items(rows), "ts", 1000, "user_id")
+        b = hll_distinct(rd.from_items(rows), "ts", 1000, "user_id")
+        assert a.equals(b)
+        assert int(a["n_distinct_est"].iloc[0]) == 2  # exact at tiny n
