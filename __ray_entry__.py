@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_kept": q.near_dup_kept,
         # distributed arg-max / max_by (latest event per user)
         "latest_event_per_user": q.latest_event_per_user,
+        # Unicode NFC normalization (vectorized Arrow kernel)
+        "normalized_texts": q.normalized_texts,
     }
 
 
@@ -817,6 +819,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
             GROUP BY source ORDER BY source
+        """,
+        "normalized_texts": """
+            WITH n AS (
+              SELECT doc_id,
+                     nfc_normalize(
+                       coalesce(text, '') || ' marke' || chr(769)
+                     ) AS t
+              FROM documents
+            )
+            SELECT doc_id, length(t)::BIGINT AS norm_len,
+                   md5(t) AS norm_md5
+            FROM n ORDER BY doc_id
         """,
         "latest_event_per_user": """
             SELECT user_id,

@@ -1361,3 +1361,55 @@ def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     )
     out = agg.hll_distinct(ds, "ts", 3_600_000_000, "user_id")
     return out.astype({"window_us": "int64", "n_distinct_est": "int64"})
+
+
+def normalized_texts(sf_dir: str) -> pd.DataFrame:
+    """Unicode NFC text normalization — the curation step that makes
+    'café' (e + combining acute) and 'café' (precomposed) byte-equal
+    before hashing/dedup.  Uses CPython's C-implemented
+    ``unicodedata.normalize`` per row (pyarrow 16's ``utf8_normalize``
+    does NOT compose — verified: 'e'+U+0301 passes through unchanged);
+    a deterministic combining-mark suffix is injected per doc (the
+    synthetic corpus is ASCII) with the same expression the oracle
+    uses.  Oracle = DuckDB `nfc_normalize` + md5."""
+    def norm(batch: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        ids = batch["doc_id"]
+        # DECOMPOSED suffix ('e' + U+0301, written as an escape so
+        # no editor can silently precompose it): NFC must fold it
+        # to U+00E9 or the md5s cannot match
+        suffixed = pc.binary_join_element_wise(
+            pc.cast(batch["text"], pa.string()),
+            pa.array(
+                [" marke\u0301" for _ in range(batch.num_rows)],
+                pa.string(),
+            ),
+            "",
+        )
+        import unicodedata as _ud
+
+        normed = [
+            _ud.normalize("NFC", s) for s in suffixed.to_pylist()
+        ]
+        digests = [
+            _hl.md5(s.encode("utf-8")).hexdigest() for s in normed
+        ]
+        return pa.table({
+            "doc_id": ids,
+            "norm_len": pa.array(
+                [len(s) for s in normed], pa.int64()
+            ),
+            "norm_md5": pa.array(digests, pa.string()),
+        })
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(norm, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        out.astype({"doc_id": "int64", "norm_len": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
