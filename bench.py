@@ -86,7 +86,7 @@ def run_bench() -> dict:
             corpus,
             BuildConfig(
                 n_partitions=4, concurrent_partitions=4,
-                tokenize_batch_size=512,
+                tokenize_batch_size=1024,
             ),
         )
         build_runs.append(round(time.time() - t0, 3))
@@ -241,7 +241,7 @@ def run_build_only() -> dict:
         idx_dir,
         corpus,
         BuildConfig(
-            n_partitions=4, concurrent_partitions=4, tokenize_batch_size=512
+            n_partitions=4, concurrent_partitions=4, tokenize_batch_size=1024
         ),
     )
     dt = time.time() - t0
