@@ -304,7 +304,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_by_source": """
             SELECT source,
-                   sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens,
+                   sum(CASE WHEN text IS NULL OR text = '' THEN 0
+                            ELSE len(string_split(text, ' ')) END
+                       )::BIGINT AS ws_tokens,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -472,7 +474,12 @@ def oracle_sql() -> dict[str, str]:
         # dedup.ngram_jaccard / verify_pairs_exact)
         "minhash_verified_pairs": """
             WITH toks AS (
+              -- empty/whitespace-only docs yield NO shingle on the Ray
+              -- side (''.split() == []); without the guard SQL would
+              -- manufacture a '' span (string_split('') = ['']) and
+              -- pair every empty doc with every other
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
             ),
             sh AS (
               SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
@@ -502,7 +509,12 @@ def oracle_sql() -> dict[str, str]:
         # the component's canonical keeper
         "near_dup_clusters": """
             WITH RECURSIVE toks AS (
+              -- empty/whitespace-only docs yield NO shingle on the Ray
+              -- side (''.split() == []); without the guard SQL would
+              -- manufacture a '' span (string_split('') = ['']) and
+              -- pair every empty doc with every other
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
             ),
             sh AS (
               SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
@@ -776,7 +788,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dup_kept": """
             WITH RECURSIVE toks AS (
+              -- empty/whitespace-only docs yield NO shingle on the Ray
+              -- side (''.split() == []); without the guard SQL would
+              -- manufacture a '' span (string_split('') = ['']) and
+              -- pair every empty doc with every other
               SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0
             ),
             sh AS (
               SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s

@@ -245,21 +245,10 @@ def histogram_n_chars(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_count": "int64"})
 
 
-def _round_half_away(x, decimals: int = 6):
-    """DuckDB ``round()`` semantics: half AWAY from zero.  numpy/pandas
-    ``round`` are half-to-even, which diverges from every SQL oracle on
-    exact midpoints (e.g. 105/128 = 0.8203125 → 0.820312 vs 0.820313).
-    Every float that reaches a hash-compared output goes through this."""
-    a = np.asarray(x, dtype=np.float64)
-    s = 10.0 ** decimals
-    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
-
-
-def _scale_int_half_away(x, scale: float) -> np.ndarray:
-    """``round(v*scale)`` as int64 with DuckDB half-away semantics (the
-    scaled-integer exact-sum convention's scaling step)."""
-    a = np.asarray(x, dtype=np.float64) * scale
-    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+# THE oracle-parity rounding convention lives in stages/util.py — one
+# implementation shared by driver queries, windows, and textstats
+from ..stages.util import round_half_away as _round_half_away
+from ..stages.util import scale_int_half_away as _scale_int_half_away
 
 
 def _scale_value(ds: rd.Dataset, column: str = "value", scale: float = 1e6) -> rd.Dataset:
@@ -412,6 +401,29 @@ def distinct_users_hourly(sf_dir: str) -> pd.DataFrame:
     return out.astype({"window_us": "int64", "n_distinct": "int64"})
 
 
+
+def _cosine_topk_round9(ds, qv, k, exclude_ids=()):
+    """Top-k by (round-9 cosine DESC, vec_id ASC) with a tie-band-safe
+    fetch: if the last fetched row still carries the k-th round-9 sim,
+    the tie band may extend past the fetch margin — refetch wider until
+    the band is fully inside (or the whole corpus is fetched), so the
+    vec_id tie-break can never silently truncate."""
+    fetch = k + 16
+    while True:
+        out = sim.brute_force_topk(
+            ds, qv, k=fetch, exclude_ids=exclude_ids, dtype=np.float64
+        )
+        out["_s9"] = _round_half_away(out["sim"], 9)
+        out = out.sort_values(
+            ["_s9", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        if len(out) < fetch or len(out) <= k:
+            return out.head(k)
+        if out["_s9"].iloc[-1] != out["_s9"].iloc[k - 1]:
+            return out.head(k)
+        fetch *= 4
+
+
 def similarity_top10(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = (
@@ -426,19 +438,12 @@ def similarity_top10(sf_dir: str) -> pd.DataFrame:
     # is computed by different fp expression orders in Ray (normalize →
     # matmul) and DuckDB (dot/norms), so a 1-ulp difference between
     # adjacent docs could flip the rank order; the round-9 grain
-    # collapses ulp noise into ties broken by vec_id on both sides.
-    # Fetch a margin past k so a tie band at the cut stays complete.
-    out = sim.brute_force_topk(
-        ds, np.asarray(q, dtype=np.float64), k=26, exclude_ids=(0,),
-        dtype=np.float64,
+    # collapses ulp noise into ties broken by vec_id on both sides,
+    # with a band-safe refetch so ties at the cut are never truncated.
+    out = _cosine_topk_round9(
+        ds, np.asarray(q, dtype=np.float64), k=10, exclude_ids=(0,)
     )
-    out = out.drop(columns=["qid"])
-    out["_s9"] = _round_half_away(out["sim"], 9)
-    out = (
-        out.sort_values(["_s9", "vec_id"], ascending=[False, True])
-        .head(10)
-        .drop(columns=["_s9"])
-    )
+    out = out.drop(columns=["qid", "_s9"])
     out["sim"] = _round_half_away(out["sim"])
     return out.reset_index(drop=True).astype({"vec_id": "int64"})
 
@@ -468,13 +473,7 @@ def hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
     # round-9 rank grain + vec_id tie-break (see similarity_top10): a
     # 1-ulp cosine difference must not flip ranks between engines —
     # whole 1/(60+r) fusion steps depend on them
-    vec = sim.brute_force_topk(
-        ds, np.asarray(qv, dtype=np.float64), k=66, dtype=np.float64
-    )
-    vec["_s9"] = _round_half_away(vec["sim"], 9)
-    vec = vec.sort_values(
-        ["_s9", "vec_id"], ascending=[False, True]
-    ).head(50)
+    vec = _cosine_topk_round9(ds, np.asarray(qv, dtype=np.float64), k=50)
     vec_rank = {int(d): i + 1 for i, d in enumerate(vec["vec_id"])}
 
     docs = sorted(set(bm_rank) | set(vec_rank))
@@ -1300,10 +1299,10 @@ def near_dup_kept(sf_dir: str) -> pd.DataFrame:
         ls = _ray.get(loser_ref)
         if len(ls) == 0:
             return batch
+        from ..stages.util import sorted_isin
+
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ls, ids)
-        pos[pos == len(ls)] = 0
-        return batch.filter(pa.array(ls[pos] != ids))
+        return batch.filter(pa.array(~sorted_isin(ls, ids)))
 
     out = (
         _docs(sf_dir, ["doc_id", "source", "n_chars"])
@@ -1380,7 +1379,7 @@ def normalized_texts(sf_dir: str) -> pd.DataFrame:
         # no editor can silently precompose it): NFC must fold it
         # to U+00E9 or the md5s cannot match
         suffixed = pc.binary_join_element_wise(
-            pc.cast(batch["text"], pa.string()),
+            pc.fill_null(pc.cast(batch["text"], pa.string()), ""),
             pa.array(
                 [" marke\u0301" for _ in range(batch.num_rows)],
                 pa.string(),

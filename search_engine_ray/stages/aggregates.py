@@ -372,6 +372,13 @@ def group_argmax(
     BIAS = 1 << 63
 
     def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty table — from_pandas would infer __comp as
+            # double and break schema unification with string blocks
+            return pa.table({
+                group_field: batch[group_field],
+                "__comp": pa.array([], pa.string()),
+            })
         cols = {group_field: batch[group_field].to_numpy(
             zero_copy_only=False
         )}

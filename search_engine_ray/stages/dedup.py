@@ -1012,9 +1012,9 @@ def duplicate_spans(
                 "d": pa.array([], pa.int64()),
                 "occ": pa.array([], pa.int64()),
             })
-        pos = np.searchsorted(cands, h)
-        pos[pos == len(cands)] = 0
-        hit = cands[pos] == h
+        from .util import sorted_isin
+
+        hit = sorted_isin(cands, h)
         spans = [
             " ".join(toks[di][s : s + k])
             for di, s in zip(doc_idx[hit], within[hit])
@@ -1284,9 +1284,9 @@ def cross_source_overlap(
                 "span": pa.array([], pa.string()),
                 "bit": pa.array([], pa.int64()),
             })
-        pos = np.searchsorted(cands, h)
-        pos[pos == len(cands)] = 0
-        hit = cands[pos] == h
+        from .util import sorted_isin
+
+        hit = sorted_isin(cands, h)
         spans = [
             " ".join(toks[di][s : s + k])
             for di, s in zip(doc_idx[hit], within[hit])

@@ -17,3 +17,38 @@ def default_pool_size(reserve: int = 2, cap: int = 16) -> int:
     except Exception:
         cpus = 4
     return max(1, min(cap, cpus - reserve))
+
+
+def round_half_away(x, decimals: int = 6):
+    """DuckDB ``round()`` semantics: half AWAY from zero.  numpy/pandas
+    round are half-to-even, which diverges from every SQL oracle on
+    exact midpoints (0.8203125 → .820313, not .820312).  THE shared
+    implementation of the repo's oracle-parity rounding convention —
+    use this, never np.round/.round, on any value a hash gate compares."""
+    import numpy as np
+
+    a = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
+def scale_int_half_away(x, scale: float):
+    """``round(v*scale)`` as int64 with the same half-away semantics
+    (the scaled-integer exact-sum convention's scaling step)."""
+    import numpy as np
+
+    a = np.asarray(x, dtype=np.float64) * scale
+    return (np.sign(a) * np.floor(np.abs(a) + 0.5)).astype(np.int64)
+
+
+def sorted_isin(sorted_arr, values):
+    """Membership of ``values`` in a SORTED array via searchsorted —
+    the vectorized semi-join test used by candidate-filter passes.
+    Returns a boolean mask."""
+    import numpy as np
+
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos[pos == len(sorted_arr)] = 0
+    return sorted_arr[pos] == values

@@ -210,6 +210,21 @@ def session_window(
             # cannot order None against strings); SQL PARTITION BY puts
             # all NULLs in one partition — restored after the merge
             key_col = pc.fill_null(key_col, _NULL_KEY)
+        else:
+            # numeric keys have no in-band sentinel: drop null-key rows
+            # explicitly (NaN keys would otherwise survive the scan but
+            # get session=NaN from groupby.cumcount, poisoning dtypes)
+            keep = pc.is_valid(key_col)
+            if not pc.all(keep).as_py():
+                batch = batch.filter(keep)
+                key_col = batch[key_field]
+                if pa.types.is_timestamp(col.type):
+                    ts = pc.cast(
+                        pc.cast(batch[ts_field], pa.timestamp("us")),
+                        pa.int64(),
+                    )
+                else:
+                    ts = pc.cast(batch[ts_field], pa.int64())
         cols = {key_field: key_col, "__ts": ts}
         if value_field:
             cols["__v"] = pc.cast(batch[value_field], pa.float64())
@@ -509,13 +524,14 @@ def trailing_window_agg(
         + ([fixed] if len(heads) else []),
         ignore_index=True,
     )
-    # half-away rounding (DuckDB round()); pandas .round is half-even
+    from .util import round_half_away
+
     tv = out["trail_v"].to_numpy(np.float64) / float(value_scale)
     res = pd.DataFrame({
         key_field: out[key_field],
         "ts_us": out["__ts"].astype("int64"),
         id_field: out[id_field].astype("int64"),
-        "trail_sum": np.sign(tv) * np.floor(np.abs(tv) * 1e6 + 0.5) / 1e6,
+        "trail_sum": round_half_away(tv),
         "trail_n": out["trail_n"].astype("int64"),
     })
     return res.sort_values(id_field).reset_index(drop=True)
