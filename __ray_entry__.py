@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.repetition_stats,
         # rows-only checks (no SQL-expressible oracle)
         "distinct_users_hll": q.distinct_users_hll,
+        "neardup_probe": q.neardup_probe,
         "langid_counts": q.langid_counts,
         "minhash_pairs": q.minhash_pairs,
         "simhash_pairs": q.simhash_pairs,

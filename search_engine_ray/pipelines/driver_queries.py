@@ -1412,3 +1412,43 @@ def normalized_texts(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def neardup_probe(sf_dir: str) -> pd.DataFrame:
+    """Persistent near-dup index probe (stages/dedup.py::
+    build_neardup_index / neardup_query): the serving-side shape of
+    near-dedup — index the corpus ONCE (Hive-partitioned LSH buckets +
+    signatures), then ask "is this new document a near-dup of anything
+    indexed?" reading only the probed bucket shards (the textual analog
+    of the IVF probed read).  Probes = the first 5 docs with a token
+    appended (guaranteed hits) + one novel doc (guaranteed miss).
+    Rows-only gate; recall/precision pytest-locked."""
+    from ..stages.dedup import build_neardup_index, neardup_query
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ser_ndidx_{key}"
+    import os
+    import shutil
+
+    if not os.path.exists(f"{idx}/neardup_meta.json"):
+        shutil.rmtree(idx, ignore_errors=True)  # partial build: rebuild
+        build_neardup_index(
+            _docs(sf_dir, ["doc_id", "text"]), idx, n_shards=32
+        )
+    probe_docs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: b.filter(pc.less(b["doc_id"], 5)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    probes = [t + " probetoken" for t in probe_docs["text"]] + [
+        " ".join(f"novel{i}" for i in range(40))
+    ]
+    out = neardup_query(idx, probes, min_est=0.5)
+    out["est_jaccard"] = _round_half_away(out["est_jaccard"])
+    return out.astype({
+        "qid": "int64", "doc_id": "int64", "est_jaccard": "float64",
+    })

@@ -30,6 +30,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -1329,3 +1330,190 @@ def cross_source_overlap(
     return pd.DataFrame(
         rows, columns=["source_a", "source_b", "n_shared"]
     ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# Persistent near-dup index (index once, probe per query document)
+# --------------------------------------------------------------------------
+
+def build_neardup_index(
+    ds: rd.Dataset,
+    out_dir: str,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    seed: int = 1337,
+    n_shards: int = 64,
+) -> dict:
+    """Build a PERSISTENT MinHash-LSH index: the serving-side shape of
+    near-dedup ("is this NEW document a near-dup of anything in the
+    indexed corpus?"), the textual analog of the IVF probed-read index.
+
+    Layout (all Hive-partitioned parquet, so queries READ only matching
+    directories):
+
+    * ``bands/shard=H/`` — (band, band_hash, doc_id) rows, shard =
+      band_hash % n_shards.  A query doc touches ≤ ``bands`` shards.
+    * ``sigs/shard=H/``  — (doc_id, minhash) rows, shard = doc_id %
+      n_shards, for signature fetch of candidates only.
+    * ``neardup_meta.json`` — parameters (written LAST: commit marker).
+
+    Query cost scales with bucket occupancy of the probe, not corpus
+    size — the index itself is built in one streaming pass."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    if n_shards & (n_shards - 1):
+        raise ValueError("n_shards must be a power of two (bitmask shard)")
+    hasher = MinHasher(
+        num_perm=num_perm, shingle_k=shingle_k,
+        text_column=text_column, id_column=id_column, seed=seed,
+    )
+    rows_per_band = num_perm // bands
+
+    def band_shard_rows(batch: pa.Table) -> pa.Table:
+        sig_tbl = hasher(batch)
+        ids = sig_tbl[id_column].to_pylist()
+        sigs = sig_tbl["minhash"].to_pylist()
+        t = _band_rows(ids, sigs, bands, rows_per_band)
+        shard = pc.cast(
+            pc.bit_wise_and(
+                t["band_hash"], pa.scalar(n_shards - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return t.drop_columns(["minhash"]).append_column("shard", shard)
+
+    def sig_shard_rows(batch: pa.Table) -> pa.Table:
+        sig_tbl = hasher(batch)
+        shard = pc.cast(
+            pc.bit_wise_and(
+                sig_tbl[id_column], pa.scalar(n_shards - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return sig_tbl.append_column("shard", shard)
+
+    _shutil.rmtree(out_dir, ignore_errors=True)
+    _os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(band_shard_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(out_dir, "bands"), partition_cols=["shard"]
+    )
+    ds.map_batches(sig_shard_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(out_dir, "sigs"), partition_cols=["shard"]
+    )
+    meta = {
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_k": shingle_k,
+        "seed": seed,
+        "n_shards": n_shards,
+        "text_column": text_column,
+        "id_column": id_column,
+    }
+    with open(_os.path.join(out_dir, "neardup_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def neardup_query(
+    index_dir: str,
+    texts: Sequence[str],
+    min_est: float = 0.5,
+) -> pd.DataFrame:
+    """Probe the persistent near-dup index with query documents.
+
+    Returns (qid, doc_id, est_jaccard) for every indexed doc sharing an
+    LSH bucket with a query and whose signature-estimated Jaccard ≥
+    ``min_est``, sorted (qid, est desc, doc_id).  Reads ONLY the band
+    shards the queries' band hashes land in and ONLY the signature
+    shards holding candidate ids (Hive directory pruning + parquet
+    predicate pushdown)."""
+    import json as _json
+    import os as _os
+
+    import pyarrow.dataset as _pads
+
+    with open(_os.path.join(index_dir, "neardup_meta.json")) as f:
+        meta = _json.load(f)
+    hasher = MinHasher(
+        num_perm=meta["num_perm"], shingle_k=meta["shingle_k"],
+        text_column="text", id_column="qid", seed=meta["seed"],
+    )
+    bands, n_shards = meta["bands"], meta["n_shards"]
+    rows_per_band = meta["num_perm"] // bands
+    id_col = meta["id_column"]
+
+    q_tbl = hasher(
+        pa.table({
+            "qid": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(list(texts), pa.string()),
+        })
+    )
+    qids = q_tbl["qid"].to_pylist()
+    qsigs = q_tbl["minhash"].to_pylist()
+    qb = _band_rows(qids, qsigs, bands, rows_per_band)
+    want = pd.DataFrame({
+        "band": qb["band"].to_numpy(zero_copy_only=False),
+        "band_hash": qb["band_hash"].to_numpy(zero_copy_only=False),
+        "qid": qb["doc_id"].to_numpy(zero_copy_only=False),
+    })
+
+    empty = pd.DataFrame({
+        "qid": pd.Series(dtype="int64"),
+        "doc_id": pd.Series(dtype="int64"),
+        "est_jaccard": pd.Series(dtype="float64"),
+    })
+    shards = sorted(set(int(h) % n_shards for h in want["band_hash"]))
+    hits = []
+    flt = _pads.field("band_hash").isin(
+        [int(h) for h in set(want["band_hash"])]
+    )
+    for s in shards:
+        part = _os.path.join(index_dir, "bands", f"shard={s}")
+        if not _os.path.isdir(part):
+            continue
+        t = _pads.dataset(part).to_table(filter=flt)
+        if t.num_rows:
+            hits.append(t.to_pandas())
+    if not hits:
+        return empty
+    bucket = pd.concat(hits, ignore_index=True)
+    cand = bucket.merge(want, on=["band", "band_hash"])[
+        ["qid", "doc_id"]
+    ].drop_duplicates()
+    if cand.empty:
+        return empty
+
+    cand_ids = sorted(set(int(d) for d in cand["doc_id"]))
+    sig_shards = sorted(set(d % n_shards for d in cand_ids))
+    sflt = _pads.field(id_col).isin(cand_ids)
+    sig_rows = []
+    for s in sig_shards:
+        part = _os.path.join(index_dir, "sigs", f"shard={s}")
+        if not _os.path.isdir(part):
+            continue
+        t = _pads.dataset(part).to_table(filter=sflt)
+        if t.num_rows:
+            sig_rows.append(t.to_pandas())
+    sigs_by_id = {}
+    for df in sig_rows:
+        for d, s in zip(df[id_col], df["minhash"]):
+            sigs_by_id[int(d)] = np.asarray(s, dtype=np.int64)
+    qsig_by_id = {int(q): np.asarray(s, dtype=np.int64)
+                  for q, s in zip(qids, qsigs)}
+    out = []
+    for q, d in zip(cand["qid"], cand["doc_id"]):
+        ds_sig = sigs_by_id.get(int(d))
+        if ds_sig is None:
+            continue
+        est = float((qsig_by_id[int(q)] == ds_sig).mean())
+        if est >= min_est:
+            out.append((int(q), int(d), est))
+    res = pd.DataFrame(out, columns=["qid", "doc_id", "est_jaccard"])
+    return res.sort_values(
+        ["qid", "est_jaccard", "doc_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)

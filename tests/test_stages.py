@@ -1351,3 +1351,56 @@ class TestHLLDistinct:
         b = hll_distinct(rd.from_items(rows), "ts", 1000, "user_id")
         assert a.equals(b)
         assert int(a["n_distinct_est"].iloc[0]) == 2  # exact at tiny n
+
+
+class TestNearDupIndex:
+    def test_build_probe_roundtrip(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import (
+            build_neardup_index,
+            neardup_query,
+        )
+
+        base = " ".join(f"w{i}" for i in range(60))
+        docs = [
+            {"doc_id": 100, "text": base},
+            {"doc_id": 200, "text": base + " tail extra"},
+            {"doc_id": 300,
+             "text": " ".join(f"z{i}" for i in range(60))},
+        ]
+        idx = str(tmp_path / "nd")
+        build_neardup_index(
+            rd.from_items(docs), idx, n_shards=16, seed=7
+        )
+        # probe 1: near-copy of base → hits 100 and 200, est high
+        # probe 2: unrelated text → no hits
+        out = neardup_query(
+            idx,
+            [base + " coda", "completely different words here now"],
+            min_est=0.5,
+        )
+        hits1 = out[out["qid"] == 0]
+        assert set(hits1["doc_id"]) >= {100, 200}
+        assert (hits1["est_jaccard"] > 0.6).all()
+        assert (out["qid"] == 1).sum() == 0
+        # exact self-probe estimates 1.0 against itself
+        self_hit = neardup_query(idx, [base], min_est=0.9)
+        row = self_hit[self_hit["doc_id"] == 100].iloc[0]
+        assert row["est_jaccard"] == 1.0
+
+    def test_commit_marker(self, ray_session, tmp_path):
+        """Meta is written last — a dir without it is not a valid index."""
+        import os
+
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import build_neardup_index
+
+        idx = str(tmp_path / "nd2")
+        build_neardup_index(
+            rd.from_items([{"doc_id": 1, "text": "a b c d e f"}]),
+            idx, n_shards=8,
+        )
+        assert os.path.exists(f"{idx}/neardup_meta.json")
+        assert os.path.isdir(f"{idx}/bands") and os.path.isdir(f"{idx}/sigs")
