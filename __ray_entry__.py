@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": q.latest_event_per_user,
         # Unicode NFC normalization (vectorized Arrow kernel)
         "normalized_texts": q.normalized_texts,
+        # corpus-trained bigram-LM perplexity scoring (no external model)
+        "perplexity_by_doc": q.perplexity_by_doc,
     }
 
 
@@ -837,6 +839,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM losers)
             GROUP BY source ORDER BY source
+        """,
+        "perplexity_by_doc": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS t FROM documents
+            ),
+            tok AS (
+              SELECT doc_id, i, t[i] AS w
+              FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+            ),
+            uni AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+            vocab AS (SELECT count(*)::BIGINT AS v FROM uni),
+            big AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM tok a
+              JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            ),
+            bc AS (
+              SELECT w1, w2, count(*)::BIGINT AS c
+              FROM big GROUP BY w1, w2
+            ),
+            terms AS (
+              SELECT big.doc_id,
+                     CAST(round(
+                       ln((bc.c + 1.0) / (uni.c + vocab.v)), 9
+                     ) * 1e9 AS BIGINT) AS q
+              FROM big
+              JOIN bc USING (w1, w2)
+              JOIN uni ON uni.w = big.w1
+              CROSS JOIN vocab
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   round(-sum(q) / 1e9 / count(*), 6) AS avg_nll
+            FROM terms GROUP BY doc_id ORDER BY doc_id
         """,
         "normalized_texts": """
             WITH n AS (

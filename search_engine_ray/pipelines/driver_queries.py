@@ -1452,3 +1452,20 @@ def neardup_probe(sf_dir: str) -> pd.DataFrame:
     return out.astype({
         "qid": "int64", "doc_id": "int64", "est_jaccard": "float64",
     })
+
+
+def perplexity_by_doc(sf_dir: str) -> pd.DataFrame:
+    """Corpus-trained bigram-LM perplexity scoring (stages/textstats.py::
+    lm_perplexity) — CCNet-style quality filtering with no external
+    model.  Oracle: the identical add-one-smoothed model expressed in
+    SQL; per-bigram ln p terms are rounded to 9 decimals and scaled to
+    int64 on BOTH sides so the per-doc sums are exact integers at any
+    summation order."""
+    from ..stages.textstats import lm_perplexity
+
+    out = lm_perplexity(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return (
+        out.astype({"doc_id": "int64", "n_bigrams": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -315,3 +315,136 @@ def distinctive_keywords(
         })
 
     return ds.map_batches(topk, batch_format="pyarrow")
+
+
+def lm_perplexity(
+    ds,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+    min_len: int = 2,
+):
+    """Corpus-trained bigram language-model scoring — CCNet-style
+    perplexity filtering with NO external model: train add-one-smoothed
+    bigram probabilities on the corpus itself (one distributed counting
+    pass), then score every document's average negative log-likelihood
+    (one scoring pass).  High avg_nll = improbable word sequences =
+    gibberish/boilerplate candidates.
+
+    Cross-engine exactness: each bigram's ln p is rounded to 9 decimals
+    and scaled to an int64 TERM, so the per-doc sum is an exact integer
+    at any summation order (the raw float sum would be order-dependent
+    and hash-unstable vs a SQL oracle).
+
+    Distribution shape: unigram/bigram counts are per-batch partials →
+    two metadata groupbys; the count tables are broadcast once via
+    ``ray.put`` (vocab-bounded; a distributed hash join replaces the
+    broadcast beyond driver memory).  Docs with < 2 kept tokens have no
+    bigrams and are excluded (mirrored by the oracle).
+
+    Returns a Dataset ``(doc_id, n_bigrams, avg_nll)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .util import round_half_away, scale_int_half_away
+
+    def _doc_tokens(batch: pa.Table):
+        col = batch[text_column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(
+            pc.fill_null(pc.cast(col, pa.string()), ""), " "
+        )
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        keep = pc.greater_equal(pc.utf8_length(flat), min_len)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        n = len(counts)
+        rows = np.repeat(np.arange(n, dtype=np.int64), counts)[keep_np]
+        toks = np.asarray(
+            flat.filter(keep).to_pylist(), dtype=object
+        )
+        return rows, toks, n
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        rows, toks, _ = _doc_tokens(batch)
+        if len(toks) == 0:
+            return pa.table({
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            })
+        # unigrams ride the same table with w2 = '' (never a real token:
+        # the length filter keeps only len >= 2 tokens)
+        adj = rows[1:] == rows[:-1]
+        df_u = pd.DataFrame({"w1": toks, "w2": ""})
+        df_b = pd.DataFrame({"w1": toks[:-1][adj], "w2": toks[1:][adj]})
+        g = (
+            pd.concat([df_u, df_b], ignore_index=True)
+            .groupby(["w1", "w2"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    uni = counts[counts["w2"] == ""]
+    big = counts[counts["w2"] != ""]
+    V = len(uni)
+    uni_map = pd.Series(
+        uni["c"].to_numpy(np.int64), index=uni["w1"].to_numpy(object)
+    )
+    big_map = pd.Series(
+        big["c"].to_numpy(np.int64),
+        index=pd.MultiIndex.from_arrays(
+            [big["w1"].to_numpy(object), big["w2"].to_numpy(object)]
+        ),
+    )
+    model_ref = _ray.put((uni_map, big_map, V))
+
+    def score(batch: pa.Table) -> pa.Table:
+        um, bm, v = _ray.get(model_ref)
+        rows, toks, n = _doc_tokens(batch)
+        ids = batch[id_column].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(toks) < 2:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_bigrams": pa.array([], pa.int64()),
+                "avg_nll": pa.array([], pa.float64()),
+            })
+        adj = rows[1:] == rows[:-1]
+        w1 = toks[:-1][adj]
+        w2 = toks[1:][adj]
+        brow = rows[:-1][adj]
+        bc = bm.reindex(
+            pd.MultiIndex.from_arrays([w1, w2])
+        ).fillna(0).to_numpy(np.int64)
+        uc = um.reindex(w1).to_numpy(np.int64)
+        p = (bc + 1.0) / (uc + float(v))
+        q = scale_int_half_away(round_half_away(np.log(p), 9), 1e9)
+        sums = np.bincount(brow, weights=q.astype(np.float64), minlength=n)
+        nb = np.bincount(brow, minlength=n)
+        sel = nb > 0
+        avg_nll = round_half_away(
+            (-sums[sel] / 1e9) / nb[sel]
+        )
+        return pa.table({
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "n_bigrams": pa.array(nb[sel].astype(np.int64), pa.int64()),
+            "avg_nll": pa.array(avg_nll, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

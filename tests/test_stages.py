@@ -1404,3 +1404,33 @@ class TestNearDupIndex:
         )
         assert os.path.exists(f"{idx}/neardup_meta.json")
         assert os.path.isdir(f"{idx}/bands") and os.path.isdir(f"{idx}/sigs")
+
+
+class TestLMPerplexity:
+    def test_gibberish_scores_higher_and_short_docs_excluded(
+        self, ray_session
+    ):
+        import ray.data as rd
+
+        from search_engine_ray.stages.textstats import lm_perplexity
+
+        common = "the quick brown fox jumps over the lazy dog"
+        docs = (
+            [{"doc_id": i, "text": common} for i in range(20)]
+            + [{"doc_id": 100, "text": "zxq wvu tsr qpo nml kji"}]
+            + [{"doc_id": 200, "text": "solo"}]  # 1 token: no bigrams
+        )
+        out = (
+            lm_perplexity(rd.from_items(docs))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert 200 not in out.index
+        # the gibberish doc's bigrams are all unseen-elsewhere → its
+        # avg negative log-likelihood dominates every common doc's
+        assert (
+            out.loc[100, "avg_nll"]
+            > out.drop(index=100)["avg_nll"].max() + 1.0
+        )
+        # all identical docs share one exact score (integer-term sums)
+        assert out.drop(index=100)["avg_nll"].nunique() == 1
