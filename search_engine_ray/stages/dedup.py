@@ -1368,24 +1368,15 @@ def build_neardup_index(
 
     if n_shards & (n_shards - 1):
         raise ValueError("n_shards must be a power of two (bitmask shard)")
+    if bands <= 0 or num_perm % bands:
+        # bands > num_perm would make every band hash the digest of
+        # EMPTY bytes: all docs in one bucket, every probe O(corpus)
+        raise ValueError("bands must divide num_perm")
     hasher = MinHasher(
         num_perm=num_perm, shingle_k=shingle_k,
         text_column=text_column, id_column=id_column, seed=seed,
     )
     rows_per_band = num_perm // bands
-
-    def band_shard_rows(batch: pa.Table) -> pa.Table:
-        sig_tbl = hasher(batch)
-        ids = sig_tbl[id_column].to_pylist()
-        sigs = sig_tbl["minhash"].to_pylist()
-        t = _band_rows(ids, sigs, bands, rows_per_band)
-        shard = pc.cast(
-            pc.bit_wise_and(
-                t["band_hash"], pa.scalar(n_shards - 1, pa.int64())
-            ),
-            pa.int32(),
-        )
-        return t.drop_columns(["minhash"]).append_column("shard", shard)
 
     def sig_shard_rows(batch: pa.Table) -> pa.Table:
         sig_tbl = hasher(batch)
@@ -1397,13 +1388,49 @@ def build_neardup_index(
         )
         return sig_tbl.append_column("shard", shard)
 
+    def band_shard_rows(batch: pa.Table) -> pa.Table:
+        # derives band rows from the PERSISTED signatures — the
+        # (expensive) minhash pass runs once, not twice
+        ids = batch[id_column].to_pylist()
+        sigs = batch["minhash"].to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for did, sig in zip(ids, sigs):
+            for b in range(bands):
+                chunk = np.asarray(
+                    sig[b * rows_per_band : (b + 1) * rows_per_band],
+                    dtype=np.int64,
+                )
+                bh = int.from_bytes(
+                    hashlib.blake2b(
+                        chunk.tobytes(), digest_size=8
+                    ).digest(),
+                    "big",
+                ) & 0x7FFF_FFFF_FFFF_FFFF
+                out_band.append(b)
+                out_hash.append(bh)
+                out_id.append(did)
+        t = pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_hash, pa.int64()),
+            "doc_id": pa.array(out_id, pa.int64()),
+        })
+        shard = pc.cast(
+            pc.bit_wise_and(
+                t["band_hash"], pa.scalar(n_shards - 1, pa.int64())
+            ),
+            pa.int32(),
+        )
+        return t.append_column("shard", shard)
+
     _shutil.rmtree(out_dir, ignore_errors=True)
     _os.makedirs(out_dir, exist_ok=True)
-    ds.map_batches(band_shard_rows, batch_format="pyarrow").write_parquet(
-        _os.path.join(out_dir, "bands"), partition_cols=["shard"]
-    )
     ds.map_batches(sig_shard_rows, batch_format="pyarrow").write_parquet(
         _os.path.join(out_dir, "sigs"), partition_cols=["shard"]
+    )
+    rd.read_parquet(
+        _os.path.join(out_dir, "sigs")
+    ).map_batches(band_shard_rows, batch_format="pyarrow").write_parquet(
+        _os.path.join(out_dir, "bands"), partition_cols=["shard"]
     )
     meta = {
         "num_perm": num_perm,
@@ -1468,20 +1495,26 @@ def neardup_query(
         "est_jaccard": pd.Series(dtype="float64"),
     })
     shards = sorted(set(int(h) % n_shards for h in want["band_hash"]))
-    hits = []
     flt = _pads.field("band_hash").isin(
         [int(h) for h in set(want["band_hash"])]
     )
-    for s in shards:
-        part = _os.path.join(index_dir, "bands", f"shard={s}")
-        if not _os.path.isdir(part):
-            continue
-        t = _pads.dataset(part).to_table(filter=flt)
-        if t.num_rows:
-            hits.append(t.to_pandas())
-    if not hits:
+    dirs = [
+        d
+        for s in shards
+        if _os.path.isdir(
+            d := _os.path.join(index_dir, "bands", f"shard={s}")
+        )
+    ]
+    if not dirs:
         return empty
-    bucket = pd.concat(hits, ignore_index=True)
+    # ONE union dataset over all matching shard dirs: parallel
+    # fragment reads instead of a serialized per-shard open/scan loop
+    t = _pads.dataset(
+        [_pads.dataset(d) for d in dirs]
+    ).to_table(filter=flt)
+    if t.num_rows == 0:
+        return empty
+    bucket = t.to_pandas()
     cand = bucket.merge(want, on=["band", "band_hash"])[
         ["qid", "doc_id"]
     ].drop_duplicates()
@@ -1491,16 +1524,19 @@ def neardup_query(
     cand_ids = sorted(set(int(d) for d in cand["doc_id"]))
     sig_shards = sorted(set(d % n_shards for d in cand_ids))
     sflt = _pads.field(id_col).isin(cand_ids)
-    sig_rows = []
-    for s in sig_shards:
-        part = _os.path.join(index_dir, "sigs", f"shard={s}")
-        if not _os.path.isdir(part):
-            continue
-        t = _pads.dataset(part).to_table(filter=sflt)
-        if t.num_rows:
-            sig_rows.append(t.to_pandas())
+    sig_dirs = [
+        d
+        for s in sig_shards
+        if _os.path.isdir(
+            d := _os.path.join(index_dir, "sigs", f"shard={s}")
+        )
+    ]
     sigs_by_id = {}
-    for df in sig_rows:
+    if sig_dirs:
+        st = _pads.dataset(
+            [_pads.dataset(d) for d in sig_dirs]
+        ).to_table(filter=sflt)
+        df = st.to_pandas()
         for d, s in zip(df[id_col], df["minhash"]):
             sigs_by_id[int(d)] = np.asarray(s, dtype=np.int64)
     qsig_by_id = {int(q): np.asarray(s, dtype=np.int64)

@@ -435,11 +435,15 @@ def lm_perplexity(
         uc = um.reindex(w1).to_numpy(np.int64)
         p = (bc + 1.0) / (uc + float(v))
         q = scale_int_half_away(round_half_away(np.log(p), 9), 1e9)
-        sums = np.bincount(brow, weights=q.astype(np.float64), minlength=n)
+        # int64 accumulation: q terms reach ~2e10, so a float64 running
+        # sum loses low bits past ~4e5 bigrams/doc and would break the
+        # exact-integer-sum invariant the oracle's BIGINT sum keeps
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, brow, q)
         nb = np.bincount(brow, minlength=n)
         sel = nb > 0
         avg_nll = round_half_away(
-            (-sums[sel] / 1e9) / nb[sel]
+            (-sums[sel].astype(np.float64) / 1e9) / nb[sel]
         )
         return pa.table({
             "doc_id": pa.array(ids[sel], pa.int64()),
