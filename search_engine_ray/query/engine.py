@@ -358,6 +358,17 @@ class _PartitionEvaluator:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate(arrays)) if len(arrays) > 1 else arrays[0]
 
+    def _synonym_tokens(self, value) -> List[str]:
+        """Normalized synonyms of a query value (reference adds them to
+        the match set REGARDLESS of fuzziness — QueryProcessor.ts:187)."""
+        toks = [
+            str(s).lower()
+            for s in self.synonyms.get(str(value).lower(), [])
+        ]
+        if self.token_filter is not None:
+            toks = [self.token_filter(t) for t in toks]
+        return toks
+
     def _expanded_docs(self, field: str, tokens: List[str]) -> np.ndarray:
         if not tokens:
             return np.empty(0, dtype=np.int64)
@@ -383,12 +394,15 @@ class _PartitionEvaluator:
                 fields = (
                     self.text_fields if q["field"] == "*" else [q["field"]]
                 )
+                syn = self._synonym_tokens(q["value"])
                 arrays = []
                 for f in fields:
                     toks = fuzzy_matches(
                         self.r.vocab(f), str(q["value"]), fuzz
                     )
-                    arrays.append(self._expanded_docs(f, toks))
+                    arrays.append(
+                        self._expanded_docs(f, list(toks) + syn)
+                    )
                 arrays = [a for a in arrays if a.size]
                 if not arrays:
                     return np.empty(0, dtype=np.int64)
@@ -397,17 +411,68 @@ class _PartitionEvaluator:
         if "prefix" in node:
             q = node["prefix"]
             pref = str(q["value"]).lower()
-            lo = f"{q['field']}:{pref}"
-            return self.r.docs_in_term_range(lo, lo + "\uffff")
+            # '*' fans out over text fields (QueryProcessor.ts
+            # _processPrefix), like term/match
+            fields = (
+                self.text_fields if q["field"] == "*" else [q["field"]]
+            )
+            arrays = []
+            for f in fields:
+                lo = f"{f}:{pref}"
+                a = self.r.docs_in_term_range(lo, lo + "\uffff")
+                if a.size:
+                    arrays.append(a)
+            if not arrays:
+                return np.empty(0, dtype=np.int64)
+            return (
+                np.unique(np.concatenate(arrays))
+                if len(arrays) > 1
+                else arrays[0]
+            )
         if "wildcard" in node:
             q = node["wildcard"]
-            toks = wildcard_matches(self.r.vocab(q["field"]), str(q["value"]))
-            return self._expanded_docs(q["field"], toks)
+            fields = (
+                self.text_fields if q["field"] == "*" else [q["field"]]
+            )
+            arrays = []
+            for f in fields:
+                toks = wildcard_matches(self.r.vocab(f), str(q["value"]))
+                a = self._expanded_docs(f, toks)
+                if a.size:
+                    arrays.append(a)
+            if not arrays:
+                return np.empty(0, dtype=np.int64)
+            return (
+                np.unique(np.concatenate(arrays))
+                if len(arrays) > 1
+                else arrays[0]
+            )
         if "fuzzy" in node:
             q = node["fuzzy"]
-            fuzz = q.get("fuzziness", 1) or 1  # default 1, QueryProcessor.ts:429
-            toks = fuzzy_matches(self.r.vocab(q["field"]), str(q["value"]), fuzz)
-            return self._expanded_docs(q["field"], toks)
+            # default 1 only when ABSENT; an explicit fuzziness=0 is an
+            # exact lookup (QueryProcessor.ts:429 `!== undefined ? : 1`
+            # + _processSingleTerm's fuzziness===0 branch)
+            fz = q.get("fuzziness")
+            fuzz = 1 if fz is None else int(fz)
+            if fuzz == 0:
+                return self.term_docs(q["field"], q["value"])
+            fields = (
+                self.text_fields if q["field"] == "*" else [q["field"]]
+            )
+            syn = self._synonym_tokens(q["value"])
+            arrays = []
+            for f in fields:
+                toks = fuzzy_matches(self.r.vocab(f), str(q["value"]), fuzz)
+                a = self._expanded_docs(f, list(toks) + syn)
+                if a.size:
+                    arrays.append(a)
+            if not arrays:
+                return np.empty(0, dtype=np.int64)
+            return (
+                np.unique(np.concatenate(arrays))
+                if len(arrays) > 1
+                else arrays[0]
+            )
         if "phrase" in node:
             return self._eval_phrase(node["phrase"])
         if "range" in node:
@@ -594,11 +659,26 @@ class _PartitionEvaluator:
     def _eval_geo(self, q) -> np.ndarray:
         # haversine doc scan, R=6371e3 m (QueryProcessor.ts:437-527)
         field = q.get("field", "location")
-        center = q.get("center") or q.get(field) or {}
-        if isinstance(center, (list, tuple)):
-            lat0, lon0 = float(center[0]), float(center[1])
-        else:
+        # reference resolution order: location || center (ts:457); the
+        # field-named key is kept as a back-compat extra.  A missing or
+        # malformed center returns EMPTY, never raises (ts:458-480).
+        center = q.get("location") or q.get("center") or q.get(field)
+        if isinstance(center, (list, tuple)) and len(center) == 2:
+            first, second = float(center[0]), float(center[1])
+            # [lat, lon] unless lat is out of range → [lon, lat]
+            # (reference range heuristic, ts:468-475)
+            if abs(first) <= 90 and abs(second) <= 180:
+                lat0, lon0 = first, second
+            else:
+                lat0, lon0 = second, first
+        elif (
+            isinstance(center, dict)
+            and "lat" in center
+            and "lon" in center
+        ):
             lat0, lon0 = float(center["lat"]), float(center["lon"])
+        else:
+            return np.empty(0, dtype=np.int64)
         dist = q.get("distance", 0)
         if isinstance(dist, str):
             s = dist.strip().lower()
@@ -617,7 +697,9 @@ class _PartitionEvaluator:
                 struct = struct.combine_chunks()
             lat_arr = struct.field("lat")
             lon_arr = struct.field("lon")
-        except (KeyError, AttributeError):
+        except (KeyError, AttributeError, pa.ArrowInvalid):
+            # flat lat/lon columns (pyarrow raises ArrowInvalid, not
+            # KeyError, for a missing struct column)
             tbl = self.r.docs_table(columns=["doc_id", "lat", "lon"])
             lat_arr, lon_arr = tbl["lat"], tbl["lon"]
         lat = np.radians(np.asarray(lat_arr, dtype=float))
@@ -847,6 +929,23 @@ def _score_partition(
     return topk_select(cand, scores, k)
 
 
+_SCORE_REMOTE_LOCK = threading.Lock()
+_SCORE_REMOTE = None
+
+
+def _score_partition_remote():
+    """Module-level ``ray.remote`` wrapper, created ONCE — re-wrapping
+    per query re-pickles and re-exports the function on the hot path."""
+    global _SCORE_REMOTE
+    if _SCORE_REMOTE is None:
+        with _SCORE_REMOTE_LOCK:
+            if _SCORE_REMOTE is None:
+                import ray as _ray_mod
+
+                _SCORE_REMOTE = _ray_mod.remote(_score_partition)
+    return _SCORE_REMOTE
+
+
 def _tf_fallback_scores(
     reader: PartitionReader,
     cand: np.ndarray,
@@ -1049,15 +1148,20 @@ class IndexSearcher:
 
     def _pool(self):
         """Persistent scoring thread pool (threads start once per
-        searcher, not once per query)."""
+        searcher, not once per query).  Double-checked under the cache
+        lock so two concurrent first queries cannot each build an
+        executor and orphan one (an 8-worker thread leak)."""
         ex = getattr(self, "_score_pool", None)
         if ex is None:
-            from concurrent.futures import ThreadPoolExecutor
+            with self._qcache_lock:
+                ex = getattr(self, "_score_pool", None)
+                if ex is None:
+                    from concurrent.futures import ThreadPoolExecutor
 
-            ex = ThreadPoolExecutor(
-                max_workers=min(8, max(2, len(self.part_dirs)))
-            )
-            self._score_pool = ex
+                    ex = ThreadPoolExecutor(
+                        max_workers=min(8, max(2, len(self.part_dirs)))
+                    )
+                    self._score_pool = ex
         return ex
 
     def _qcache_get(self, key: str) -> Optional[pd.DataFrame]:
@@ -1261,7 +1365,7 @@ class IndexSearcher:
         if self.use_ray and len(args) > 1:
             import ray
 
-            fn = ray.remote(_score_partition)
+            fn = _score_partition_remote()
             parts = ray.get(
                 [fn.remote(*a, doc_boosts=doc_boosts) for a in args]
             )

@@ -209,22 +209,33 @@ class PartitionReader:
     def vocab(self, field: str) -> np.ndarray:
         """Sorted unique tokens of a field (loaded once, cached) — the term
         dictionary scan surface for prefix/wildcard/fuzzy queries
-        (QueryProcessor.ts:330-435 vocabulary scans)."""
-        if self._vocab is None:
-            self._vocab = {}
-        if field not in self._vocab:
-            pref = field + ":"
-            tbl = self._dataset.to_table(
-                columns=["term"],
-                filter=(pc.field("term") >= pref)
-                & (pc.field("term") < field + ";"),  # ';' = ':'+1
-            )
-            terms = pc.unique(tbl["term"]).to_pylist()
-            toks = np.array(
-                sorted(t[len(pref):] for t in terms), dtype=object
-            )
-            self._vocab[field] = toks
-        return self._vocab[field]
+        (QueryProcessor.ts:330-435 vocabulary scans).
+
+        Cache mutations happen under ``self._lock`` like every other
+        reader cache: an unsynchronized ``self._vocab = {}`` between two
+        concurrent queries wiped the other thread's expensive full
+        dictionary scan (and is a data race on free-threaded builds).
+        The scan itself runs outside the lock; a racing duplicate scan
+        is idempotent."""
+        with self._lock:
+            if self._vocab is None:
+                self._vocab = {}
+            hit = self._vocab.get(field)
+        if hit is not None:
+            return hit
+        pref = field + ":"
+        tbl = self._dataset.to_table(
+            columns=["term"],
+            filter=(pc.field("term") >= pref)
+            & (pc.field("term") < field + ";"),  # ';' = ':'+1
+        )
+        terms = pc.unique(tbl["term"]).to_pylist()
+        toks = np.array(
+            sorted(t[len(pref):] for t in terms), dtype=object
+        )
+        with self._lock:
+            self._vocab.setdefault(field, toks)
+            return self._vocab[field]
 
     # --- postings ----------------------------------------------------------
     def read_terms(
@@ -351,7 +362,8 @@ class PartitionReader:
         decode) — the phase-1 global-df gather of the scatter-gather query
         path (reference analog: ShardedInvertedIndex.ts:347-377 summing df
         across shards).  Cached per reader (segments are immutable)."""
-        missing = [t for t in terms if t not in self._df_cache]
+        with self._lock:
+            missing = [t for t in terms if t not in self._df_cache]
         if missing:
             tbl = self._dataset.to_table(
                 columns=["term", "n"],
@@ -360,8 +372,14 @@ class PartitionReader:
             got: Dict[str, int] = {t: 0 for t in missing}
             for term, cnt in zip(tbl["term"].to_pylist(), tbl["n"].to_pylist()):
                 got[term] += cnt
-            self._df_cache.update(got)
-        return {t: self._df_cache[t] for t in terms if self._df_cache.get(t)}
+            with self._lock:
+                self._df_cache.update(got)
+        with self._lock:
+            return {
+                t: self._df_cache[t]
+                for t in terms
+                if self._df_cache.get(t)
+            }
 
     def all_doc_ids(self) -> np.ndarray:
         """All doc ids in this partition (for match_all) via the docstore."""

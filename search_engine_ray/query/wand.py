@@ -80,6 +80,11 @@ def topk_select(
     threshold partition, then lexsort only the >=k-th-score survivors
     (ties at the boundary included before the cut, so the doc-asc
     tiebreak is preserved)."""
+    if k <= 0:  # size=0 requests (total/facets only) must not crash
+        return (
+            np.empty(0, dtype=cand.dtype),
+            np.empty(0, dtype=scores.dtype),
+        )
     n = cand.size
     if n <= k:
         order = np.lexsort((cand, -scores))

@@ -478,3 +478,120 @@ class TestAutoMap:
         pdf = pq.read_table(src).to_pylist()
         expect = sum(1 for r in pdf if "alice" in r["user"]["name"])
         assert len(hits) == expect > 0
+
+
+class TestQuerySemanticsFixes:
+    """Round-3 review: reference-parity fixes in the query evaluators."""
+
+    def test_geo_location_key_and_array_heuristic(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+
+        idx, _, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        base = s.search(
+            {"geo_distance": {"field": "location",
+                              "center": {"lat": 48.0, "lon": 11.0},
+                              "distance": "300km"}},
+            size=1000,
+        )
+        # reference resolves geoQuery.location first
+        via_location = s.search(
+            {"geo_distance": {"field": "location",
+                              "location": {"lat": 48.0, "lon": 11.0},
+                              "distance": "300km"}},
+            size=1000,
+        )
+        assert via_location["doc_id"].tolist() == base["doc_id"].tolist()
+        # [lat, lon] array form
+        arr = s.search(
+            {"geo_distance": {"field": "location",
+                              "center": [48.0, 11.0],
+                              "distance": "300km"}},
+            size=1000,
+        )
+        assert arr["doc_id"].tolist() == base["doc_id"].tolist()
+        # out-of-range first element → interpreted as [lon, lat]
+        swapped = s.search(
+            {"geo_distance": {"field": "location",
+                              "center": [110.0, 48.0],
+                              "distance": "300km"}},
+            size=1000,
+        )
+        direct = s.search(
+            {"geo_distance": {"field": "location",
+                              "center": {"lat": 48.0, "lon": 110.0},
+                              "distance": "300km"}},
+            size=1000,
+        )
+        assert swapped["doc_id"].tolist() == direct["doc_id"].tolist()
+        # missing/malformed center: EMPTY, never a crash
+        assert len(s.search(
+            {"geo_distance": {"field": "location", "distance": "300km",
+                              "center": {"lat": 1.0}}},
+            size=10,
+        )) == 0
+
+    def test_fuzzy_zero_is_exact_and_star_fans_out(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+
+        idx, _, _ = nested_index
+        # '*' resolves to the searcher's text_fields; include user.name
+        # (where the alice/bob person names live in this fixture)
+        s = IndexSearcher(idx, text_fields=("name", "user.name"))
+        exact = s.search(
+            {"term": {"field": "user.name", "value": "alice"}}, size=1000
+        )
+        assert len(exact) > 0
+        fz0 = s.search(
+            {"fuzzy": {"field": "user.name", "value": "alice",
+                       "fuzziness": 0}},
+            size=1000,
+        )
+        assert fz0["doc_id"].tolist() == exact["doc_id"].tolist()
+        # default (absent) fuzziness = 1 → superset of exact
+        fz1 = s.search(
+            {"fuzzy": {"field": "user.name", "value": "alice"}}, size=1000
+        )
+        assert set(exact["doc_id"]) <= set(fz1["doc_id"])
+        # '*' fans out over text fields for prefix/wildcard/fuzzy
+        star_prefix = s.search(
+            {"prefix": {"field": "*", "value": "ali"}}, size=1000
+        )
+        named_prefix = s.search(
+            {"prefix": {"field": "user.name", "value": "ali"}}, size=1000
+        )
+        assert set(named_prefix["doc_id"]) <= set(star_prefix["doc_id"])
+        assert len(named_prefix) > 0
+        star_fuzzy = s.search(
+            {"fuzzy": {"field": "*", "value": "alice"}}, size=1000
+        )
+        assert set(exact["doc_id"]) <= set(star_fuzzy["doc_id"])
+
+    def test_size_zero_returns_empty_not_crash(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+
+        idx, _, _ = nested_index
+        s = IndexSearcher(idx, text_fields=("name",))
+        hits = s.search(
+            {"term": {"field": "user.name", "value": "alice"}}, size=0
+        )
+        assert len(hits) == 0
+
+    def test_fuzzy_unions_synonyms(self, nested_index):
+        from search_engine_ray.query import IndexSearcher
+
+        idx, _, _ = nested_index
+        s = IndexSearcher(
+            idx, text_fields=("name",), synonyms={"alice": ["bob"]}
+        )
+        bob = s.search(
+            {"match": {"field": "user.name", "value": "bob"}}, size=1000
+        )
+        fz = s.search(
+            {"match": {"field": "user.name", "value": "alice",
+                       "fuzziness": 1}},
+            size=1000,
+        )
+        # reference adds synonym postings regardless of fuzziness
+        assert set(bob["doc_id"]) <= set(fz["doc_id"])
+        assert len(bob) > 0
