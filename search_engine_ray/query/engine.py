@@ -312,6 +312,10 @@ class _PartitionEvaluator:
         # posting lookup (e.g. a Snowball stemmer matching a
         # stem_by_lang-built index)
         self.token_filter = token_filter
+        # doc ids superseded by a NEWER delta partition (server upsert
+        # semantics: re-adding an id must hide the older copy) — set on
+        # the reader by IndexSearcher._apply_partition_exclusions
+        self.exclude = getattr(reader, "exclude_ids", None)
         self._cache: Dict[str, TermPostings] = {}
 
     def prefetch(self, terms: Sequence[str], with_positions=False) -> None:
@@ -382,7 +386,16 @@ class _PartitionEvaluator:
         return np.unique(np.concatenate(arrays))
 
     def evaluate(self, node) -> np.ndarray:
-        """Sorted int64 doc-id array of candidates."""
+        """Sorted int64 doc-id array of candidates (superseded ids of
+        delta-partition upserts filtered out)."""
+        out = self._evaluate(node)
+        if self.exclude is not None and out.size:
+            from ..stages.util import sorted_isin
+
+            out = out[~sorted_isin(self.exclude, out)]
+        return out
+
+    def _evaluate(self, node) -> np.ndarray:
         if node is None:
             return np.empty(0, dtype=np.int64)
         if "match_all" in node:
@@ -860,6 +873,7 @@ def _score_partition(
     scorer=None,
     token_filter=None,
     doc_boosts: Optional[Dict[int, int]] = None,
+    exclude_ids: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Partition-local top-k (used serially or as a Ray task; the local
     path passes a long-lived cached reader).
@@ -869,15 +883,21 @@ def _score_partition(
     (so a boosted doc outside the unboosted partition top-k still
     surfaces); it disables block-max pruning, whose score upper bounds
     don't account for boosts."""
+    if reader is None:
+        reader = PartitionReader(part_dir)
+        if exclude_ids is not None:
+            reader.exclude_ids = exclude_ids
     ev = _PartitionEvaluator(
-        reader if reader is not None else PartitionReader(part_dir),
+        reader,
         text_fields,
         stopwords,
         synonyms,
         token_filter=token_filter,
     )
     stats = GlobalStats.from_json(stats_json)
-    if doc_boosts:
+    if doc_boosts or ev.exclude is not None:
+        # pruned paths select top-k before the exclusion/boost filter
+        # could apply — an excluded doc would consume a top-k slot
         pruning = "off"
     if (
         isinstance(node, dict)
@@ -1120,6 +1140,7 @@ class IndexSearcher:
             for p in self.manifest["partitions"]
         ]
         self._readers = [PartitionReader(d) for d in self.part_dirs]
+        self._apply_partition_exclusions()
         self._stats_json = self.stats.to_json()
         # Ray presets OMP_NUM_THREADS=1, which Arrow adopts as its
         # compute-pool size — leaving every driver-side parquet decode /
@@ -1276,6 +1297,32 @@ class IndexSearcher:
         return node
 
     # phase 1: global df for the scoring terms (metadata-only reads)
+    def _apply_partition_exclusions(self) -> None:
+        """Server upsert semantics across delta partitions: a doc id
+        present in several partitions is LIVE only in the newest one
+        (the reference's re-add replaces, SearchEngine.ts:223-225) —
+        without this, every flush of an updated doc would surface both
+        versions.  Each reader gets the sorted id set superseded by
+        newer partitions; batch-built indexes are id-disjoint, so their
+        exclusion sets are empty and nothing changes.  (Scale note: the
+        per-partition id scan at searcher construction is bounded by
+        docstore id columns; a Bloom filter per partition replaces the
+        exact sets beyond driver memory.)"""
+        if len(self._readers) <= 1:
+            return
+        from ..stages.util import sorted_isin
+
+        newer: Optional[np.ndarray] = None
+        for r in reversed(self._readers):
+            ids = r.all_doc_ids()  # sorted
+            if newer is not None and newer.size and ids.size:
+                sup = ids[sorted_isin(newer, ids)]
+                if sup.size:
+                    r.exclude_ids = sup
+            newer = (
+                ids if newer is None else np.union1d(newer, ids)
+            )
+
     def _global_dfs(self, terms: Sequence[str]) -> Dict[str, int]:
         dfs: Dict[str, int] = {}
         for r in self._readers:
@@ -1367,7 +1414,14 @@ class IndexSearcher:
 
             fn = _score_partition_remote()
             parts = ray.get(
-                [fn.remote(*a, doc_boosts=doc_boosts) for a in args]
+                [
+                    fn.remote(
+                        *a,
+                        doc_boosts=doc_boosts,
+                        exclude_ids=getattr(r, "exclude_ids", None),
+                    )
+                    for a, r in zip(args, self._readers)
+                ]
             )
         elif len(args) > 1 and (
             not _df_bounded(node)
@@ -1769,4 +1823,7 @@ class IndexSearcher:
             )
             frames.append(tbl.to_pandas())
         docs = pd.concat(frames, ignore_index=True)
+        # a delta-partition upsert leaves the superseded payload in an
+        # older docstore: keep the NEWEST partition's row per id
+        docs = docs.drop_duplicates("doc_id", keep="last")
         return hits.merge(docs, on="doc_id", how="left")

@@ -87,8 +87,14 @@ class IndexHandle:
         os.makedirs(index_dir, exist_ok=True)
         self._load_config()
         self.buffer = self._make_buffer_store()
-        # one scan at construction, then maintained incrementally
-        self._buffered = self.buffer.count("buffer")
+        # one scan at construction, then maintained incrementally; the
+        # id SET keeps the counter exact when an add updates an
+        # already-buffered id (put overwrites keep-latest, so a plain
+        # += len(docs) would drift high until the next flush)
+        self._buffered_ids = {
+            d["id"] for d in self.buffer.find("buffer")
+        }
+        self._buffered = len(self._buffered_ids)
 
     def _make_buffer_store(self):
         from .state.docstore import create_store
@@ -130,11 +136,13 @@ class IndexHandle:
     # --- ingest ---------------------------------------------------------
     def add_documents(self, docs: List[Dict[str, Any]]) -> Dict[str, Any]:
         with self.lock:
-            for d in docs:
-                self.buffer.put({**d, "id": _doc_id_for(d)}, "buffer")
-            # cached counter: count() on a filesystem/parquet buffer
-            # store parses every buffered doc — O(n²) ingest otherwise
-            self._buffered += len(docs)
+            items = [{**d, "id": _doc_id_for(d)} for d in docs]
+            # batch-first: the parquet store writes ONE segment per
+            # batch via put_batch; per-doc put() made one 1-row segment
+            # each, degrading every later scan toward O(n²)
+            self.buffer.put_batch(items, "buffer")
+            self._buffered_ids.update(it["id"] for it in items)
+            self._buffered = len(self._buffered_ids)
             return {
                 "addedCount": len(docs),
                 "buffered": self._buffered,
@@ -205,10 +213,19 @@ class IndexHandle:
             # its newer buffered doc for the next flush
             snap = {d["id"]: d for d in docs}
             cur = self.buffer.get_batch(list(snap), "buffer")
-            self.buffer.delete_batch(
-                [i for i, d in snap.items() if cur.get(i) == d], "buffer"
-            )
-            self._buffered = self.buffer.count("buffer")
+            dropped = [
+                i for i, d in snap.items() if cur.get(i) == d
+            ]
+            self.buffer.delete_batch(dropped, "buffer")
+            self._buffered_ids.difference_update(dropped)
+            self._buffered = len(self._buffered_ids)
+            # fold the per-flush tombstone segments a parquet buffer
+            # accumulates (no-op for memory/filesystem stores)
+            if hasattr(self.buffer, "compact"):
+                try:
+                    self.buffer.compact()
+                except Exception:
+                    pass
         out = {
             "flushed": len(docs),
             "partition": pname,
@@ -248,6 +265,16 @@ class IndexHandle:
     def _compact_locked(self) -> Dict[str, Any]:
         from .index_build.compact import compact_index
 
+        if not os.path.exists(
+            os.path.join(self.index_dir, "manifest.json")
+        ):
+            # created-but-never-flushed index: nothing to merge (a bare
+            # compact_index would 500 on the missing manifest)
+            return {
+                "partitions": 0,
+                "totalDocs": 0,
+                "message": "nothing to compact",
+            }
         self._clean_crashed_partitions()
         manifest = compact_index(self.index_dir)
         with self.lock:
@@ -388,8 +415,9 @@ class SearchServer:
                     })
                 b = self._body()
                 t0 = time.time()
-                try:
-                    out = s.search_full(
+
+                def run(searcher):
+                    return searcher.search_full(
                         b.get("query") or {"match_all": {}},
                         size=int(b.get("size", 10)),
                         from_=int(b.get("from", 0)),
@@ -397,6 +425,21 @@ class SearchServer:
                         facet_fields=h.facet_fields or None,
                         aggs=b.get("aggregations") or b.get("aggs"),
                     )
+
+                try:
+                    try:
+                        out = run(s)
+                    except FileNotFoundError:
+                        # a concurrent compaction deleted the partition
+                        # dirs this (stale) searcher was reading lazily
+                        # — swap in a fresh searcher over the rewritten
+                        # manifest and retry once
+                        with h.lock:
+                            h._searcher = None
+                        s2 = h.searcher()
+                        if s2 is None:
+                            raise
+                        out = run(s2)
                 except Exception as e:
                     from .query.validate import QueryValidationError
 

@@ -300,8 +300,13 @@ class FileSystemDocumentStore(DocumentStore):
         for p in sorted(
             glob.glob(os.path.join(self.root, index_name, "*.json"))
         ):
-            with open(p) as f:
-                yield json.load(f)
+            try:
+                with open(p) as f:
+                    yield json.load(f)
+            except FileNotFoundError:
+                # a concurrent delete between glob and open — the doc is
+                # simply gone; the scan must not abort
+                continue
 
     def create_index(self, index_name) -> bool:
         os.makedirs(os.path.join(self.root, index_name), exist_ok=True)
@@ -535,24 +540,41 @@ class CachedDocumentStore(DocumentStore):
         self.max_size = max_size
         self.ttl = ttl
         self._cache: "OrderedDict[Tuple[str, str], Tuple[float, Optional[Document]]]" = OrderedDict()
+        # per-key write versions: a read-through fill is dropped if a
+        # put/delete bumped the key while the backing read was in flight
+        self._versions: Dict[Tuple[str, str], int] = {}
         self._lock = threading.Lock()
         self.cache_stats = {"hits": 0, "misses": 0, "evictions": 0}
 
     def _key(self, doc_id: str, index_name: str) -> Tuple[str, str]:
         return (index_name, doc_id)
 
-    def _cache_put(self, key, doc: Optional[Document]) -> None:
+    def _cache_put(self, key, doc: Optional[Document], version=None) -> None:
         with self._lock:
+            if (
+                version is not None
+                and self._versions.get(key, 0) != version
+            ):
+                # a put/delete landed while this read-through was in
+                # flight — caching the stale value would serve it for up
+                # to ttl seconds (or resurrect a deleted doc)
+                return
             self._cache[key] = (time.monotonic(), doc)
             self._cache.move_to_end(key)
             while len(self._cache) > self.max_size:
                 self._cache.popitem(last=False)
                 self.cache_stats["evictions"] += 1
 
+    def _bump(self, key) -> None:
+        self._versions[key] = self._versions.get(key, 0) + 1
+
     def put(self, doc, index_name=DEFAULT_INDEX) -> bool:
         ok = self.backing.put(doc, index_name)
         if ok:
-            self._cache_put(self._key(doc["id"], index_name), dict(doc))
+            key = self._key(doc["id"], index_name)
+            with self._lock:
+                self._bump(key)
+            self._cache_put(key, dict(doc))
         self.stats["writes"] += 1
         return ok
 
@@ -570,14 +592,20 @@ class CachedDocumentStore(DocumentStore):
                 del self._cache[key]
                 self.cache_stats["evictions"] += 1
         self.cache_stats["misses"] += 1
+        with self._lock:
+            ver = self._versions.get(key, 0)
         doc = self.backing.get(doc_id, index_name)
-        self._cache_put(key, dict(doc) if doc is not None else None)
+        self._cache_put(
+            key, dict(doc) if doc is not None else None, version=ver
+        )
         return doc
 
     def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
         ok = self.backing.delete(doc_id, index_name)
         with self._lock:
-            self._cache.pop(self._key(doc_id, index_name), None)
+            key = self._key(doc_id, index_name)
+            self._bump(key)
+            self._cache.pop(key, None)
         if ok:
             self.stats["deletes"] += 1
         return ok
@@ -655,9 +683,17 @@ class ShardedDocumentStore(DocumentStore):
     def put(self, doc, index_name=DEFAULT_INDEX) -> bool:
         did = _require_id(doc)
         if self.strategy == "round-robin":
-            old = self._locate(did, index_name)
-            if old is not None:  # update in place, don't duplicate
-                return old.put(doc, index_name)
+            # locate+put under the lock: two concurrent puts of the
+            # same NEW id would otherwise both miss _locate and land on
+            # different shards — a permanent duplicate one delete can't
+            # fully remove
+            with self._rr_lock:
+                old = self._locate(did, index_name)
+                if old is not None:  # update in place, don't duplicate
+                    return old.put(doc, index_name)
+                self.stats["writes"] += 1
+                self._rr = (self._rr + 1) % len(self.shards)
+                return self.shards[self._rr].put(doc, index_name)
         self.stats["writes"] += 1
         return self._shard_for(did).put(doc, index_name)
 

@@ -230,3 +230,46 @@ class TestDurableBuffer:
             )
         finally:
             srv.stop()
+
+
+class TestUpsertAcrossFlushes:
+    """Re-adding an id after a flush must REPLACE the doc (reference
+    re-add semantics, SearchEngine.ts:223-225) — across partitions the
+    newest version wins and the old one is hidden, not duplicated."""
+
+    def test_update_then_flush_replaces(self, server):
+        _req(server, "/index", {"indexName": "ups"})
+        _req(server, "/index/ups/documents", {"documents": [
+            {"id": "u1", "title": "original purple document"},
+            {"id": "u2", "title": "untouched neighbor"},
+        ]})
+        _req(server, "/index/ups/flush", {})
+        # update u1 in a SECOND flush (new delta partition)
+        _req(server, "/index/ups/documents", {"documents": [
+            {"id": "u1", "title": "updated orange document"},
+        ]})
+        _req(server, "/index/ups/flush", {})
+
+        code, out = _req(server, "/search/ups", {
+            "query": {"match": {"field": "title", "value": "document"}},
+            "size": 10,
+        })
+        assert code == 200
+        # u1 + u2 match "document"? only u1 does — and exactly ONE
+        # live copy of it despite two partitions holding versions
+        assert out["total"] == 1, out
+        # the old version's term is gone, the new one's is live
+        code, old = _req(server, "/search/ups", {
+            "query": {"match": {"field": "title", "value": "purple"}},
+        })
+        assert old["total"] == 0, old
+        code, new = _req(server, "/search/ups", {
+            "query": {"match": {"field": "title", "value": "orange"}},
+        })
+        assert new["total"] == 1
+
+    def test_compact_on_unflushed_index_is_noop(self, server):
+        _req(server, "/index", {"indexName": "emptyix"})
+        code, out = _req(server, "/index/emptyix/compact", {})
+        assert code == 200
+        assert out.get("partitions") == 0
