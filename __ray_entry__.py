@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.simhash_pairs,
         "embedding_lsh_pairs": q.embedding_lsh_pairs,
         "ivf_top10": q.ivf_top10,
+        "ivf_top10_probed": q.ivf_top10_probed,
         "multimodal_frames": q.multimodal_frames,
         # training-data scrubbing / curation (stages/scrub.py)
         "pii_redact": q.pii_redact,
@@ -430,6 +431,32 @@ def oracle_sql() -> dict[str, str]:
                 vec_id ASC
             LIMIT 10
         """,
+        # IVF at nprobe = n_centroids probes every partition, so the
+        # result is exact brute force by construction
+        # (similarity.py:ivf_search) — ranked on the same round-9 grain
+        # + vec_id tie-break as similarity_top10; the query vectors are
+        # vec_id 0..2 and the corpus is NOT self-excluded (sim(q,q)=1)
+        "ivf_top10": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qe) AS sim
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT qid, vec_id, sim,
+                     row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY round(sim, 9) DESC, vec_id ASC) AS rn
+              FROM scored
+            )
+            SELECT qid, vec_id, round(sim, 6) AS sim
+            FROM ranked WHERE rn <= 10 ORDER BY qid, vec_id
+        """,
         "embedding_pairs": """
             SELECT a, b, round(sim, 6) AS sim FROM (
               SELECT e1.vec_id AS a, e2.vec_id AS b,
@@ -743,10 +770,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 10
             ORDER BY source, doc_id
         """,
-        # JSON field extraction vs DuckDB json_extract
+        # JSON field extraction vs DuckDB json_extract.  The outer
+        # ::BIGINT matters: DuckDB's sum(BIGINT) returns HUGEINT which
+        # pandas renders as float64, diverging from the engine's int64
+        # under the driver's dtype-sensitive value hash.
         "props_k_sum": """
             SELECT event_type,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT
                        AS k_sum,
                    count(*)::BIGINT AS n
             FROM events GROUP BY event_type
@@ -788,6 +818,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, rank, token, tf, df
             FROM ranked WHERE rank <= 5
             ORDER BY doc_id, rank
+        """,
+        # decontamination: exact word-8-gram membership vs a DuckDB
+        # shingle semi-join (same slice machinery as dup_spans_top100).
+        # Both sides plant the same deterministic leak passage into the
+        # benchmark (%97) and leaked (%89) docs, tokenize by whitespace
+        # split, and count DISTINCT doc 8-grams present in the
+        # benchmark set — blake2b-64 hashing on the Ray side is
+        # collision-free at this scale, so hash-set membership ==
+        # string membership
+        "decontaminate_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     COALESCE(text, '') ||
+                     CASE WHEN doc_id % 97 = 0 OR doc_id % 89 = 0
+                          THEN ' the canary passage about distributed '
+                               || 'posting lists and varbyte compressed '
+                               || 'blocks variant '
+                               || CAST(doc_id % 3 AS VARCHAR)
+                          ELSE '' END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '') AS w
+              FROM planted
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(w[i:i+7], ' ') AS g
+              FROM toks,
+                   UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS u(i)
+            ),
+            bench AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT g.doc_id, count(*)::BIGINT AS bench_overlap
+            FROM grams g JOIN bench USING (g)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id ORDER BY doc_id
+        """,
+        # greedy next-fit packing as a recursive CTE: the fold state
+        # (current bin id + fill) advances one row per recursion step,
+        # per source — exactly scrub.py:pack_sequences' searchsorted
+        # recurrence unrolled row-wise
+        "pack_bins": """
+            WITH RECURSIVE s AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            p AS (
+              SELECT source, doc_id, rn,
+                     0::BIGINT AS bin_id, 0::BIGINT AS bin_offset,
+                     n_chars::BIGINT AS fill
+              FROM s WHERE rn = 1
+              UNION ALL
+              SELECT s.source, s.doc_id, s.rn,
+                     CASE WHEN p.fill + s.n_chars > 20000
+                          THEN p.bin_id + 1 ELSE p.bin_id END,
+                     CASE WHEN p.fill + s.n_chars > 20000
+                          THEN 0::BIGINT ELSE p.fill END,
+                     CASE WHEN p.fill + s.n_chars > 20000
+                          THEN s.n_chars::BIGINT
+                          ELSE p.fill + s.n_chars END
+              FROM p JOIN s ON s.source = p.source AND s.rn = p.rn + 1
+            )
+            SELECT doc_id, source, bin_id, bin_offset FROM p
+            ORDER BY source, doc_id
         """,
         "near_dup_kept": """
             WITH RECURSIVE toks AS (

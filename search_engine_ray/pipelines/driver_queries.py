@@ -356,14 +356,11 @@ def session_windows(sf_dir: str) -> pd.DataFrame:
 
 # --- similarity ------------------------------------------------------------
 
-def ivf_top10(sf_dir: str) -> pd.DataFrame:
-    """ANN top-10 via the IVF index (cluster-partitioned parquet, probed
-    reads).  Approximate by construction → rows-only driver check;
-    recall and the nprobe=all ≡ exact equivalence are pytest-locked
-    (tests/test_stages.py::TestSimilarity::test_ivf_index_probed_search)."""
-    from ..stages.similarity import build_ivf_index, ivf_search
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Build (once, cached under /tmp) the 16-centroid IVF index over
+    the embeddings table and return its directory."""
+    from ..stages.similarity import build_ivf_index
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     idx = f"/tmp/ser_ivf_{key}"
     import os
@@ -375,8 +372,16 @@ def ivf_top10(sf_dir: str) -> pd.DataFrame:
         # duplicating vectors — meta is written last, so its presence
         # is the commit marker)
         shutil.rmtree(idx, ignore_errors=True)
-        build_ivf_index(ds, idx, n_centroids=16)
-    q = (
+        build_ivf_index(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), idx,
+            n_centroids=16,
+        )
+    return idx
+
+
+def _ivf_queries(sf_dir: str) -> list:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return (
         ds.map_batches(
             lambda b: b.filter(pc.field("vec_id") < 3),
             batch_format="pyarrow",
@@ -385,7 +390,60 @@ def ivf_top10(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id")["embedding"]
         .tolist()
     )
-    out = ivf_search(idx, np.asarray(q, dtype=np.float32), k=10, nprobe=4)
+
+
+def ivf_top10(sf_dir: str) -> pd.DataFrame:
+    """Top-10 via the IVF index at ``nprobe = n_centroids`` — every
+    partition probed, so the result is EXACT by construction
+    (stages/similarity.py:ivf_search) and oracle-paired with a DuckDB
+    ``list_cosine_similarity`` cross join.  The pruning behavior at
+    nprobe < n_centroids stays covered by ``ivf_top10_probed``
+    (rows-only) and the pytest recall lock.  float64 + round-9 rank
+    grain + vec_id tie-break with band-safe refetch (see
+    ``_cosine_topk_round9`` for why)."""
+    from ..stages.similarity import ivf_search
+
+    idx = _ivf_index_dir(sf_dir)
+    q = np.asarray(_ivf_queries(sf_dir), dtype=np.float64)
+    k = 10
+    fetch = k + 16
+    while True:
+        out = ivf_search(idx, q, k=fetch, nprobe=16, dtype=np.float64)
+        out["_s9"] = _round_half_away(out["sim"], 9)
+        out = out.sort_values(
+            ["qid", "_s9", "vec_id"], ascending=[True, False, True]
+        ).reset_index(drop=True)
+        band_cut = any(
+            len(g) >= fetch
+            and len(g) > k
+            and g["_s9"].iloc[-1] == g["_s9"].iloc[k - 1]
+            for _, g in out.groupby("qid")
+        )
+        if not band_cut:
+            break
+        fetch *= 4
+    res = out.groupby("qid", group_keys=False).head(k).copy()
+    res["sim"] = _round_half_away(res["sim"])
+    return (
+        res[["qid", "vec_id", "sim"]]
+        .sort_values(["qid", "vec_id"])
+        .reset_index(drop=True)
+        .astype({"qid": "int64", "vec_id": "int64"})
+    )
+
+
+def ivf_top10_probed(sf_dir: str) -> pd.DataFrame:
+    """ANN top-10 via the IVF index at nprobe=4 of 16 — only the probed
+    cluster partitions are READ (parquet directory pruning; the 100-TB
+    behavior under test).  Approximate by construction → rows-only
+    driver check; recall and the nprobe=all ≡ exact equivalence are
+    pytest-locked
+    (tests/test_stages.py::TestSimilarity::test_ivf_index_probed_search)."""
+    from ..stages.similarity import ivf_search
+
+    idx = _ivf_index_dir(sf_dir)
+    q = np.asarray(_ivf_queries(sf_dir), dtype=np.float32)
+    out = ivf_search(idx, q, k=10, nprobe=4)
     out["sim"] = _round_half_away(out["sim"])
     return out.astype({"qid": "int64", "vec_id": "int64"})
 

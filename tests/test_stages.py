@@ -1169,6 +1169,35 @@ class TestOracleParityEdgeCases:
     """Round-3 review: cases the sf0.01 gate data never exercises —
     rounding midpoints, null keys, duplicate JSON keys."""
 
+    def test_gate_compare_is_dtype_strict(self):
+        """The local gate must flag int-vs-float dtype divergence even
+        when the VALUES are numerically equal — the driver's value hash
+        is dtype sensitive, and round-3's props_k_sum red row came from
+        a DuckDB HUGEINT sum surfacing as float64 9707.0 vs the
+        engine's int64 9707 while a np.allclose-based local compare
+        stayed green."""
+        import sys
+
+        import pandas as pd
+
+        sys.path.insert(0, "/root/repo/tools")
+        try:
+            from check_oracles import compare_frames
+        finally:
+            sys.path.pop(0)
+
+        a = pd.DataFrame({"k": [9707, 3]})              # int64
+        b = pd.DataFrame({"k": [9707.0, 3.0]})          # float64, same values
+        bad = compare_frames(a, b)
+        assert bad and "dtype mismatch" in bad[0], bad
+        # equal dtypes + equal values still pass
+        assert compare_frames(a, a.copy()) == []
+        f = pd.DataFrame({"v": [1.25, float("nan")]})
+        assert compare_frames(f, f.copy()) == []
+        # float values differing below the old 1e-9 atol now FAIL
+        g = pd.DataFrame({"v": [1.25 + 1e-12, float("nan")]})
+        assert compare_frames(f, g) == ["values differ in v"]
+
     def test_round_half_away_matches_duckdb(self):
         import duckdb
 

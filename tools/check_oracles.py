@@ -38,6 +38,45 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> list:
+    """Driver-faithful frame compare on canonicalized frames: column
+    names, row count, then per-column values with a dtype-STRICT rule —
+    the driver's value hash is dtype sensitive (int64 9707 hashes
+    differently from float64 9707.0), so an int-vs-float divergence
+    must fail here too.  No np.allclose escape hatch: the round-3
+    props_k_sum red row slipped through exactly that hole.  Returns a
+    list of mismatch descriptions (empty == match)."""
+    import numpy as np
+
+    status = []
+    if list(got.columns) != list(want.columns):
+        status.append(f"cols {list(got.columns)} != {list(want.columns)}")
+    elif len(got) != len(want):
+        status.append(f"rows {len(got)} != {len(want)}")
+    else:
+        for c in got.columns:
+            a, b = got[c], want[c]
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if (ka in "iu") != (kb in "iu") or (ka == "f") != (kb == "f"):
+                status.append(
+                    f"dtype mismatch in {c}: got {a.dtype} vs "
+                    f"oracle {b.dtype}"
+                )
+                break
+            if ka == "f":
+                av, bv = a.to_numpy(), b.to_numpy()
+                both_nan = np.isnan(av) & np.isnan(bv)
+                if not np.array_equal(av, bv) and not bool(
+                    ((av == bv) | both_nan).all()
+                ):
+                    status.append(f"values differ in {c}")
+                    break
+            elif not a.astype(str).equals(b.astype(str)):
+                status.append(f"values differ in {c}")
+                break
+    return status
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -89,29 +128,7 @@ def main():
             failures.append((name, f"SQL ERROR: {e!r}"))
             print(f"{name:24s} SQL ERROR {e!r}")
             continue
-        status = []
-        if list(got.columns) != list(want.columns):
-            status.append(f"cols {list(got.columns)} != {list(want.columns)}")
-        elif len(got) != len(want):
-            status.append(f"rows {len(got)} != {len(want)}")
-        else:
-            eq = True
-            for c in got.columns:
-                a, b = got[c], want[c]
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    import numpy as np
-
-                    if not np.allclose(
-                        a.astype(float), b.astype(float), rtol=0, atol=1e-9,
-                        equal_nan=True,
-                    ):
-                        eq = False
-                        status.append(f"values differ in {c}")
-                        break
-                elif not a.astype(str).equals(b.astype(str)):
-                    eq = False
-                    status.append(f"values differ in {c}")
-                    break
+        status = compare_frames(got, want)
         if status:
             failures.append((name, "; ".join(status)))
             print(f"{name:24s} MISMATCH: {'; '.join(status)}  ({dt:.1f}s)")
