@@ -8,6 +8,15 @@ fresh partition and atomically rewrites the global manifest — the
 immutable-segment analog of an LSM merge.  Readers opened before the
 compaction keep working off the old dirs until they are deleted;
 re-open searchers after compacting.
+
+Crash atomicity (two-phase commit, the analog of the reference's
+single-file snapshot swap, SnapshotManager.ts:16-79): the merged
+partition is built under a dot-prefixed temp name that no partition
+scanner matches, then a commit marker naming (tmp, final, partitions
+to drop) is written atomically — the commit point.  Recovery
+(``recover_compaction``) rolls FORWARD from the marker (the merge is
+complete by then) or rolls BACK pre-commit temp residue, so a kill at
+any instant leaves exactly one surviving version of every doc.
 """
 
 from __future__ import annotations
@@ -20,6 +29,67 @@ import shutil
 from typing import List, Optional
 
 from .build import BuildConfig, _atomic_write_json, build_partition
+
+
+_COMPACT_MARKER = ".compact_commit.json"
+_COMPACT_TMP_PREFIX = ".compact_tmp_"
+
+
+def _marker_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _COMPACT_MARKER)
+
+
+def _write_marker(index_dir: str, payload: dict) -> None:
+    # factored out so kill-injection tests can fail exactly here
+    _atomic_write_json(_marker_path(index_dir), payload)
+
+
+def _crashpoint(name: str) -> None:
+    """No-op fault-injection hook.  The kill tests monkeypatch this to
+    raise at a named instant of the compaction window, modeling a
+    process death there (no cleanup runs — the exception unwinds past
+    compact_index exactly as SIGKILL would leave the disk)."""
+
+
+def recover_compaction(index_dir: str) -> bool:
+    """Finish (or discard) a compaction interrupted by a crash.
+
+    The commit marker is written only AFTER the merged partition build
+    completed, so marker present ⇒ roll FORWARD: rename the temp dir
+    into place if the crash beat the rename, delete the superseded
+    partitions, rewrite the global manifest, drop the marker.  No
+    marker ⇒ any ``.compact_tmp_*`` dir is pre-commit residue: roll
+    BACK by deleting it (the old partitions are still live and
+    complete).  Idempotent; every mutating entry point (compact_index,
+    the serving facade's flush/compact) calls this first.  Returns
+    True if any disk state changed."""
+    parts_dir = os.path.join(index_dir, "partitions")
+    marker = _marker_path(index_dir)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            m = json.load(f)
+        tmp_dir = os.path.join(parts_dir, m["tmp"])
+        final_dir = os.path.join(parts_dir, m["new"])
+        if os.path.isdir(final_dir) and os.path.isdir(tmp_dir):
+            # rename is atomic, so both existing means the tmp is a
+            # stale leftover of an even earlier crash — final wins
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+        elif os.path.isdir(tmp_dir):
+            os.rename(tmp_dir, final_dir)
+        for p in m["drop"]:
+            d = os.path.join(parts_dir, p)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        rewrite_global_manifest(index_dir, m.get("mappings"))
+        os.remove(marker)
+        return True
+    changed = False
+    if os.path.isdir(parts_dir):
+        for p in os.listdir(parts_dir):
+            if p.startswith(_COMPACT_TMP_PREFIX):
+                shutil.rmtree(os.path.join(parts_dir, p), ignore_errors=True)
+                changed = True
+    return changed
 
 
 def _partition_names(index_dir: str) -> List[str]:
@@ -82,7 +152,9 @@ def compact_index(
     through ``build_partition`` (same tokenize→sort→blocks dataflow;
     ``doc_id`` is already assigned, so no re-hashing and no dedup), the
     old partition dirs are removed and the global manifest rewritten.
+    Crash-atomic: see ``recover_compaction`` and the module docstring.
     """
+    recover_compaction(index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:
         gm = json.load(f)
     parts = _partition_names(index_dir)
@@ -114,8 +186,27 @@ def compact_index(
             n_partitions=1,
         )
     new_name = next_partition_name(index_dir)
-    new_dir = os.path.join(index_dir, "partitions", new_name)
-    build_partition(new_dir, doc_files, cfg)
+    tmp_name = _COMPACT_TMP_PREFIX + new_name
+    tmp_dir = os.path.join(index_dir, "partitions", tmp_name)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    build_partition(tmp_dir, doc_files, cfg)
+    _crashpoint("post_build")
+    # COMMIT POINT: once the marker exists, recovery rolls forward
+    _write_marker(
+        index_dir,
+        {
+            "new": new_name,
+            "tmp": tmp_name,
+            "drop": parts,
+            "mappings": gm.get("mappings"),
+        },
+    )
+    _crashpoint("post_marker")
+    os.rename(tmp_dir, os.path.join(index_dir, "partitions", new_name))
+    _crashpoint("post_rename")
     for p in parts:
         shutil.rmtree(os.path.join(index_dir, "partitions", p))
-    return rewrite_global_manifest(index_dir, gm.get("mappings"))
+    _crashpoint("post_drop")
+    manifest = rewrite_global_manifest(index_dir, gm.get("mappings"))
+    os.remove(_marker_path(index_dir))
+    return manifest

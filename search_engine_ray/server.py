@@ -244,9 +244,16 @@ class IndexHandle:
         """Remove partition dirs without a manifest.json — remnants of a
         flush that died mid-build (manifest is written LAST, so a dir
         without one holds no committed data); left in place they wedge
-        every manifest rewrite."""
+        every manifest rewrite.  Runs compaction crash recovery FIRST:
+        a committed-but-unfinished compaction must roll forward before
+        any scanner (next_partition_name, rewrite_global_manifest)
+        adopts the superseded partitions — and before this cleaner
+        could mistake its temp dir for flush residue."""
         import shutil
 
+        from .index_build.compact import recover_compaction
+
+        recover_compaction(self.index_dir)
         parts_dir = os.path.join(self.index_dir, "partitions")
         if not os.path.isdir(parts_dir):
             return
@@ -304,10 +311,110 @@ class IndexHandle:
             return self._searcher
 
 
+class AutoPersistenceManager:
+    """Background flush cadence matching the reference
+    (``AutoPersistenceManager.ts:17-69`` + ``inquir.config.js:165-171``):
+
+    * a timer flushes EVERY index each ``interval`` ms (``performAutoSave``
+      iterates listIndices), so adds become searchable with bounded
+      staleness even if no client ever calls ``/flush``;
+    * with ``saveOnAdd``, a single global added-docs counter triggers the
+      same all-index flush when it reaches ``batchSize`` (default 100);
+    * with ``saveOnShutdown``, server stop performs one final save.
+
+    Flushes run on this manager's own thread (the reference fires an
+    un-awaited promise), serialized against client flush/compact by each
+    handle's ``write_lock``; the durable add-buffer already guarantees no
+    data loss, this adds the reference's freshness semantics.  Disabled
+    by default, like the reference library default (``index.ts:99``)."""
+
+    def __init__(self, server: "SearchServer", enabled: bool = False,
+                 interval: float = 30_000, save_on_add: bool = False,
+                 save_on_shutdown: bool = False, batch_size: int = 100):
+        self.server = server
+        self.enabled = bool(enabled)
+        self.interval_s = max(float(interval) / 1000.0, 0.05)
+        self.save_on_add = bool(save_on_add)
+        self.save_on_shutdown = bool(save_on_shutdown)
+        self.batch_size = int(batch_size)
+        self._added = 0
+        self._added_lock = threading.Lock()
+        self._stop_evt = threading.Event()
+        self._kick = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        if self.enabled:
+            self.start()
+
+    @classmethod
+    def from_config(cls, server: "SearchServer", cfg) -> "AutoPersistenceManager":
+        """Accepts the reference's config shape: ``True`` (all defaults
+        on) or ``{enabled, interval, saveOnAdd, saveOnShutdown,
+        batchSize}`` with interval in milliseconds."""
+        if cfg is True:
+            cfg = {"enabled": True, "saveOnAdd": True,
+                   "saveOnShutdown": True}
+        cfg = dict(cfg or {})
+        return cls(
+            server,
+            enabled=cfg.get("enabled", False),
+            interval=cfg.get("interval", 30_000),
+            save_on_add=cfg.get("saveOnAdd", False),
+            save_on_shutdown=cfg.get("saveOnShutdown", False),
+            batch_size=cfg.get("batchSize", 100),
+        )
+
+    def start(self) -> None:
+        if not self.enabled or self._thread is not None:
+            return
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._stop_evt.is_set():
+            self._kick.wait(timeout=self.interval_s)
+            self._kick.clear()
+            if self._stop_evt.is_set():
+                return
+            self.perform_auto_save()
+
+    def perform_auto_save(self) -> None:
+        if not self.enabled:
+            return
+        for h in list(self.server.indexes.values()):
+            try:
+                h.flush()
+            except Exception:
+                # mirror the reference: log-and-continue per index
+                # (console.error in performAutoSave); one broken index
+                # must not stall the cadence for the others
+                pass
+        with self._added_lock:
+            self._added = 0
+
+    def check_auto_save(self, n_docs: int) -> None:
+        if not (self.enabled and self.save_on_add):
+            return
+        with self._added_lock:
+            self._added += n_docs
+            hit = self._added >= self.batch_size
+        if hit:
+            self._kick.set()  # async, like the un-awaited promise
+
+    def stop(self) -> None:
+        self._stop_evt.set()
+        self._kick.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+        if self.enabled and self.save_on_shutdown:
+            self.perform_auto_save()
+
+
 class SearchServer:
     """Threaded HTTP server over a root directory of indexes."""
 
-    def __init__(self, root_dir: str, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, root_dir: str, host: str = "127.0.0.1", port: int = 0,
+                 auto_persist=None):
         self.root_dir = root_dir
         os.makedirs(root_dir, exist_ok=True)
         self.indexes: Dict[str, IndexHandle] = {}
@@ -323,6 +430,9 @@ class SearchServer:
                 or os.path.exists(os.path.join(d, "server_config.json"))
             ):
                 self.indexes[name] = IndexHandle(d)
+        self.auto_persist = AutoPersistenceManager.from_config(
+            self, auto_persist
+        )
 
         server = self
 
@@ -493,6 +603,7 @@ class SearchServer:
                         400, {"error": "documents array is required"}
                     )
                 r = h.add_documents(docs)
+                server.auto_persist.check_auto_save(r["addedCount"])
                 self._json(200, {
                     "message": (
                         f"Added {r['addedCount']} documents to index "
@@ -525,3 +636,6 @@ class SearchServer:
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+        # listener is closed: saveOnShutdown's final flush cannot race
+        # new adds
+        self.auto_persist.stop()

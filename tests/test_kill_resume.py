@@ -24,6 +24,77 @@ print("BUILD_DONE")
 """
 
 
+class _SimulatedKill(BaseException):
+    """Raised by the fault-injection hook; BaseException so no
+    except-Exception cleanup path can swallow it (modeling SIGKILL)."""
+
+
+def test_kill_injection_across_compaction_window(tmp_path, ray_session):
+    """Crash-atomic compaction: inject a death at each instant of the
+    compaction window (after the merged build / after the commit
+    marker / after the rename / after old-partition deletion) and
+    verify recovery leaves exactly one surviving version of every doc
+    — same totals, same partition-list-vs-disk agreement, same query
+    results — and that a subsequent compaction converges to one
+    partition.  Closes the round-3 documented non-atomic window."""
+    import json
+    import shutil as _sh
+
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.index_build import compact as cmod
+    from search_engine_ray.query import IndexSearcher
+
+    corpus = str(tmp_path / "corpus")
+    generate_pages(corpus, n_rows=600, seed=7, n_files=3)
+    idx0 = str(tmp_path / "idx0")
+    m0 = build_index(idx0, corpus, BuildConfig(n_partitions=3))
+    base = IndexSearcher(idx0).search("the data", size=20, operator="or")
+
+    def boom_at(point):
+        def hook(name):
+            if name == point:
+                raise _SimulatedKill(point)
+
+        return hook
+
+    real_hook = cmod._crashpoint
+    for point in ("post_build", "post_marker", "post_rename", "post_drop"):
+        idx = str(tmp_path / f"idx_{point}")
+        _sh.copytree(idx0, idx)
+        cmod._crashpoint = boom_at(point)
+        try:
+            with pytest.raises(_SimulatedKill):
+                cmod.compact_index(idx)
+        finally:
+            cmod._crashpoint = real_hook
+
+        cmod.recover_compaction(idx)
+        # disk and manifest agree; totals unchanged (no doc lost, none
+        # resurrected twice)
+        with open(os.path.join(idx, "manifest.json")) as f:
+            m = json.load(f)
+        assert m["total_docs"] == m0["total_docs"], point
+        assert m["n_postings"] == m0["n_postings"], point
+        assert cmod._partition_names(idx) == m["partitions"], point
+        assert not os.path.exists(cmod._marker_path(idx)), point
+        assert not any(
+            p.startswith(cmod._COMPACT_TMP_PREFIX)
+            for p in os.listdir(os.path.join(idx, "partitions"))
+        ), point
+        r = IndexSearcher(idx).search("the data", size=20, operator="or")
+        assert r["doc_id"].tolist() == base["doc_id"].tolist(), point
+        assert r["score"].tolist() == base["score"].tolist(), point
+        # a fresh compaction (which itself re-runs recovery) converges
+        m2 = cmod.compact_index(idx)
+        assert m2["n_partitions"] == 1, point
+        assert m2["total_docs"] == m0["total_docs"], point
+        r2 = IndexSearcher(idx).search("the data", size=20, operator="or")
+        assert r2["doc_id"].tolist() == base["doc_id"].tolist(), point
+
+    # recovery is idempotent on a healthy index
+    assert cmod.recover_compaction(idx0) is False
+
+
 @pytest.mark.slow
 def test_sigkill_mid_build_then_resume(tmp_path):
     corpus = str(tmp_path / "corpus")

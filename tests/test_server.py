@@ -273,3 +273,111 @@ class TestUpsertAcrossFlushes:
         code, out = _req(server, "/index/emptyix/compact", {})
         assert code == 200
         assert out.get("partitions") == 0
+
+
+def _poll_total(port, name, query, want, timeout=90):
+    import time
+
+    deadline = time.time() + timeout
+    out = None
+    while time.time() < deadline:
+        code, out = _req(port, f"/search/{name}", {"query": query})
+        if code == 200 and out.get("total") == want:
+            return out
+        time.sleep(0.25)
+    raise AssertionError(f"never reached total={want}: {out}")
+
+
+class TestAutoPersistence:
+    """Reference auto-persistence cadence (AutoPersistenceManager.ts:
+    17-69): adds become searchable WITHOUT a client /flush — via the
+    saveOnAdd doc-count threshold and via the background interval
+    timer — and saveOnShutdown flushes on server stop."""
+
+    def test_save_on_add_threshold(self, tmp_path, ray_session):
+        from search_engine_ray.server import SearchServer
+
+        srv = SearchServer(
+            str(tmp_path / "r1"),
+            auto_persist={"enabled": True, "interval": 3_600_000,
+                          "saveOnAdd": True, "batchSize": 4},
+        )
+        port = srv.start()
+        try:
+            _req(port, "/index", {"indexName": "ap"})
+            docs = [
+                {"id": str(i), "title": f"auto doc {i}",
+                 "body": "threshold flush test"}
+                for i in range(5)
+            ]
+            code, out = _req(port, "/index/ap/documents",
+                             {"documents": docs})
+            assert code == 200 and out["addedCount"] == 5
+            # 5 >= batchSize=4 → background flush; timer is 1h so only
+            # the saveOnAdd path can make these searchable
+            _poll_total(
+                port, "ap",
+                {"match": {"field": "body", "value": "threshold"}}, 5,
+            )
+        finally:
+            srv.stop()
+
+    def test_interval_timer_flushes(self, tmp_path, ray_session):
+        from search_engine_ray.server import SearchServer
+
+        srv = SearchServer(
+            str(tmp_path / "r2"),
+            auto_persist={"enabled": True, "interval": 300,
+                          "saveOnAdd": False},
+        )
+        port = srv.start()
+        try:
+            _req(port, "/index", {"indexName": "tick"})
+            _req(port, "/index/tick/documents", {"documents": [
+                {"id": "a", "title": "timer one", "body": "cadence"},
+                {"id": "b", "title": "timer two", "body": "cadence"},
+            ]})
+            _poll_total(
+                port, "tick",
+                {"match": {"field": "body", "value": "cadence"}}, 2,
+            )
+            # partition count stays bounded: idle ticks (empty buffer)
+            # must not append empty partitions
+            import time
+
+            time.sleep(1.5)
+            import json as _json
+            import os as _os
+
+            with open(_os.path.join(
+                str(tmp_path / "r2"), "tick", "manifest.json"
+            )) as f:
+                assert _json.load(f)["n_partitions"] == 1
+        finally:
+            srv.stop()
+
+    def test_save_on_shutdown(self, tmp_path, ray_session):
+        from search_engine_ray.server import SearchServer
+
+        root = str(tmp_path / "r3")
+        srv = SearchServer(
+            root,
+            auto_persist={"enabled": True, "interval": 3_600_000,
+                          "saveOnAdd": False, "saveOnShutdown": True},
+        )
+        port = srv.start()
+        _req(port, "/index", {"indexName": "sd"})
+        _req(port, "/index/sd/documents", {"documents": [
+            {"id": "z", "title": "last write", "body": "shutdown save"},
+        ]})
+        srv.stop()  # final save happens here
+        # a fresh server over the same root serves the doc
+        srv2 = SearchServer(root)
+        port2 = srv2.start()
+        try:
+            code, out = _req(port2, "/search/sd", {
+                "query": {"match": {"field": "body", "value": "shutdown"}},
+            })
+            assert code == 200 and out["total"] == 1, out
+        finally:
+            srv2.stop()
