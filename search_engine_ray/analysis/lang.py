@@ -45,7 +45,9 @@ def clean_for_langid(text: str, max_chars: int = 1000) -> str:
     if not text:
         return ""
     t = _RE_CLEAN.sub(" ", text)
-    t = _RE_WS.sub(" ", t).strip()
+    # split/join == _RE_WS.sub(" ", t).strip() for every codepoint, at
+    # C speed (same equivalence proof as html_extract.extract_text)
+    t = " ".join(t.split())
     return t[:max_chars]
 
 

@@ -32,9 +32,29 @@ from .util import default_pool_size
 
 
 def _batch_matrix(batch: pa.Table, column: str, dtype=np.float32) -> np.ndarray:
+    """Embedding column → (n, dim) matrix.  Fast path: fixed-size-list
+    columns (and variable lists with uniform widths, which is what
+    parquet embedding columns decode to) reshape the flat Arrow values
+    buffer directly — zero-copy when the dtype already matches — instead
+    of materializing a Python list-of-lists per batch."""
     col = batch[column]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count == 0 and len(col):
+        if pa.types.is_fixed_size_list(col.type):
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), col.type.list_size).astype(
+                dtype, copy=False
+            )
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            widths = np.diff(col.offsets.to_numpy())
+            if len(widths) and widths[0] > 0 and (widths == widths[0]).all():
+                # flatten() respects the slice window, so the reshape is
+                # exact for sliced batches too
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(len(col), int(widths[0])).astype(
+                    dtype, copy=False
+                )
     return np.asarray(col.to_pylist(), dtype=dtype)
 
 

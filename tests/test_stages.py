@@ -395,6 +395,46 @@ class TestClusterPairs:
         assert os.listdir(scratch) == []
 
 
+class TestBatchMatrix:
+    """_batch_matrix must reshape Arrow list buffers directly (no
+    to_pylist) and stay exact on sliced / chunked / fixed-size inputs."""
+
+    def test_fixed_size_list_zero_copy(self):
+        from search_engine_ray.stages.similarity import _batch_matrix
+
+        fsl = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.arange(12, dtype=np.float32)), 4
+        )
+        m = _batch_matrix(pa.table({"emb": fsl}), "emb")
+        assert m.shape == (3, 4) and m[1, 0] == 4.0
+        # sliced window stays aligned
+        m = _batch_matrix(pa.table({"emb": fsl.slice(1, 2)}), "emb")
+        assert m.shape == (2, 4) and m[0, 0] == 4.0
+
+    def test_variable_list_uniform_and_sliced(self):
+        from search_engine_ray.stages.similarity import _batch_matrix
+
+        vl = pa.array(
+            [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], type=pa.list_(pa.float32())
+        )
+        m = _batch_matrix(pa.table({"emb": vl}), "emb")
+        assert m.shape == (3, 2) and m[2, 1] == 6.0
+        # slice => offsets no longer start at 0; reshape must still be exact
+        m = _batch_matrix(pa.table({"emb": vl.slice(1, 2)}), "emb")
+        assert m.tolist() == [[3.0, 4.0], [5.0, 6.0]]
+        # chunked input goes through combine_chunks first
+        ca = pa.chunked_array([vl.slice(0, 1), vl.slice(1, 2)])
+        m = _batch_matrix(pa.table({"emb": ca}), "emb")
+        assert m.shape == (3, 2) and m[2, 0] == 5.0
+
+    def test_dtype_cast_and_large_list(self):
+        from search_engine_ray.stages.similarity import _batch_matrix
+
+        d64 = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.large_list(pa.float64()))
+        m = _batch_matrix(pa.table({"emb": d64}), "emb")
+        assert m.dtype == np.float32 and m.shape == (2, 2)
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, ray_session):
