@@ -23,9 +23,12 @@ Implemented backends (reference file in parens):
 * :class:`ShardedDocumentStore` — hash/round-robin sharding over child
   stores (ShardedDocumentStore.ts:28-64)
 
-``RedisDocumentStore`` is deliberately absent: no network services in
-this engine's deployment model; a Ray-native shared store would be an
-actor, which the serving facade already models with immutable segments.
+* :class:`RedisDocumentStore` — the reference's Redis layout
+  (RedisDocumentStore.ts:46-706: JSON docs at ``{prefix}{index}:{id}``,
+  per-index id sets, EX TTL) over a minimal injectable KV-client
+  protocol; defaults to the in-process :class:`FakeRedisClient` because
+  no network services run in this engine's deployment model, while a
+  real ``redis.Redis(decode_responses=True)`` drops in unchanged.
 """
 
 from __future__ import annotations
@@ -740,12 +743,336 @@ class ShardedDocumentStore(DocumentStore):
         return all(s.compact() for s in self.shards)
 
 
+class FakeRedisClient:
+    """In-process, thread-safe implementation of the minimal Redis
+    command surface :class:`RedisDocumentStore` uses (the reference's
+    ``RedisClient`` interface, RedisDocumentStore.ts:8-26): string get/
+    set/mget/mset with EX expiry, del/exists/keys, set-type sadd/
+    smembers/srem, expire/ttl, ping/flushdb.
+
+    Semantics follow real Redis where they are observable through the
+    store: glob-style ``keys`` patterns, lazy expiry on read, and empty
+    sets ceasing to exist.  ``redis.Redis(decode_responses=True)`` is a
+    drop-in replacement (same method names and return shapes)."""
+
+    def __init__(self) -> None:
+        self._kv: Dict[str, Tuple[str, Optional[float]]] = {}
+        self._sets: Dict[str, set] = {}
+        self._lock = threading.Lock()
+
+    # -- expiry ----------------------------------------------------------
+    def _live(self, key: str) -> Optional[str]:
+        ent = self._kv.get(key)
+        if ent is None:
+            return None
+        val, exp = ent
+        if exp is not None and time.time() >= exp:
+            del self._kv[key]
+            return None
+        return val
+
+    # -- strings -----------------------------------------------------------
+    def set(self, key: str, value: str, ex: Optional[int] = None) -> bool:
+        with self._lock:
+            exp = time.time() + ex if ex else None
+            self._kv[key] = (str(value), exp)
+        return True
+
+    def get(self, key: str) -> Optional[str]:
+        with self._lock:
+            return self._live(key)
+
+    def mset(self, mapping: Dict[str, str]) -> bool:
+        with self._lock:
+            for k, v in mapping.items():
+                self._kv[k] = (str(v), None)
+        return True
+
+    def mget(self, keys: List[str]) -> List[Optional[str]]:
+        with self._lock:
+            return [self._live(k) for k in keys]
+
+    def delete(self, *keys: str) -> int:
+        n = 0
+        with self._lock:
+            for k in keys:
+                if self._live(k) is not None:
+                    del self._kv[k]
+                    n += 1
+                elif self._sets.pop(k, None) is not None:
+                    n += 1
+        return n
+
+    def exists(self, *keys: str) -> int:
+        with self._lock:
+            return sum(
+                1
+                for k in keys
+                if self._live(k) is not None or k in self._sets
+            )
+
+    def keys(self, pattern: str = "*") -> List[str]:
+        import fnmatch
+
+        with self._lock:
+            live = [k for k in list(self._kv) if self._live(k) is not None]
+            live += list(self._sets)
+            return [k for k in live if fnmatch.fnmatchcase(k, pattern)]
+
+    # -- sets --------------------------------------------------------------
+    def sadd(self, key: str, *members: str) -> int:
+        with self._lock:
+            s = self._sets.setdefault(key, set())
+            before = len(s)
+            s.update(str(m) for m in members)
+            return len(s) - before
+
+    def smembers(self, key: str) -> set:
+        with self._lock:
+            return set(self._sets.get(key, ()))
+
+    def srem(self, key: str, *members: str) -> int:
+        with self._lock:
+            s = self._sets.get(key)
+            if not s:
+                return 0
+            n = len(s)
+            s.difference_update(str(m) for m in members)
+            n -= len(s)
+            if not s:
+                # real Redis removes empty collections entirely
+                del self._sets[key]
+            return n
+
+    # -- expiry / lifecycle --------------------------------------------------
+    def expire(self, key: str, seconds: int) -> bool:
+        with self._lock:
+            if self._live(key) is None:
+                return False
+            val, _ = self._kv[key]
+            self._kv[key] = (val, time.time() + seconds)
+            return True
+
+    def ttl(self, key: str) -> int:
+        with self._lock:
+            ent = self._kv.get(key)
+            if ent is None or self._live(key) is None:
+                return -2
+            _, exp = ent
+            return -1 if exp is None else max(0, int(round(exp - time.time())))
+
+    def ping(self) -> bool:
+        return True
+
+    def flushdb(self) -> bool:
+        with self._lock:
+            self._kv.clear()
+            self._sets.clear()
+        return True
+
+
+class RedisDocumentStore(DocumentStore):
+    """Redis-backed row store (RedisDocumentStore.ts:46-706), built on
+    the minimal client command surface of RedisDocumentStore.ts:8-26.
+
+    Key layout mirrors the reference exactly (``getDocumentKey`` /
+    ``getIndexSetKey``, RedisDocumentStore.ts:693-699): documents are
+    JSON strings at ``{prefix}{index}:{id}``, per-index id sets live at
+    ``{prefix}index:{index}``.  ``ttl`` > 0 applies EX expiry on single
+    ``put`` (RedisDocumentStore.ts:116-117); batch puts go through MSET
+    and take no TTL, matching the reference's putBatch
+    (RedisDocumentStore.ts:297-300).  Expired docs are skipped on read;
+    their ids may linger in the index set, which is why the no-query
+    ``count`` fast path (set cardinality, RedisDocumentStore.ts:455-459)
+    can over-count under TTL — a reference behavior, kept.
+
+    No network services run in this engine's deployment model, so the
+    default client is the in-process :class:`FakeRedisClient`; any
+    object with the same command surface (e.g. a real
+    ``redis.Redis(decode_responses=True)``) can be injected."""
+
+    def __init__(
+        self,
+        client: Optional[Any] = None,
+        key_prefix: str = "docs:",
+        ttl: int = 0,
+        max_retries: int = 3,
+        retry_delay: float = 0.05,
+    ) -> None:
+        super().__init__()
+        self.client = client if client is not None else FakeRedisClient()
+        self.key_prefix = key_prefix
+        self.ttl = int(ttl)
+        self.max_retries = max_retries
+        self.retry_delay = retry_delay
+        self._connected = False
+
+    # -- key scheme (RedisDocumentStore.ts:693-704) ----------------------
+    def _doc_key(self, doc_id: str, index_name: str) -> str:
+        return f"{self.key_prefix}{index_name}:{doc_id}"
+
+    def _set_key(self, index_name: str) -> str:
+        return f"{self.key_prefix}index:{index_name}"
+
+    def _index_of(self, set_key: str) -> str:
+        return set_key[len(self.key_prefix) + len("index:"):]
+
+    # -- lifecycle --------------------------------------------------------
+    def initialize(self) -> None:
+        """connectWithRetry analog (RedisDocumentStore.ts:658-676)."""
+        last: Optional[Exception] = None
+        for _ in range(max(1, self.max_retries)):
+            try:
+                self.client.ping()
+                self._connected = True
+                return
+            except Exception as e:  # noqa: BLE001 — retry any client error
+                last = e
+                time.sleep(self.retry_delay)
+        raise ConnectionError(
+            f"Failed to connect to Redis after {self.max_retries} attempts"
+        ) from last
+
+    def is_healthy(self) -> bool:
+        try:
+            return bool(self.client.ping())
+        except Exception:  # noqa: BLE001
+            return False
+
+    # -- core CRUD --------------------------------------------------------
+    def put(self, doc: Document, index_name: str = DEFAULT_INDEX) -> bool:
+        did = _require_id(doc)
+        key = self._doc_key(did, index_name)
+        kwargs = {"ex": self.ttl} if self.ttl > 0 else {}
+        self.client.set(key, json.dumps(doc, sort_keys=True), **kwargs)
+        self.client.sadd(self._set_key(index_name), did)
+        self.stats["writes"] += 1
+        return True
+
+    def get(self, doc_id, index_name=DEFAULT_INDEX):
+        self.stats["reads"] += 1
+        val = self.client.get(self._doc_key(doc_id, index_name))
+        return json.loads(val) if val is not None else None
+
+    def delete(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
+        n = self.client.delete(self._doc_key(doc_id, index_name))
+        if n:
+            self.client.srem(self._set_key(index_name), doc_id)
+            self.stats["deletes"] += 1
+            return True
+        return False
+
+    def exists(self, doc_id, index_name=DEFAULT_INDEX) -> bool:
+        return bool(self.client.exists(self._doc_key(doc_id, index_name)))
+
+    # -- bulk (MSET/MGET, RedisDocumentStore.ts:262-415) -------------------
+    def put_batch(self, docs, index_name=DEFAULT_INDEX):
+        ok = failed = 0
+        errors: List[Dict[str, str]] = []
+        kv: Dict[str, str] = {}
+        ids: List[str] = []
+        for d in docs:
+            try:
+                did = _require_id(d)
+            except Exception as e:  # noqa: BLE001
+                failed += 1
+                errors.append({"id": str(d.get("id")), "error": str(e)})
+                continue
+            kv[self._doc_key(did, index_name)] = json.dumps(d, sort_keys=True)
+            ids.append(did)
+            ok += 1
+        if kv:
+            self.client.mset(kv)
+            self.client.sadd(self._set_key(index_name), *ids)
+            self.stats["writes"] += ok
+        return {"success": failed == 0, "processed": ok, "failed": failed,
+                "errors": errors}
+
+    def get_batch(self, ids, index_name=DEFAULT_INDEX):
+        ids = list(ids)
+        if not ids:
+            return {}
+        vals = self.client.mget(
+            [self._doc_key(i, index_name) for i in ids]
+        )
+        out = {
+            i: json.loads(v) for i, v in zip(ids, vals) if v is not None
+        }
+        self.stats["reads"] += len(out)
+        return out
+
+    def delete_batch(self, ids, index_name=DEFAULT_INDEX):
+        ids = list(ids)
+        ok = 0
+        for i in ids:
+            if self.delete(i, index_name):
+                ok += 1
+        return {"success": ok == len(ids), "processed": ok,
+                "failed": len(ids) - ok, "errors": []}
+
+    # -- query --------------------------------------------------------------
+    def _iter_index(self, index_name):
+        ids = sorted(self.client.smembers(self._set_key(index_name)))
+        # chunked MGET; expired docs leave stale set members -> skip Nones
+        for i in range(0, len(ids), 512):
+            chunk = ids[i : i + 512]
+            vals = self.client.mget(
+                [self._doc_key(d, index_name) for d in chunk]
+            )
+            for v in vals:
+                if v is not None:
+                    yield json.loads(v)
+
+    def count(self, index_name=DEFAULT_INDEX, query=None) -> int:
+        if query is None:
+            # set-cardinality fast path (RedisDocumentStore.ts:455-459)
+            return len(self.client.smembers(self._set_key(index_name)))
+        return super().count(index_name, query)
+
+    # -- index management ----------------------------------------------------
+    def create_index(self, index_name) -> bool:
+        # the reference sadd+srem's a placeholder (.ts:478-482); in real
+        # Redis the empty set then ceases to exist, so creation of an
+        # empty index is a no-op that still returns True
+        self.client.sadd(self._set_key(index_name), "__placeholder__")
+        self.client.srem(self._set_key(index_name), "__placeholder__")
+        return True
+
+    def delete_index(self, index_name) -> bool:
+        ids = list(self.client.smembers(self._set_key(index_name)))
+        if ids:
+            self.client.delete(
+                *[self._doc_key(i, index_name) for i in ids]
+            )
+        return bool(self.client.delete(self._set_key(index_name)) or ids)
+
+    def list_indexes(self):
+        pat = self._set_key("*")
+        return sorted(self._index_of(k) for k in self.client.keys(pat))
+
+    def clear(self, index_name: Optional[str] = None) -> bool:
+        if index_name is None:
+            # flushdb analog (RedisDocumentStore.ts:640-643)
+            self.client.flushdb()
+            return True
+        self.delete_index(index_name)
+        return True
+
+
 def create_store(config: Optional[Dict[str, Any]] = None) -> DocumentStore:
     """DocumentStoreFactory.create analog (DocumentStoreFactory.ts:9-60).
 
-    config: ``{"type": "memory" | "filesystem" | "parquet" | "sharded",
-    "root": ..., "cached": bool, "cache_max_size": int, "cache_ttl": s,
-    "shards": int, "sharding_strategy": "hash" | "round-robin"}``."""
+    config: ``{"type": "memory" | "filesystem" | "parquet" | "redis" |
+    "sharded", "root": ..., "cached": bool, "cache_max_size": int,
+    "cache_ttl": s, "shards": int, "sharding_strategy": "hash" |
+    "round-robin", "key_prefix": str, "ttl": s, "url": redis-url,
+    "client": injected-kv-client}``.
+
+    ``type: "redis"`` resolves its client in order: an injected
+    ``client``, a real ``redis`` connection when a ``url`` is given and
+    the package is importable, else the in-process
+    :class:`FakeRedisClient` (this engine deploys with no network
+    services)."""
     cfg = dict(config or {})
     kind = cfg.get("type", "memory")
     n_shards = int(cfg.get("shards", 0))
@@ -768,6 +1095,22 @@ def create_store(config: Optional[Dict[str, Any]] = None) -> DocumentStore:
             if not r:
                 raise ValueError("parquet store needs 'root'")
             return ParquetDocumentStore(r)
+        if kind == "redis":
+            client = cfg.get("client")
+            if client is None and cfg.get("url"):
+                try:
+                    import redis  # type: ignore[import-not-found]
+
+                    client = redis.Redis.from_url(
+                        cfg["url"], decode_responses=True
+                    )
+                except ImportError:
+                    client = None
+            return RedisDocumentStore(
+                client=client,
+                key_prefix=cfg.get("key_prefix", "docs:"),
+                ttl=int(cfg.get("ttl", 0)),
+            )
         raise ValueError(f"unknown document store type: {kind}")
 
     store: DocumentStore

@@ -9,9 +9,11 @@ import pytest
 
 from search_engine_ray.state.docstore import (
     CachedDocumentStore,
+    FakeRedisClient,
     FileSystemDocumentStore,
     InMemoryDocumentStore,
     ParquetDocumentStore,
+    RedisDocumentStore,
     ShardedDocumentStore,
     create_store,
 )
@@ -36,6 +38,7 @@ def _stores(tmp_path):
             [InMemoryDocumentStore() for _ in range(2)],
             strategy="round-robin",
         ),
+        RedisDocumentStore(),
     ]
 
 
@@ -178,6 +181,106 @@ class TestShardedStore:
         assert s.get("a", "ix")["v"] == 2
 
 
+class TestRedisStore:
+    """Reference key layout + TTL semantics (RedisDocumentStore.ts)."""
+
+    def test_reference_key_layout(self):
+        s = RedisDocumentStore()
+        s.put({"id": "a", "v": 1}, "ix")
+        # docs at {prefix}{index}:{id}, id sets at {prefix}index:{index}
+        assert s.client.get("docs:ix:a") is not None
+        assert s.client.smembers("docs:index:ix") == {"a"}
+        s2 = RedisDocumentStore(key_prefix="kv:")
+        s2.put({"id": "a"}, "ix")
+        assert s2.client.get("kv:ix:a") is not None
+
+    def test_shared_client_shares_state(self):
+        client = FakeRedisClient()
+        a = RedisDocumentStore(client=client)
+        b = RedisDocumentStore(client=client)
+        a.put({"id": "x", "v": 1}, "ix")
+        assert b.get("x", "ix")["v"] == 1
+        assert b.list_indexes() == ["ix"]
+
+    def test_ttl_expiry_and_count_overcount(self, monkeypatch):
+        import time as _time
+
+        now = [1000.0]
+        monkeypatch.setattr(_time, "time", lambda: now[0])
+        s = RedisDocumentStore(ttl=60)
+        s.put({"id": "a", "v": 1}, "ix")
+        assert s.get("a", "ix")["v"] == 1
+        now[0] += 61
+        # doc expired; stale set member keeps the no-query count fast
+        # path over-counting (reference behavior, .ts:455-459)
+        assert s.get("a", "ix") is None
+        assert s.count("ix") == 1
+        assert s.find("ix") == []
+        assert s.count("ix", query={}) == 0
+
+    def test_batch_put_skips_ttl_like_reference(self, monkeypatch):
+        import time as _time
+
+        now = [1000.0]
+        monkeypatch.setattr(_time, "time", lambda: now[0])
+        s = RedisDocumentStore(ttl=60)
+        s.put_batch([{"id": "m", "v": 1}], "ix")  # MSET path: no EX
+        now[0] += 3600
+        assert s.get("m", "ix")["v"] == 1
+
+    def test_delete_index_removes_docs_and_set(self):
+        s = RedisDocumentStore()
+        s.put_batch(DOCS, "ix")
+        assert s.delete_index("ix")
+        assert s.client.keys("docs:*") == []
+        assert not s.delete_index("ix")
+
+    def test_clear_all_is_flushdb(self):
+        s = RedisDocumentStore()
+        s.put({"id": "a"}, "one")
+        s.put({"id": "b"}, "two")
+        assert s.clear()
+        assert s.list_indexes() == []
+        assert s.client.keys("*") == []
+
+    def test_initialize_retries_then_raises(self):
+        class DeadClient(FakeRedisClient):
+            def __init__(self):
+                super().__init__()
+                self.pings = 0
+
+            def ping(self):
+                self.pings += 1
+                raise OSError("connection refused")
+
+        s = RedisDocumentStore(client=DeadClient(), retry_delay=0)
+        with pytest.raises(ConnectionError):
+            s.initialize()
+        assert s.client.pings == 3
+        assert not s.is_healthy()
+        RedisDocumentStore().initialize()  # healthy client: no raise
+
+    def test_fake_client_ttl_commands(self, monkeypatch):
+        import time as _time
+
+        now = [1000.0]
+        monkeypatch.setattr(_time, "time", lambda: now[0])
+        c = FakeRedisClient()
+        c.set("k", "v")
+        assert c.ttl("k") == -1  # no expiry
+        assert c.expire("k", 30)
+        assert c.ttl("k") == 30
+        now[0] += 31
+        assert c.get("k") is None
+        assert c.ttl("k") == -2  # gone
+        assert not c.expire("k", 10)
+        # empty sets cease to exist (real Redis semantics)
+        c.sadd("s", "m")
+        assert c.exists("s") == 1
+        c.srem("s", "m")
+        assert c.exists("s") == 0
+
+
 class TestFactory:
     def test_factory_shapes(self, tmp_path):
         assert isinstance(create_store(), InMemoryDocumentStore)
@@ -196,6 +299,12 @@ class TestFactory:
         })
         assert isinstance(sh, ShardedDocumentStore)
         assert len(sh.shards) == 3
+        r = create_store({"type": "redis", "key_prefix": "p:", "ttl": 5})
+        assert isinstance(r, RedisDocumentStore)
+        assert isinstance(r.client, FakeRedisClient)
+        assert r.key_prefix == "p:" and r.ttl == 5
+        inj = FakeRedisClient()
+        assert create_store({"type": "redis", "client": inj}).client is inj
         with pytest.raises(ValueError):
             create_store({"type": "bogus"})
         with pytest.raises(ValueError):
