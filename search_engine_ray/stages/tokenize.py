@@ -613,10 +613,53 @@ class TokenizePostings:
 
     def _needs_py_tokens(self, field: str, analyzer: str) -> bool:
         """True when the field's tokens must exist as Python lists (a
-        non-standard analyzer, or per-row Snowball stemming)."""
-        if analyzer != "standard":
-            return True
-        return self.stem_by_lang and field == "text"
+        non-standard analyzer).  Standard fields stay on the all-Arrow
+        path even under ``stem_by_lang`` — stemming is applied to the
+        factorized vocabulary (``_stem_codes``), not per occurrence."""
+        return analyzer != "standard"
+
+    def _stem_codes(
+        self,
+        codes: np.ndarray,
+        lens: np.ndarray,
+        uniques: np.ndarray,
+        lang_col: "pa.ChunkedArray | pa.Array",
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Rewrite factorized occurrences into the stemmed vocabulary.
+
+        The old path stemmed every token occurrence per row (Python call
+        per token).  Zipf makes the per-batch (lang, vocab-id) pair set
+        far smaller than the occurrence stream, so stem ONCE per pair and
+        remap occurrences with vectorized integer ops.  Output semantics
+        are identical: positions are untouched, and two tokens of one row
+        collapsing to the same stem merge into one posting downstream
+        exactly as before (assembly groups by occurrence term-id)."""
+        if len(codes) == 0 or len(uniques) == 0:
+            return codes, uniques
+        from ..analysis.snowball import _process_stem_cache
+
+        lang_keys = np.asarray(
+            [lg or "en" for lg in lang_col.to_pylist()], dtype=object
+        )
+        lang_rows, lang_uniq = pd.factorize(lang_keys)
+        occ_lang = np.repeat(lang_rows.astype(np.int64), lens)
+        pair = occ_lang * np.int64(len(uniques)) + codes
+        pair_vals, pair_inv = np.unique(pair, return_inverse=True)
+        p_lang = pair_vals // len(uniques)
+        p_tok = pair_vals % len(uniques)
+        stem = _process_stem_cache().stem
+        stemmed = np.asarray(
+            [
+                stem(uniques[t], lang_uniq[lg])
+                for t, lg in zip(p_tok, p_lang)
+            ],
+            dtype=object,
+        )
+        new_pair_codes, new_uniques = pd.factorize(stemmed)
+        return (
+            new_pair_codes.astype(np.int64)[pair_inv],
+            np.asarray(new_uniques, dtype=object),
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.docs_out_dir:
@@ -624,14 +667,16 @@ class TokenizePostings:
         doc_ids = self._doc_ids(batch)
         n = batch.num_rows
         # Python token lists only where the analyzer chain demands them
-        # (non-standard analyzers, per-row stemming); standard fields go
-        # through the all-Arrow path below.
+        # (non-standard analyzers); standard fields — stemmed or not —
+        # go through the all-Arrow path below.
         py_fields = [
             (f, a) for f, a in self.fields if self._needs_py_tokens(f, a)
         ]
         per_field: Dict[str, List[List[str]]] = {}
         if py_fields:
             per_field = self._field_tokens(batch, fields=py_fields)
+        # per-row stem fallback for a NON-standard text analyzer only;
+        # the standard analyzer stems via the factorized-vocab path
         if (
             self.stem_by_lang
             and "text" in per_field
@@ -670,6 +715,14 @@ class TokenizePostings:
                 codes, lens, uniques = standard_field_codes(
                     batch[field], self.stopwords
                 )
+                if (
+                    self.stem_by_lang
+                    and field == "text"
+                    and "lang" in batch.column_names
+                ):
+                    codes, uniques = self._stem_codes(
+                        codes, lens, uniques, batch["lang"]
+                    )
                 codes = codes + offset
             else:
                 toks_list = per_field.get(field)

@@ -143,6 +143,61 @@ class TestTokenizePostings:
         # url field postings are field-scoped
         assert any(r["term"].startswith("url:") for r in rows)
 
+    def test_stem_by_lang_matches_per_row_reference(self):
+        """The factorized-vocab stem path (stem once per (lang, vocab)
+        pair, remap occurrences) must equal per-row semantics: standard
+        tokens per row, each token stemmed by the row's lang, same-stem
+        collisions within a row merging into one posting."""
+        import random
+
+        from search_engine_ray.analysis.analyzers import (
+            DEFAULT_STOPWORDS,
+            tokenize,
+        )
+        from search_engine_ray.analysis.snowball import stemmer_for_lang
+
+        rng = random.Random(7)
+        words = [
+            "running", "runs", "connection", "connected", "hauses",
+            "hauser", "universidades", "universidad", "dogs", "the",
+            "importantes", "städte", "caballos", "verbindungen", "a",
+        ]
+        langs = ["en", "de", "es", "", "zz"]  # '' -> en, zz -> porter
+        urls, texts, lg = [], [], []
+        for i in range(60):
+            urls.append(f"https://h{i % 7}.example/{i}")
+            texts.append(
+                " ".join(rng.choices(words, k=rng.randrange(0, 12)))
+            )
+            lg.append(rng.choice(langs))
+        batch = pa.table(
+            {
+                "url": urls,
+                "text": pa.array(texts, pa.large_string()),
+                "lang": lg,
+            }
+        )
+        rows = TokenizePostings(stem_by_lang=True)(batch).to_pylist()
+        got = {
+            (r["term"], r["doc_id"]): (
+                r["tf"],
+                decode_positions(r["pos"], 1)[0].tolist(),
+            )
+            for r in rows
+            if r["term"].startswith("text:")
+        }
+        expect: dict = {}
+        for u, t, l in zip(urls, texts, lg):
+            did = url_doc_id(u)
+            stem = stemmer_for_lang(l or "en")
+            for pos, tok in enumerate(
+                tokenize(t, "standard", DEFAULT_STOPWORDS)
+            ):
+                key = (f"text:{stem(tok)}", did)
+                tf, ps = expect.get(key, (0, []))
+                expect[key] = (tf + 1, ps + [pos])
+        assert got == expect
+
     def test_position_counter_resets_per_field(self):
         batch = pa.table(
             {
