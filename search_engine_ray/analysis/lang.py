@@ -17,7 +17,6 @@ import re
 from typing import Dict, Tuple
 
 _RE_CLEAN = re.compile(r"[^\w\sÀ-ÿ]", re.UNICODE)
-_RE_WS = re.compile(r"\s+")
 
 # Small function-word profiles (public common-word lists).
 _PROFILES: Dict[str, frozenset] = {
@@ -45,8 +44,8 @@ def clean_for_langid(text: str, max_chars: int = 1000) -> str:
     if not text:
         return ""
     t = _RE_CLEAN.sub(" ", text)
-    # split/join == _RE_WS.sub(" ", t).strip() for every codepoint, at
-    # C speed (same equivalence proof as html_extract.extract_text)
+    # split/join == re-\s+-collapse + strip for every codepoint, at C
+    # speed (same equivalence proof as html_extract.extract_text)
     t = " ".join(t.split())
     return t[:max_chars]
 

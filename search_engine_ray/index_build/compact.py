@@ -51,6 +51,13 @@ def _crashpoint(name: str) -> None:
     compact_index exactly as SIGKILL would leave the disk)."""
 
 
+def pending_compaction(index_dir: str) -> bool:
+    """True when a committed-but-unfinished compaction marker exists —
+    i.e. the on-disk manifest may reference superseded/deleted
+    partitions and readers must roll forward before opening."""
+    return os.path.exists(_marker_path(index_dir))
+
+
 def recover_compaction(index_dir: str) -> bool:
     """Finish (or discard) a compaction interrupted by a crash.
 

@@ -400,29 +400,17 @@ def ivf_top10(sf_dir: str) -> pd.DataFrame:
     nprobe < n_centroids stays covered by ``ivf_top10_probed``
     (rows-only) and the pytest recall lock.  float64 + round-9 rank
     grain + vec_id tie-break with band-safe refetch (see
-    ``_cosine_topk_round9`` for why)."""
+    ``_banded_topk_round9`` for why)."""
     from ..stages.similarity import ivf_search
 
     idx = _ivf_index_dir(sf_dir)
     q = np.asarray(_ivf_queries(sf_dir), dtype=np.float64)
-    k = 10
-    fetch = k + 16
-    while True:
-        out = ivf_search(idx, q, k=fetch, nprobe=16, dtype=np.float64)
-        out["_s9"] = _round_half_away(out["sim"], 9)
-        out = out.sort_values(
-            ["qid", "_s9", "vec_id"], ascending=[True, False, True]
-        ).reset_index(drop=True)
-        band_cut = any(
-            len(g) >= fetch
-            and len(g) > k
-            and g["_s9"].iloc[-1] == g["_s9"].iloc[k - 1]
-            for _, g in out.groupby("qid")
-        )
-        if not band_cut:
-            break
-        fetch *= 4
-    res = out.groupby("qid", group_keys=False).head(k).copy()
+    res = _banded_topk_round9(
+        lambda fetch: ivf_search(
+            idx, q, k=fetch, nprobe=16, dtype=np.float64
+        ),
+        k=10,
+    ).copy()
     res["sim"] = _round_half_away(res["sim"])
     return (
         res[["qid", "vec_id", "sim"]]
@@ -460,26 +448,41 @@ def distinct_users_hourly(sf_dir: str) -> pd.DataFrame:
 
 
 
-def _cosine_topk_round9(ds, qv, k, exclude_ids=()):
-    """Top-k by (round-9 cosine DESC, vec_id ASC) with a tie-band-safe
-    fetch: if the last fetched row still carries the k-th round-9 sim,
-    the tie band may extend past the fetch margin — refetch wider until
-    the band is fully inside (or the whole corpus is fetched), so the
-    vec_id tie-break can never silently truncate."""
+def _banded_topk_round9(fetch_fn, k):
+    """Per-qid top-k by (round-9 cosine DESC, vec_id ASC) with a
+    tie-band-safe fetch: if any query's last fetched row still carries
+    its k-th round-9 sim, that tie band may extend past the fetch
+    margin — refetch wider until every band is fully inside (or the
+    whole corpus is fetched), so the vec_id tie-break can never
+    silently truncate.  ``fetch_fn(fetch)`` returns a DataFrame with
+    ``qid``/``vec_id``/``sim`` and at most ``fetch`` rows per qid.
+    The ONE home of this invariant — both the brute-force and the IVF
+    oracle paths go through it."""
     fetch = k + 16
     while True:
-        out = sim.brute_force_topk(
-            ds, qv, k=fetch, exclude_ids=exclude_ids, dtype=np.float64
-        )
+        out = fetch_fn(fetch)
         out["_s9"] = _round_half_away(out["sim"], 9)
         out = out.sort_values(
-            ["_s9", "vec_id"], ascending=[False, True]
+            ["qid", "_s9", "vec_id"], ascending=[True, False, True]
         ).reset_index(drop=True)
-        if len(out) < fetch or len(out) <= k:
-            return out.head(k)
-        if out["_s9"].iloc[-1] != out["_s9"].iloc[k - 1]:
-            return out.head(k)
+        band_cut = any(
+            len(g) >= fetch
+            and len(g) > k
+            and g["_s9"].iloc[-1] == g["_s9"].iloc[k - 1]
+            for _, g in out.groupby("qid")
+        )
+        if not band_cut:
+            return out.groupby("qid", group_keys=False).head(k)
         fetch *= 4
+
+
+def _cosine_topk_round9(ds, qv, k, exclude_ids=()):
+    return _banded_topk_round9(
+        lambda fetch: sim.brute_force_topk(
+            ds, qv, k=fetch, exclude_ids=exclude_ids, dtype=np.float64
+        ),
+        k,
+    )
 
 
 def similarity_top10(sf_dir: str) -> pd.DataFrame:

@@ -1094,6 +1094,18 @@ class IndexSearcher:
         tf_fallback: bool = True,
     ):
         self.index_dir = index_dir
+        # a crash between a compaction's commit marker and its manifest
+        # rewrite leaves manifest.json pointing at deleted partitions;
+        # roll the committed merge forward before reading, or every
+        # search on the reopened index fails.  No marker (the universal
+        # case) ⇒ pure read path, nothing touched.
+        from ..index_build.compact import (
+            pending_compaction,
+            recover_compaction,
+        )
+
+        if pending_compaction(index_dir):
+            recover_compaction(index_dir)
         self.manifest = load_index_manifest(index_dir)
         self.stats = GlobalStats(
             self.manifest["total_docs"], self.manifest["sum_dl"]

@@ -380,14 +380,20 @@ class AutoPersistenceManager:
     def perform_auto_save(self) -> None:
         if not self.enabled:
             return
-        for h in list(self.server.indexes.values()):
+        for name, h in list(self.server.indexes.items()):
             try:
                 h.flush()
-            except Exception:
+            except Exception as e:  # noqa: BLE001
                 # mirror the reference: log-and-continue per index
                 # (console.error in performAutoSave); one broken index
-                # must not stall the cadence for the others
-                pass
+                # must not stall the cadence for the others — but it
+                # must be DIAGNOSABLE, or adds stay unsearchable with
+                # zero trace
+                import logging
+
+                logging.getLogger(__name__).error(
+                    "auto-save flush failed for index %r: %s", name, e
+                )
         with self._added_lock:
             self._added = 0
 

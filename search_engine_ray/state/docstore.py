@@ -93,7 +93,8 @@ class DocumentStore(ABC):
                 ok += 1
             except Exception as e:  # noqa: BLE001 — reference collects errors
                 failed += 1
-                errors.append({"id": str(d.get("id")), "error": str(e)})
+                bad_id = d.get("id") if isinstance(d, dict) else None
+                errors.append({"id": str(bad_id), "error": str(e)})
         return {
             "success": failed == 0, "processed": ok, "failed": failed,
             "errors": errors,
@@ -861,6 +862,14 @@ class FakeRedisClient:
             _, exp = ent
             return -1 if exp is None else max(0, int(round(exp - time.time())))
 
+    def type(self, key: str) -> str:
+        with self._lock:
+            if self._live(key) is not None:
+                return "string"
+            if key in self._sets:
+                return "set"
+            return "none"
+
     def ping(self) -> bool:
         return True
 
@@ -976,7 +985,8 @@ class RedisDocumentStore(DocumentStore):
                 did = _require_id(d)
             except Exception as e:  # noqa: BLE001
                 failed += 1
-                errors.append({"id": str(d.get("id")), "error": str(e)})
+                bad_id = d.get("id") if isinstance(d, dict) else None
+                errors.append({"id": str(bad_id), "error": str(e)})
                 continue
             kv[self._doc_key(did, index_name)] = json.dumps(d, sort_keys=True)
             ids.append(did)
@@ -1001,14 +1011,7 @@ class RedisDocumentStore(DocumentStore):
         self.stats["reads"] += len(out)
         return out
 
-    def delete_batch(self, ids, index_name=DEFAULT_INDEX):
-        ids = list(ids)
-        ok = 0
-        for i in ids:
-            if self.delete(i, index_name):
-                ok += 1
-        return {"success": ok == len(ids), "processed": ok,
-                "failed": len(ids) - ok, "errors": []}
+    # delete_batch: inherited (per-id delete keeps set membership exact)
 
     # -- query --------------------------------------------------------------
     def _iter_index(self, index_name):
@@ -1047,8 +1050,16 @@ class RedisDocumentStore(DocumentStore):
         return bool(self.client.delete(self._set_key(index_name)) or ids)
 
     def list_indexes(self):
+        # the glob alone would also match DOCUMENT keys of an index
+        # literally named "index" (docs:index:<id>); keep only set-typed
+        # keys.  Clients without TYPE (not in the reference's minimal
+        # interface) fall back to the raw glob.
         pat = self._set_key("*")
-        return sorted(self._index_of(k) for k in self.client.keys(pat))
+        keys = self.client.keys(pat)
+        type_of = getattr(self.client, "type", None)
+        if callable(type_of):
+            keys = [k for k in keys if type_of(k) == "set"]
+        return sorted(self._index_of(k) for k in keys)
 
     def clear(self, index_name: Optional[str] = None) -> bool:
         if index_name is None:

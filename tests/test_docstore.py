@@ -260,6 +260,23 @@ class TestRedisStore:
         assert not s.is_healthy()
         RedisDocumentStore().initialize()  # healthy client: no raise
 
+    def test_index_named_index_does_not_corrupt_listing(self):
+        """docs:index:<id> document keys of an index literally named
+        'index' match the set-key glob; list_indexes must type-filter."""
+        s = RedisDocumentStore()
+        s.put({"id": "a"}, "index")
+        s.put({"id": "b"}, "other")
+        assert s.list_indexes() == ["index", "other"]
+
+    def test_put_batch_non_dict_collects_error(self):
+        s = RedisDocumentStore()
+        res = s.put_batch(["not-a-dict", {"id": "ok"}], "ix")
+        assert res["processed"] == 1 and res["failed"] == 1
+        assert res["errors"][0]["id"] == "None"
+        # base-class path (loop-based stores) handles it too
+        res2 = InMemoryDocumentStore().put_batch(["nope"], "ix")
+        assert res2["failed"] == 1 and not res2["success"]
+
     def test_fake_client_ttl_commands(self, monkeypatch):
         import time as _time
 

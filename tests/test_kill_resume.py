@@ -94,6 +94,25 @@ def test_kill_injection_across_compaction_window(tmp_path, ray_session):
     # recovery is idempotent on a healthy index
     assert cmod.recover_compaction(idx0) is False
 
+    # READ-ONLY reopen self-heals: crash in the worst window (old
+    # partitions deleted, global manifest still listing them), then a
+    # fresh IndexSearcher — with NO mutating call first — must roll the
+    # committed merge forward instead of failing every search on the
+    # stale manifest
+    idx = str(tmp_path / "idx_reopen")
+    _sh.copytree(idx0, idx)
+    cmod._crashpoint = boom_at("post_drop")
+    try:
+        with pytest.raises(_SimulatedKill):
+            cmod.compact_index(idx)
+    finally:
+        cmod._crashpoint = real_hook
+    assert cmod.pending_compaction(idx)
+    r = IndexSearcher(idx).search("the data", size=20, operator="or")
+    assert r["doc_id"].tolist() == base["doc_id"].tolist()
+    assert not cmod.pending_compaction(idx)
+    assert cmod._partition_names(idx) == ["p00003"]
+
 
 @pytest.mark.slow
 def test_sigkill_mid_build_then_resume(tmp_path):
