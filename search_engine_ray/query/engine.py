@@ -703,26 +703,59 @@ class _PartitionEvaluator:
                 dist_m = float(s) * 1000.0
         else:
             dist_m = float(dist) * 1000.0  # bare number = km
+        ids = None
         try:
             tbl = self.r.docs_table(columns=["doc_id", field])
-            struct = tbl[field]
-            if isinstance(struct, pa.ChunkedArray):
-                struct = struct.combine_chunks()
-            lat_arr = struct.field("lat")
-            lon_arr = struct.field("lon")
+            col = tbl[field]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_struct(col.type):
+                lat_arr = np.asarray(col.field("lat"), dtype=float)
+                lon_arr = np.asarray(col.field("lon"), dtype=float)
+            else:
+                # [lat, lon] array-form document values — the reference
+                # reads index 0 as lat, 1 as lon, skipping rows that are
+                # not a 2-element array (QueryEngine.ts:921-923, :1305);
+                # no lon/lat swap heuristic on the DOCUMENT side
+                valid = col.is_valid().to_numpy(zero_copy_only=False)
+                if pa.types.is_fixed_size_list(col.type):
+                    w = col.type.list_size
+                    starts = np.arange(len(col), dtype=np.int64) * w
+                    valid &= w == 2
+                else:
+                    offsets = col.offsets.to_numpy()
+                    starts = offsets[:-1]
+                    valid &= np.diff(offsets) == 2
+                flat = np.asarray(
+                    col.flatten().to_numpy(zero_copy_only=False),
+                    dtype=float,
+                )
+                base = starts - starts[0] if len(starts) else starts
+                ids_all = (
+                    tbl["doc_id"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                lat_arr = flat[base[valid]]
+                lon_arr = flat[base[valid] + 1]
+                ids = ids_all[valid]
         except (KeyError, AttributeError, pa.ArrowInvalid):
             # flat lat/lon columns (pyarrow raises ArrowInvalid, not
             # KeyError, for a missing struct column)
             tbl = self.r.docs_table(columns=["doc_id", "lat", "lon"])
-            lat_arr, lon_arr = tbl["lat"], tbl["lon"]
-        lat = np.radians(np.asarray(lat_arr, dtype=float))
-        lon = np.radians(np.asarray(lon_arr, dtype=float))
+            lat_arr = np.asarray(tbl["lat"], dtype=float)
+            lon_arr = np.asarray(tbl["lon"], dtype=float)
+        lat = np.radians(lat_arr)
+        lon = np.radians(lon_arr)
         la0, lo0 = np.radians(lat0), np.radians(lon0)
         dphi = lat - la0
         dlmb = lon - lo0
         a = np.sin(dphi / 2) ** 2 + np.cos(la0) * np.cos(lat) * np.sin(dlmb / 2) ** 2
         d = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
-        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if ids is None:
+            ids = (
+                tbl["doc_id"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
         sel = ids[d <= dist_m]
         sel.sort()
         return sel
