@@ -188,6 +188,20 @@ def _prefix_nested_fields(node, path: str):
     return node
 
 
+def _explode_listlike(series: pd.Series) -> pd.Series:
+    """Explode array-valued cells (parquet list columns arrive as numpy
+    arrays / lists) so facet/terms bucketing counts each element once;
+    scalar columns pass through untouched (no copy)."""
+    if series.dtype == object:
+        for v in series:
+            if v is None or (isinstance(v, float) and v != v):
+                continue  # find the first non-null to sniff the type
+            if isinstance(v, (list, tuple, np.ndarray)):
+                return series.explode()
+            break
+    return series
+
+
 def collect_scoring_terms(
     node, text_fields: Sequence[str], stopwords=DEFAULT_STOPWORDS
 ) -> List[str]:
@@ -550,7 +564,18 @@ class _PartitionEvaluator:
             # otherwise should only contributes to scoring, not filtering
 
         if result is None:
-            result = np.empty(0, dtype=np.int64)
+            if must_not and not (must or filt or should):
+                # a must_not-ONLY bool: QueryProcessor alone returns the
+                # empty set (no positive clause ever seeds `results`,
+                # QueryProcessor.ts:287-291), but QueryEngine.search runs
+                # a naive per-document scan alongside and keeps whichever
+                # found MORE (QueryEngine.ts:201-204) — and the scan's
+                # _matchesQuery treats must_not as pure exclusion over
+                # all documents (QueryEngine.ts:1311-1333).  The served
+                # answer is therefore match_all minus the exclusions.
+                result = self.evaluate({"match_all": {}})
+            else:
+                result = np.empty(0, dtype=np.int64)
 
         for clause in must_not:
             if result.size == 0:
@@ -1623,6 +1648,12 @@ class IndexSearcher:
 
 
     # --- facets & aggregations over result sets ---------------------------
+    #
+    # array-valued keyword fields (tags/genres) count once per ELEMENT —
+    # the reference's serving tier flattens field values to arrays before
+    # bucketing (SharedMemoryWorkerPool.ts:1012 `Array.isArray(value) ?
+    # value : [value]`), which is also the Elasticsearch semantics its
+    # tests assert (facet-isolation.test.ts:55).
 
     def _candidates_all(self, node) -> List[Tuple[int, np.ndarray]]:
         def one(ir):
@@ -1685,7 +1716,7 @@ class IndexSearcher:
         df = self._result_docs_table(cands, list(facet_fields))
         out: Dict[str, Dict[str, int]] = {}
         for f in facet_fields:
-            vc = df[f].value_counts()
+            vc = _explode_listlike(df[f]).value_counts()
             out[f] = {str(k): int(v) for k, v in vc.items()}
         return out
 
@@ -1711,7 +1742,7 @@ class IndexSearcher:
                 if "terms" in agg:
                     a = agg["terms"]
                     df = df_provider([a["field"]])
-                    vc = df[a["field"]].value_counts()
+                    vc = _explode_listlike(df[a["field"]]).value_counts()
                     size = a.get("size", 10)
                     mdc = a.get("min_doc_count", 1)
                     items = [

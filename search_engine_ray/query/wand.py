@@ -147,6 +147,14 @@ def topk_blockmax(
     block-max pruning.  ``postings`` maps composite term → TermPostings
     (decoded arrays + block metadata).  Returns (doc_ids, scores) sorted.
     """
+    if mode == "and" and any(
+        t not in postings or global_dfs.get(t, 0) == 0 for t in terms
+    ):
+        # a mandatory term with no postings (here or anywhere) empties
+        # the whole intersection — the reference's must loop intersects
+        # per clause (QueryProcessor.ts:259-264); silently dropping the
+        # term would instead evaluate AND over the remaining terms
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     terms = [t for t in terms if t in postings and global_dfs.get(t, 0) > 0]
     # collect_scoring_terms dedupes before we're called; this guard keeps
     # direct callers honest (condition was inverted and thus dead before)

@@ -46,16 +46,25 @@ MAPPINGS = {
 
 
 def _mk_index(tmp_path_factory, docs, name):
+    from search_engine_ray.analysis.mappings import infer_mappings
+
     root = tmp_path_factory.mktemp(name)
     src = str(root / "docs.parquet")
     pq.write_table(pa.Table.from_pylist(docs), src)
     fields = {k for d in docs for k in d if k != "id"}
+    # the reference fixture's explicit setMapping calls win; anything
+    # else auto-infers like MappingsManager does on add
+    mappings = infer_mappings(docs)
+    mappings.update(
+        {k: v for k, v in MAPPINGS.items() if k in fields}
+    )
+    mappings.pop("id", None)
     idx = str(root / "idx")
     build_index(
         idx,
         src,
         BuildConfig(
-            mappings={k: v for k, v in MAPPINGS.items() if k in fields},
+            mappings=mappings,
             doc_key_column="id",
             extract_html=False,
             dedup=False,
@@ -420,6 +429,257 @@ class TestContextOptions:
         assert len(pages[2]) >= 2
         ids = [set(p["doc_id"]) for p in pages]
         assert not (ids[0] & ids[1]) and not (ids[1] & ids[2])
+
+
+RICK_DOCS = [
+    {"id": "1", "name": "Rick Sanchez", "species": "Human",
+     "status": "Alive", "origin": "Earth C-137",
+     "location": "Citadel of Ricks"},
+    {"id": "2", "name": "Morty Smith", "species": "Human",
+     "status": "Alive", "origin": "Earth C-137", "location": "Earth C-137"},
+    {"id": "3", "name": "Summer Smith", "species": "Human",
+     "status": "Alive", "origin": "Earth C-137", "location": "Earth C-137"},
+    {"id": "4", "name": "Beth Smith", "species": "Human",
+     "status": "Alive", "origin": "Earth C-137", "location": "Earth C-137"},
+    {"id": "5", "name": "Jerry Smith", "species": "Human",
+     "status": "Alive", "origin": "Earth C-137", "location": "Earth C-137"},
+]
+ANIME_DOCS = [
+    {"id": "1", "name": "Naruto Uzumaki", "series": "Naruto",
+     "status": "Alive", "village": "Konoha", "occupation": "Hokage"},
+    {"id": "2", "name": "Goku", "series": "Dragon Ball", "status": "Alive",
+     "planet": "Earth", "occupation": "Fighter"},
+    {"id": "3", "name": "Luffy", "series": "One Piece", "status": "Alive",
+     "crew": "Straw Hat Pirates", "occupation": "Pirate"},
+    {"id": "4", "name": "Ichigo", "series": "Bleach", "status": "Alive",
+     "occupation": "Soul Reaper", "location": "Karakura Town"},
+]
+
+# the 20-clause 'ri' fan-out of complex-query-filtering.test.ts:46-71
+RI_QUERY = {"bool": {"should": [
+    {"match": {"field": "name", "value": "ri", "boost": 4}},
+    {"match": {"field": "species", "value": "ri", "boost": 3}},
+    {"match": {"field": "status", "value": "ri", "boost": 3}},
+    {"prefix": {"field": "name", "value": "ri", "boost": 3.5}},
+    {"prefix": {"field": "species", "value": "ri", "boost": 2.5}},
+    {"prefix": {"field": "origin", "value": "ri", "boost": 2}},
+    {"prefix": {"field": "location", "value": "ri", "boost": 2}},
+    {"wildcard": {"field": "name", "value": "*ri*", "boost": 2.5}},
+    {"wildcard": {"field": "species", "value": "*ri*", "boost": 2}},
+    {"wildcard": {"field": "origin", "value": "*ri*", "boost": 1.8}},
+    {"wildcard": {"field": "location", "value": "*ri*", "boost": 1.8}},
+    {"wildcard": {"field": "status", "value": "*ri*", "boost": 1.5}},
+    {"wildcard": {"field": "name", "value": "* ri*", "boost": 3}},
+    {"wildcard": {"field": "origin", "value": "* ri*", "boost": 2.2}},
+    {"wildcard": {"field": "location", "value": "* ri*", "boost": 2.2}},
+    {"fuzzy": {"field": "name", "value": "ri", "fuzziness": 2,
+               "boost": 1.5}},
+    {"fuzzy": {"field": "species", "value": "ri", "fuzziness": 1,
+               "boost": 1.2}},
+    {"fuzzy": {"field": "origin", "value": "ri", "fuzziness": 2,
+               "boost": 1}},
+    {"fuzzy": {"field": "location", "value": "ri", "fuzziness": 2,
+               "boost": 1}},
+    {"fuzzy": {"field": "status", "value": "ri", "fuzziness": 1,
+               "boost": 1}},
+], "minimum_should_match": 1}}
+
+
+class TestComplexQueryFiltering:
+    """complex-query-filtering.test.ts:23-122 — the reference's
+    flagship bool-should fan-out ('ri' across 20 match/prefix/wildcard/
+    fuzzy clauses with boosts) plus must / must_not index filtering,
+    against two separately-built indexes."""
+
+    @pytest.fixture(scope="class")
+    def indexes(self, tmp_path_factory, ray_session):
+        rick = _mk_index(tmp_path_factory, RICK_DOCS, "rick")
+        anime = _mk_index(tmp_path_factory, ANIME_DOCS, "anime")
+        return rick, anime
+
+    def test_complex_should_fanout_filters_properly(self, indexes):
+        rick, anime = indexes
+        s = _searcher(rick, text_fields=("name",))
+        rows = _rows(s, RI_QUERY, columns=("name",))
+        assert len(rows) == 1
+        assert rows.iloc[0]["name"] == "Rick Sanchez"
+        sa = _searcher(anime, text_fields=("name",))
+        assert len(sa.search(RI_QUERY, size=100)) == 0
+
+    def test_bool_must_clauses(self, indexes):
+        rick, anime = indexes
+        s = _searcher(rick, text_fields=("name",))
+        q = {"bool": {"must": [
+            {"match": {"field": "species", "value": "Human"}},
+            {"match": {"field": "status", "value": "Alive"}},
+        ]}}
+        rows = _rows(s, q, columns=("species", "status"))
+        assert len(rows) == 5
+        assert all(sp == "Human" for sp in rows["species"])
+        assert all(st == "Alive" for st in rows["status"])
+        sa = _searcher(anime, text_fields=("name",))
+        # anime docs have no 'species' field at all
+        assert len(sa.search(q, size=100)) == 0
+
+    def test_bool_must_not_clauses(self, indexes):
+        rick, _ = indexes
+        s = _searcher(rick, text_fields=("name",))
+        rows = _rows(s, {"bool": {"must_not": [
+            {"match": {"field": "name", "value": "Rick"}},
+        ]}}, columns=("name",))
+        assert len(rows) == 4
+        assert "Rick Sanchez" not in rows["name"].tolist()
+
+
+class TestFacetIsolation:
+    """facet-isolation.test.ts:18-112 — per-index aggregation isolation
+    over array-valued keyword fields, two separately-built indexes."""
+
+    @pytest.fixture(scope="class")
+    def indexes(self, tmp_path_factory, ray_session):
+        anime = _mk_index(tmp_path_factory, [
+            {"id": "1", "name": "Naruto",
+             "genres": ["Action", "Adventure"], "type": "TV"},
+            {"id": "2", "name": "One Piece",
+             "genres": ["Action", "Adventure"], "type": "TV"},
+            {"id": "3", "name": "Attack on Titan",
+             "genres": ["Action", "Drama"], "type": "TV"},
+        ], "fanime")
+        movies = _mk_index(tmp_path_factory, [
+            {"id": "1", "name": "Inception",
+             "genres": ["Sci-Fi", "Thriller"], "type": "Movie"},
+            {"id": "2", "name": "The Matrix",
+             "genres": ["Sci-Fi", "Action"], "type": "Movie"},
+            {"id": "3", "name": "Titanic",
+             "genres": ["Romance", "Drama"], "type": "Movie"},
+        ], "fmovies")
+        return anime, movies
+
+    @staticmethod
+    def _agg(idx):
+        s = _searcher(idx)
+        r = s.search_full(
+            {"match_all": {}}, size=10,
+            aggs={
+                "genres": {"terms": {"field": "genres", "size": 10}},
+                "types": {"terms": {"field": "type", "size": 10}},
+            },
+        )
+        return r, {
+            b["key"] for b in r["aggregations"]["genres"]["buckets"]
+        }, {b["key"] for b in r["aggregations"]["types"]["buckets"]}
+
+    def test_facets_isolated_between_indexes(self, indexes):
+        anime, movies = indexes
+        ra, a_genres, a_types = self._agg(anime)
+        rm, m_genres, m_types = self._agg(movies)
+        assert ra["total"] == 3 and rm["total"] == 3
+        assert a_genres == {"Action", "Adventure", "Drama"}
+        assert a_types == {"TV"}
+        assert m_genres == {"Sci-Fi", "Thriller", "Action", "Romance",
+                            "Drama"}
+        assert m_types == {"Movie"}
+        # cross-index isolation, shared values allowed (Drama in both)
+        assert "Movie" not in a_types and "TV" not in m_types
+        assert "Sci-Fi" not in a_genres and "Adventure" not in m_genres
+
+
+class TestBM25ScorerReference:
+    """Port of /root/reference/tests/bm25-scorer.test.ts:36-290 against
+    ``bm25_score_arrays`` (the vectorized twin of BM25Scorer.score).
+    One doc's score = the scalar the reference computes for that
+    (term, doc) pair."""
+
+    @staticmethod
+    def _score(tf, dl, *, n, df, avgdl, boost=1.0, k1=None, b=None):
+        import numpy as np
+
+        from search_engine_ray.query.scorer import B, K1, bm25_score_arrays
+
+        out = bm25_score_arrays(
+            np.array([tf]), np.array([dl]),
+            total_docs=n, avg_dl=avgdl, df=df, boost=boost,
+            k1=K1 if k1 is None else k1, b=B if b is None else b,
+        )
+        return float(out[0])
+
+    def test_default_parameters(self):
+        from search_engine_ray.query.scorer import B, K1
+
+        assert K1 == 1.2 and B == 0.75  # BM25Scorer.ts defaults
+
+    def test_single_term_and_absent_doc(self):
+        # 'world' appears in doc1 only (df=1, N=2, both dl=2)
+        s1 = self._score(1, 2, n=2, df=1, avgdl=2)
+        s2 = self._score(0, 2, n=2, df=1, avgdl=2)  # absent => tf 0
+        assert s1 > 0 and s2 == 0 and s1 > s2
+
+    def test_zero_df_is_zero(self):
+        assert self._score(1, 10, n=1, df=0, avgdl=10) == 0
+
+    def test_higher_tf_scores_higher(self):
+        lo = self._score(1, 10, n=2, df=1, avgdl=10)
+        hi = self._score(3, 10, n=2, df=1, avgdl=10)
+        assert 0 < lo < hi
+
+    def test_rarer_terms_score_higher(self):
+        rare = self._score(1, 5, n=3, df=1, avgdl=5)
+        common = self._score(1, 5, n=3, df=3, avgdl=5)
+        assert rare > common > 0
+
+    def test_longer_documents_penalized(self):
+        short = self._score(1, 5, n=2, df=2, avgdl=10)
+        long_ = self._score(1, 15, n=2, df=2, avgdl=10)
+        assert short > long_ > 0
+
+    def test_custom_k1_and_b(self):
+        assert self._score(2, 8, n=2, df=1, avgdl=10, k1=2.0, b=0.5) > 0
+
+    def test_term_in_all_documents_still_positive(self):
+        # idf = ln((N - N + 0.5)/(N + 0.5) + 1) > 0 — the +1 keeps the
+        # reference formula positive even at df == N
+        assert self._score(1, 10, n=5, df=5, avgdl=10) > 0
+
+    def test_extreme_k1(self):
+        # k1=0 → binary model; k1=100 → approaches raw tf (tf=3 > 1)
+        s0 = self._score(3, 10, n=1, df=1, avgdl=10, k1=0.0)
+        s100 = self._score(3, 10, n=1, df=1, avgdl=10, k1=100.0)
+        assert s0 < s100
+
+    def test_extreme_b_equal_at_avg_length(self):
+        # dl == avgdl → b has no effect
+        s_b0 = self._score(3, 10, n=1, df=1, avgdl=10, b=0.0)
+        s_b1 = self._score(3, 10, n=1, df=1, avgdl=10, b=1.0)
+        assert s_b0 == pytest.approx(s_b1, rel=1e-8)
+
+    def test_identical_documents_score_identically(self):
+        a = self._score(1, 10, n=2, df=2, avgdl=10)
+        b = self._score(1, 10, n=2, df=2, avgdl=10)
+        assert a == b > 0
+
+    def test_negative_tf_clamped_to_zero(self):
+        assert self._score(-1, 10, n=1, df=1, avgdl=10) == 0
+
+    def test_exact_value_matches_reference_formula(self):
+        # hand-evaluated BM25Scorer.ts:102-117 for tf=2, dl=4, N=3,
+        # df=2, avgdl=4: idf = ln((3-2+0.5)/(2+0.5)+1) = ln(1.6);
+        # score = ln(1.6) * 2*2.2 / (2 + 1.2*(1 - .75 + .75*1))
+        import math
+
+        expect = math.log(1.6) * (2 * 2.2) / (2 + 1.2)
+        assert self._score(2, 4, n=3, df=2, avgdl=4) == pytest.approx(
+            expect, rel=1e-12
+        )
+        # field boost multiplies through (BM25Scorer.ts boost factor)
+        assert self._score(
+            2, 4, n=3, df=2, avgdl=4, boost=2.5
+        ) == pytest.approx(2.5 * expect, rel=1e-12)
+
+    def test_avgdl_zero_falls_back_to_one(self):
+        # BM25Scorer.ts guards avgdl=0 → 1; with df>0 the score is then
+        # finite and positive, never NaN/inf
+        s = self._score(1, 0, n=1, df=1, avgdl=0)
+        assert s > 0 and s == s  # not NaN
 
 
 class TestMultiFieldMatchQueries:
