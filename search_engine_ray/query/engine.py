@@ -45,6 +45,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import re
 import threading
 import time
 from collections import OrderedDict
@@ -64,6 +65,7 @@ from .scorer import bm25_score_arrays, field_boost
 from .textmatch import (
     check_phrase_positions,
     fuzzy_matches,
+    fuzzy_prefix_matches,
     wildcard_matches,
 )
 
@@ -421,15 +423,38 @@ class _PartitionEvaluator:
                 fields = (
                     self.text_fields if q["field"] == "*" else [q["field"]]
                 )
+                # a multi-word fuzzy value matches docs carrying EVERY
+                # word within the edit budget (AND of per-word fuzzy
+                # expansions).  The reference serves these through its
+                # naive-scan fallback, which compares the whole value to
+                # a same-length PREFIX SLICE of the field
+                # (QueryEngine.ts:201-204 size override + :1160-1254
+                # slice windows) — a per-document scan this engine
+                # deliberately replaces with the token-based analog that
+                # its test set expects (fuzzy-query.test.ts:78-89).
+                words = standard_analyzer(str(q["value"]), self.stopwords)
                 syn = self._synonym_tokens(q["value"])
                 arrays = []
                 for f in fields:
-                    toks = fuzzy_matches(
-                        self.r.vocab(f), str(q["value"]), fuzz
-                    )
-                    arrays.append(
-                        self._expanded_docs(f, list(toks) + syn)
-                    )
+                    per_word = []
+                    for w in words:
+                        toks = fuzzy_matches(self.r.vocab(f), w, fuzz)
+                        per_word.append(self._expanded_docs(f, list(toks)))
+                    if per_word:
+                        docs = per_word[0]
+                        for d in per_word[1:]:
+                            docs = np.intersect1d(
+                                docs, d, assume_unique=True
+                            )
+                    else:
+                        docs = np.empty(0, dtype=np.int64)
+                    if syn:
+                        # whole-value synonyms union in regardless of
+                        # fuzziness (QueryProcessor.ts:187-195)
+                        docs = np.union1d(
+                            docs, self._expanded_docs(f, syn)
+                        )
+                    arrays.append(docs)
                 arrays = [a for a in arrays if a.size]
                 if not arrays:
                     return np.empty(0, dtype=np.int64)
@@ -438,6 +463,7 @@ class _PartitionEvaluator:
         if "prefix" in node:
             q = node["prefix"]
             pref = str(q["value"]).lower()
+            fuzz = int(q.get("fuzziness", 0) or 0)
             # '*' fans out over text fields (QueryProcessor.ts
             # _processPrefix), like term/match
             fields = (
@@ -449,6 +475,16 @@ class _PartitionEvaluator:
                 a = self.r.docs_in_term_range(lo, lo + "\uffff")
                 if a.size:
                     arrays.append(a)
+                if fuzz:
+                    # typo'd prefixes: tokens whose same-length prefix
+                    # is within the edit budget (QueryEngine.ts:
+                    # 1205-1208 slice comparison)
+                    toks = fuzzy_prefix_matches(
+                        self.r.vocab(f), pref, fuzz
+                    )
+                    a2 = self._expanded_docs(f, toks)
+                    if a2.size:
+                        arrays.append(a2)
             if not arrays:
                 return np.empty(0, dtype=np.int64)
             return (
@@ -458,12 +494,27 @@ class _PartitionEvaluator:
             )
         if "wildcard" in node:
             q = node["wildcard"]
+            fuzz = int(q.get("fuzziness", 0) or 0)
             fields = (
                 self.text_fields if q["field"] == "*" else [q["field"]]
             )
             arrays = []
             for f in fields:
                 toks = wildcard_matches(self.r.vocab(f), str(q["value"]))
+                if fuzz:
+                    # wildcard+fuzziness: strip the metachars and accept
+                    # tokens whose same-length prefix is within the edit
+                    # budget (QueryEngine.ts:1239-1253)
+                    stripped = re.sub(r"[*?]", "", str(q["value"])).lower()
+                    if stripped:
+                        toks = list(
+                            dict.fromkeys(
+                                toks
+                                + fuzzy_prefix_matches(
+                                    self.r.vocab(f), stripped, fuzz
+                                )
+                            )
+                        )
                 a = self._expanded_docs(f, toks)
                 if a.size:
                     arrays.append(a)

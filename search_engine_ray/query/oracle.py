@@ -213,7 +213,16 @@ class OracleEngine:
                 elif msm:
                     result = result & sd
             if result is None:
-                result = set()
+                if b.get("must_not") and not (
+                    b.get("must") or b.get("filter") or should
+                ):
+                    # must_not-ONLY bool: QueryEngine.search serves the
+                    # naive scan's answer (more docs than QueryProcessor's
+                    # empty set, QueryEngine.ts:201-204) — all documents
+                    # minus the exclusions (QueryEngine.ts:1311-1333)
+                    result = set(self.docs)
+                else:
+                    result = set()
             for clause in b.get("must_not", []):
                 result -= self._eval(clause)
             return result

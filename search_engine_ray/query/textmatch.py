@@ -70,6 +70,24 @@ def fuzzy_matches(
     return out
 
 
+def fuzzy_prefix_matches(
+    vocab: np.ndarray, value: str, fuzziness: int
+) -> List[str]:
+    """Tokens whose PREFIX of ``len(value)`` chars is within the edit
+    budget of ``value`` — the vocabulary analog of the reference's
+    fuzzy prefix/wildcard handling, which compares the query value to a
+    same-length slice of the field value
+    (QueryEngine.ts:1205-1208 prefix / :1239-1241, 1250-1253 wildcard:
+    ``levenshtein(fieldVal.slice(0, value.length), value) <= fuzz``)."""
+    v = value.lower()
+    n = len(v)
+    out = []
+    for t in vocab.tolist():
+        if levenshtein(t[:n], v, limit=fuzziness) <= fuzziness:
+            out.append(t)
+    return out
+
+
 def check_phrase_positions(
     pos_lists: Sequence[np.ndarray], slop: int = 0, window_extra: int | None = None
 ) -> bool:

@@ -531,6 +531,140 @@ class TestComplexQueryFiltering:
         assert "Rick Sanchez" not in rows["name"].tolist()
 
 
+class TestFuzzyQuerySuite:
+    """fuzzy-query.test.ts:18-270 — every fuzzy shape (match, term,
+    prefix, wildcard, phrase, match_phrase, bool combinations, edge
+    cases) over the reference's ten-doc fixture.
+
+    Port note: the reference serves multi-word fuzzy values through its
+    naive-scan fallback, which levenshtein-compares the query against a
+    same-length PREFIX SLICE of the raw field value (QueryEngine.ts:
+    1160-1254) — a per-document scan.  This engine computes the
+    token-based analog (per-word fuzzy vocabulary expansion, AND across
+    words; prefix-slice comparison for fuzzy prefix/wildcard), which
+    satisfies the same test set while staying an index scan."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, tmp_path_factory, ray_session):
+        names = [
+            "document", "different", "documents", "documentation",
+            "test document", "test documents", "testing documentation",
+            "hello world", "hello there", "world hello",
+        ]
+        docs = [
+            {"id": f"doc{i + 1}", "name": n} for i, n in enumerate(names)
+        ]
+        return _mk_index(tmp_path_factory, docs, "fuzzysuite")
+
+    def test_fuzzy_match_single_word(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"match": {"field": "name", "value": "documnt",
+                       "fuzziness": 2}}]}})
+        assert len(got) >= 1 and ("doc1" in got or "doc3" in got)
+
+    def test_fuzzy_match_multi_word(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"match": {"field": "name", "value": "test documnt",
+                       "fuzziness": 2}}]}})
+        assert len(got) >= 1 and ("doc5" in got or "doc6" in got)
+
+    def test_fuzziness_levels(self, idx):
+        s = _searcher(idx)
+        for fz in (1, 2):
+            got = _ids(s, {"bool": {"must": [
+                {"match": {"field": "name", "value": "documnt",
+                           "fuzziness": fz}}]}})
+            assert len(got) >= 1, fz
+
+    def test_fuzzy_term(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"term": {"field": "name", "value": "documnt",
+                      "fuzziness": 2}}]}})
+        assert len(got) >= 1 and ("doc1" in got or "doc3" in got)
+
+    def test_exact_term_with_fuzzy_budget(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"term": {"field": "name", "value": "document",
+                      "fuzziness": 2}}]}})
+        assert len(got) >= 1 and ("doc3" in got or "doc6" in got)
+
+    def test_fuzzy_prefix(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"prefix": {"field": "name", "value": "docum",
+                        "fuzziness": 2}}]}})
+        assert len(got) >= 3  # document, documents, documentation, ...
+
+    def test_prefix_with_typos(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"prefix": {"field": "name", "value": "documnt",
+                        "fuzziness": 2}}]}})
+        assert len(got) >= 1
+
+    def test_fuzzy_wildcard(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"wildcard": {"field": "name", "value": "doc*",
+                          "fuzziness": 2}}]}})
+        assert len(got) >= 3
+
+    def test_wildcard_with_typos(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"wildcard": {"field": "name", "value": "documnt*",
+                          "fuzziness": 2}}]}})
+        assert len(got) >= 1
+
+    def test_fuzzy_phrase(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"phrase": {"field": "name", "value": "test documnt",
+                        "fuzziness": 2}}]}})
+        assert len(got) >= 1 and ("doc5" in got or "doc6" in got)
+
+    def test_fuzzy_phrase_with_slop(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"phrase": {"field": "name", "value": "test documnt",
+                        "slop": 1, "fuzziness": 2}}]}})
+        assert len(got) >= 1 and ("doc5" in got or "doc6" in got)
+
+    def test_fuzzy_match_phrase(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"match_phrase": {"field": "name", "value": "test documnt",
+                              "fuzziness": 2}}]}})
+        assert len(got) >= 1 and ("doc5" in got or "doc6" in got)
+
+    def test_bool_with_fuzzy_clauses(self, idx):
+        got = _ids(_searcher(idx), {"bool": {
+            "must": [{"match": {"field": "name", "value": "test",
+                                "fuzziness": 1}}],
+            "should": [{"term": {"field": "name", "value": "documnt",
+                                 "fuzziness": 2}}],
+        }})
+        assert len(got) > 0
+
+    def test_multiple_fuzzy_terms_and_logic(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"term": {"field": "name", "value": "test", "fuzziness": 1}},
+            {"term": {"field": "name", "value": "documnt",
+                      "fuzziness": 2}},
+        ]}})
+        assert len(got) >= 1 and ("doc5" in got or "doc6" in got)
+
+    def test_absent_fuzziness_is_exact_for_match(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"match": {"field": "name", "value": "document"}}]}})
+        assert len(got) >= 1
+
+    def test_very_high_fuzziness(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"match": {"field": "name", "value": "xyz",
+                       "fuzziness": 10}}]}})
+        assert len(got) > 0
+
+    def test_zero_fuzziness_exact_only(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"match": {"field": "name", "value": "documnt",
+                       "fuzziness": 0}}]}})
+        assert got == []
+
+
 class TestFacetIsolation:
     """facet-isolation.test.ts:18-112 — per-index aggregation isolation
     over array-valued keyword fields, two separately-built indexes."""
