@@ -389,6 +389,21 @@ class _PartitionEvaluator:
             toks = [self.token_filter(t) for t in toks]
         return toks
 
+    def _field_present_docs(self, field: str) -> np.ndarray:
+        """Sorted doc ids whose docstore row carries a non-null value
+        for ``field`` (the naive scan's 'typeof fieldVal === string'
+        universe, QueryEngine.ts:1246-1253)."""
+        try:
+            tbl = self.r.docs_table(
+                columns=["doc_id", field],
+                filter=pc.field(field).is_valid(),
+            )
+        except (KeyError, pa.ArrowInvalid):
+            return np.empty(0, dtype=np.int64)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids.sort()
+        return ids
+
     def _expanded_docs(self, field: str, tokens: List[str]) -> np.ndarray:
         if not tokens:
             return np.empty(0, dtype=np.int64)
@@ -515,6 +530,14 @@ class _PartitionEvaluator:
                                 )
                             )
                         )
+                    else:
+                        # all-metachar value: the reference compares the
+                        # empty string to an EMPTY slice of every field
+                        # value (distance 0 <= fuzz), so every document
+                        # carrying the field matches
+                        a0 = self._field_present_docs(f)
+                        if a0.size:
+                            arrays.append(a0)
                 a = self._expanded_docs(f, toks)
                 if a.size:
                     arrays.append(a)
@@ -793,26 +816,31 @@ class _PartitionEvaluator:
                 # reads index 0 as lat, 1 as lon, skipping rows that are
                 # not a 2-element array (QueryEngine.ts:921-923, :1305);
                 # no lon/lat swap heuristic on the DOCUMENT side
+                # index into col.values (the UN-flattened child array:
+                # null slots keep their positions) — flatten() drops
+                # values under null slots and would misalign every
+                # later row when any location is null
                 valid = col.is_valid().to_numpy(zero_copy_only=False)
                 if pa.types.is_fixed_size_list(col.type):
                     w = col.type.list_size
-                    starts = np.arange(len(col), dtype=np.int64) * w
+                    starts = (
+                        col.offset + np.arange(len(col), dtype=np.int64)
+                    ) * w
                     valid &= w == 2
                 else:
+                    # offsets are absolute positions into col.values
                     offsets = col.offsets.to_numpy()
-                    starts = offsets[:-1]
+                    starts = offsets[:-1].astype(np.int64)
                     valid &= np.diff(offsets) == 2
                 flat = np.asarray(
-                    col.flatten().to_numpy(zero_copy_only=False),
-                    dtype=float,
+                    col.values.to_numpy(zero_copy_only=False), dtype=float
                 )
-                base = starts - starts[0] if len(starts) else starts
                 ids_all = (
                     tbl["doc_id"].to_numpy(zero_copy_only=False)
                     .astype(np.int64)
                 )
-                lat_arr = flat[base[valid]]
-                lon_arr = flat[base[valid] + 1]
+                lat_arr = flat[starts[valid]]
+                lon_arr = flat[starts[valid] + 1]
                 ids = ids_all[valid]
         except (KeyError, AttributeError, pa.ArrowInvalid):
             # flat lat/lon columns (pyarrow raises ArrowInvalid, not

@@ -134,32 +134,64 @@ class OracleEngine:
             q = node.get("term") or node.get("match")
             fuzz = q.get("fuzziness", 0) or 0
             if fuzz:
+                # multi-word fuzzy values AND the per-word expansions
+                # (engine semantics; the reference serves these via its
+                # naive prefix-slice scan — see engine.py term/match)
+                words = standard_analyzer(str(q["value"]), self.stopwords)
                 out: set = set()
                 for f in self._fields_of(q["field"]):
-                    toks = [
-                        t
-                        for t in self._vocab(f)
-                        if levenshtein(str(q["value"]).lower(), t, fuzz) <= fuzz
-                    ]
-                    out |= self._expand_docs(f, toks)
+                    docs: Optional[set] = None
+                    for w in words:
+                        toks = [
+                            t
+                            for t in self._vocab(f)
+                            if levenshtein(w, t, fuzz) <= fuzz
+                        ]
+                        d = self._expand_docs(f, toks)
+                        docs = d if docs is None else (docs & d)
+                    out |= docs or set()
                 return out
             return self._term_docs(q["field"], q["value"])
         if "prefix" in node:
             q = node["prefix"]
             p = str(q["value"]).lower()
+            fuzz = int(q.get("fuzziness", 0) or 0)
             toks = [t for t in self._vocab(q["field"]) if t.startswith(p)]
+            if fuzz:
+                toks += [
+                    t
+                    for t in self._vocab(q["field"])
+                    if levenshtein(t[: len(p)], p, fuzz) <= fuzz
+                ]
             return self._expand_docs(q["field"], toks)
         if "wildcard" in node:
             import re
 
             q = node["wildcard"]
             pat = str(q["value"]).lower()
+            fuzz = int(q.get("fuzziness", 0) or 0)
             rx = re.compile(
                 "^"
                 + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
                 + "$"
             )
             toks = [t for t in self._vocab(q["field"]) if rx.match(t)]
+            if fuzz:
+                stripped = re.sub(r"[*?]", "", pat)
+                if stripped:
+                    toks += [
+                        t
+                        for t in self._vocab(q["field"])
+                        if levenshtein(t[: len(stripped)], stripped, fuzz)
+                        <= fuzz
+                    ]
+                else:
+                    # empty slice matches every string-valued field
+                    return {
+                        did
+                        for did, doc in self.docs.items()
+                        if isinstance(doc.get(q["field"]), str)
+                    }
             return self._expand_docs(q["field"], toks)
         if "fuzzy" in node:
             q = node["fuzzy"]

@@ -22,12 +22,22 @@ def _rand_query(rng, vocab):
         if kind == "match_all":
             return {"match_all": {}}
         if kind == "prefix":
-            return {"prefix": {"field": "text", "value": w[: max(1, len(w) // 2)]}}
+            q = {"prefix": {"field": "text", "value": w[: max(1, len(w) // 2)]}}
+            if rng.random() < 0.3:  # typo'd-prefix path
+                q["prefix"]["fuzziness"] = 1
+            return q
         if kind == "wildcard":
             pat = w[: max(1, len(w) - 2)] + "*" if len(w) > 3 else w + "*"
-            return {"wildcard": {"field": "text", "value": pat}}
+            q = {"wildcard": {"field": "text", "value": pat}}
+            if rng.random() < 0.3:  # fuzzy-wildcard path
+                q["wildcard"]["fuzziness"] = 1
+            return q
         if kind == "fuzzy":
             mutated = w[:-1] + ("x" if not w.endswith("x") else "y") if len(w) > 2 else w
+            if rng.random() < 0.3:  # multi-word fuzzy match (AND of words)
+                w2 = str(rng.choice(vocab))
+                return {"match": {"field": "text", "value": f"{w2} {mutated}",
+                                  "fuzziness": 1}}
             return {"fuzzy": {"field": "text", "value": mutated, "fuzziness": 1}}
         if kind == "phrase":
             w2 = str(rng.choice(vocab))

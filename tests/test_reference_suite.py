@@ -181,6 +181,24 @@ class TestGeoDistanceFormatConsistency:
             "distance": 100}}]}})
         assert got == ["g1", "g2"]
 
+    def test_null_locations_do_not_shift_rows(
+        self, tmp_path_factory, ray_session
+    ):
+        """A null location row must be SKIPPED without misaligning the
+        coordinates of any later row (regression: flatten() drops
+        values under null slots)."""
+        docs = [
+            {"id": "n1", "name": "a", "location": [0.0, 0.0]},
+            {"id": "n2", "name": "b", "location": None},
+            {"id": "n3", "name": "c", "location": [1.0, 1.0]},
+            {"id": "n4", "name": "d", "location": [10.0, 10.0]},
+        ]
+        idx = _mk_index(tmp_path_factory, docs, "geonull")
+        got = _ids(_searcher(idx), {"geo_distance": {
+            "field": "location", "center": {"lat": 1.0, "lon": 1.0},
+            "distance": 10}})
+        assert got == ["n3"]
+
     def test_multiple_geo_constraints(self, idx):
         s = _searcher(idx)
         got = _ids(s, {"bool": {"must": [{"geo_distance": {
@@ -642,6 +660,14 @@ class TestQueryEngineShapes:
         assert len(s.search(None)) == 0
         assert len(s.search({"unknown": {"field": "name",
                                          "value": "test"}})) == 0
+        # {"bool": {}}: the reference's two layers disagree — the
+        # QueryProcessor returns the empty set (this module test,
+        # query-engine.test.ts:492) while QueryEngine.search's naive
+        # scan would serve every document (vacuous clause arrays).
+        # This engine follows the processor (also the Elasticsearch
+        # reading of a clause-less bool in its validation mode), and
+        # only adopts the naive-scan answer for the must_not-ONLY shape
+        # the reference's own tests pin (complex-query-filtering).
         assert len(s.search({"bool": {}})) == 0
 
 
@@ -725,6 +751,15 @@ class TestFuzzyQuerySuite:
             {"wildcard": {"field": "name", "value": "documnt*",
                           "fuzziness": 2}}]}})
         assert len(got) >= 1
+
+    def test_all_metachar_fuzzy_wildcard_matches_field_universe(self, idx):
+        # value '?' with fuzziness: the reference compares the empty
+        # stripped value to an EMPTY slice of every field value
+        # (distance 0), so every doc carrying the field matches
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"wildcard": {"field": "name", "value": "?",
+                          "fuzziness": 1}}]}}, size=100)
+        assert len(got) == 10
 
     def test_fuzzy_phrase(self, idx):
         got = _ids(_searcher(idx), {"bool": {"must": [
