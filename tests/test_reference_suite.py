@@ -50,7 +50,13 @@ def _mk_index(tmp_path_factory, docs, name):
 
     root = tmp_path_factory.mktemp(name)
     src = str(root / "docs.parquet")
-    pq.write_table(pa.Table.from_pylist(docs), src)
+    # from_pylist infers the schema from the FIRST row's keys only —
+    # unify per-column so heterogeneous fixtures keep every field
+    all_keys = list(dict.fromkeys(k for d in docs for k in d))
+    tbl = pa.table(
+        {k: pa.array([d.get(k) for d in docs]) for k in all_keys}
+    )
+    pq.write_table(tbl, src)
     fields = {k for d in docs for k in d if k != "id"}
     # the reference fixture's explicit setMapping calls win; anything
     # else auto-infers like MappingsManager does on add
@@ -547,6 +553,63 @@ class TestComplexQueryFiltering:
         ]}}, columns=("name",))
         assert len(rows) == 4
         assert "Rick Sanchez" not in rows["name"].tolist()
+
+
+class TestNestedObjectQueries:
+    """nested-objects.test.ts:340-500 — fuzzy/prefix/wildcard over
+    dotted nested paths, arrays of objects, null nested values."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, tmp_path_factory, ray_session):
+        docs = [
+            {"id": "doc1",
+             "user": {"name": "John Doe", "email": "john@example.com"},
+             "product": {"name": "iPhone 15 Pro Max",
+                         "category": "electronics"}},
+            {"id": "doc2",
+             "user": {"name": None, "email": "jane@example.com"},
+             "product": {"name": "Galaxy Tab", "category": "tablets"}},
+            {"id": "doc3",
+             "users": [
+                 {"name": "John", "email": "john@example.com"},
+                 {"name": "Jane", "email": "jane@example.com"},
+             ],
+             "product": {"name": "Pixel Fold", "category": "phones"}},
+        ]
+        return _mk_index(tmp_path_factory, docs, "nestedq")
+
+    def test_fuzzy_in_nested_field(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"fuzzy": {"field": "product.name", "value": "iphone",
+                       "fuzziness": 2}}]}})
+        assert got == ["doc1"]
+
+    def test_prefix_in_nested_field(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"prefix": {"field": "product.name", "value": "iPhone"}}]}})
+        assert got == ["doc1"]
+
+    def test_wildcard_in_nested_field(self, idx):
+        got = _ids(_searcher(idx), {"bool": {"must": [
+            {"wildcard": {"field": "product.name",
+                          "value": "iPhone*"}}]}})
+        assert got == ["doc1"]
+
+    def test_null_nested_value_skipped(self, idx):
+        # doc2's user.name is null: indexable doc, no phantom tokens
+        got = _ids(_searcher(idx), {"term": {"field": "user.email",
+                                             "value": "jane"}})
+        assert got == ["doc2"]
+        assert _ids(_searcher(idx), {"term": {"field": "user.name",
+                                              "value": "none"}}) == []
+
+    def test_array_of_objects_fans_out(self, idx):
+        # users[].name flattens to one dotted path carrying both values
+        s = _searcher(idx)
+        assert _ids(s, {"term": {"field": "users.name",
+                                 "value": "john"}}) == ["doc3"]
+        assert _ids(s, {"term": {"field": "users.name",
+                                 "value": "jane"}}) == ["doc3"]
 
 
 class TestQueryEngineShapes:
