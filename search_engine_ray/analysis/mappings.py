@@ -80,7 +80,12 @@ def detect_field_type(value: Any, field_name: Optional[str] = None) -> Optional[
         if isinstance(value[0], dict):
             return "object"
         if isinstance(value[0], (str, int, float, bool)):
-            return detect_field_type(value[0])
+            # autoMap passes the field name through for primitive
+            # arrays (MappingsManager.ts:341) — 'tags' ends up text via
+            # the name pattern; detectFieldType's own internal array
+            # recursion drops it (ts:420-422), reproduced when callers
+            # pass no field_name
+            return detect_field_type(value[0], field_name)
         return None
     if isinstance(value, dict):
         if not value:

@@ -121,7 +121,12 @@ class TestNestedIndex:
         assert m["user.email"] == "email"
         assert m["user.profile.location.city"] == "text"
         assert m["location"] == "geo_point"
-        assert m["tags"] == "keyword"
+        # autoMap passes the field name for primitive arrays
+        # (MappingsManager.ts:341), so 'tags' hits the 'tag' name
+        # pattern → text (mappings-manager.test.ts:219-232 pins this);
+        # indexing is unchanged either way (keyword fields use the
+        # standard analyzer per the dispatch quirk)
+        assert m["tags"] == "text"
 
     def test_dotted_path_term_query(self, nested_index):
         from search_engine_ray.query import IndexSearcher

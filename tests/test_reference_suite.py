@@ -555,6 +555,65 @@ class TestComplexQueryFiltering:
         assert "Rick Sanchez" not in rows["name"].tolist()
 
 
+class TestMappingsManagerDetection:
+    """mappings-manager.test.ts:140-232 — the auto-detection and
+    autoMap cases, against detect_field_type / infer_mappings."""
+
+    def test_detection_matrix(self):
+        from search_engine_ray.analysis.mappings import detect_field_type
+
+        assert detect_field_type("123-456-7890") == "keyword"
+        assert detect_field_type(42) == "number"
+        assert detect_field_type(True) == "boolean"
+        assert detect_field_type("2023-01-01") == "date"
+        assert detect_field_type([40.7128, -74.0060]) == "geo_point"
+        assert detect_field_type("short") == "keyword"
+
+    def test_auto_map_document(self):
+        from search_engine_ray.analysis.mappings import infer_mappings
+
+        m = infer_mappings([{
+            "id": "doc1", "name": "Test Document",
+            "email": "test@example.com", "age": 25,
+        }])
+        assert m["name"] == "text"      # name fields are semantically text
+        assert m["email"] == "email"
+        assert m["age"] == "number"
+        assert "id" not in m
+
+    def test_auto_map_nested(self):
+        from search_engine_ray.analysis.mappings import infer_mappings
+
+        m = infer_mappings([{
+            "id": "doc1",
+            "user": {"name": "John Doe", "email": "john@example.com"},
+        }])
+        assert m["user.name"] == "text"
+        assert m["user.email"] == "email"
+
+    def test_auto_map_arrays_pass_field_name(self):
+        from search_engine_ray.analysis.mappings import infer_mappings
+
+        # autoMap passes fieldName for primitive arrays
+        # (MappingsManager.ts:341): 'tags' hits the 'tag' name pattern
+        m = infer_mappings([{
+            "id": "doc1", "tags": ["tag1", "tag2"], "scores": [1, 2, 3],
+        }])
+        assert m["tags"] == "text"
+        assert m["scores"] == "number"
+
+    def test_first_detection_wins(self):
+        from search_engine_ray.analysis.mappings import infer_mappings
+
+        # existing mappings are preserved on later adds
+        # (mappings-manager.test.ts:188-201)
+        m = infer_mappings([
+            {"id": "1", "status": "active"},
+            {"id": "2", "status": "currently very active indeed"},
+        ])
+        assert m["status"] == "keyword"
+
+
 class TestNestedObjectQueries:
     """nested-objects.test.ts:340-500 — fuzzy/prefix/wildcard over
     dotted nested paths, arrays of objects, null nested values."""
