@@ -39,6 +39,7 @@ import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -183,14 +184,51 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
+def _make_exclusion_filter(exclude_by_prefix: Dict[str, "np.ndarray"]):
+    """Batch filter dropping rows whose (source file, doc_id) is
+    superseded or tombstoned (compaction newest-wins / deletes).  The
+    read runs with ``include_paths=True``; the per-prefix sorted id
+    arrays ride the task closure (bounded by upsert/delete volume, not
+    corpus size)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.util import sorted_isin
+
+    items = sorted(exclude_by_prefix.items())
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        paths = batch["path"]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(batch), dtype=bool)
+        for prefix, ex in items:
+            sel = _pc.starts_with(paths, prefix).to_numpy(
+                zero_copy_only=False
+            )
+            if sel.any():
+                keep[sel] &= ~sorted_isin(ex, ids[sel])
+        return batch.drop_columns(["path"]).filter(pa.array(keep))
+
+    return _filter
+
+
 def _docs_pipeline(
     files: List[str],
     cfg: BuildConfig,
     dedup_meta_files: Optional[List[str]] = None,
     winner: Optional[Dict[str, tuple]] = None,
+    exclude_by_prefix: Optional[Dict[str, "np.ndarray"]] = None,
 ) -> rd.Dataset:
     if cfg.mappings is not None:
-        ds = rd.read_parquet(files, columns=cfg.read_columns)
+        ds = rd.read_parquet(
+            files,
+            columns=cfg.read_columns,
+            include_paths=bool(exclude_by_prefix),
+        )
+        if exclude_by_prefix:
+            ds = ds.map_batches(
+                _make_exclusion_filter(exclude_by_prefix),
+                batch_format="pyarrow",
+            )
         if not cfg.id_column:
             key = cfg.doc_key_column
             ds = ds.map_batches(
@@ -213,7 +251,14 @@ def _docs_pipeline(
             winner=winner,
         )
     else:
-        ds = rd.read_parquet(files, columns=cols)
+        ds = rd.read_parquet(
+            files, columns=cols, include_paths=bool(exclude_by_prefix)
+        )
+        if exclude_by_prefix:
+            ds = ds.map_batches(
+                _make_exclusion_filter(exclude_by_prefix),
+                batch_format="pyarrow",
+            )
     if cfg.extract_html:
         # extraction runs AFTER dedup, so loser duplicates are never parsed
         ds = ds.map_batches(ExtractTextStage(), batch_format="pyarrow")
@@ -534,6 +579,7 @@ def build_partition(
     cfg: BuildConfig,
     dedup_meta_files: Optional[List[str]] = None,
     winner: Optional[Dict[str, tuple]] = None,
+    exclude_by_prefix: Optional[Dict[str, "np.ndarray"]] = None,
 ) -> dict:
     """Build one index partition; returns its manifest dict."""
     t0 = time.time()
@@ -582,7 +628,10 @@ def build_partition(
             combine=cfg.combine,
             stem_by_lang=cfg.stem_by_lang,
         )
-    ds = _docs_pipeline(files, cfg, dedup_meta_files, winner=winner)
+    ds = _docs_pipeline(
+        files, cfg, dedup_meta_files, winner=winner,
+        exclude_by_prefix=exclude_by_prefix,
+    )
     t_stage1 = time.time() - t0
     kwargs: Dict = dict(
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size

@@ -33,6 +33,38 @@ from .build import BuildConfig, _atomic_write_json, build_partition
 
 _COMPACT_MARKER = ".compact_commit.json"
 _COMPACT_TMP_PREFIX = ".compact_tmp_"
+_TOMBSTONES = "tombstones.json"
+
+
+def tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, _TOMBSTONES)
+
+
+def load_tombstones(index_dir: str) -> "np.ndarray":
+    """Sorted int64 doc ids deleted from the index but not yet
+    physically removed by a compaction (SearchEngine.ts:265-283 delete
+    semantics: the doc stops matching immediately; the postings are
+    reclaimed lazily)."""
+    import numpy as np
+
+    p = tombstones_path(index_dir)
+    if not os.path.exists(p):
+        return np.empty(0, dtype=np.int64)
+    with open(p) as f:
+        ids = json.load(f).get("doc_ids", [])
+    return np.unique(np.asarray(ids, dtype=np.int64))
+
+
+def add_tombstones(index_dir: str, doc_ids) -> int:
+    """Append deleted doc ids (atomic rewrite); returns the new total."""
+    import numpy as np
+
+    cur = load_tombstones(index_dir)
+    new = np.union1d(cur, np.asarray(list(doc_ids), dtype=np.int64))
+    _atomic_write_json(
+        tombstones_path(index_dir), {"doc_ids": new.tolist()}
+    )
+    return int(new.size)
 
 
 def _marker_path(index_dir: str) -> str:
@@ -148,6 +180,54 @@ def rewrite_global_manifest(index_dir: str, mappings=None) -> dict:
     return manifest
 
 
+def _compaction_exclusions(
+    index_dir: str, parts: List[str]
+) -> Optional[dict]:
+    """Per-partition doc ids that must NOT survive the merge: versions
+    superseded by a newer partition (server upsert: newest wins,
+    SearchEngine.ts:223-225) and tombstoned deletes (everywhere).
+    Returns {partition docs-dir prefix: sorted int64 array}, or None
+    when nothing needs excluding (the universal batch-build case).
+
+    Scale note: bounded by the UPSERTED/DELETED id volume, not corpus
+    size — the per-partition scan reads only docstore ``doc_id``
+    columns, exactly like the searcher's exclusion pass."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tomb = load_tombstones(index_dir)
+    per_part_ids = {}
+    for p in parts:
+        fs = sorted(
+            glob.glob(
+                os.path.join(index_dir, "partitions", p, "docs", "*.parquet")
+            )
+        )
+        arrs = [
+            pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+            for f in fs
+        ]
+        per_part_ids[p] = (
+            np.unique(np.concatenate(arrs)) if arrs
+            else np.empty(0, dtype=np.int64)
+        )
+    out = {}
+    newer: Optional[np.ndarray] = None
+    for p in reversed(parts):
+        ids = per_part_ids[p]
+        sup = (
+            ids[np.isin(ids, newer)] if (newer is not None and ids.size)
+            else np.empty(0, dtype=np.int64)
+        )
+        ex = np.union1d(sup, tomb) if tomb.size else sup
+        if ex.size:
+            out[
+                os.path.join(index_dir, "partitions", p, "docs") + os.sep
+            ] = ex
+        newer = ids if newer is None else np.union1d(newer, ids)
+    return out or None
+
+
 def compact_index(
     index_dir: str,
     cfg: Optional[BuildConfig] = None,
@@ -165,8 +245,12 @@ def compact_index(
     with open(os.path.join(index_dir, "manifest.json")) as f:
         gm = json.load(f)
     parts = _partition_names(index_dir)
-    if keep_if_single and len(parts) <= 1:
+    tomb_snapshot = load_tombstones(index_dir)
+    if keep_if_single and len(parts) <= 1 and not tomb_snapshot.size:
+        # single partition AND no pending deletes: nothing to merge
+        # (tombstones force a rewrite so the deleted docs leave disk)
         return gm
+    exclude = _compaction_exclusions(index_dir, parts)
 
     doc_files = [
         f
@@ -196,7 +280,7 @@ def compact_index(
     tmp_name = _COMPACT_TMP_PREFIX + new_name
     tmp_dir = os.path.join(index_dir, "partitions", tmp_name)
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    build_partition(tmp_dir, doc_files, cfg)
+    build_partition(tmp_dir, doc_files, cfg, exclude_by_prefix=exclude)
     _crashpoint("post_build")
     # COMMIT POINT: once the marker exists, recovery rolls forward
     _write_marker(
@@ -216,4 +300,23 @@ def compact_index(
     _crashpoint("post_drop")
     manifest = rewrite_global_manifest(index_dir, gm.get("mappings"))
     os.remove(_marker_path(index_dir))
+    # the merged partition excluded the snapshotted tombstones, so they
+    # are physically gone — retire them, preserving any delete that
+    # raced in after the snapshot (best-effort: a crash before this
+    # point leaves stale tombstones, which exclude ids that no longer
+    # exist — harmless, cleared by the next compaction)
+    if tomb_snapshot.size:
+        import numpy as np
+
+        remaining = np.setdiff1d(load_tombstones(index_dir), tomb_snapshot)
+        if remaining.size:
+            _atomic_write_json(
+                tombstones_path(index_dir),
+                {"doc_ids": remaining.tolist()},
+            )
+        else:
+            try:
+                os.remove(tombstones_path(index_dir))
+            except FileNotFoundError:
+                pass
     return manifest

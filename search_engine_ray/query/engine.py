@@ -1453,21 +1453,33 @@ class IndexSearcher:
         without this, every flush of an updated doc would surface both
         versions.  Each reader gets the sorted id set superseded by
         newer partitions; batch-built indexes are id-disjoint, so their
-        exclusion sets are empty and nothing changes.  (Scale note: the
-        per-partition id scan at searcher construction is bounded by
-        docstore id columns; a Bloom filter per partition replaces the
-        exact sets beyond driver memory.)"""
-        if len(self._readers) <= 1:
+        exclusion sets are empty and nothing changes.  Tombstoned
+        deletes (SearchEngine.ts:265-283; ``tombstones.json`` at the
+        index root, physically reclaimed by compaction) join every
+        partition's exclusion set.  (Scale note: the per-partition id
+        scan at searcher construction is bounded by docstore id
+        columns; a Bloom filter per partition replaces the exact sets
+        beyond driver memory.)"""
+        from ..index_build.compact import load_tombstones
+
+        tomb = load_tombstones(self.index_dir)
+        if len(self._readers) <= 1 and not tomb.size:
             return
         from ..stages.util import sorted_isin
 
         newer: Optional[np.ndarray] = None
         for r in reversed(self._readers):
             ids = r.all_doc_ids()  # sorted
+            sup = np.empty(0, dtype=np.int64)
             if newer is not None and newer.size and ids.size:
                 sup = ids[sorted_isin(newer, ids)]
-                if sup.size:
-                    r.exclude_ids = sup
+            if tomb.size and ids.size:
+                # only tombstones PRESENT in this partition, so
+                # untouched partitions keep their empty exclusion sets
+                # (and with them the block-max pruned fast paths)
+                sup = np.union1d(sup, tomb[sorted_isin(ids, tomb)])
+            if sup.size:
+                r.exclude_ids = sup
             newer = (
                 ids if newer is None else np.union1d(newer, ids)
             )

@@ -148,6 +148,39 @@ class IndexHandle:
                 "buffered": self._buffered,
             }
 
+    def delete_documents(self, ids: List[str]) -> Dict[str, Any]:
+        """Delete documents by id (SearchEngine.ts:265-283 / remove
+        alias :258; worker API deleteDocument,
+        SharedMemoryWorkerPool.ts:1344).  Buffered (un-flushed) copies
+        die immediately; already-indexed copies are tombstoned —
+        excluded from every search at once, physically reclaimed by the
+        next compaction.  Deleting an unknown id is a silent no-op like
+        the reference."""
+        from .index_build.compact import add_tombstones
+        from .sources.webpages import url_doc_id
+
+        ids = [str(i) for i in ids]
+        with self.write_lock:
+            with self.lock:
+                buffered = [i for i in ids if i in self._buffered_ids]
+                if buffered:
+                    self.buffer.delete_batch(buffered, "buffer")
+                    self._buffered_ids.difference_update(buffered)
+                    self._buffered = len(self._buffered_ids)
+            # tombstone every requested id that could live in a
+            # partition (hashing is cheap; ids never indexed are
+            # harmless — excluded-but-absent)
+            indexed = os.path.exists(
+                os.path.join(self.index_dir, "manifest.json")
+            )
+            if indexed:
+                add_tombstones(
+                    self.index_dir, [url_doc_id(i) for i in ids]
+                )
+            with self.lock:
+                self._searcher = None  # pick up the new exclusions
+        return {"deletedCount": len(ids), "buffered": self._buffered}
+
     def flush(self) -> Dict[str, Any]:
         """Build buffered docs into a new delta partition.
 
@@ -510,7 +543,41 @@ class SearchServer:
                             {"error": f"Index '{m.group(1)}' not found"},
                         )
                     return self._json(200, h.compact())
+                m = re.fullmatch(
+                    r"/index/([\w.-]+)/documents/delete", self.path
+                )
+                if m:
+                    return self._delete_documents(m.group(1))
                 self._json(404, {"error": "not found"})
+
+            def do_DELETE(self):
+                try:
+                    # single-doc form of the worker API's deleteDocument
+                    # (SharedMemoryWorkerPool.ts:1344)
+                    m = re.fullmatch(
+                        r"/index/([\w.-]+)/documents/([^/]+)", self.path
+                    )
+                    if not m:
+                        return self._json(404, {"error": "not found"})
+                    from urllib.parse import unquote
+
+                    return self._delete_documents(
+                        m.group(1), [unquote(m.group(2))]
+                    )
+                except Exception as e:
+                    self._json(500, {"error": f"Internal server error: {e}"})
+
+            def _delete_documents(self, name: str, ids=None):
+                h = server.indexes.get(name)
+                if h is None:
+                    return self._json(
+                        404, {"error": f"Index '{name}' not found"}
+                    )
+                if ids is None:
+                    ids = self._body().get("ids") or []
+                if not isinstance(ids, list) or not ids:
+                    return self._json(400, {"error": "ids required"})
+                return self._json(200, h.delete_documents(ids))
 
             def _search(self, name: str):
                 h = server.indexes.get(name)

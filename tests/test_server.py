@@ -268,11 +268,97 @@ class TestUpsertAcrossFlushes:
         })
         assert new["total"] == 1
 
+    def test_compaction_does_not_resurrect_superseded_versions(
+        self, server
+    ):
+        """Regression: compaction re-fed every partition's docstore, so
+        merging after an upsert re-indexed BOTH versions (the old one
+        came back and totalDocs counted it).  Newest-wins exclusion now
+        filters the merge input."""
+        _req(server, "/index", {"indexName": "upsc"})
+        _req(server, "/index/upsc/documents", {"documents": [
+            {"id": "u1", "title": "original purple document"},
+            {"id": "u2", "title": "untouched neighbor"},
+        ]})
+        _req(server, "/index/upsc/flush", {})
+        _req(server, "/index/upsc/documents", {"documents": [
+            {"id": "u1", "title": "updated orange document"},
+        ]})
+        _req(server, "/index/upsc/flush", {})
+        code, out = _req(server, "/index/upsc/compact", {})
+        assert code == 200
+        assert out["partitions"] == 1 and out["totalDocs"] == 2
+        for term, want in (("purple", 0), ("orange", 1), ("document", 1)):
+            code, r = _req(server, "/search/upsc", {
+                "query": {"match": {"field": "title", "value": term}},
+            })
+            assert r["total"] == want, (term, r)
+
     def test_compact_on_unflushed_index_is_noop(self, server):
         _req(server, "/index", {"indexName": "emptyix"})
         code, out = _req(server, "/index/emptyix/compact", {})
         assert code == 200
         assert out.get("partitions") == 0
+
+
+class TestDeleteDocuments:
+    """Document deletion (SearchEngine.ts:265-283 delete / :258 remove;
+    worker deleteDocument, SharedMemoryWorkerPool.ts:1344): buffered
+    copies die immediately, indexed copies are tombstoned out of every
+    search at once and physically reclaimed by compaction."""
+
+    def test_delete_buffered_never_searchable(self, server):
+        _req(server, "/index", {"indexName": "deld"})
+        _req(server, "/index/deld/documents", {"documents": [
+            {"id": "a", "title": "red apple"},
+            {"id": "b", "title": "green pear"},
+            {"id": "c", "title": "blue berry"},
+        ]})
+        code, out = _req(server, "/index/deld/documents/delete",
+                         {"ids": ["c"]})
+        assert code == 200 and out["deletedCount"] == 1
+        assert out["buffered"] == 2
+        _req(server, "/index/deld/flush", {})
+        code, r = _req(server, "/search/deld", {
+            "query": {"match": {"field": "title", "value": "berry"}}})
+        assert r["total"] == 0
+
+    def test_delete_indexed_tombstones_then_compact_reclaims(
+        self, server
+    ):
+        import os
+
+        # (continues on the 'deld' index flushed above)
+        code, r = _req(server, "/search/deld", {
+            "query": {"match": {"field": "title", "value": "apple"}}})
+        assert r["total"] == 1
+        # single-doc DELETE verb
+        code, out = _req(server, "/index/deld/documents/a",
+                         method="DELETE")
+        assert code == 200 and out["deletedCount"] == 1
+        code, r = _req(server, "/search/deld", {
+            "query": {"match": {"field": "title", "value": "apple"}}})
+        assert r["total"] == 0  # excluded immediately, no flush needed
+        # compaction physically drops the doc and retires the tombstones
+        code, out = _req(server, "/index/deld/compact", {})
+        assert code == 200 and out["totalDocs"] == 1
+        code, r = _req(server, "/search/deld", {
+            "query": {"match": {"field": "title", "value": "pear"}}})
+        assert r["total"] == 1
+        code, r = _req(server, "/search/deld", {
+            "query": {"match": {"field": "title", "value": "apple"}}})
+        assert r["total"] == 0
+
+    def test_delete_unknown_id_is_silent_noop(self, server):
+        code, out = _req(server, "/index/deld/documents/delete",
+                         {"ids": ["never-existed"]})
+        assert code == 200 and out["deletedCount"] == 1
+        code, out = _req(server, "/index/deld/documents/delete",
+                         {"ids": []})
+        assert code == 400
+        code, out = _req(server, "/index/nosuch/documents/delete",
+                         {"ids": ["x"]})
+        assert code == 404
 
 
 def _poll_total(port, name, query, want, timeout=90):
