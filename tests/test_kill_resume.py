@@ -113,6 +113,33 @@ def test_kill_injection_across_compaction_window(tmp_path, ray_session):
     assert not cmod.pending_compaction(idx)
     assert cmod._partition_names(idx) == ["p00003"]
 
+    # TOMBSTONED delete + crash in the same worst window: the deleted
+    # doc must stay invisible through the crash (stale tombstones are
+    # harmless — they exclude already-reclaimed ids), and the NEXT
+    # compaction retires the tombstone file
+    idx = str(tmp_path / "idx_tomb")
+    _sh.copytree(idx0, idx)
+    victim = int(base["doc_id"].iloc[0])
+    cmod.add_tombstones(idx, [victim])
+    assert victim not in IndexSearcher(idx).search(
+        "the data", size=20, operator="or"
+    )["doc_id"].tolist()
+    cmod._crashpoint = boom_at("post_drop")
+    try:
+        with pytest.raises(_SimulatedKill):
+            cmod.compact_index(idx)
+    finally:
+        cmod._crashpoint = real_hook
+    cmod.recover_compaction(idx)
+    # merged partition already excluded the victim; stale file remains
+    hits = IndexSearcher(idx).search("the data", size=20, operator="or")
+    assert victim not in hits["doc_id"].tolist()
+    m2 = cmod.compact_index(idx, keep_if_single=True)
+    assert m2["total_docs"] == m0["total_docs"] - 1
+    assert not os.path.exists(cmod.tombstones_path(idx))
+    hits = IndexSearcher(idx).search("the data", size=20, operator="or")
+    assert victim not in hits["doc_id"].tolist()
+
 
 @pytest.mark.slow
 def test_sigkill_mid_build_then_resume(tmp_path):
