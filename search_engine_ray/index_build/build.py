@@ -218,6 +218,14 @@ def _docs_pipeline(
     winner: Optional[Dict[str, tuple]] = None,
     exclude_by_prefix: Optional[Dict[str, "np.ndarray"]] = None,
 ) -> rd.Dataset:
+    if exclude_by_prefix and (cfg.dedup or cfg.id_column != "doc_id"):
+        # the filter reads the pre-assigned doc_id column and the dedup
+        # read path carries no path provenance — silently ignoring the
+        # exclusions would resurrect superseded/deleted docs
+        raise ValueError(
+            "exclude_by_prefix requires id_column='doc_id' and "
+            "dedup=False (compaction-shaped input)"
+        )
     if cfg.mappings is not None:
         ds = rd.read_parquet(
             files,

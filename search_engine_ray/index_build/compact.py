@@ -67,6 +67,33 @@ def add_tombstones(index_dir: str, doc_ids) -> int:
     return int(new.size)
 
 
+def remove_tombstones(index_dir: str, doc_ids) -> int:
+    """Clear tombstones for RE-ADDED ids (a flush that lands a new
+    version of a previously-deleted doc revives it — without this the
+    global tombstone would hide, then physically destroy, the new
+    copy).  Returns the remaining count."""
+    import numpy as np
+
+    cur = load_tombstones(index_dir)
+    if not cur.size:
+        return 0
+    new = np.setdiff1d(
+        cur, np.asarray(list(doc_ids), dtype=np.int64)
+    )
+    if new.size == cur.size:
+        return int(cur.size)
+    if new.size:
+        _atomic_write_json(
+            tombstones_path(index_dir), {"doc_ids": new.tolist()}
+        )
+    else:
+        try:
+            os.remove(tombstones_path(index_dir))
+        except FileNotFoundError:
+            pass
+    return int(new.size)
+
+
 def _marker_path(index_dir: str) -> str:
     return os.path.join(index_dir, _COMPACT_MARKER)
 
@@ -107,14 +134,17 @@ def recover_compaction(index_dir: str) -> bool:
     if os.path.exists(marker):
         with open(marker) as f:
             m = json.load(f)
-        tmp_dir = os.path.join(parts_dir, m["tmp"])
-        final_dir = os.path.join(parts_dir, m["new"])
-        if os.path.isdir(final_dir) and os.path.isdir(tmp_dir):
-            # rename is atomic, so both existing means the tmp is a
-            # stale leftover of an even earlier crash — final wins
-            shutil.rmtree(tmp_dir, ignore_errors=True)
-        elif os.path.isdir(tmp_dir):
-            os.rename(tmp_dir, final_dir)
+        if m.get("new") is not None:
+            tmp_dir = os.path.join(parts_dir, m["tmp"])
+            final_dir = os.path.join(parts_dir, m["new"])
+            if os.path.isdir(final_dir) and os.path.isdir(tmp_dir):
+                # rename is atomic, so both existing means the tmp is a
+                # stale leftover of an even earlier crash — final wins
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+            elif os.path.isdir(tmp_dir):
+                os.rename(tmp_dir, final_dir)
+        # new=None: a committed merge-to-ZERO-partitions (every doc
+        # tombstoned/superseded) — only the drops + rewrite remain
         for p in m["drop"]:
             d = os.path.join(parts_dir, p)
             if os.path.isdir(d):
@@ -181,21 +211,26 @@ def rewrite_global_manifest(index_dir: str, mappings=None) -> dict:
 
 
 def _compaction_exclusions(
-    index_dir: str, parts: List[str]
-) -> Optional[dict]:
+    index_dir: str, parts: List[str], tomb=None
+) -> tuple:
     """Per-partition doc ids that must NOT survive the merge: versions
     superseded by a newer partition (server upsert: newest wins,
     SearchEngine.ts:223-225) and tombstoned deletes (everywhere).
-    Returns {partition docs-dir prefix: sorted int64 array}, or None
-    when nothing needs excluding (the universal batch-build case).
+    Returns ``(exclusions, n_survivors)`` where exclusions is
+    {partition docs-dir prefix: sorted int64 array} or None when
+    nothing needs excluding (the universal batch-build case).
 
     Scale note: bounded by the UPSERTED/DELETED id volume, not corpus
     size — the per-partition scan reads only docstore ``doc_id``
-    columns, exactly like the searcher's exclusion pass."""
+    columns, exactly like the searcher's exclusion pass, and each
+    partition's array holds only ITS tombstoned ids."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    tomb = load_tombstones(index_dir)
+    from ..stages.util import sorted_isin
+
+    if tomb is None:
+        tomb = load_tombstones(index_dir)
     per_part_ids = {}
     for p in parts:
         fs = sorted(
@@ -212,6 +247,7 @@ def _compaction_exclusions(
             else np.empty(0, dtype=np.int64)
         )
     out = {}
+    survivors = 0
     newer: Optional[np.ndarray] = None
     for p in reversed(parts):
         ids = per_part_ids[p]
@@ -219,13 +255,16 @@ def _compaction_exclusions(
             ids[np.isin(ids, newer)] if (newer is not None and ids.size)
             else np.empty(0, dtype=np.int64)
         )
-        ex = np.union1d(sup, tomb) if tomb.size else sup
+        ex = sup
+        if tomb.size and ids.size:
+            ex = np.union1d(sup, tomb[sorted_isin(ids, tomb)])
         if ex.size:
             out[
                 os.path.join(index_dir, "partitions", p, "docs") + os.sep
             ] = ex
+        survivors += int(ids.size - ex.size)
         newer = ids if newer is None else np.union1d(newer, ids)
-    return out or None
+    return (out or None), survivors
 
 
 def compact_index(
@@ -250,7 +289,27 @@ def compact_index(
         # single partition AND no pending deletes: nothing to merge
         # (tombstones force a rewrite so the deleted docs leave disk)
         return gm
-    exclude = _compaction_exclusions(index_dir, parts)
+    exclude, n_survivors = _compaction_exclusions(
+        index_dir, parts, tomb=tomb_snapshot
+    )
+    if parts and n_survivors == 0:
+        # EVERY doc is tombstoned/superseded: there is no partition to
+        # build (an empty pipeline writes no blocks).  Commit a merge
+        # to ZERO partitions through the same marker protocol.
+        _write_marker(
+            index_dir,
+            {"new": None, "tmp": None, "drop": parts,
+             "mappings": gm.get("mappings")},
+        )
+        _crashpoint("post_marker")
+        for p in parts:
+            shutil.rmtree(os.path.join(index_dir, "partitions", p))
+        _crashpoint("post_drop")
+        manifest = rewrite_global_manifest(index_dir, gm.get("mappings"))
+        os.remove(_marker_path(index_dir))
+        if tomb_snapshot.size:
+            remove_tombstones(index_dir, tomb_snapshot)
+        return manifest
 
     doc_files = [
         f
@@ -274,6 +333,18 @@ def compact_index(
             id_column="doc_id",
             extract_html=False,
             dedup=False,
+            n_partitions=1,
+        )
+    else:
+        # compaction re-feeds docstore side-files whose doc_id is
+        # already assigned; a caller-supplied cfg must not re-dedup,
+        # re-extract, or re-hash ids — the dedup read path takes no
+        # exclusion filter, so honoring cfg.dedup would silently merge
+        # superseded/tombstoned docs back in
+        from dataclasses import replace
+
+        cfg = replace(
+            cfg, id_column="doc_id", extract_html=False, dedup=False,
             n_partitions=1,
         )
     new_name = next_partition_name(index_dir)
@@ -306,17 +377,5 @@ def compact_index(
     # point leaves stale tombstones, which exclude ids that no longer
     # exist — harmless, cleared by the next compaction)
     if tomb_snapshot.size:
-        import numpy as np
-
-        remaining = np.setdiff1d(load_tombstones(index_dir), tomb_snapshot)
-        if remaining.size:
-            _atomic_write_json(
-                tombstones_path(index_dir),
-                {"doc_ids": remaining.tolist()},
-            )
-        else:
-            try:
-                os.remove(tombstones_path(index_dir))
-            except FileNotFoundError:
-                pass
+        remove_tombstones(index_dir, tomb_snapshot)
     return manifest

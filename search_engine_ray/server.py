@@ -148,17 +148,33 @@ class IndexHandle:
                 "buffered": self._buffered,
             }
 
-    def delete_documents(self, ids: List[str]) -> Dict[str, Any]:
+    def delete_documents(
+        self, ids: List[str], raw: bool = False
+    ) -> Dict[str, Any]:
         """Delete documents by id (SearchEngine.ts:265-283 / remove
         alias :258; worker API deleteDocument,
         SharedMemoryWorkerPool.ts:1344).  Buffered (un-flushed) copies
         die immediately; already-indexed copies are tombstoned —
         excluded from every search at once, physically reclaimed by the
         next compaction.  Deleting an unknown id is a silent no-op like
-        the reference."""
+        the reference.
+
+        ``raw=True`` treats the ids as already-hashed int64 ``doc_id``
+        values — for indexes built with an explicit ``id_column``
+        (batch CLI builds), whose docstore ids are raw column values,
+        not ``hash(str(id))``."""
         from .index_build.compact import add_tombstones
         from .sources.webpages import url_doc_id
 
+        if raw:
+            with self.write_lock:
+                if os.path.exists(
+                    os.path.join(self.index_dir, "manifest.json")
+                ):
+                    add_tombstones(self.index_dir, [int(i) for i in ids])
+                with self.lock:
+                    self._searcher = None
+            return {"deletedCount": len(ids), "buffered": self._buffered}
         ids = [str(i) for i in ids]
         with self.write_lock:
             with self.lock:
@@ -223,7 +239,16 @@ class IndexHandle:
         pname = next_partition_name(self.index_dir)
 
         tmp_parquet = os.path.join(self.index_dir, f".delta_{pname}.parquet")
-        pq.write_table(pa.Table.from_pylist(docs), tmp_parquet)
+        # from_pylist infers the schema from the FIRST row's keys only —
+        # a field absent from the first buffered doc would silently
+        # never be indexed; build per-column arrays over the key union
+        all_keys = list(dict.fromkeys(k for d in docs for k in d))
+        pq.write_table(
+            pa.table(
+                {k: pa.array([d.get(k) for d in docs]) for k in all_keys}
+            ),
+            tmp_parquet,
+        )
         try:
             cfg = BuildConfig(
                 mappings=self.mappings,
@@ -239,6 +264,16 @@ class IndexHandle:
             os.unlink(tmp_parquet)
 
         manifest = rewrite_global_manifest(self.index_dir, self.mappings)
+        # a re-added (previously deleted) id is alive again the moment
+        # its new version lands in a partition: clear its tombstone, or
+        # the global exclusion would hide — and the next compaction
+        # physically destroy — the new copy
+        from .index_build.compact import remove_tombstones
+        from .sources.webpages import url_doc_id
+
+        remove_tombstones(
+            self.index_dir, [url_doc_id(str(d["id"])) for d in docs]
+        )
         with self.lock:
             self._searcher = None  # pick up the new partition
             # the delta partition is durable: drop exactly the flushed
@@ -573,11 +608,14 @@ class SearchServer:
                     return self._json(
                         404, {"error": f"Index '{name}' not found"}
                     )
+                raw = False
                 if ids is None:
-                    ids = self._body().get("ids") or []
+                    b = self._body()
+                    ids = b.get("ids") or []
+                    raw = bool(b.get("raw"))
                 if not isinstance(ids, list) or not ids:
                     return self._json(400, {"error": "ids required"})
-                return self._json(200, h.delete_documents(ids))
+                return self._json(200, h.delete_documents(ids, raw=raw))
 
             def _search(self, name: str):
                 h = server.indexes.get(name)

@@ -349,6 +349,70 @@ class TestDeleteDocuments:
             "query": {"match": {"field": "title", "value": "apple"}}})
         assert r["total"] == 0
 
+    def test_delete_then_readd_revives(self, server):
+        """A flush landing a NEW version of a deleted id must clear its
+        tombstone — without that, the global exclusion hides (and the
+        next compaction physically destroys) the re-added doc."""
+        _req(server, "/index", {"indexName": "rev"})
+        _req(server, "/index/rev/documents", {"documents": [
+            {"id": "a", "title": "plain old apple"},
+            {"id": "b", "title": "quiet bystander"},
+        ]})
+        _req(server, "/index/rev/flush", {})
+        _req(server, "/index/rev/documents/delete", {"ids": ["a"]})
+        _req(server, "/index/rev/documents", {"documents": [
+            {"id": "a", "title": "shiny crimson apple"},
+        ]})
+        _req(server, "/index/rev/flush", {})
+        code, r = _req(server, "/search/rev", {
+            "query": {"match": {"field": "title", "value": "crimson"}}})
+        assert r["total"] == 1
+        # the OLD version stays dead (newest-wins supersession)
+        code, r = _req(server, "/search/rev", {
+            "query": {"match": {"field": "title", "value": "plain"}}})
+        assert r["total"] == 0
+        code, out = _req(server, "/index/rev/compact", {})
+        assert out["totalDocs"] == 2
+        code, r = _req(server, "/search/rev", {
+            "query": {"match": {"field": "title", "value": "crimson"}}})
+        assert r["total"] == 1
+
+    def test_delete_all_then_compact_reaches_zero(self, server):
+        """Compacting an index whose every doc is tombstoned commits a
+        merge to ZERO partitions (an empty build writes no blocks and
+        used to crash, wedging compaction forever)."""
+        _req(server, "/index", {"indexName": "zero"})
+        _req(server, "/index/zero/documents", {"documents": [
+            {"id": "only", "title": "last doc standing"},
+        ]})
+        _req(server, "/index/zero/flush", {})
+        _req(server, "/index/zero/documents/delete", {"ids": ["only"]})
+        code, out = _req(server, "/index/zero/compact", {})
+        assert code == 200 and out["totalDocs"] == 0
+        code, r = _req(server, "/search/zero", {
+            "query": {"match": {"field": "title", "value": "doc"}}})
+        assert code == 200 and r["total"] == 0
+        # the index still accepts new docs afterwards
+        _req(server, "/index/zero/documents", {"documents": [
+            {"id": "n", "title": "fresh start"}]})
+        _req(server, "/index/zero/flush", {})
+        code, r = _req(server, "/search/zero", {
+            "query": {"match": {"field": "title", "value": "fresh"}}})
+        assert r["total"] == 1
+
+    def test_flush_unifies_heterogeneous_buffer_schema(self, server):
+        """pa.Table.from_pylist infers the schema from the FIRST row
+        only — a field absent there was silently never indexed."""
+        _req(server, "/index", {"indexName": "hetero"})
+        _req(server, "/index/hetero/documents", {"documents": [
+            {"id": "1", "title": "plain doc"},
+            {"id": "2", "title": "tagged doc", "note": "zanzibar gem"},
+        ]})
+        _req(server, "/index/hetero/flush", {})
+        code, r = _req(server, "/search/hetero", {
+            "query": {"match": {"field": "note", "value": "zanzibar"}}})
+        assert r["total"] == 1
+
     def test_delete_unknown_id_is_silent_noop(self, server):
         code, out = _req(server, "/index/deld/documents/delete",
                          {"ids": ["never-existed"]})
