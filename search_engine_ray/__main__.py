@@ -106,6 +106,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Tombstone documents in a built index (SearchEngine.delete
+    semantics: invisible at once, reclaimed by the next compaction).
+    No Ray session needed — this only writes tombstones.json."""
+    from .index_build.compact import add_tombstones
+    from .sources.webpages import url_doc_id
+
+    ids = [i for i in args.ids.split(",") if i]
+    doc_ids = (
+        [int(i) for i in ids] if args.raw
+        else [url_doc_id(i) for i in ids]
+    )
+    total = add_tombstones(args.index, doc_ids)
+    print(json.dumps({
+        "index": args.index,
+        "deletedCount": len(ids),
+        "pendingTombstones": total,
+    }))
+    return 0
+
+
 def cmd_serve(args) -> int:
     _ensure_ray(args.num_cpus)
     from .server import SearchServer
@@ -151,6 +172,18 @@ def main(argv=None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_compact)
+
+    d = sub.add_parser(
+        "delete",
+        help="tombstone documents by id (reclaimed at next compaction)",
+    )
+    d.add_argument("--index", required=True)
+    d.add_argument("--ids", required=True, help="comma-separated ids")
+    d.add_argument(
+        "--raw", action="store_true",
+        help="ids are raw int64 doc_ids (explicit id_column builds)",
+    )
+    d.set_defaults(fn=cmd_delete)
 
     srv = sub.add_parser(
         "serve", help="HTTP API server over a directory of indexes"
