@@ -86,16 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_top100": q.dup_spans_top100,
         # Gopher-style repetition quality signals
         "repetition_stats": q.repetition_stats,
-        # rows-only checks (no SQL-expressible oracle)
-        "distinct_users_hll": q.distinct_users_hll,
-        "neardup_probe": q.neardup_probe,
-        "langid_counts": q.langid_counts,
-        "minhash_pairs": q.minhash_pairs,
-        "simhash_pairs": q.simhash_pairs,
-        "embedding_lsh_pairs": q.embedding_lsh_pairs,
+        # IVF ANN with nprobe=all (== exact brute force by construction)
         "ivf_top10": q.ivf_top10,
-        "ivf_top10_probed": q.ivf_top10_probed,
-        "multimodal_frames": q.multimodal_frames,
         # training-data scrubbing / curation (stages/scrub.py)
         "pii_redact": q.pii_redact,
         "sample_stratified": q.sample_stratified,
@@ -125,6 +117,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_texts": q.normalized_texts,
         # corpus-trained bigram-LM perplexity scoring (no external model)
         "perplexity_by_doc": q.perplexity_by_doc,
+        # ---- rows-only checks (no SQL-expressible oracle) LAST: the
+        # driver evaluates only the first 50 entries, so every
+        # oracle-paired entry above must precede these (VERDICT r4 #1)
+        "distinct_users_hll": q.distinct_users_hll,
+        "neardup_probe": q.neardup_probe,
+        "langid_counts": q.langid_counts,
+        "minhash_pairs": q.minhash_pairs,
+        "simhash_pairs": q.simhash_pairs,
+        "embedding_lsh_pairs": q.embedding_lsh_pairs,
+        "ivf_top10_probed": q.ivf_top10_probed,
+        "multimodal_frames": q.multimodal_frames,
     }
 
 
