@@ -197,7 +197,15 @@ def _make_exclusion_filter(exclude_by_prefix: Dict[str, "np.ndarray"]):
     items = sorted(exclude_by_prefix.items())
 
     def _filter(batch: pa.Table) -> pa.Table:
-        paths = batch["path"]
+        # abspath-normalize so the path form Ray reports always matches
+        # the abspath prefixes compaction built (one unique-path pass,
+        # not per row: a batch comes from very few source files)
+        raw = batch["path"]
+        uniq = {p: os.path.abspath(p) for p in set(raw.to_pylist())}
+        if any(k != v for k, v in uniq.items()):
+            paths = pa.array([uniq[p] for p in raw.to_pylist()])
+        else:
+            paths = raw
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         keep = np.ones(len(batch), dtype=bool)
         for prefix, ex in items:

@@ -259,8 +259,12 @@ def _compaction_exclusions(
         if tomb.size and ids.size:
             ex = np.union1d(sup, tomb[sorted_isin(ids, tomb)])
         if ex.size:
+            # abspath-normalized so the prefix matches Ray's resolved
+            # include_paths 'path' column even under a relative index_dir
             out[
-                os.path.join(index_dir, "partitions", p, "docs") + os.sep
+                os.path.abspath(
+                    os.path.join(index_dir, "partitions", p, "docs")
+                ) + os.sep
             ] = ex
         survivors += int(ids.size - ex.size)
         newer = ids if newer is None else np.union1d(newer, ids)
@@ -285,6 +289,14 @@ def compact_index(
         gm = json.load(f)
     parts = _partition_names(index_dir)
     tomb_snapshot = load_tombstones(index_dir)
+    if not parts:
+        # zero partitions: no partition can contain a tombstoned doc, so
+        # pending tombstones are vacuous — clear them and return.  (The
+        # delete-all → compact → no-op delete → compact sequence used to
+        # reach build_partition with an empty file list and raise.)
+        if tomb_snapshot.size:
+            remove_tombstones(index_dir, tomb_snapshot)
+        return gm
     if keep_if_single and len(parts) <= 1 and not tomb_snapshot.size:
         # single partition AND no pending deletes: nothing to merge
         # (tombstones force a rewrite so the deleted docs leave disk)
@@ -351,7 +363,17 @@ def compact_index(
     tmp_name = _COMPACT_TMP_PREFIX + new_name
     tmp_dir = os.path.join(index_dir, "partitions", tmp_name)
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    build_partition(tmp_dir, doc_files, cfg, exclude_by_prefix=exclude)
+    pm = build_partition(tmp_dir, doc_files, cfg, exclude_by_prefix=exclude)
+    if pm["n_docs"] != n_survivors:
+        # cross-check: a prefix/path-form mismatch in the exclusion
+        # filter would silently resurrect superseded or deleted docs —
+        # fail loudly (pre-commit, so the old partitions stay live)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction doc-count mismatch: merged partition holds "
+            f"{pm['n_docs']} docs but {n_survivors} should survive "
+            "(exclusion filter prefixes may not match the read paths)"
+        )
     _crashpoint("post_build")
     # COMMIT POINT: once the marker exists, recovery rolls forward
     _write_marker(

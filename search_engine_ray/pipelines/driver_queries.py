@@ -37,6 +37,13 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _emb(sf_dir: str) -> rd.Dataset:
+    # pruned read: the unused 'label' column never leaves storage
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
 def _tokenized(sf_dir: str) -> rd.Dataset:
     tok = TokenizePostings(fields=DOC_FIELDS, id_column="doc_id")
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -373,14 +380,14 @@ def _ivf_index_dir(sf_dir: str) -> str:
         # is the commit marker)
         shutil.rmtree(idx, ignore_errors=True)
         build_ivf_index(
-            rd.read_parquet(f"{sf_dir}/embeddings.parquet"), idx,
+            _emb(sf_dir), idx,
             n_centroids=16,
         )
     return idx
 
 
 def _ivf_queries(sf_dir: str) -> list:
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _emb(sf_dir)
     return (
         ds.map_batches(
             lambda b: b.filter(pc.field("vec_id") < 3),
@@ -486,7 +493,7 @@ def _cosine_topk_round9(ds, qv, k, exclude_ids=()):
 
 
 def similarity_top10(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _emb(sf_dir)
     q = (
         ds.map_batches(
             lambda b: b.filter(pc.field("vec_id") == 0),
@@ -522,7 +529,7 @@ def hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
     bm = s.search("spark join", size=50, operator="or")
     bm_rank = {int(d): i + 1 for i, d in enumerate(bm["doc_id"])}
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _emb(sf_dir)
     qv = (
         ds.map_batches(
             lambda b: b.filter(pc.field("vec_id") == 0),
@@ -552,7 +559,7 @@ def hybrid_rrf_top10(sf_dir: str) -> pd.DataFrame:
 
 
 def embedding_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _emb(sf_dir)
     # threshold on the round-9 sim (both engines): a raw-fp threshold
     # test could include a pair on one side and not the other when the
     # cosine lands within 1 ulp of 0.42 — fetch with a hair of margin,
@@ -858,7 +865,7 @@ def simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
 
 def embedding_lsh_pairs(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _emb(sf_dir)
     out = sim.lsh_bucketed_neardup(ds, threshold=0.42, n_planes=8, n_tables=32)
     out["sim"] = _round_half_away(out["sim"])
     return out.astype({"a": "int64", "b": "int64"}, errors="ignore")

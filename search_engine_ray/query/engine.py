@@ -390,15 +390,20 @@ class _PartitionEvaluator:
         return toks
 
     def _field_present_docs(self, field: str) -> np.ndarray:
-        """Sorted doc ids whose docstore row carries a non-null value
-        for ``field`` (the naive scan's 'typeof fieldVal === string'
-        universe, QueryEngine.ts:1246-1253)."""
+        """Sorted doc ids whose docstore row carries a non-null STRING
+        value for ``field`` (the naive scan's 'typeof fieldVal ===
+        string' universe, QueryEngine.ts:1246-1253 — numeric/bool/array
+        field values do NOT match, mirroring oracle.py's isinstance
+        check)."""
         try:
             tbl = self.r.docs_table(
                 columns=["doc_id", field],
                 filter=pc.field(field).is_valid(),
             )
         except (KeyError, pa.ArrowInvalid):
+            return np.empty(0, dtype=np.int64)
+        ftype = tbl.schema.field(field).type
+        if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
             return np.empty(0, dtype=np.int64)
         ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         ids.sort()

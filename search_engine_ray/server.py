@@ -263,17 +263,21 @@ class IndexHandle:
         finally:
             os.unlink(tmp_parquet)
 
-        manifest = rewrite_global_manifest(self.index_dir, self.mappings)
         # a re-added (previously deleted) id is alive again the moment
         # its new version lands in a partition: clear its tombstone, or
         # the global exclusion would hide — and the next compaction
-        # physically destroy — the new copy
+        # physically destroy — the new copy.  Pruned BEFORE the manifest
+        # rewrite: a crash in between merely un-hides the old version
+        # until the next rewrite/compaction (newest-wins resolves it),
+        # whereas the reverse order would let a surviving tombstone
+        # physically destroy the committed new copy at compaction.
         from .index_build.compact import remove_tombstones
         from .sources.webpages import url_doc_id
 
         remove_tombstones(
             self.index_dir, [url_doc_id(str(d["id"])) for d in docs]
         )
+        manifest = rewrite_global_manifest(self.index_dir, self.mappings)
         with self.lock:
             self._searcher = None  # pick up the new partition
             # the delta partition is durable: drop exactly the flushed

@@ -380,8 +380,221 @@ class GenericTokenizePostings:
         self._flatten = flatten_doc
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized path: factorize each mapped path's flattened item
+        values, run the analyzer ONCE per unique value (Zipf makes the
+        unique set far smaller than the item stream), then assemble
+        postings with numpy integer ops — positions restart per array
+        item, tf counts every occurrence, stored positions are
+        deduped+sorted, dl counts only top-level scalar string fields
+        (identical semantics to ``_per_row_postings``, the executable
+        spec this is property-locked against)."""
         if self.docs_out_dir:
             write_docs_sidefile(batch, self.docs_out_dir, self.id_column)
+        rows = batch.to_pylist()
+        n = len(rows)
+        doc_ids = np.fromiter(
+            (int(r[self.id_column]) for r in rows), np.int64, count=n
+        )
+        idc = self.id_column
+        flats = [
+            self._flatten({k: v for k, v in r.items() if k != idc})
+            for r in rows
+        ]
+
+        occ_tid: List[np.ndarray] = []
+        occ_row: List[np.ndarray] = []
+        occ_pos: List[np.ndarray] = []
+        uniq_terms: List[np.ndarray] = []
+        offset = 0
+        dl_per_row = np.zeros(n, dtype=np.int64)
+
+        for path, analyzer in self.analyzers.items():
+            is_phone_name = "phone" in path.rsplit(".", 1)[-1].lower()
+            is_url_field = self.mappings.get(path) == "url"
+            item_strs: List[str] = []
+            item_row: List[int] = []
+            item_top: List[bool] = []
+            for ri, flat in enumerate(flats):
+                value = flat.get(path)
+                if value is None:
+                    continue
+                values = value if isinstance(value, list) else [value]
+                top = "." not in path and isinstance(value, str)
+                for item in values:
+                    if not isinstance(item, str):
+                        item = str(item)
+                    item_strs.append(item)
+                    item_row.append(ri)
+                    item_top.append(top)
+            if not item_strs:
+                continue
+            # analyze each UNIQUE value once, then remap to items
+            item_codes, uniques_u = pd.factorize(
+                np.asarray(item_strs, dtype=object)
+            )
+            tok_lists: List[List[str]] = []
+            for u in uniques_u:
+                toks = tokenize(u, analyzer, self.stopwords)
+                # reference side-channels (DocumentIndexer.ts:29-37):
+                # fields named *phone* also index the digits-only form;
+                # url fields drop all-digit tokens
+                if is_phone_name:
+                    digits = "".join(c for c in u if c.isdigit())
+                    if digits:
+                        toks = toks + [digits]
+                if is_url_field:
+                    toks = [t for t in toks if not t.isdigit()]
+                tok_lists.append(toks)
+            u_lens = np.fromiter(
+                (len(t) for t in tok_lists), np.int64,
+                count=len(tok_lists),
+            )
+            flat_toks = [t for toks in tok_lists for t in toks]
+            item_codes = item_codes.astype(np.int64)
+            item_lens = u_lens[item_codes]
+            rows_np = np.asarray(item_row, dtype=np.int64)
+            top_np = np.asarray(item_top, dtype=bool)
+            dl_per_row += np.bincount(
+                rows_np, weights=np.where(top_np, item_lens, 0),
+                minlength=n,
+            ).astype(np.int64)
+            total = int(item_lens.sum())
+            if total == 0:
+                continue
+            tok_codes_u, tok_uniques = pd.factorize(
+                np.asarray(flat_toks, dtype=object)
+            )
+            tok_codes_u = tok_codes_u.astype(np.int64)
+            ustart = np.zeros(len(tok_lists) + 1, dtype=np.int64)
+            np.cumsum(u_lens, out=ustart[1:])
+            # per-item occurrence stream: gather that item's unique-value
+            # token slice; positions restart at 0 per item
+            istart = np.zeros(len(item_lens) + 1, dtype=np.int64)
+            np.cumsum(item_lens, out=istart[1:])
+            within = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(istart[:-1], item_lens)
+            )
+            idx = np.repeat(ustart[item_codes], item_lens) + within
+            occ_tid.append(tok_codes_u[idx] + offset)
+            occ_row.append(np.repeat(rows_np, item_lens))
+            occ_pos.append(within)
+            pref = path + ":"
+            uniq_terms.append(
+                np.asarray([pref + t for t in tok_uniques], dtype=object)
+            )
+            offset += len(tok_uniques)
+        sum_dl = int(dl_per_row.sum())
+
+        if occ_tid:
+            all_terms = np.concatenate(uniq_terms)
+            if len(uniq_terms) > 1 and (
+                len(np.unique(all_terms)) != len(all_terms)
+            ):
+                # two paths collided on the same "path:token" string (a
+                # field name containing ':') — the per-row spec merges
+                # those within a row; take the exact slow path
+                return self._per_row_postings(batch)
+            tid = np.concatenate(occ_tid)
+            row = np.concatenate(occ_row)
+            posv = np.concatenate(occ_pos)
+            key = row * offset + tid
+            # lexsort by (key, pos): positions within a run come out
+            # ascending even when multiple array items repeat a token
+            order = np.lexsort((posv, key))
+            key_s = key[order]
+            pos_s = posv[order]
+            n_occ = len(key_s)
+            new = np.empty(n_occ, dtype=bool)
+            new[0] = True
+            new[1:] = key_s[1:] != key_s[:-1]
+            rs = np.flatnonzero(new)
+            n_runs = len(rs)
+            tf_arr = np.diff(np.append(rs, n_occ))
+            run_tid = tid[order][rs]
+            run_row = row[order][rs]
+            terms_np = all_terms[run_tid]
+            t_doc_np = doc_ids[run_row]
+            t_dl_np = dl_per_row[run_row]
+        else:
+            tf_arr = np.empty(0, dtype=np.int64)
+            run_tid = np.empty(0, dtype=np.int64)
+            terms_np = np.empty(0, dtype=object)
+            t_doc_np = np.empty(0, dtype=np.int64)
+            t_dl_np = np.empty(0, dtype=np.int64)
+            n_runs = 0
+
+        pos_blob = pos_bounds = None
+        t_pos: List[bytes] = [b""] * n_runs
+        if self.store_positions and n_runs:
+            # stored positions are deduped+sorted while tf counts every
+            # occurrence (ShardedInvertedIndex.ts:195-262); payload per
+            # posting: [n_stored, first, gaps...]
+            run_of_occ = np.cumsum(new) - 1
+            dup = np.zeros(n_occ, dtype=bool)
+            dup[1:] = (key_s[1:] == key_s[:-1]) & (pos_s[1:] == pos_s[:-1])
+            keep = ~dup
+            kpos = pos_s[keep]
+            krun = run_of_occ[keep]
+            n_kept = len(kpos)
+            stored = np.bincount(krun, minlength=n_runs).astype(np.int64)
+            knew = np.empty(n_kept, dtype=bool)
+            knew[0] = True
+            knew[1:] = krun[1:] != krun[:-1]
+            krs = np.flatnonzero(knew)
+            gaps = kpos.astype(np.uint64).copy()
+            gaps[1:] = (kpos[1:] - kpos[:-1]).astype(np.uint64)
+            gaps[krs] = kpos[krs].astype(np.uint64)
+            flat_vals = np.empty(n_kept + n_runs, dtype=np.uint64)
+            flat_vals[krs + np.arange(n_runs)] = stored.astype(np.uint64)
+            flat_vals[
+                np.arange(n_kept, dtype=np.int64) + krun + 1
+            ] = gaps
+            blob, offs = varbyte_encode_with_offsets(flat_vals)
+            pb = np.zeros(n_runs + 1, dtype=np.int64)
+            np.cumsum(stored + 1, out=pb[1:])
+            if self.combine:
+                pos_blob = np.frombuffer(blob, dtype=np.uint8)
+                pos_bounds = offs[pb]
+            else:
+                t_pos = [
+                    blob[offs[pb[j]] : offs[pb[j + 1]]]
+                    for j in range(n_runs)
+                ]
+
+        if self.combine:
+            return combine_postings_batch(
+                terms_np, t_doc_np, tf_arr, t_dl_np,
+                None if pos_blob is not None else t_pos,
+                n, sum_dl, self.store_positions, term_ids=run_tid,
+                pos_blob=pos_blob, pos_bounds=pos_bounds,
+            )
+        terms = terms_np.tolist()
+        t_doc = t_doc_np.tolist()
+        t_tf = tf_arr.tolist()
+        t_dl = t_dl_np.tolist()
+        terms.append(STATS_TERM)
+        t_doc.append(0)
+        t_tf.append(0)
+        t_dl.append(0)
+        t_pos.append(
+            varbyte_encode(np.array([n, sum_dl], dtype=np.uint64))
+        )
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(t_doc, pa.int64()),
+                "tf": pa.array(t_tf, pa.int32()),
+                "dl": pa.array(t_dl, pa.int32()),
+                "pos": pa.array(t_pos, pa.binary()),
+            },
+            schema=POSTINGS_SCHEMA,
+        )
+
+    def _per_row_postings(self, batch: pa.Table) -> pa.Table:
+        """Executable spec: the original per-row walk (one analyzer call
+        per field value).  Kept solely as the property-test reference
+        for the vectorized ``__call__`` — not used in production."""
         rows = batch.to_pylist()
         terms: List[str] = []
         t_doc: List[int] = []

@@ -113,6 +113,118 @@ def nested_index(tmp_path_factory, ray_session):
     return idx, src, mappings
 
 
+class TestGenericTokenizeVectorized:
+    """The vectorized ``GenericTokenizePostings.__call__`` (factorized
+    vocabulary: one analyzer call per unique value) must emit postings
+    identical to ``_per_row_postings``, the original per-row walk kept
+    as the executable spec (VERDICT r4 #2)."""
+
+    @staticmethod
+    def _canon(t):
+        df = t.to_pandas()
+        return df.sort_values(["term", "doc_id"]).reset_index(drop=True)
+
+    @staticmethod
+    def _canon_mini(t):
+        df = t.to_pandas()
+        return df.sort_values(["term"]).reset_index(drop=True)
+
+    def _assert_equal(self, stage_kwargs, tbl, mappings):
+        from search_engine_ray.stages.tokenize import (
+            GenericTokenizePostings,
+        )
+
+        stage = GenericTokenizePostings(mappings, **stage_kwargs)
+        fast = stage(tbl)
+        slow = stage._per_row_postings(tbl)
+        if stage_kwargs.get("combine"):
+            pd.testing.assert_frame_equal(
+                self._canon_mini(fast), self._canon_mini(slow)
+            )
+        else:
+            pd.testing.assert_frame_equal(
+                self._canon(fast), self._canon(slow)
+            )
+
+    @pytest.fixture(scope="class")
+    def nested_batch(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.sources.nested_docs import (
+            generate_nested_docs,
+        )
+
+        root = tmp_path_factory.mktemp("gvec")
+        src = str(root / "docs.parquet")
+        generate_nested_docs(src, n_rows=400, seed=9)
+        tbl = pq.read_table(src)
+        tbl = tbl.append_column(
+            "doc_id", pa.array(np.arange(len(tbl), dtype=np.int64))
+        )
+        mappings = infer_mappings(tbl.slice(0, 50).to_pylist())
+        return tbl, mappings
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"store_positions": False},
+            {"combine": True},
+        ],
+        ids=["positions", "no_positions", "combine"],
+    )
+    def test_nested_fixture_property(self, nested_batch, kw):
+        tbl, mappings = nested_batch
+        self._assert_equal(kw, tbl, mappings)
+
+    def test_edge_cases(self):
+        import pyarrow as pa
+
+        # repeated tokens across array items (position dedup), phone
+        # digit side-channel, url digit filter, missing/None values,
+        # non-string scalars under a text mapping, empty strings
+        rows = [
+            {"doc_id": 1, "title": "alpha beta alpha",
+             "tags": ["alpha beta", "alpha", "beta alpha"],
+             "contact_phone": "+1 (555) 123-4567",
+             "homepage": "https://ex.com/p/123/view",
+             "user": {"email": "a.b@x.com"}},
+            {"doc_id": 2, "title": None, "tags": [],
+             "contact_phone": None, "homepage": None,
+             "user": {"email": None}},
+            {"doc_id": 3, "title": "", "tags": ["solo"],
+             "contact_phone": "555-999-0000",
+             "homepage": "http://n.io/42",
+             "user": {"email": "z@y.org"}},
+            {"doc_id": 4, "title": "gamma gamma gamma delta",
+             "tags": ["gamma", "gamma"],
+             "contact_phone": "none here",
+             "homepage": "relative/path",
+             "user": {"email": "q@q.q"}},
+        ]
+        tbl = pa.Table.from_pylist(rows)
+        mappings = {
+            "title": "text",
+            "tags": "keyword",
+            "contact_phone": "phone",
+            "homepage": "url",
+            "user.email": "email",
+        }
+        for kw in ({}, {"store_positions": False}, {"combine": True}):
+            self._assert_equal(kw, tbl, mappings)
+
+    def test_numeric_scalar_under_text_mapping(self):
+        import pyarrow as pa
+
+        rows = [
+            {"doc_id": 10, "rank": 37},
+            {"doc_id": 11, "rank": 4},
+        ]
+        tbl = pa.Table.from_pylist(rows)
+        self._assert_equal({}, tbl, {"rank": "text"})
+
+
 class TestNestedIndex:
     def test_mappings_inferred(self, nested_index):
         _, _, m = nested_index

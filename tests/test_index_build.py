@@ -752,3 +752,54 @@ class TestCompaction:
                                           operator="or")
         assert after["doc_id"].tolist() == before["doc_id"].tolist()
         assert np.allclose(after["score"], before["score"])
+
+    def test_compact_non_normalized_dir_drops_tombstones(
+        self, tmp_path, ray_session
+    ):
+        """Exclusion prefixes are abspath-normalized: compacting via a
+        NON-NORMALIZED index_dir (a '/./' segment, which Ray's resolved
+        'path' column never contains) must still physically drop
+        tombstoned docs.  A prefix/path-form mismatch used to silently
+        match nothing and resurrect deleted docs; the n_survivors
+        cross-check now turns that into a loud pre-commit failure
+        (ADVICE r4 #2)."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.index_build.compact import (
+            add_tombstones,
+            compact_index,
+            load_tombstones,
+        )
+        from search_engine_ray.sources.webpages import generate_pages
+
+        corpus = str(tmp_path / "c")
+        generate_pages(corpus, n_rows=80, seed=7, n_files=2)
+        idx_abs = str(tmp_path / "i")
+        m0 = build_index(idx_abs, corpus, BuildConfig(n_partitions=2))
+        doc_files = sorted(
+            glob.glob(idx_abs + "/partitions/*/docs/*.parquet")
+        )
+        all_ids = np.sort(np.concatenate([
+            pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+            for f in doc_files
+        ]))
+        victims = all_ids[:3].tolist()
+        add_tombstones(idx_abs, victims)
+
+        idx_dotted = os.path.join(str(tmp_path), ".", "i")
+        assert idx_dotted != os.path.abspath(idx_dotted)
+        m1 = compact_index(idx_dotted)
+        assert m1["n_partitions"] == 1
+        assert m1["total_docs"] == m0["total_docs"] - 3
+        assert load_tombstones(idx_abs).size == 0
+        survivors = np.concatenate([
+            pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+            for f in sorted(
+                glob.glob(idx_abs + "/partitions/*/docs/*.parquet")
+            )
+        ])
+        assert not np.isin(victims, survivors).any()

@@ -602,6 +602,34 @@ class TestMappingsManagerDetection:
         assert m["tags"] == "text"
         assert m["scores"] == "number"
 
+    def test_loose_date_strings_are_not_detected_as_dates(self):
+        """Documented quirk resolution (VERDICT r4 #7): the reference's
+        type DETECTION uses strict ISO regexes
+        (MappingsManager.ts:466: /^\\d{4}-\\d{2}-\\d{2}$/ or
+        /^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}/) — the lenient
+        ``Date.parse`` acceptance lives ONLY in the Ajv 'date' FORMAT
+        validator (MappingsManager.ts:72-75), which validates fields a
+        user-supplied JSON schema explicitly declares as dates; it
+        never feeds detection.  So 'Jan 5, 2024' maps to text/keyword
+        in BOTH engines and this repo's ISO-regex detection is exact
+        parity, pinned here."""
+        from search_engine_ray.analysis.mappings import detect_field_type
+
+        # Date.parse would accept all of these; detection must not —
+        # multi-word forms land on text via the multi-word rule
+        # (MappingsManager.ts:493-497), single-token forms on keyword
+        assert detect_field_type("Jan 5, 2024") == "text"
+        assert detect_field_type("January 5, 2024 10:30") == "text"
+        assert detect_field_type("2024/01/05") == "keyword"
+        assert detect_field_type("5 Jan 2024") == "text"
+        # strict ISO forms still detect
+        assert detect_field_type("2024-01-05") == "date"
+        assert detect_field_type("2024-01-05T10:30:00") == "date"
+        assert detect_field_type("2024-01-05T10:30:00.123Z") == "date"
+        # near-miss ISO forms fall through (no seconds / 1-digit parts)
+        assert detect_field_type("2024-1-5") == "keyword"
+        assert detect_field_type("2024-01-05T10:30") == "keyword"
+
     def test_first_detection_wins(self):
         from search_engine_ray.analysis.mappings import infer_mappings
 
@@ -882,6 +910,29 @@ class TestFuzzyQuerySuite:
             {"wildcard": {"field": "name", "value": "?",
                           "fuzziness": 1}}]}}, size=100)
         assert len(got) == 10
+
+    def test_all_metachar_fuzzy_wildcard_skips_non_string_fields(
+        self, tmp_path_factory, ray_session
+    ):
+        # the naive scan's universe is `typeof fieldVal === 'string'`
+        # (QueryEngine.ts:1246-1253): a numeric-valued field never
+        # matches the all-metachar fuzzy wildcard, even though every
+        # row carries a non-null value (ADVICE r4 #3)
+        docs = [
+            {"id": "m1", "name": "alpha", "rank": 3},
+            {"id": "m2", "name": "beta", "rank": 7},
+        ]
+        idx = _mk_index(tmp_path_factory, docs, "metachar_num")
+        s = _searcher(idx)
+        got = _ids(s, {"bool": {"must": [
+            {"wildcard": {"field": "rank", "value": "?",
+                          "fuzziness": 1}}]}}, size=100)
+        assert got == []
+        # the string field still matches its whole universe
+        got = _ids(s, {"bool": {"must": [
+            {"wildcard": {"field": "name", "value": "?",
+                          "fuzziness": 1}}]}}, size=100)
+        assert sorted(got) == ["m1", "m2"]
 
     def test_fuzzy_phrase(self, idx):
         got = _ids(_searcher(idx), {"bool": {"must": [

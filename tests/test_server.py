@@ -400,6 +400,34 @@ class TestDeleteDocuments:
             "query": {"match": {"field": "title", "value": "fresh"}}})
         assert r["total"] == 1
 
+    def test_compact_zero_partitions_with_pending_tombstones(
+        self, server
+    ):
+        """Compacting an EMPTY index (zero partitions) that still has
+        pending tombstones must be a no-op, not a 500: delete-all →
+        compact → delete of any id (documented no-op, but it writes a
+        tombstone) → compact used to reach build_partition with an
+        empty file list and raise ValueError (ADVICE r4 #1)."""
+        _req(server, "/index", {"indexName": "zerot"})
+        _req(server, "/index/zerot/documents", {"documents": [
+            {"id": "x", "title": "soon gone"}]})
+        _req(server, "/index/zerot/flush", {})
+        _req(server, "/index/zerot/documents/delete", {"ids": ["x"]})
+        code, out = _req(server, "/index/zerot/compact", {})
+        assert code == 200 and out["totalDocs"] == 0
+        # tombstone lands on an index with zero partitions
+        _req(server, "/index/zerot/documents/delete", {"ids": ["ghost"]})
+        code, out = _req(server, "/index/zerot/compact", {})
+        assert code == 200, out
+        assert out["totalDocs"] == 0
+        # the vacuous tombstone is retired, and the index still works
+        _req(server, "/index/zerot/documents", {"documents": [
+            {"id": "n", "title": "alive again"}]})
+        _req(server, "/index/zerot/flush", {})
+        code, r = _req(server, "/search/zerot", {
+            "query": {"match": {"field": "title", "value": "alive"}}})
+        assert r["total"] == 1
+
     def test_flush_unifies_heterogeneous_buffer_schema(self, server):
         """pa.Table.from_pylist infers the schema from the FIRST row
         only — a field absent there was silently never indexed."""
