@@ -93,13 +93,23 @@ def _single_field_value(node: dict, extra_keys=("fuzziness", "boost", "slop")):
 
 
 def normalize_query(raw, operator: str = "and"):
-    """String/raw-dict query → normalized AST dict (QueryParser.ts:19-206)."""
+    """String/raw-dict query → normalized AST dict (QueryParser.ts:19-206).
+
+    Degenerate full-dump forms mirror the reference's naive scan
+    (QueryEngine.ts:1105-1118): the strings ``''``/``'*'`` and the empty
+    object ``{}`` all mean match-all.  (``None`` stays ``None`` here —
+    sub-clause recursion relies on it — and is mapped to match-all at
+    the top-level search entry points, QueryEngine.ts:1099-1103.)"""
     if raw is None:
         return None
     if isinstance(raw, str):
+        if raw.strip() == "*":
+            # '*' string query returns ALL documents (QueryEngine.ts:1110)
+            return {"match_all": {}}
         terms = [t for t in raw.strip().split() if t]
         if not terms:
-            return None
+            # empty-string query returns ALL documents (QueryEngine.ts:1105)
+            return {"match_all": {}}
         clauses = [{"match": {"field": "*", "value": t}} for t in terms]
         if len(clauses) == 1:
             return clauses[0]
@@ -107,6 +117,9 @@ def normalize_query(raw, operator: str = "and"):
         return {"bool": {key: clauses}}
     if not isinstance(raw, dict):
         return None
+    if not raw:
+        # empty-object query returns ALL documents (QueryEngine.ts:1115)
+        return {"match_all": {}}
     if "match_all" in raw:
         return {"match_all": raw["match_all"] or {}}
     if "bool" in raw:
@@ -1469,9 +1482,11 @@ class IndexSearcher:
 
         tomb = load_tombstones(self.index_dir)
         if len(self._readers) <= 1 and not tomb.size:
+            self._live_docs = int(self.stats.total_docs)
             return
         from ..stages.util import sorted_isin
 
+        live = 0
         newer: Optional[np.ndarray] = None
         for r in reversed(self._readers):
             ids = r.all_doc_ids()  # sorted
@@ -1485,9 +1500,19 @@ class IndexSearcher:
                 sup = np.union1d(sup, tomb[sorted_isin(ids, tomb)])
             if sup.size:
                 r.exclude_ids = sup
+            live += int(ids.size - sup.size)
             newer = (
                 ids if newer is None else np.union1d(newer, ids)
             )
+        self._live_docs = live
+
+    @property
+    def total_docs(self) -> int:
+        """LOGICAL (live) doc count: physical docstore rows minus
+        superseded upsert copies and tombstoned deletes — the
+        reference's ``totalDocs`` (SearchEngine.ts:223-225 re-add
+        replaces; :265-283 delete removes from the count)."""
+        return int(getattr(self, "_live_docs", self.stats.total_docs))
 
     def _global_dfs(self, terms: Sequence[str]) -> Dict[str, int]:
         dfs: Dict[str, int] = {}
@@ -1511,6 +1536,9 @@ class IndexSearcher:
         ``personalization`` engine attached) adds the user's per-doc
         event counts to the scores before ranking."""
         self._validate(query)
+        if query is None:
+            # null query returns ALL documents (QueryEngine.ts:1099-1103)
+            query = {"match_all": {}}
         doc_boosts: Optional[Dict[int, int]] = None
         if user_id is not None and self.personalization is not None:
             doc_boosts = self.personalization.user_events(user_id) or None
@@ -1694,6 +1722,10 @@ class IndexSearcher:
         phrase, VERDICT r2 #8); the page itself still takes the
         ``_phrase_topk``/block-max fast paths via :meth:`search`."""
         self._validate(query)
+        was_string = isinstance(query, str)
+        if query is None:
+            # null query returns ALL documents (QueryEngine.ts:1099-1103)
+            query = {"match_all": {}}
         raw = normalize_query(query, operator)
         resolved = (
             self._resolve_bool_fallbacks(raw) if raw is not None else None
@@ -1708,13 +1740,44 @@ class IndexSearcher:
         else:
             cands = self._candidates_all(node)
         total = sum(ids.size for _, ids in cands)
-        if enrich_columns:
-            page = self.enrich(page, columns=tuple(enrich_columns))
-        hits = [
-            {**{k: row[k] for k in page.columns if k != "score"},
-             "_score": row["score"]}
-            for _, row in page.iterrows()
-        ]
+        # rename the rank column so a user doc field named 'score'
+        # can't collide in the enrichment merge (the reference keeps
+        # docData.score AND _score side by side)
+        page = page.rename(columns={"score": "__rank_score__"})
+        if enrich_columns is not None:
+            # () → no enrichment; "*" → every docstore column (the
+            # reference hit = whole document + _score,
+            # SearchEngine.ts:617-626); otherwise the named columns
+            if enrich_columns == "*":
+                page = self.enrich(page, columns=None)
+            elif enrich_columns:
+                page = self.enrich(page, columns=tuple(enrich_columns))
+        hits = []
+        for _, row in page.iterrows():
+            h = {}
+            for k in page.columns:
+                if k == "__rank_score__":
+                    continue
+                v = row[k]
+                if isinstance(v, np.ndarray):
+                    h[k] = v.tolist()
+                    continue
+                if v is None or (isinstance(v, float) and v != v):
+                    # field absent from this doc: the reference spreads
+                    # docData, so absent keys stay absent (not null)
+                    continue
+                h[k] = v.item() if hasattr(v, "item") else v
+            h["_score"] = (
+                row["__rank_score__"].item()
+                if hasattr(row["__rank_score__"], "item")
+                else row["__rank_score__"]
+            )
+            hits.append(h)
+        if was_string:
+            # string-query total counts the returned PAGE, object-query
+            # total counts all matches (SearchEngine.ts:638
+            # `typeof query === 'string' ? hits.length : ranked.length`)
+            total = len(hits)
         out: Dict[str, Any] = {
             "hits": hits,
             "total": int(total),
@@ -1983,14 +2046,19 @@ class IndexSearcher:
         return compute(aggs, lambda cols: self._result_docs_table(cands, cols))
 
     def enrich(self, hits: pd.DataFrame, columns=("url",)) -> pd.DataFrame:
-        """Join top-k hits back to the docstore (small-side lookup)."""
+        """Join top-k hits back to the docstore (small-side lookup).
+        ``columns=None`` enriches with EVERY docstore column (the
+        reference hit shape spreads the whole document,
+        SearchEngine.ts:617-626)."""
         ids = hits["doc_id"].tolist()
         if not ids:
             return hits
         frames = []
         for r in self._readers:
             tbl = r.docs_table(
-                columns=["doc_id", *columns],
+                columns=(
+                    None if columns is None else ["doc_id", *columns]
+                ),
                 filter=pc.field("doc_id").isin(ids),
             )
             frames.append(tbl.to_pandas())

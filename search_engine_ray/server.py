@@ -298,10 +298,19 @@ class IndexHandle:
                     self.buffer.compact()
                 except Exception:
                     pass
+        s = self.searcher()
         out = {
             "flushed": len(docs),
             "partition": pname,
-            "totalDocs": manifest["total_docs"],
+            # LOGICAL doc count (upsert-superseded copies and tombstoned
+            # deletes excluded) — the reference's totalDocs
+            # (SearchEngine.ts:223-225): re-adding an id must not
+            # inflate the count even though the old physical copy stays
+            # on disk until compaction
+            "totalDocs": (
+                s.total_docs if s is not None
+                else manifest["total_docs"]
+            ),
         }
         if (
             self.auto_compact_partitions
@@ -362,6 +371,40 @@ class IndexHandle:
             "partitions": manifest["n_partitions"],
             "totalDocs": manifest["total_docs"],
         }
+
+    def doc_count(self) -> int:
+        """LOGICAL document count: live indexed docs (superseded upsert
+        copies and tombstoned deletes excluded) plus buffered adds not
+        yet flushed — what the reference's worker-pool stats report as
+        ``documentCount`` (SharedMemoryWorkerPool.ts:1862-1889, where
+        un-persisted adds are immediately live)."""
+        with self.lock:
+            buffered = sorted(self._buffered_ids)
+        s = self.searcher()
+        live = s.total_docs if s is not None else 0
+        if not buffered:
+            return live
+        if s is None:
+            return len(buffered)
+        import numpy as np
+
+        from .sources.webpages import url_doc_id
+        from .stages.util import sorted_isin
+
+        bh = np.unique(np.array(
+            [url_doc_id(str(i)) for i in buffered], dtype=np.int64
+        ))
+        # a buffered id already live in a partition is an update, not a
+        # new doc — count it once
+        present = np.zeros(len(bh), dtype=bool)
+        for r in s._readers:
+            ids = r.all_doc_ids()
+            ex = getattr(r, "exclude_ids", None)
+            if ex is not None and ex.size:
+                ids = ids[~sorted_isin(ex, ids)]
+            if ids.size:
+                present |= sorted_isin(ids, bh)
+        return live + int((~present).sum())
 
     # --- search ---------------------------------------------------------
     def searcher(self):
@@ -543,6 +586,23 @@ class SearchServer:
                         "indices": sorted(server.indexes),
                         "version": "1.0.0",
                     })
+                if self.path == "/stats":
+                    # worker-pool stats shape
+                    # (SharedMemoryWorkerPool.ts:1862-1889 getStats)
+                    index_stats = {}
+                    total_documents = 0
+                    for name, h in sorted(server.indexes.items()):
+                        n = h.doc_count()
+                        index_stats[name] = {
+                            "indexName": name,
+                            "documentCount": n,
+                        }
+                        total_documents += n
+                    return self._json(200, {
+                        "totalIndices": len(server.indexes),
+                        "totalDocuments": total_documents,
+                        "indexStats": index_stats,
+                    })
                 if self.path == "/performance":
                     n = server.query_count
                     return self._json(200, {
@@ -649,6 +709,9 @@ class SearchServer:
                         operator=b.get("operator", "and"),
                         facet_fields=h.facet_fields or None,
                         aggs=b.get("aggregations") or b.get("aggs"),
+                        # reference hits carry the WHOLE document
+                        # (SearchEngine.ts:617-626 {...docData, _score})
+                        enrich_columns="*",
                     )
 
                 try:
@@ -677,6 +740,11 @@ class SearchServer:
                     server.query_ms_total += ms
                 out.setdefault("aggregations", {})
                 out.setdefault("facets", {})
+                for hh in out["hits"]:
+                    # every hit names its index, like the worker-pool
+                    # responses the reference's multi-index suites pin
+                    # (search-filtering-multi-index.test.ts:51)
+                    hh["indexName"] = name
                 out["_performance"] = {
                     "queryTime": f"{ms:.1f}ms", "cached": ms < 10
                 }

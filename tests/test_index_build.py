@@ -112,6 +112,160 @@ class TestBuildBlocks:
         assert out.num_rows == 0
 
 
+class TestInvertedIndexVectors:
+    """One-to-one port of the reference's inverted-index module vectors
+    (/root/reference/tests/inverted-index.test.ts:24-259) against this
+    engine's addToken analog: the tokenize stages (position
+    dedup+sort, ShardedInvertedIndex.ts:195-262) and the BuildBlocks
+    posting assembly (df/tf/positions per (term, doc)).
+
+    Unportable rows, documented: null/undefined tokens and doc ids
+    (.ts:193-215) cannot exist in the typed Arrow schema (term is a
+    non-null string, doc_id a non-null int64); negative positions
+    (.ts:217-222) cannot exist in varbyte (unsigned), and no analyzer
+    emits them."""
+
+    @staticmethod
+    def _generic_postings(rows, mappings):
+        from search_engine_ray.stages.tokenize import (
+            GenericTokenizePostings,
+        )
+
+        tbl = pa.Table.from_pylist(rows)
+        out = GenericTokenizePostings(mappings)(tbl)
+        return [r for r in out.to_pylist() if r["term"] != STATS_TERM]
+
+    def test_add_single_token(self):
+        # .ts:25-30 — one token at position 0
+        rows = self._generic_postings(
+            [{"doc_id": 1, "name": "hello"}], {"name": "text"}
+        )
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["term"] == "name:hello" and r["doc_id"] == 1
+        assert decode_positions(r["pos"], 1)[0].tolist() == [0]
+
+    def test_multiple_tokens_same_document(self):
+        # .ts:32-43 — 'hello' at 0, 'world' at 1
+        rows = self._generic_postings(
+            [{"doc_id": 1, "name": "hello world"}], {"name": "text"}
+        )
+        by_term = {r["term"]: r for r in rows}
+        assert decode_positions(
+            by_term["name:hello"]["pos"], 1)[0].tolist() == [0]
+        assert decode_positions(
+            by_term["name:world"]["pos"], 1)[0].tolist() == [1]
+
+    def test_same_token_multiple_documents(self):
+        # .ts:45-52, :104-112 — df via one posting row per doc
+        rows = self._generic_postings(
+            [{"doc_id": i, "name": "hello"} for i in (1, 2, 3)],
+            {"name": "text"},
+        )
+        assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+        assert all(r["term"] == "name:hello" for r in rows)
+
+    def test_duplicate_positions_dedup(self):
+        # .ts:54-61 — same (token, doc, position) twice stores ONE
+        # position (two array elements both put 'hello' at position 0)
+        rows = self._generic_postings(
+            [{"doc_id": 1, "tags": ["hello", "hello"]}],
+            {"tags": "keyword"},
+        )
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["tf"] == 2  # frequency counts every addToken
+        assert decode_positions(r["pos"], 1)[0].tolist() == [0]
+
+    def test_multiple_positions_same_token(self):
+        # .ts:63-71, :123-140 — positions [0, 5, 10], tf 3
+        text = "hello a b c d hello e f g h hello"
+        # standard analyzer drops len<=1 tokens; craft 2-char fillers
+        text = "hello aa bb cc dd hello ee ff gg hh hello"
+        rows = self._generic_postings(
+            [{"doc_id": 1, "name": text}], {"name": "text"}
+        )
+        r = next(x for x in rows if x["term"] == "name:hello")
+        assert r["tf"] == 3
+        assert decode_positions(r["pos"], 1)[0].tolist() == [0, 5, 10]
+
+    def test_out_of_order_positions_sorted(self):
+        # .ts:156-164 — positions arrive out of order across array
+        # items (item 0 puts 'zz' at 2, item 1 at 0) and store sorted
+        rows = self._generic_postings(
+            [{"doc_id": 1, "tags": ["aa bb zz", "zz yy"]}],
+            {"tags": "keyword"},
+        )
+        r = next(x for x in rows if x["term"] == "tags:zz")
+        assert decode_positions(r["pos"], 1)[0].tolist() == [0, 2]
+
+    def test_nonexistent_token_empty_posting(self, tmp_path, ray_session):
+        # .ts:75-79 — missing term reads as an empty posting map
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query.postings import PartitionReader
+
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table({"id": ["d1"], "name": ["hello world"]}), src
+        )
+        idx = str(tmp_path / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"name": "text"}, doc_key_column="id",
+            extract_html=False, dedup=False, n_partitions=1,
+        ))
+        import glob as g
+
+        part = sorted(g.glob(idx + "/partitions/p*"))[0]
+        r = PartitionReader(part)
+        assert r.read_terms(["name:nonexistent"]) == {}
+        got = r.read_terms(["name:hello"], with_positions=True)
+        tp = got["name:hello"]
+        assert tp.doc_ids.size == 1 and tp.tfs.tolist() == [1]
+
+    def test_empty_token_and_empty_doc_id(self):
+        # .ts:187-191, :205-209 — '' token and '' doc id are legal keys
+        # at the BuildBlocks layer (any string term; doc id 0 stands in
+        # for the hashed empty string)
+        rows = [
+            ("name:", 0, 1, 1, _pos_blob([0])),
+        ]
+        out = BuildBlocks()(_postings_batch(rows))
+        r = next(x for x in out.to_pylist() if x["term"] == "name:")
+        assert decode_sorted(r["docs"]).tolist() == [0]
+
+    def test_large_position_numbers(self):
+        # .ts:224-229 — position 1,000,000 survives varbyte
+        rows = [("name:hello", 1, 1, 1, _pos_blob([1000000]))]
+        out = BuildBlocks()(_postings_batch(rows))
+        r = out.to_pylist()[0]
+        assert decode_positions(r["pos"], 1)[0].tolist() == [1000000]
+
+    def test_many_tokens(self):
+        # .ts:233-245 — 1000 distinct tokens land as 1000 terms
+        rows = [
+            (f"name:token{i}", i % 100, 1, 1, _pos_blob([i]))
+            for i in range(1000)
+        ]
+        out = BuildBlocks()(_postings_batch(rows))
+        assert len(set(out["term"].to_pylist())) == 1000
+
+    def test_many_documents_one_token(self):
+        # .ts:247-259 — 1000 docs under one term: df 1000 across blocks
+        rows = [
+            ("name:common", i, 1, 1, _pos_blob([i])) for i in range(1000)
+        ]
+        out = BuildBlocks(block_size=128)(_postings_batch(rows))
+        tbl = out.to_pylist()
+        assert sum(r["n"] for r in tbl) == 1000
+        all_docs = np.concatenate(
+            [decode_sorted(r["docs"])
+             for r in sorted(tbl, key=lambda r: r["doc_min"])]
+        )
+        assert all_docs.tolist() == list(range(1000))
+
+
 class TestTokenizePostings:
     def test_pages_shape(self):
         batch = pa.table(

@@ -805,9 +805,20 @@ class TestQueryEngineShapes:
         assert got == ["g1", "g3"]
 
     def test_empty_null_unknown_queries(self, idx):
+        # The reference's two layers disagree on {} / null: the
+        # PROCESSOR path returns the empty set
+        # (QueryEngine.execute, query-engine.test.ts:471-484) while
+        # QueryEngine.search's naive scan returns ALL documents
+        # (QueryEngine.ts:1099-1118) and search takes the max of the
+        # two (QueryEngine.ts:201-204).  End-to-end behavior — what
+        # SearchEngine.search and the integration suite observe
+        # (search-engine-integration.test.ts:148-156) — is therefore
+        # the full dump, pinned here; unknown clause shapes match
+        # NEITHER layer and stay empty.
         s = IndexSearcher(idx, text_fields=("name",), strict=False)
-        assert len(s.search({})) == 0
-        assert len(s.search(None)) == 0
+        n_docs = len(s.search({"match_all": {}}, size=100))
+        assert len(s.search({}, size=100)) == n_docs
+        assert len(s.search(None, size=100)) == n_docs
         assert len(s.search({"unknown": {"field": "name",
                                          "value": "test"}})) == 0
         # {"bool": {}}: the reference's two layers disagree — the
@@ -1168,3 +1179,151 @@ class TestMultiFieldMatchQueries:
             {"match": {"field": "description", "value": "gaming"}},
         ]}})
         assert got == ["multi1"]
+
+
+class TestRankingPipelineVectors:
+    """One-to-one port of the reference's ranking-pipeline module suite
+    (/root/reference/tests/ranking-pipeline.test.ts) against this
+    engine's analogs: ``collect_scoring_terms`` (the
+    ``extractQueryTokens`` counterpart, engine.py:220) and the
+    scorer-injected search pipeline (rank + paginate).
+
+    Documented deviations (engine.py:220 docstring): the repo extracts
+    field-scoped composite ``field:token`` keys (the BM25 df/tf lookup
+    keys) instead of bare values, includes ``match`` values (the
+    reference omits them then falls back to non-BM25 scoring), and
+    analyzes phrase values into their tokens (the reference keeps the
+    whole phrase string as one pseudo-token, .ts:266-274).
+
+    Unportable rows, documented: the null scorer and throwing scorer
+    (.ts:388-412) have no analog — scorer injection is typed and a
+    scorer exception propagates (fail loudly, not silently score 0);
+    wall-clock performance rows are covered by bench.py instead.
+    """
+
+    @staticmethod
+    def _terms(query, fields=("name",)):
+        from search_engine_ray.query.engine import (
+            collect_scoring_terms,
+            normalize_query,
+        )
+
+        return collect_scoring_terms(normalize_query(query), fields)
+
+    def test_extract_bool_must(self):
+        # .ts:204-218
+        got = self._terms({"bool": {"must": [
+            {"term": {"field": "name", "value": "hello"}},
+            {"term": {"field": "description", "value": "world"}},
+        ]}})
+        assert got == ["name:hello", "description:world"]
+
+    def test_extract_bool_should(self):
+        # .ts:220-234
+        got = self._terms({"bool": {"should": [
+            {"term": {"field": "name", "value": "hello"}},
+            {"term": {"field": "description", "value": "world"}},
+        ]}})
+        assert got == ["name:hello", "description:world"]
+
+    def test_extract_term_prefix_wildcard(self):
+        # .ts:236-264 — one token each; wildcard keeps its metachars
+        assert self._terms(
+            {"term": {"field": "name", "value": "hello"}}
+        ) == ["name:hello"]
+        assert self._terms(
+            {"prefix": {"field": "name", "value": "hello"}}
+        ) == ["name:hello"]
+        assert self._terms(
+            {"wildcard": {"field": "name", "value": "hello*"}}
+        ) == ["name:hello*"]
+
+    def test_extract_phrase(self):
+        # .ts:266-274 — the reference keeps 'hello world' as ONE
+        # pseudo-token; this engine analyzes it into its scoring tokens
+        # (documented deviation, engine.py:220)
+        assert self._terms(
+            {"phrase": {"field": "name", "value": "hello world"}}
+        ) == ["name:hello", "name:world"]
+
+    def test_extract_nested_bool(self):
+        # .ts:276-298 — recursion over nested bool pulls all three
+        got = self._terms({"bool": {"must": [
+            {"term": {"field": "name", "value": "hello"}},
+            {"bool": {"should": [
+                {"term": {"field": "description", "value": "world"}},
+                {"term": {"field": "tags", "value": "test"}},
+            ]}},
+        ]}})
+        assert got == ["name:hello", "description:world", "tags:test"]
+
+    def test_extract_empty_null_unknown(self):
+        # .ts:300-314 — {} / null / unknown kinds extract nothing.
+        # ({} normalizes to match_all, which carries no scoring terms.)
+        assert self._terms({}) == []
+        assert self._terms(None) == []
+        assert self._terms(
+            {"unknown": {"field": "name", "value": "test"}}
+        ) == []
+
+    # --- rank + paginate over a real index with an injected scorer ----
+
+    @pytest.fixture(scope="class")
+    def ranked(self, tmp_path_factory, ray_session):
+        """Five docs with tf(test) = 5..1 — the injected pure-tf scorer
+        reproduces the mock scorer's distinct per-doc scores
+        (.ts:318-348 uses 0.9..0.5; ordering assertions carry over)."""
+        import numpy as np
+
+        docs = [
+            {"id": f"doc{i}", "name": " ".join(["test"] * (6 - i))}
+            for i in range(1, 6)
+        ]
+        idx = _mk_index(tmp_path_factory, docs, "rankvec")
+
+        def tf_scorer(tfs, dls, *, total_docs, avg_dl, df, boost=1.0, **kw):
+            return tfs.astype(np.float64) * boost
+
+        s = IndexSearcher(idx, text_fields=("name",), scorer=tf_scorer)
+        return s
+
+    def _page(self, s, from_, size):
+        hits = s.search({"term": {"field": "name", "value": "test"}},
+                        size=size, from_=from_)
+        return s.enrich(hits, columns=("id",)) if len(hits) else hits
+
+    def test_rank_documents_by_score(self, ranked):
+        # .ts:39-58 — descending score order
+        page = self._page(ranked, 0, 10)
+        assert page["id"].tolist() == [
+            "doc1", "doc2", "doc3", "doc4", "doc5"]
+        assert page["score"].tolist() == [5.0, 4.0, 3.0, 2.0, 1.0]
+
+    def test_empty_document_set(self, ranked):
+        # .ts:60-66 — no matches, no results
+        assert len(ranked.search(
+            {"term": {"field": "name", "value": "nonexistent"}}
+        )) == 0
+
+    def test_match_all_scores_zero(self, ranked):
+        # .ts:68-77 — no query tokens → every doc scores 0
+        hits = ranked.search({"match_all": {}}, size=10)
+        assert len(hits) == 5
+        assert all(s == 0 for s in hits["score"])
+
+    def test_pagination_pages(self, ranked):
+        # .ts:318-348 — three pages of size 2
+        p1 = self._page(ranked, 0, 2)
+        assert p1["id"].tolist() == ["doc1", "doc2"]
+        p2 = self._page(ranked, 2, 2)
+        assert p2["id"].tolist() == ["doc3", "doc4"]
+        p3 = self._page(ranked, 4, 2)
+        assert p3["id"].tolist() == ["doc5"]
+
+    def test_pagination_beyond_results(self, ranked):
+        # .ts:350-366
+        assert len(self._page(ranked, 10, 5)) == 0
+
+    def test_zero_size_pagination(self, ranked):
+        # .ts:368-384
+        assert len(self._page(ranked, 0, 0)) == 0
