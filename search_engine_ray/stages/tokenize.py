@@ -733,7 +733,22 @@ class ExtractTextStage:
         self.drop_html = drop_html
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        # Column-level cast (C UTF-8 validation) replaces the per-row
+        # bytes.decode; identical output for valid UTF-8, and the rare
+        # invalid-UTF-8 batch falls back to the per-row spec path
+        # (decode errors="replace").  Full vectorization was measured and
+        # rejected on this hardware: per-row CPython 23.7 µs/doc beats
+        # Arrow-RE2 (~40), polars Rust regex (~27), and a numpy byte
+        # kernel (~104) — the cost is one C-level pass over the text
+        # (whitespace collapse), which every batch alternative re-pays
+        # in extra buffer passes (see NOTES_r5.md).
+        col = batch["html"]
+        try:
+            if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+                col = col.cast(pa.large_string())
+        except pa.ArrowInvalid:
+            pass  # invalid UTF-8 somewhere: extract_text decodes per row
+        texts = [extract_text(h) for h in col.to_pylist()]
         idx = batch.schema.get_field_index("text")
         if idx >= 0:
             batch = batch.set_column(

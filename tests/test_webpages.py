@@ -81,6 +81,56 @@ def test_doc_id_stable():
     assert 0 <= url_doc_id("u") < 2**63
 
 
+class TestExtractTextStage:
+    """The batch stage must equal the per-row spec (extract_text) on every
+    input shape — including the invalid-UTF-8 batches that bypass the
+    column-level Arrow cast fast path."""
+
+    CASES = [
+        b"<html><body>plain</body></html>",
+        b"<script>drop me</script>kept",
+        b"<SCRIPT type='t'>x</SCRIPT >ok <style>s</style>done",
+        b"a<!--comment-->b",
+        b"a<!--unclosed",
+        b"<script>unclosed for ever",
+        "AT&amp;T &lt;3 &nbsp;spaced".encode(),
+        "café <p>中文</p>".encode(),
+        b"",
+        b"   \t\n  ",
+        b"<scripte>not a script tag</scripte>x",
+        b"\xff\xfe broken <b>utf8</b>",  # invalid UTF-8: decode-replace path
+        "tag with nbsp closer </script > tail".encode(),
+    ]
+
+    def _run(self, values, typ):
+        import pyarrow as pa
+
+        from search_engine_ray.analysis.html_extract import extract_text
+        from search_engine_ray.stages.tokenize import ExtractTextStage
+
+        batch = pa.table({"html": pa.array(values, typ), "url": [str(i) for i in range(len(values))]})
+        out = ExtractTextStage()(batch)
+        assert out["text"].to_pylist() == [extract_text(v) for v in values]
+        assert "html" not in out.column_names
+
+    def test_binary_batch_with_invalid_utf8(self):
+        import pyarrow as pa
+
+        self._run(self.CASES, pa.large_binary())
+
+    def test_valid_binary_batch_cast_fast_path(self):
+        import pyarrow as pa
+
+        valid = [c for c in self.CASES if c != b"\xff\xfe broken <b>utf8</b>"]
+        self._run(valid, pa.binary())
+
+    def test_string_batch_passthrough(self):
+        import pyarrow as pa
+
+        vals = [c.decode("utf-8", "replace") for c in self.CASES]
+        self._run(vals, pa.large_string())
+
+
 class TestUrlCanonicalization:
     def test_canonical_forms(self, ray_session):
         import pyarrow as pa
