@@ -422,6 +422,73 @@ class _PartitionEvaluator:
         ids.sort()
         return ids
 
+    def _field_value_startswith_docs(
+        self, field: str, pref: str
+    ) -> np.ndarray:
+        """Sorted doc ids whose raw STRING value for ``field`` starts
+        with ``pref``, case-insensitively — the naive scan's
+        `fieldVal.toLowerCase().startsWith(prefix)` test
+        (QueryEngine.ts:838, :1216-1222), vectorized as a
+        pc.starts_with over the docstore column."""
+        try:
+            tbl = self.r.docs_table(
+                columns=["doc_id", field],
+                filter=pc.field(field).is_valid(),
+            )
+        except (KeyError, pa.ArrowInvalid):
+            return np.empty(0, dtype=np.int64)
+        ftype = tbl.schema.field(field).type
+        if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
+            return np.empty(0, dtype=np.int64)
+        mask = pc.starts_with(pc.utf8_lower(tbl[field]), pref)
+        ids = (
+            tbl["doc_id"]
+            .filter(mask)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids.sort()
+        return ids
+
+    def _field_value_wildcard_docs(
+        self, field: str, pattern: str
+    ) -> np.ndarray:
+        """Sorted doc ids whose raw STRING value for ``field``
+        full-matches the wildcard ``pattern``, case-insensitively —
+        the naive scan's anchored ``_testWildcard`` over the whole
+        field value (QueryEngine.ts:1393-1403: '*'→'.*', '?'→'.',
+        everything else literal), vectorized as one RE2 kernel over
+        the docstore column."""
+        try:
+            tbl = self.r.docs_table(
+                columns=["doc_id", field],
+                filter=pc.field(field).is_valid(),
+            )
+        except (KeyError, pa.ArrowInvalid):
+            return np.empty(0, dtype=np.int64)
+        ftype = tbl.schema.field(field).type
+        if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
+            return np.empty(0, dtype=np.int64)
+        rx = (
+            "^"
+            + re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".")
+            + "$"
+        )
+        try:
+            mask = pc.match_substring_regex(
+                tbl[field], rx, ignore_case=True
+            )
+        except pa.ArrowInvalid:
+            return np.empty(0, dtype=np.int64)
+        ids = (
+            tbl["doc_id"]
+            .filter(mask)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ids.sort()
+        return ids
+
     def _expanded_docs(self, field: str, tokens: List[str]) -> np.ndarray:
         if not tokens:
             return np.empty(0, dtype=np.int64)
@@ -518,13 +585,47 @@ class _PartitionEvaluator:
                     a2 = self._expanded_docs(f, toks)
                     if a2.size:
                         arrays.append(a2)
-            if not arrays:
-                return np.empty(0, dtype=np.int64)
-            return (
+            token_docs = (
                 np.unique(np.concatenate(arrays))
-                if len(arrays) > 1
-                else arrays[0]
+                if arrays
+                else np.empty(0, dtype=np.int64)
             )
+            # raw-VALUE startswith scan: _prefixToDocs falls back to
+            # `fieldVal.toLowerCase().startsWith(prefix)` over the doc
+            # store when the token path finds nothing
+            # (QueryEngine.ts:835-841), and the naive scan
+            # (QueryEngine.ts:1216-1222) applies the same raw-value
+            # test under the bigger-set-wins rule (ts:201-204).  This
+            # is how multi-word prefixes ('quick brown') match \u2014 no
+            # vocab token contains a space.  Vectorized pc.starts_with
+            # over the field column, only evaluated when it can add
+            # docs the token path can't: token path empty, a non-token
+            # character in pref (multi-word/punctuated), a stopword the
+            # index dropped that pref could match, or a token_filter
+            # (stemmed vocab breaks prefix containment).  A plain
+            # alnum prefix against an unstemmned index short-circuits \u2014
+            # every raw value starting with it also has a first TOKEN
+            # starting with it.
+            need_naive = (
+                token_docs.size == 0
+                or not pref.isalnum()
+                or self.token_filter is not None
+                or any(sw.startswith(pref) for sw in (self.stopwords or ()))
+            )
+            if need_naive:
+                naive = [
+                    self._field_value_startswith_docs(f, pref)
+                    for f in fields
+                ]
+                naive = [a for a in naive if a.size]
+                naive_docs = (
+                    np.unique(np.concatenate(naive))
+                    if naive
+                    else np.empty(0, dtype=np.int64)
+                )
+                if token_docs.size == 0 or naive_docs.size > token_docs.size:
+                    return naive_docs
+            return token_docs
         if "wildcard" in node:
             q = node["wildcard"]
             fuzz = int(q.get("fuzziness", 0) or 0)
@@ -559,13 +660,32 @@ class _PartitionEvaluator:
                 a = self._expanded_docs(f, toks)
                 if a.size:
                     arrays.append(a)
-            if not arrays:
-                return np.empty(0, dtype=np.int64)
-            return (
+            token_docs = (
                 np.unique(np.concatenate(arrays))
-                if len(arrays) > 1
-                else arrays[0]
+                if arrays
+                else np.empty(0, dtype=np.int64)
             )
+            # raw-VALUE wildcard scan under the bigger-set-wins rule
+            # (QueryEngine.ts:201-204 + _naiveScan:1226-1254): the
+            # naive path full-matches the pattern against the WHOLE
+            # field value, which is the only way patterns containing
+            # analyzer-stripped characters ('test.*', '*@*', '*.txt')
+            # or spanning token boundaries ('quick*fox') can match.
+            # Always evaluated — the reference naive-scans every query
+            # — as one vectorized RE2 kernel per field column.
+            naive = [
+                self._field_value_wildcard_docs(f, str(q["value"]))
+                for f in fields
+            ]
+            naive = [a for a in naive if a.size]
+            naive_docs = (
+                np.unique(np.concatenate(naive))
+                if naive
+                else np.empty(0, dtype=np.int64)
+            )
+            if token_docs.size == 0 or naive_docs.size > token_docs.size:
+                return naive_docs
+            return token_docs
         if "fuzzy" in node:
             q = node["fuzzy"]
             # default 1 only when ABSENT; an explicit fuzziness=0 is an

@@ -163,7 +163,20 @@ class OracleEngine:
                     for t in self._vocab(q["field"])
                     if levenshtein(t[: len(p)], p, fuzz) <= fuzz
                 ]
-            return self._expand_docs(q["field"], toks)
+            token_docs = self._expand_docs(q["field"], toks)
+            # raw-value startswith fallback/max (_prefixToDocs
+            # QueryEngine.ts:835-841 + naive scan :1216-1222) — how
+            # multi-word prefixes match
+            naive_docs = {
+                did
+                for did, doc in self.docs.items()
+                for f in self._fields_of(q["field"])
+                if isinstance(doc.get(f), str)
+                and doc[f].lower().startswith(p)
+            }
+            if not token_docs or len(naive_docs) > len(token_docs):
+                return naive_docs
+            return token_docs
         if "wildcard" in node:
             import re
 
@@ -192,7 +205,20 @@ class OracleEngine:
                         for did, doc in self.docs.items()
                         if isinstance(doc.get(q["field"]), str)
                     }
-            return self._expand_docs(q["field"], toks)
+            token_docs = self._expand_docs(q["field"], toks)
+            # raw-value anchored wildcard match under the
+            # bigger-set-wins rule (_testWildcard QueryEngine.ts:
+            # 1393-1403 via the naive scan :1226-1254)
+            naive_docs = {
+                did
+                for did, doc in self.docs.items()
+                for f in self._fields_of(q["field"])
+                if isinstance(doc.get(f), str)
+                and rx.match(doc[f].lower())
+            }
+            if not token_docs or len(naive_docs) > len(token_docs):
+                return naive_docs
+            return token_docs
         if "fuzzy" in node:
             q = node["fuzzy"]
             fuzz = q.get("fuzziness", 1) or 1

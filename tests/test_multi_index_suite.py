@@ -396,3 +396,102 @@ class TestEndpointBehaviour:
             "field": "name", "value": "*ri*"}})
         assert len(r["hits"]) == 1
         assert r["hits"][0]["name"] == "Rick Sanchez"
+
+
+class TestServerSearchFiltering:
+    """server-search-filtering.test.ts:10-82 — index scoping and the
+    boosted-should / minimum_should_match complex query over a
+    rickandmorty + anime pair (the simplified SearchEngine-direct
+    rewrite of the original HTTP filtering tests; driven through the
+    facade per the established convention)."""
+
+    @pytest.fixture(scope="class")
+    def srv(self, tmp_path_factory, ray_session):
+        from search_engine_ray.server import SearchServer
+
+        root = tmp_path_factory.mktemp("srvfilter")
+        s = SearchServer(str(root))
+        port = s.start()
+        _mk(port, "rickandmorty", [
+            {"id": "1", "name": "Rick Sanchez", "species": "Human",
+             "status": "Alive", "origin": "Earth C-137",
+             "location": "Citadel of Ricks"},
+            {"id": "2", "name": "Morty Smith", "species": "Human",
+             "status": "Alive", "origin": "Earth C-137",
+             "location": "Earth C-137"},
+            {"id": "3", "name": "Summer Smith", "species": "Human",
+             "status": "Alive", "origin": "Earth C-137",
+             "location": "Earth C-137"},
+            {"id": "4", "name": "Beth Smith", "species": "Human",
+             "status": "Alive", "origin": "Earth C-137",
+             "location": "Earth C-137"},
+            {"id": "5", "name": "Jerry Smith", "species": "Human",
+             "status": "Alive", "origin": "Earth C-137",
+             "location": "Earth C-137"},
+        ])
+        _mk(port, "anime", [
+            {"id": "1", "name": "Naruto Uzumaki", "series": "Naruto",
+             "status": "Alive", "village": "Konoha",
+             "occupation": "Hokage"},
+            {"id": "2", "name": "Goku", "series": "Dragon Ball",
+             "status": "Alive", "planet": "Earth",
+             "occupation": "Fighter"},
+            {"id": "3", "name": "Luffy", "series": "One Piece",
+             "status": "Alive", "crew": "Straw Hat Pirates",
+             "occupation": "Pirate"},
+            {"id": "4", "name": "Ichigo", "series": "Bleach",
+             "status": "Alive", "occupation": "Soul Reaper",
+             "location": "Karakura Town"},
+        ])
+        yield port
+        s.stop()
+
+    def test_match_all_scoped_by_index(self, srv):
+        # .ts:36-42
+        code, r = _search(srv, "rickandmorty", {"match_all": {}})
+        assert r["total"] == 5
+        code, r = _search(srv, "anime", {"match_all": {}})
+        assert r["total"] == 4
+
+    def test_match_scoped_by_index(self, srv):
+        # .ts:44-52
+        code, r = _search(srv, "rickandmorty",
+                          {"match": {"field": "name", "value": "Rick"}})
+        assert len(r["hits"]) == 1
+        assert r["hits"][0]["name"] == "Rick Sanchez"
+        code, r = _search(srv, "anime",
+                          {"match": {"field": "name", "value": "Naruto"}})
+        assert len(r["hits"]) == 1
+        assert r["hits"][0]["name"] == "Naruto Uzumaki"
+
+    def test_wildcard_star_scoped_by_index(self, srv):
+        # .ts:54-60
+        code, r = _search(srv, "rickandmorty",
+                          {"wildcard": {"field": "name", "value": "*"}})
+        assert r["total"] == 5
+        code, r = _search(srv, "anime",
+                          {"wildcard": {"field": "name", "value": "*"}})
+        assert r["total"] == 4
+
+    def test_complex_boosted_should_msm(self, srv):
+        # .ts:62-81 — four boosted should clauses, msm 1: only the
+        # '*ri*' wildcard (raw-value 'Rick Sanchez') matches anything
+        q = {"bool": {
+            "should": [
+                {"match": {"field": "name", "value": "ri", "boost": 4}},
+                {"match": {"field": "species", "value": "ri",
+                           "boost": 3}},
+                {"wildcard": {"field": "name", "value": "*ri*",
+                              "boost": 2.5}},
+                {"wildcard": {"field": "species", "value": "*ri*",
+                              "boost": 2}},
+            ],
+            "minimum_should_match": 1,
+        }}
+        code, r = _search(srv, "rickandmorty", q)
+        assert code == 200
+        assert len(r["hits"]) == 1
+        assert r["hits"][0]["name"] == "Rick Sanchez"
+        code, r = _search(srv, "anime", q)
+        assert code == 200
+        assert len(r["hits"]) == 0

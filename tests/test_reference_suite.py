@@ -790,12 +790,15 @@ class TestQueryEngineShapes:
         ))
         got = wildcard_matches(vocab, "*@*")
         assert sorted(got) == ["test+tag@domain.org", "user@example.com"]
-        # at the SEARCH level both engines route keyword fields through
-        # the standard analyzer (SearchEngine.ts:939-954 dispatch
-        # quirk), so no indexed token retains '@' and the query is empty
+        # at the SEARCH level the analyzer dispatch strips '@' from
+        # every indexed token (SearchEngine.ts:939-954 quirk), so the
+        # PROCESSOR path is empty — but the naive scan full-matches the
+        # raw field values (QueryEngine.ts:1226-1254) and wins under
+        # the bigger-set-wins rule (ts:201-204), so search() still
+        # returns the two '@' docs
         s = _searcher(kw_idx)
         assert _ids(s, {"wildcard": {"field": "category",
-                                     "value": "*@*"}}) == []
+                                     "value": "*@*"}}) == ["e1", "e2"]
 
     def test_geo_distance_meters(self, geo_idx):
         # '10m' = 10 meters; the near-NYC doc is ~8.4 m away
