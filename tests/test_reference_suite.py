@@ -1330,3 +1330,211 @@ class TestRankingPipelineVectors:
     def test_zero_size_pagination(self, ranked):
         # .ts:368-384
         assert len(self._page(ranked, 0, 0)) == 0
+
+
+class TestShardingFunctionality:
+    """Behavior rows of
+    /root/reference/tests/sharding-functionality.test.ts:68-256 — a
+    sharded index must answer every search identically to a single
+    shard, find all docs, and actually spread its data.  The
+    reference shards TOKENS by hash inside one process; this engine's
+    unit of sharding is the build PARTITION (docs by input shard),
+    so the port asserts the distribution + search-parity contract at
+    that level.  Config-introspection rows (getConfig().shardStrategy,
+    _getShardForToken determinism) are machinery the partitioner
+    injection tests cover (test_generic_docs.py)."""
+
+    @pytest.fixture(scope="class")
+    def idx4(self, tmp_path_factory, ray_session):
+        # sharding-functionality.test.ts:111-128 docs, spread over 4
+        # input files -> 4 partitions
+        root = tmp_path_factory.mktemp("shard4")
+        docs = [
+            {"id": "doc1", "title": "Rick Sanchez", "status": "Alive"},
+            {"id": "doc2", "title": "Morty Smith", "status": "Alive"},
+            {"id": "doc3", "title": "Evil Morty", "status": "Alive"},
+        ]
+        src = root / "corpus"
+        src.mkdir()
+        for i, d in enumerate(docs):
+            pq.write_table(
+                pa.table({k: [v] for k, v in d.items()}),
+                str(src / f"part{i}.parquet"),
+            )
+        idx = str(root / "idx")
+        build_index(idx, str(src), BuildConfig(
+            mappings={"title": "text", "status": "keyword"},
+            doc_key_column="id", extract_html=False, dedup=False,
+            n_partitions=3,
+        ))
+        return idx
+
+    def test_search_across_shards(self, idx4):
+        # .ts:111-128
+        s = IndexSearcher(idx4, text_fields=("title", "status"))
+        assert _ids(s, "Rick") == ["doc1"]
+        assert _ids(s, "Morty") == ["doc2", "doc3"]
+        assert _ids(s, "Alive") == ["doc1", "doc2", "doc3"]
+
+    def test_data_distributed_across_shards(self, idx4):
+        # .ts:77-109 / 211-255 — more than one shard holds data; no
+        # single shard holds everything
+        s = IndexSearcher(idx4, text_fields=("title",))
+        sizes = [r.all_doc_ids().size for r in s._readers]
+        assert len(sizes) > 1
+        assert sum(1 for n in sizes if n > 0) > 1
+        assert max(sizes) < sum(sizes)
+
+    def test_large_set_with_sharding(self, tmp_path_factory, ray_session):
+        # .ts:177-209 — 100 docs over 8 shards; a 'Document' search
+        # with size=100 finds every one
+        root = tmp_path_factory.mktemp("shard8")
+        src = root / "corpus"
+        src.mkdir()
+        for f in range(8):
+            rows = [
+                {"id": f"doc{i}", "title": f"Document {i}",
+                 "content": f"This is test content for document number {i}",
+                 "category": f"category_{i % 10}",
+                 "tags": [f"tag{i}", f"group{i // 10}"]}
+                for i in range(f, 100, 8)
+            ]
+            pq.write_table(pa.table({
+                k: [r[k] for r in rows] for k in rows[0]
+            }), str(src / f"part{f}.parquet"))
+        idx = str(root / "idx")
+        build_index(idx, str(src), BuildConfig(
+            mappings={"title": "text", "content": "text",
+                      "category": "keyword", "tags": "keyword"},
+            doc_key_column="id", extract_html=False, dedup=False,
+            n_partitions=8,
+        ))
+        s = IndexSearcher(idx, text_fields=("title", "content"))
+        hits = s.search("Document", size=100)
+        assert len(hits) == 100
+
+
+class TestShardedPostingsContracts:
+    """Portable behavior rows of
+    /root/reference/tests/sharded-inverted-index.test.ts — the
+    posting-retrieval contracts a caller observes, mapped onto this
+    engine's partitioned segments (PartitionReader).  Shard-count /
+    strategy / _getShardForToken introspection rows are replaced
+    machinery (segments shard by build partition, not token hash) —
+    the partitioner-injection and distribution tests cover that
+    surface.
+
+    The reference fixture addToken's pre-analyzed 'field:value'
+    tokens; here each scenario's docs carry keyword-mapped fields so
+    the indexed token IS the raw value (keyword analyzer keeps the
+    whole trimmed value, .ts:356-376's special-character premise)."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, tmp_path_factory, ray_session):
+        # .ts:241-253 — four docs sharing status:alive
+        docs = [
+            {"id": "doc1", "title": "rick", "status": "alive",
+             "role": "scientist"},
+            {"id": "doc2", "title": "morty", "status": "alive",
+             "role": "student"},
+            {"id": "doc3", "title": "beth", "status": "alive",
+             "role": "doctor"},
+            {"id": "doc4", "title": "jerry", "status": "alive",
+             "role": "unemployed"},
+        ]
+        return _mk_index(tmp_path_factory, docs, "shardpost")
+
+    def test_posting_across_all_partitions(self, idx):
+        # .ts:255-262
+        s = _searcher(idx, text_fields=("title",))
+        assert _ids(s, {"term": {"field": "status", "value": "alive"}}) \
+            == ["doc1", "doc2", "doc3", "doc4"]
+
+    def test_nonexistent_token_empty(self, idx):
+        # .ts:264-267 + 333-341
+        s = _searcher(idx, text_fields=("title",))
+        assert _ids(s, {"term": {"field": "status",
+                                 "value": "nonexistent"}}) == []
+
+    def test_posting_carries_positions_and_frequency(self, idx):
+        # .ts:98-118 — getPosting returns per-doc positions and a
+        # positive frequency for every token of an added doc
+        from search_engine_ray.query.postings import PartitionReader
+
+        s = _searcher(idx, text_fields=("title",))
+        found = 0
+        for r in s._readers:
+            posting = r.read_terms(
+                ["title:rick"], with_positions=True
+            ).get("title:rick")
+            if posting is None:
+                continue
+            found += 1
+            assert posting.doc_ids.size == 1
+            idx_arr = __import__("numpy").array([0])
+            pos = posting.positions_for(idx_arr)
+            assert len(pos) == 1 and len(pos[0]) >= 1
+            assert posting.df == 1
+        assert found == 1
+
+    def test_special_characters_in_tokens(
+        self, tmp_path_factory, ray_session
+    ):
+        # .ts:356-376 addToken's RAW 'field:value' tokens (email / url
+        # / metachars / unicode / embedded space) directly into the
+        # index.  At the SEARCH level both engines route keyword
+        # fields through the standard analyzer (the SearchEngine.ts:
+        # 939-954 dispatch quirk, verified for this build path too),
+        # so the search-level form of the contract is: every
+        # special-character value stays retrievable by its analyzed
+        # parts — and the raw-token form is covered by the
+        # vocab-matcher row above (test_special_chars_in_wildcard).
+        # The reference's remaining whole-value escape hatch (the
+        # naive scan's raw substring match, _stringFieldMatch) is a
+        # documented divergence for term/match — see engine.py's
+        # multi-word-fuzzy note.
+        docs = [
+            {"id": "s1", "email": "user@example.com"},
+            {"id": "s2", "url": "https://example.com/path?param=value"},
+            {"id": "s3", "special": "chars!@#$%^&*()"},
+            {"id": "s4", "unicode": "测试"},
+            {"id": "s5", "spaces": "has spaces"},
+        ]
+        root = tmp_path_factory.mktemp("shardspecial")
+        src = str(root / "docs.parquet")
+        all_keys = list(dict.fromkeys(k for d in docs for k in d))
+        pq.write_table(pa.table(
+            {k: pa.array([d.get(k) for d in docs]) for k in all_keys}
+        ), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"email": "keyword", "url": "keyword",
+                      "special": "keyword", "unicode": "keyword",
+                      "spaces": "keyword"},
+            doc_key_column="id", extract_html=False, dedup=False,
+            n_partitions=1,
+        ))
+        s = IndexSearcher(idx, text_fields=())
+        for field, value, want in [
+            ("email", "example", "s1"),
+            ("url", "path", "s2"),
+            ("special", "chars", "s3"),
+            ("spaces", "spaces", "s5"),
+        ]:
+            got = _ids(s, {"term": {"field": field, "value": value}})
+            assert got == [want], (field, got)
+        # CJK: JS \w is ASCII-only, so the reference's standard
+        # analyzer strips 测试 to nothing exactly like this port —
+        # the term lookup is empty on BOTH engines
+        assert _ids(s, {"term": {"field": "unicode",
+                                 "value": "测试"}}) == []
+        # the whole raw value (incl. the CJK one) still matches
+        # through the wildcard operator's raw-value naive path (the
+        # engine's vectorized analog of the reference's whole-value
+        # scan)
+        got = _ids(s, {"wildcard": {"field": "email",
+                                    "value": "user@example.com"}})
+        assert got == ["s1"]
+        got = _ids(s, {"wildcard": {"field": "unicode",
+                                    "value": "测试"}})
+        assert got == ["s4"]
