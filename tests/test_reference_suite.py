@@ -1538,3 +1538,144 @@ class TestShardedPostingsContracts:
         got = _ids(s, {"wildcard": {"field": "unicode",
                                     "value": "测试"}})
         assert got == ["s4"]
+
+
+class TestEngineSurfaceSmoke:
+    """The behavior rows of the reference's four small engine-surface
+    suites, in one class:
+
+    * /root/reference/tests/simple-smoke.test.ts:6-67 — result shape
+      and empty/null query handling;
+    * /root/reference/tests/search-engine-initialization.test.ts:60-120
+      — stats after add, match_all / string search through a named
+      index;
+    * /root/reference/tests/query-engine-direct.test.ts:54-106 —
+      QueryEngine-level match_all and string-query totals;
+    * /root/reference/tests/server-query-engine-integration.test.ts:
+      14-117 — the '*' string query full dump.
+
+    The remaining rows of those files are replaced machinery
+    (instanceof checks, __rawSet, _naiveScan internals, jest mocks);
+    the raw candidate-set analog is asserted once via the partition
+    evaluator."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, tmp_path_factory, ray_session):
+        docs = [
+            {"id": "1", "name": "Rick Sanchez", "status": "Alive",
+             "species": "Human"},
+            {"id": "2", "name": "Morty Smith", "status": "Alive",
+             "species": "Human"},
+            {"id": "3", "name": "Summer Smith", "status": "Alive",
+             "species": "Human"},
+        ]
+        return _mk_index(tmp_path_factory, docs, "surfsmoke")
+
+    def test_result_shape(self, idx):
+        # simple-smoke.test.ts:26-32
+        s = _searcher(idx)
+        out = s.search_full("rick")
+        assert isinstance(out["hits"], list)
+        assert isinstance(out["total"], int)
+        assert isinstance(out["from"], int)
+        assert isinstance(out["size"], int)
+
+    def test_match_all_totals(self, idx):
+        # initialization.test.ts:68-93 / qe-direct.test.ts:54-79
+        s = _searcher(idx)
+        out = s.search_full({"match_all": {}}, size=10)
+        assert out["total"] == 3 and len(out["hits"]) == 3
+
+    def test_string_query_finds_docs(self, idx):
+        # initialization.test.ts:95-120 / qe-direct.test.ts:81-106
+        s = _searcher(idx)
+        out = s.search_full("Rick", size=10)
+        assert out["total"] > 0 and len(out["hits"]) > 0
+
+    def test_star_query_full_dump(self, idx):
+        # server-query-engine-integration.test.ts:36-47
+        s = IndexSearcher(idx, text_fields=("name",), strict=False)
+        out = s.search_full("*", size=10)
+        assert len(out["hits"]) == 3
+
+    def test_null_and_empty_queries(self, idx):
+        # simple-smoke.test.ts:35-67
+        s = IndexSearcher(idx, text_fields=("name",), strict=False)
+        assert len(s.search_full(None)["hits"]) == 3
+        assert len(s.search_full("")["hits"]) == 3
+
+    def test_total_docs_after_add(self, idx):
+        # initialization.test.ts:60-66 (getStats totalDocs)
+        s = _searcher(idx)
+        assert s.total_docs == 3
+
+    def test_raw_candidate_set(self, idx):
+        # qe-direct.test.ts:108-127 — the raw doc-id set analog
+        from search_engine_ray.query.engine import (
+            _PartitionEvaluator,
+            normalize_query,
+        )
+
+        s = _searcher(idx)
+        total = 0
+        for r in s._readers:
+            ev = _PartitionEvaluator(r, ["name"])
+            total += ev.evaluate(normalize_query({"match_all": {}})).size
+        assert total == 3
+
+
+class TestEnhancedEnginePersistence:
+    """Behavior rows of
+    /root/reference/tests/enhanced-search-engine.test.ts:36-168 — a
+    persistence-backed engine finds newly added docs, survives a
+    restart with its documents searchable, and a sharded persistence
+    layout produces one directory per shard.  The StreamingPersistence
+    plumbing rows are replaced machinery (segments ARE the persistence
+    here); deeper crash/restore coverage lives in test_kill_resume.py.
+    """
+
+    def test_add_search_persist_reload(self, tmp_path_factory, ray_session):
+        # .ts:43-49 + 51-132
+        docs = [
+            {"id": "1", "title": "First Document",
+             "body": "This is the first document."},
+            {"id": "2", "title": "Second Document",
+             "body": "This is the second document."},
+        ]
+        idx = _mk_index(tmp_path_factory, docs, "enhpersist")
+        s = IndexSearcher(idx, text_fields=("title", "body"))
+        out = s.search_full("second", enrich_columns=("title",))
+        assert len(out["hits"]) == 1
+        assert out["hits"][0]["title"] == "Second Document"
+        # "engine restart": a fresh searcher over the same directory
+        # rehydrates everything from disk
+        s2 = IndexSearcher(idx, text_fields=("title", "body"))
+        out2 = s2.search_full("document", size=10)
+        assert len(out2["hits"]) == 2
+        assert s2.total_docs == 2
+
+    def test_sharded_persistence_layout(self, tmp_path_factory, ray_session):
+        # .ts:134-168 — useSharding/numShards creates shard-N dirs;
+        # here each build partition persists its own docs/ + blocks/
+        import os
+
+        root = tmp_path_factory.mktemp("enhshard")
+        src = root / "corpus"
+        src.mkdir()
+        for i in range(4):
+            pq.write_table(pa.table({
+                "id": [f"doc{i}"],
+                "title": [f"Sharded Doc {i}"],
+                "body": [f"This is in shard {i}."],
+            }), str(src / f"f{i}.parquet"))
+        idx = str(root / "idx")
+        m = build_index(idx, str(src), BuildConfig(
+            mappings={"title": "text", "body": "text"},
+            doc_key_column="id", extract_html=False, dedup=False,
+            n_partitions=4,
+        ))
+        assert len(m["partitions"]) == 4
+        for p in m["partitions"]:
+            pdir = os.path.join(idx, "partitions", p)
+            assert os.path.isdir(os.path.join(pdir, "docs"))
+            assert os.path.isdir(os.path.join(pdir, "blocks"))
