@@ -97,11 +97,12 @@ def setup(tmp_path_factory, ray_session, request):
             if len(w) > 1 and w not in stopwords
         }
     )
-    return searcher, oracle, vocab
+    raw_texts = [t for t in tbl["text"].to_pylist()[:60] if len(t) > 20]
+    return searcher, oracle, vocab, raw_texts
 
 
 def test_random_battery(setup):
-    searcher, oracle, vocab = setup
+    searcher, oracle, vocab, _ = setup
     rng = np.random.default_rng(99)
     failures = []
     for i in range(40):
@@ -111,6 +112,50 @@ def test_random_battery(setup):
         op = "or" if rng.random() < 0.3 else "and"
         got = searcher.search(q, size=size, from_=from_, operator=op)
         want = oracle.search(q, size=size, from_=from_, operator=op)
+        g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
+        if [x[0] for x in g] != [w[0] for w in want]:
+            failures.append((i, q, "docids", g[:3], want[:3]))
+            continue
+        for (gd, gs), (wd, ws) in zip(g, want):
+            if abs(gs - ws) > 1e-12 * max(1.0, abs(ws)):
+                failures.append((i, q, "score", (gd, gs), (wd, ws)))
+                break
+    assert not failures, failures[:3]
+
+
+def _rand_rawvalue_query(rng, raw_texts):
+    """Query whose value is sliced from a RAW stored field value —
+    multi-word prefixes and punctuated/boundary-spanning wildcard
+    patterns, the shapes only the naive raw-value scan can serve
+    (QueryEngine.ts:835-841, :1226-1254 under the bigger-set-wins
+    rule ts:201-204)."""
+    t = str(rng.choice(raw_texts))
+    kind = rng.choice(["prefix", "wildcard", "wildcard_mid"])
+    if kind == "prefix":
+        # often spans the first word boundary -> token path empty
+        n = int(rng.integers(4, min(18, len(t))))
+        return {"prefix": {"field": "text", "value": t[:n].lower()}}
+    if kind == "wildcard":
+        n = int(rng.integers(4, min(14, len(t))))
+        return {"wildcard": {"field": "text", "value": t[:n].lower() + "*"}}
+    # interior slice with stars on both sides
+    j = int(rng.integers(0, max(1, len(t) - 8)))
+    frag = t[j : j + int(rng.integers(3, 7))].lower()
+    frag = frag.replace("*", "").replace("?", "") or "a"
+    return {"wildcard": {"field": "text", "value": f"*{frag}*"}}
+
+
+def test_random_rawvalue_battery(setup):
+    """Engine vs oracle over raw-value-sliced prefix/wildcard queries
+    (the naive-scan code paths added in round 5)."""
+    searcher, oracle, vocab, raw_texts = setup
+    rng = np.random.default_rng(7)
+    failures = []
+    for i in range(30):
+        q = _rand_rawvalue_query(rng, raw_texts)
+        size = int(rng.integers(1, 25))
+        got = searcher.search(q, size=size)
+        want = oracle.search(q, size=size)
         g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
         if [x[0] for x in g] != [w[0] for w in want]:
             failures.append((i, q, "docids", g[:3], want[:3]))
