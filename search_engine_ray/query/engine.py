@@ -670,21 +670,41 @@ class _PartitionEvaluator:
             # naive path full-matches the pattern against the WHOLE
             # field value, which is the only way patterns containing
             # analyzer-stripped characters ('test.*', '*@*', '*.txt')
-            # or spanning token boundaries ('quick*fox') can match.
-            # Always evaluated — the reference naive-scans every query
-            # — as one vectorized RE2 kernel per field column.
-            naive = [
-                self._field_value_wildcard_docs(f, str(q["value"]))
-                for f in fields
-            ]
-            naive = [a for a in naive if a.size]
-            naive_docs = (
-                np.unique(np.concatenate(naive))
-                if naive
-                else np.empty(0, dtype=np.int64)
+            # or spanning token boundaries ('quick*fox', '?' matches
+            # a space) can match.  O(docs) per query, so the common
+            # serving shapes skip it when the token path provably
+            # covers every raw match: pattern = one pure-alnum run
+            # (len>=2, nothing the analyzer drops) with stars only at
+            # the EDGES — any raw value full-matching it contains the
+            # run inside one alnum token, which then matches the same
+            # anchored regex — unless a stopword (dropped from the
+            # vocab) or a token_filter (stemmed vocab) could hide that
+            # token.
+            pat_l = str(q["value"]).lower()
+            rx_l = re.compile(
+                "^"
+                + re.escape(pat_l).replace(r"\*", ".*").replace(r"\?", ".")
+                + "$"
             )
-            if token_docs.size == 0 or naive_docs.size > token_docs.size:
-                return naive_docs
+            skip_naive = (
+                token_docs.size > 0
+                and re.fullmatch(r"\*?[a-z0-9]{2,}\*?", pat_l) is not None
+                and self.token_filter is None
+                and not any(rx_l.match(sw) for sw in (self.stopwords or ()))
+            )
+            if not skip_naive:
+                naive = [
+                    self._field_value_wildcard_docs(f, str(q["value"]))
+                    for f in fields
+                ]
+                naive = [a for a in naive if a.size]
+                naive_docs = (
+                    np.unique(np.concatenate(naive))
+                    if naive
+                    else np.empty(0, dtype=np.int64)
+                )
+                if token_docs.size == 0 or naive_docs.size > token_docs.size:
+                    return naive_docs
             return token_docs
         if "fuzzy" in node:
             q = node["fuzzy"]
