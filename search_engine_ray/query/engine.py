@@ -341,6 +341,13 @@ class _PartitionEvaluator:
         # posting lookup (e.g. a Snowball stemmer matching a
         # stem_by_lang-built index)
         self.token_filter = token_filter
+        # {field: analyzer-name} from the index manifest, set on the
+        # reader by IndexSearcher (like exclude_ids).  Consulted only
+        # to prove a naive raw-value scan redundant — an EMPTY map is
+        # the conservative direction (scan runs).
+        self.field_analyzers: Dict[str, str] = (
+            getattr(reader, "field_analyzers", None) or {}
+        )
         # doc ids superseded by a NEWER delta partition (server upsert
         # semantics: re-adding an id must hide the older copy) — set on
         # the reader by IndexSearcher._apply_partition_exclusions
@@ -402,25 +409,38 @@ class _PartitionEvaluator:
             toks = [self.token_filter(t) for t in toks]
         return toks
 
-    def _field_present_docs(self, field: str) -> np.ndarray:
-        """Sorted doc ids whose docstore row carries a non-null STRING
-        value for ``field`` (the naive scan's 'typeof fieldVal ===
-        string' universe, QueryEngine.ts:1246-1253 — numeric/bool/array
-        field values do NOT match, mirroring oracle.py's isinstance
-        check)."""
+    def _string_column(self, field: str) -> Optional[pa.Table]:
+        """(doc_id, field) docstore table restricted to non-null rows,
+        or None when the field is absent or not string-typed — the
+        naive scan's 'typeof fieldVal === string' universe
+        (QueryEngine.ts:1246-1253: numeric/bool/array values do NOT
+        match, mirroring oracle.py's isinstance check)."""
         try:
             tbl = self.r.docs_table(
                 columns=["doc_id", field],
                 filter=pc.field(field).is_valid(),
             )
         except (KeyError, pa.ArrowInvalid):
-            return np.empty(0, dtype=np.int64)
+            return None
         ftype = tbl.schema.field(field).type
         if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
-            return np.empty(0, dtype=np.int64)
-        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return None
+        return tbl
+
+    @staticmethod
+    def _masked_ids(tbl: pa.Table, mask=None) -> np.ndarray:
+        col = tbl["doc_id"] if mask is None else tbl["doc_id"].filter(mask)
+        ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
         ids.sort()
         return ids
+
+    def _field_present_docs(self, field: str) -> np.ndarray:
+        """Sorted doc ids whose docstore row carries a non-null STRING
+        value for ``field``."""
+        tbl = self._string_column(field)
+        if tbl is None:
+            return np.empty(0, dtype=np.int64)
+        return self._masked_ids(tbl)
 
     def _field_value_startswith_docs(
         self, field: str, pref: str
@@ -430,25 +450,11 @@ class _PartitionEvaluator:
         `fieldVal.toLowerCase().startsWith(prefix)` test
         (QueryEngine.ts:838, :1216-1222), vectorized as a
         pc.starts_with over the docstore column."""
-        try:
-            tbl = self.r.docs_table(
-                columns=["doc_id", field],
-                filter=pc.field(field).is_valid(),
-            )
-        except (KeyError, pa.ArrowInvalid):
-            return np.empty(0, dtype=np.int64)
-        ftype = tbl.schema.field(field).type
-        if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
+        tbl = self._string_column(field)
+        if tbl is None:
             return np.empty(0, dtype=np.int64)
         mask = pc.starts_with(pc.utf8_lower(tbl[field]), pref)
-        ids = (
-            tbl["doc_id"]
-            .filter(mask)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        ids.sort()
-        return ids
+        return self._masked_ids(tbl, mask)
 
     def _field_value_wildcard_docs(
         self, field: str, pattern: str
@@ -457,17 +463,11 @@ class _PartitionEvaluator:
         full-matches the wildcard ``pattern``, case-insensitively —
         the naive scan's anchored ``_testWildcard`` over the whole
         field value (QueryEngine.ts:1393-1403: '*'→'.*', '?'→'.',
-        everything else literal), vectorized as one RE2 kernel over
-        the docstore column."""
-        try:
-            tbl = self.r.docs_table(
-                columns=["doc_id", field],
-                filter=pc.field(field).is_valid(),
-            )
-        except (KeyError, pa.ArrowInvalid):
-            return np.empty(0, dtype=np.int64)
-        ftype = tbl.schema.field(field).type
-        if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
+        everything else literal; RE2 '$' = end-of-text, same as the
+        JS RegExp), vectorized as one RE2 kernel over the docstore
+        column."""
+        tbl = self._string_column(field)
+        if tbl is None:
             return np.empty(0, dtype=np.int64)
         rx = (
             "^"
@@ -480,14 +480,27 @@ class _PartitionEvaluator:
             )
         except pa.ArrowInvalid:
             return np.empty(0, dtype=np.int64)
-        ids = (
-            tbl["doc_id"]
-            .filter(mask)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        ids.sort()
-        return ids
+        return self._masked_ids(tbl, mask)
+
+    def _with_naive(
+        self, token_docs: np.ndarray, fields, scan
+    ) -> np.ndarray:
+        """UNION of the token-path result and the raw-value naive scan
+        over ``fields``.  The reference applies a whole-index
+        bigger-set-wins rule between the two (QueryEngine.ts:201-204);
+        that size comparison is not computable partition-locally, so
+        this engine uses its monotone, partition-decomposable closure:
+        the union.  It never loses a document the reference returns
+        (the reference's winner is always one of the two operands) —
+        it only re-adds processor-verified matches the reference's
+        replace rule would discard."""
+        naive = [scan(f) for f in fields]
+        naive = [a for a in naive if a.size]
+        if not naive:
+            return token_docs
+        return np.union1d(
+            token_docs, np.concatenate(naive)
+        ).astype(np.int64)
 
     def _expanded_docs(self, field: str, tokens: List[str]) -> np.ndarray:
         if not tokens:
@@ -595,37 +608,35 @@ class _PartitionEvaluator:
             # store when the token path finds nothing
             # (QueryEngine.ts:835-841), and the naive scan
             # (QueryEngine.ts:1216-1222) applies the same raw-value
-            # test under the bigger-set-wins rule (ts:201-204).  This
-            # is how multi-word prefixes ('quick brown') match \u2014 no
-            # vocab token contains a space.  Vectorized pc.starts_with
-            # over the field column, only evaluated when it can add
-            # docs the token path can't: token path empty, a non-token
-            # character in pref (multi-word/punctuated), a stopword the
-            # index dropped that pref could match, or a token_filter
-            # (stemmed vocab breaks prefix containment).  A plain
-            # alnum prefix against an unstemmned index short-circuits \u2014
-            # every raw value starting with it also has a first TOKEN
-            # starting with it.
-            need_naive = (
-                token_docs.size == 0
-                or not pref.isalnum()
-                or self.token_filter is not None
-                or any(sw.startswith(pref) for sw in (self.stopwords or ()))
-            )
-            if need_naive:
-                naive = [
-                    self._field_value_startswith_docs(f, pref)
+            # test.  This is how multi-word prefixes ('quick brown')
+            # match \u2014 no vocab token contains a space.  Combined with
+            # the token path per _with_naive.  The O(docs) scan is
+            # PROVABLY redundant (naive \u2286 token, so the union adds
+            # nothing) only when every raw value starting with pref
+            # must yield a first token starting with pref: pref is one
+            # ASCII-alnum run of len \u2265 2 (shorter/decorated tokens are
+            # dropped or split by the analyzer; non-ASCII never
+            # tokenizes), every queried field is standard-analyzed, no
+            # stopword the vocab dropped starts with pref, and no
+            # token_filter rewrote the vocab (stemming breaks prefix
+            # containment).
+            skip_naive = (
+                re.fullmatch(r"[a-z0-9]{2,}", pref) is not None
+                and self.token_filter is None
+                and all(
+                    self.field_analyzers.get(f) == "standard"
                     for f in fields
-                ]
-                naive = [a for a in naive if a.size]
-                naive_docs = (
-                    np.unique(np.concatenate(naive))
-                    if naive
-                    else np.empty(0, dtype=np.int64)
                 )
-                if token_docs.size == 0 or naive_docs.size > token_docs.size:
-                    return naive_docs
-            return token_docs
+                and not any(
+                    sw.startswith(pref) for sw in (self.stopwords or ())
+                )
+            )
+            if skip_naive:
+                return token_docs
+            return self._with_naive(
+                token_docs, fields,
+                lambda f: self._field_value_startswith_docs(f, pref),
+            )
         if "wildcard" in node:
             q = node["wildcard"]
             fuzz = int(q.get("fuzziness", 0) or 0)
@@ -665,47 +676,44 @@ class _PartitionEvaluator:
                 if arrays
                 else np.empty(0, dtype=np.int64)
             )
-            # raw-VALUE wildcard scan under the bigger-set-wins rule
-            # (QueryEngine.ts:201-204 + _naiveScan:1226-1254): the
+            # raw-VALUE wildcard scan (_naiveScan:1226-1254): the
             # naive path full-matches the pattern against the WHOLE
             # field value, which is the only way patterns containing
             # analyzer-stripped characters ('test.*', '*@*', '*.txt')
             # or spanning token boundaries ('quick*fox', '?' matches
-            # a space) can match.  O(docs) per query, so the common
-            # serving shapes skip it when the token path provably
-            # covers every raw match: pattern = one pure-alnum run
-            # (len>=2, nothing the analyzer drops) with stars only at
-            # the EDGES — any raw value full-matching it contains the
-            # run inside one alnum token, which then matches the same
-            # anchored regex — unless a stopword (dropped from the
-            # vocab) or a token_filter (stemmed vocab) could hide that
-            # token.
+            # a space) can match.  Combined with the token path per
+            # _with_naive.  The O(docs) scan is PROVABLY redundant
+            # (naive ⊆ token) only for patterns of one pure-ASCII-alnum
+            # run (len ≥ 2) with stars at the EDGES only: a raw value
+            # full-matching such a pattern carries the run inside one
+            # token in matching position (splits happen only at
+            # non-run characters), which then matches the same
+            # anchored regex — unless the field isn't
+            # standard-analyzed, a stopword the vocab dropped matches
+            # the pattern, or a token_filter rewrote the vocab.
             pat_l = str(q["value"]).lower()
             rx_l = re.compile(
                 "^"
                 + re.escape(pat_l).replace(r"\*", ".*").replace(r"\?", ".")
-                + "$"
+                + r"\Z"
             )
             skip_naive = (
-                token_docs.size > 0
-                and re.fullmatch(r"\*?[a-z0-9]{2,}\*?", pat_l) is not None
+                re.fullmatch(r"\*?[a-z0-9]{2,}\*?", pat_l) is not None
                 and self.token_filter is None
+                and all(
+                    self.field_analyzers.get(f) == "standard"
+                    for f in fields
+                )
                 and not any(rx_l.match(sw) for sw in (self.stopwords or ()))
             )
-            if not skip_naive:
-                naive = [
-                    self._field_value_wildcard_docs(f, str(q["value"]))
-                    for f in fields
-                ]
-                naive = [a for a in naive if a.size]
-                naive_docs = (
-                    np.unique(np.concatenate(naive))
-                    if naive
-                    else np.empty(0, dtype=np.int64)
-                )
-                if token_docs.size == 0 or naive_docs.size > token_docs.size:
-                    return naive_docs
-            return token_docs
+            if skip_naive:
+                return token_docs
+            return self._with_naive(
+                token_docs, fields,
+                lambda f: self._field_value_wildcard_docs(
+                    f, str(q["value"])
+                ),
+            )
         if "fuzzy" in node:
             q = node["fuzzy"]
             # default 1 only when ABSENT; an explicit fuzziness=0 is an
@@ -1447,6 +1455,26 @@ class IndexSearcher:
             for p in self.manifest["partitions"]
         ]
         self._readers = [PartitionReader(d) for d in self.part_dirs]
+        # {field: analyzer} from the manifest, consulted by evaluators
+        # to prove naive raw-value scans redundant (generic builds
+        # record mappings, page builds record (field, analyzer) pairs;
+        # unknown fields stay absent → conservative, scan runs)
+        from ..analysis.analyzers import analyzer_for_field_type
+
+        fa: Dict[str, str] = {}
+        for item in self.manifest.get("fields") or []:
+            if isinstance(item, (list, tuple)) and len(item) == 2:
+                fa[str(item[0])] = str(item[1])
+        mp = self.manifest.get("mappings")
+        if isinstance(mp, dict):
+            fa.update({
+                str(f): analyzer_for_field_type(t)
+                for f, t in mp.items()
+                if isinstance(t, str)
+            })
+        self.field_analyzers = fa
+        for r in self._readers:
+            r.field_analyzers = fa
         self._apply_partition_exclusions()
         self._stats_json = self.stats.to_json()
         # Ray presets OMP_NUM_THREADS=1, which Arrow adopts as its

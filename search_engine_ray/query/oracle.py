@@ -156,17 +156,22 @@ class OracleEngine:
             q = node["prefix"]
             p = str(q["value"]).lower()
             fuzz = int(q.get("fuzziness", 0) or 0)
-            toks = [t for t in self._vocab(q["field"]) if t.startswith(p)]
-            if fuzz:
-                toks += [
-                    t
-                    for t in self._vocab(q["field"])
-                    if levenshtein(t[: len(p)], p, fuzz) <= fuzz
-                ]
-            token_docs = self._expand_docs(q["field"], toks)
-            # raw-value startswith fallback/max (_prefixToDocs
+            token_docs: set = set()
+            for f in self._fields_of(q["field"]):
+                toks = [t for t in self._vocab(f) if t.startswith(p)]
+                if fuzz:
+                    toks += [
+                        t
+                        for t in self._vocab(f)
+                        if levenshtein(t[: len(p)], p, fuzz) <= fuzz
+                    ]
+                token_docs |= self._expand_docs(f, toks)
+            # raw-value startswith scan (_prefixToDocs
             # QueryEngine.ts:835-841 + naive scan :1216-1222) — how
-            # multi-word prefixes match
+            # multi-word prefixes match.  UNIONED with the token path,
+            # the partition-decomposable closure of the reference's
+            # whole-index bigger-set-wins rule (engine.py
+            # _with_naive docstring).
             naive_docs = {
                 did
                 for did, doc in self.docs.items()
@@ -174,41 +179,46 @@ class OracleEngine:
                 if isinstance(doc.get(f), str)
                 and doc[f].lower().startswith(p)
             }
-            if not token_docs or len(naive_docs) > len(token_docs):
-                return naive_docs
-            return token_docs
+            return token_docs | naive_docs
         if "wildcard" in node:
             import re
 
             q = node["wildcard"]
             pat = str(q["value"]).lower()
             fuzz = int(q.get("fuzziness", 0) or 0)
+            # \Z, not $: Python's $ also matches before a trailing
+            # newline, which neither the JS RegExp nor the engine's
+            # RE2 kernel does
             rx = re.compile(
                 "^"
                 + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".")
-                + "$"
+                + r"\Z"
             )
-            toks = [t for t in self._vocab(q["field"]) if rx.match(t)]
-            if fuzz:
-                stripped = re.sub(r"[*?]", "", pat)
-                if stripped:
-                    toks += [
-                        t
-                        for t in self._vocab(q["field"])
-                        if levenshtein(t[: len(stripped)], stripped, fuzz)
-                        <= fuzz
-                    ]
-                else:
-                    # empty slice matches every string-valued field
-                    return {
-                        did
-                        for did, doc in self.docs.items()
-                        if isinstance(doc.get(q["field"]), str)
-                    }
-            token_docs = self._expand_docs(q["field"], toks)
-            # raw-value anchored wildcard match under the
-            # bigger-set-wins rule (_testWildcard QueryEngine.ts:
-            # 1393-1403 via the naive scan :1226-1254)
+            token_docs = set()
+            for f in self._fields_of(q["field"]):
+                toks = [t for t in self._vocab(f) if rx.match(t)]
+                if fuzz:
+                    stripped = re.sub(r"[*?]", "", pat)
+                    if stripped:
+                        toks += [
+                            t
+                            for t in self._vocab(f)
+                            if levenshtein(
+                                t[: len(stripped)], stripped, fuzz
+                            )
+                            <= fuzz
+                        ]
+                    else:
+                        # empty slice matches every string-valued field
+                        token_docs |= {
+                            did
+                            for did, doc in self.docs.items()
+                            if isinstance(doc.get(f), str)
+                        }
+                token_docs |= self._expand_docs(f, toks)
+            # raw-value anchored wildcard scan (_testWildcard
+            # QueryEngine.ts:1393-1403 via the naive scan :1226-1254),
+            # UNIONED with the token path (engine.py _with_naive)
             naive_docs = {
                 did
                 for did, doc in self.docs.items()
@@ -216,9 +226,7 @@ class OracleEngine:
                 if isinstance(doc.get(f), str)
                 and rx.match(doc[f].lower())
             }
-            if not token_docs or len(naive_docs) > len(token_docs):
-                return naive_docs
-            return token_docs
+            return token_docs | naive_docs
         if "fuzzy" in node:
             q = node["fuzzy"]
             fuzz = q.get("fuzziness", 1) or 1

@@ -538,3 +538,94 @@ class TestEnhancedWildcards:
         assert self._wild(s, "*@*") == ["ws1", "ws2"]
         assert self._wild(s, "*.txt") == ["ws4"]
         assert self._wild(s, "*+*") == ["ws2"]
+
+
+class TestNaiveScanEdgeCases:
+    """Regression pins for the naive raw-value scan soundness rules
+    (round-5 review findings): the skip proof must NOT fire for
+    single-char / non-ASCII prefixes (the analyzer drops len<=1
+    tokens), for non-standard-analyzed fields, or for stopword-shaped
+    patterns — and the token/naive combination is a UNION, which is
+    partition-decomposable (the reference's whole-index
+    bigger-set-wins comparison is not)."""
+
+    def test_single_char_prefix_hits_dropped_tokens(self, mk):
+        # 'a' never tokenizes (len<=1 dropped), so only the raw-value
+        # scan can find docs whose a-words were dropped
+        s = mk("navie-single", [
+            {"id": "n1", "name": "apple pie"},
+            {"id": "n2", "name": "a quick fox"},
+            {"id": "n3", "name": "a b c"},
+        ])
+        got = _ids(s, {"prefix": {"field": "name", "value": "a"}})
+        assert got == ["n1", "n2", "n3"]
+
+    def test_non_ascii_prefix_uses_raw_scan(self, mk):
+        # the ASCII analyzer strips é, so 'café' has no covering token
+        s = mk("naive-nonascii", [
+            {"id": "c1", "name": "café com leite"},
+            {"id": "c2", "name": "coffee"},
+        ])
+        got = _ids(s, {"prefix": {"field": "name", "value": "café"}})
+        assert got == ["c1"]
+
+    def test_stopword_prefix_unions_across_partitions(
+        self, tmp_path_factory, ray_session
+    ):
+        # 'the' is a stopword: the token path misses 'the cat...' but
+        # finds 'theory...'; the union must return both, in whichever
+        # partition each lives (the per-partition winner-take-all
+        # form returned different sets per partition)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        root = tmp_path_factory.mktemp("naive-parts")
+        src = root / "corpus"
+        src.mkdir()
+        pq.write_table(pa.table({
+            "id": ["p1", "p2"],
+            "name": ["the cat sat", "theory of things"],
+        }), str(src / "a.parquet"))
+        pq.write_table(pa.table({
+            "id": ["p3", "p4"],
+            "name": ["other things", "the dog ran"],
+        }), str(src / "b.parquet"))
+        idx = str(root / "idx")
+        build_index(idx, str(src), BuildConfig(
+            mappings={"name": "text"}, doc_key_column="id",
+            extract_html=False, dedup=False, n_partitions=2,
+        ))
+        s = IndexSearcher(idx, text_fields=("name",))
+        got = _ids(s, {"prefix": {"field": "name", "value": "th"}})
+        assert got == ["p1", "p2", "p3", "p4"]
+
+    def test_url_analyzed_field_keeps_raw_scan(self, mk):
+        # url analyzer emits zero tokens for scheme-less values, so the
+        # skip proof (which assumes standard analysis) must not fire
+        s = mk("naive-url", [
+            {"id": "u1", "name": "a", "url": "example.com/a"},
+            {"id": "u2", "name": "b", "url": "https://example.com"},
+            {"id": "u3", "name": "c", "url": "example.org/b"},
+        ], text_fields=("name", "url"))
+        got = _ids(s, {"prefix": {"field": "url", "value": "example"}})
+        assert got == ["u1", "u2", "u3"]
+        # union semantics: u1/u3 raw-match 'example*', u2's analyzed
+        # token 'example' matches it too — the union keeps all three
+        # (the reference's whole-index replace rule would DROP the
+        # processor-verified u2 because the naive set is bigger; the
+        # documented closure never discards verified matches)
+        got = _ids(s, {"wildcard": {"field": "url", "value": "example*"}})
+        assert got == ["u1", "u2", "u3"]
+
+    def test_star_field_prefix_fans_text_fields(self, mk):
+        # field '*' fans the token path over text_fields in both the
+        # engine and the oracle model (the oracle used to look up the
+        # literal '*' field and always fall back to the naive set)
+        s = mk("naive-star", [
+            {"id": "f1", "name": "alpha beta"},
+            {"id": "f2", "name": "see alpha"},
+        ])
+        got = _ids(s, {"prefix": {"field": "*", "value": "alph"}})
+        assert got == ["f1", "f2"]
