@@ -348,6 +348,11 @@ class _PartitionEvaluator:
         self.field_analyzers: Dict[str, str] = (
             getattr(reader, "field_analyzers", None) or {}
         )
+        # the stopword set the BUILD dropped from the vocab (manifest;
+        # may differ from this searcher's query-side stopwords)
+        self.build_stopwords = (
+            getattr(reader, "build_stopwords", None) or frozenset()
+        )
         # doc ids superseded by a NEWER delta partition (server upsert
         # semantics: re-adding an id must hide the older copy) — set on
         # the reader by IndexSearcher._apply_partition_exclusions
@@ -621,14 +626,17 @@ class _PartitionEvaluator:
             # token_filter rewrote the vocab (stemming breaks prefix
             # containment).
             skip_naive = (
-                re.fullmatch(r"[a-z0-9]{2,}", pref) is not None
+                token_docs.size > 0  # empty = cheap + highest-risk: scan
+                and re.fullmatch(r"[a-z0-9]{2,}", pref) is not None
                 and self.token_filter is None
                 and all(
                     self.field_analyzers.get(f) == "standard"
                     for f in fields
                 )
                 and not any(
-                    sw.startswith(pref) for sw in (self.stopwords or ())
+                    sw.startswith(pref)
+                    for s in (self.stopwords or (), self.build_stopwords)
+                    for sw in s
                 )
             )
             if skip_naive:
@@ -698,13 +706,18 @@ class _PartitionEvaluator:
                 + r"\Z"
             )
             skip_naive = (
-                re.fullmatch(r"\*?[a-z0-9]{2,}\*?", pat_l) is not None
+                token_docs.size > 0  # empty = cheap + highest-risk: scan
+                and re.fullmatch(r"\*?[a-z0-9]{2,}\*?", pat_l) is not None
                 and self.token_filter is None
                 and all(
                     self.field_analyzers.get(f) == "standard"
                     for f in fields
                 )
-                and not any(rx_l.match(sw) for sw in (self.stopwords or ()))
+                and not any(
+                    rx_l.match(sw)
+                    for s in (self.stopwords or (), self.build_stopwords)
+                    for sw in s
+                )
             )
             if skip_naive:
                 return token_docs
@@ -1177,6 +1190,8 @@ def _score_partition(
     token_filter=None,
     doc_boosts: Optional[Dict[int, int]] = None,
     exclude_ids: Optional[np.ndarray] = None,
+    field_analyzers: Optional[Dict[str, str]] = None,
+    build_stopwords: Optional[frozenset] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Partition-local top-k (used serially or as a Ray task; the local
     path passes a long-lived cached reader).
@@ -1190,6 +1205,10 @@ def _score_partition(
         reader = PartitionReader(part_dir)
         if exclude_ids is not None:
             reader.exclude_ids = exclude_ids
+        if field_analyzers is not None:
+            reader.field_analyzers = field_analyzers
+        if build_stopwords is not None:
+            reader.build_stopwords = build_stopwords
     ev = _PartitionEvaluator(
         reader,
         text_fields,
@@ -1467,14 +1486,31 @@ class IndexSearcher:
                 fa[str(item[0])] = str(item[1])
         mp = self.manifest.get("mappings")
         if isinstance(mp, dict):
-            fa.update({
-                str(f): analyzer_for_field_type(t)
-                for f, t in mp.items()
-                if isinstance(t, str)
-            })
+            # ONLY the tokenized types get an analyzer entry: a
+            # date/number/boolean/geo_point field has no postings at
+            # all (GenericTokenizePostings whitelist), so it must stay
+            # ABSENT from the map — the skip proof then can't fire and
+            # the raw-value scan still serves prefix/wildcard over its
+            # stringified values.  Mappings also override any stale
+            # page-fields entry for the same name.
+            tokenized = {"text", "keyword", "email", "url", "phone"}
+            for f, t in mp.items():
+                if isinstance(t, str) and t in tokenized:
+                    fa[str(f)] = analyzer_for_field_type(t)
+                else:
+                    fa.pop(str(f), None)
+        if self.manifest.get("stem_by_lang"):
+            # stemmed vocab breaks the token-covers-raw containment;
+            # an empty map disables every skip proof
+            fa = {}
         self.field_analyzers = fa
+        # the BUILD's stopword list (manifest) — tokens it dropped can
+        # hide raw matches from the token path regardless of the
+        # searcher's own (query-side) stopword config
+        bs = frozenset(self.manifest.get("stopwords") or ())
         for r in self._readers:
             r.field_analyzers = fa
+            r.build_stopwords = bs
         self._apply_partition_exclusions()
         self._stats_json = self.stats.to_json()
         # Ray presets OMP_NUM_THREADS=1, which Arrow adopts as its
@@ -1781,6 +1817,10 @@ class IndexSearcher:
                         *a,
                         doc_boosts=doc_boosts,
                         exclude_ids=getattr(r, "exclude_ids", None),
+                        field_analyzers=self.field_analyzers,
+                        build_stopwords=getattr(
+                            r, "build_stopwords", None
+                        ),
                     )
                     for a, r in zip(args, self._readers)
                 ]

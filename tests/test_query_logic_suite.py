@@ -572,15 +572,18 @@ class TestNaiveScanEdgeCases:
     def test_stopword_prefix_unions_across_partitions(
         self, tmp_path_factory, ray_session
     ):
-        # 'the' is a stopword: the token path misses 'the cat...' but
-        # finds 'theory...'; the union must return both, in whichever
-        # partition each lives (the per-partition winner-take-all
-        # form returned different sets per partition)
+        # 'the' is a BUILD stopword (dropped from the vocab): the
+        # token path misses 'the cat...'/'the dog...' but finds
+        # 'theory'/'things'; the union must return all four across
+        # both partitions.  The per-partition winner-take-all form
+        # this replaces lost p4: in its partition token={p3} and
+        # naive={p4} tied, so the token set won and p4 vanished.
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         from search_engine_ray.index_build import BuildConfig, build_index
 
+        sw = frozenset({"the"})
         root = tmp_path_factory.mktemp("naive-parts")
         src = root / "corpus"
         src.mkdir()
@@ -596,19 +599,49 @@ class TestNaiveScanEdgeCases:
         build_index(idx, str(src), BuildConfig(
             mappings={"name": "text"}, doc_key_column="id",
             extract_html=False, dedup=False, n_partitions=2,
+            stopwords=sw,
         ))
-        s = IndexSearcher(idx, text_fields=("name",))
+        s = IndexSearcher(idx, text_fields=("name",), stopwords=sw)
         got = _ids(s, {"prefix": {"field": "name", "value": "th"}})
         assert got == ["p1", "p2", "p3", "p4"]
+        # and the BUILD stopword set alone must disable the skip proof
+        # even when the searcher is opened with no stopwords at all
+        # (the manifest records what the vocab dropped)
+        s2 = IndexSearcher(idx, text_fields=("name",))
+        got = _ids(s2, {"prefix": {"field": "name", "value": "th"}})
+        assert got == ["p1", "p2", "p3", "p4"]
 
-    def test_url_analyzed_field_keeps_raw_scan(self, mk):
-        # url analyzer emits zero tokens for scheme-less values, so the
-        # skip proof (which assumes standard analysis) must not fire
-        s = mk("naive-url", [
+    def test_url_analyzed_field_keeps_raw_scan(
+        self, tmp_path_factory, ray_session
+    ):
+        # url analyzer emits zero tokens for scheme-less values, so
+        # the skip proof (which assumes standard analysis) must not
+        # fire.  The url mapping is EXPLICIT — infer_mappings types
+        # scheme-less values as keyword, which would standard-analyze
+        # them and never exercise this guard.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        docs = [
             {"id": "u1", "name": "a", "url": "example.com/a"},
             {"id": "u2", "name": "b", "url": "https://example.com"},
             {"id": "u3", "name": "c", "url": "example.org/b"},
-        ], text_fields=("name", "url"))
+        ]
+        root = tmp_path_factory.mktemp("naive-url")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            k: [d[k] for d in docs] for k in ("id", "name", "url")
+        }), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"name": "text", "url": "url"},
+            doc_key_column="id", extract_html=False, dedup=False,
+            n_partitions=1,
+        ))
+        s = IndexSearcher(idx, text_fields=("name", "url"))
+        assert s.field_analyzers.get("url") == "url"
         got = _ids(s, {"prefix": {"field": "url", "value": "example"}})
         assert got == ["u1", "u2", "u3"]
         # union semantics: u1/u3 raw-match 'example*', u2's analyzed
