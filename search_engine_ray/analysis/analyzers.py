@@ -323,6 +323,15 @@ def tokenize(
     return fn(text, stopwords)
 
 
+# Field types that produce postings: GenericTokenizePostings indexes
+# exactly these (stages/tokenize.py), and the searcher's naive-scan
+# skip proof may only treat THESE as token-covered (query/engine.py) —
+# a date/number/boolean/geo_point field is stored but contributes no
+# tokens to the vocabulary, so its raw values are reachable only via
+# the naive scan.  One constant so the two sites cannot drift.
+TOKENIZED_FIELD_TYPES = frozenset({"text", "keyword", "email", "url", "phone"})
+
+
 def analyzer_for_field_type(field_type: str) -> str:
     """Field-type → analyzer dispatch (SearchEngine.ts:939-954).
 

@@ -197,8 +197,19 @@ def rewrite_global_manifest(index_dir: str, mappings=None) -> dict:
         "n_postings": sum(m["n_postings"] for m in pms),
         "n_blocks": sum(m["n_blocks"] for m in pms),
         "store_positions": pms[-1]["store_positions"] if pms else True,
-        "stem_by_lang": pms[-1].get("stem_by_lang", False) if pms else False,
-        "stopwords": pms[-1].get("stopwords", []) if pms else [],
+        # conservative directions for the searcher's naive-scan skip
+        # proof (query/engine.py): if ANY partition was built stemmed
+        # the proof must stay disabled (OR), and a token a build dropped
+        # as a stopword in ANY partition can hide a raw-value match
+        # there (union).  Taking only the last partition's values would
+        # let one unstemmed/stopword-free delta flush re-arm an unsound
+        # skip over the base partitions.
+        "stem_by_lang": any(m.get("stem_by_lang", False) for m in pms),
+        "stopwords": sorted(
+            set().union(*(m.get("stopwords") or () for m in pms))
+        )
+        if pms
+        else [],
         "fields": pms[-1]["fields"] if pms else [],
         "partitions": parts,
     }

@@ -1478,27 +1478,33 @@ class IndexSearcher:
         # to prove naive raw-value scans redundant (generic builds
         # record mappings, page builds record (field, analyzer) pairs;
         # unknown fields stay absent → conservative, scan runs)
-        from ..analysis.analyzers import analyzer_for_field_type
+        from ..analysis.analyzers import (
+            TOKENIZED_FIELD_TYPES,
+            analyzer_for_field_type,
+        )
 
-        fa: Dict[str, str] = {}
-        for item in self.manifest.get("fields") or []:
-            if isinstance(item, (list, tuple)) and len(item) == 2:
-                fa[str(item[0])] = str(item[1])
         mp = self.manifest.get("mappings")
+        fa: Dict[str, str] = {}
         if isinstance(mp, dict):
-            # ONLY the tokenized types get an analyzer entry: a
-            # date/number/boolean/geo_point field has no postings at
-            # all (GenericTokenizePostings whitelist), so it must stay
+            # Generic (mapped) build: the mappings are the ONLY truth —
+            # manifest["fields"] is the untouched PAGE_FIELDS default
+            # (build never rewrites cfg.fields for mapped builds), so
+            # seeding from it would mark postings-less raw columns
+            # ('text', 'lang', ...) as standard-analyzed and let the
+            # skip proof drop their raw-value-only matches.  ONLY the
+            # tokenized types get an entry: a date/number/boolean/
+            # geo_point field has no postings at all
+            # (GenericTokenizePostings whitelist), so it must stay
             # ABSENT from the map — the skip proof then can't fire and
             # the raw-value scan still serves prefix/wildcard over its
-            # stringified values.  Mappings also override any stale
-            # page-fields entry for the same name.
-            tokenized = {"text", "keyword", "email", "url", "phone"}
+            # stringified values.
             for f, t in mp.items():
-                if isinstance(t, str) and t in tokenized:
+                if isinstance(t, str) and t in TOKENIZED_FIELD_TYPES:
                     fa[str(f)] = analyzer_for_field_type(t)
-                else:
-                    fa.pop(str(f), None)
+        else:
+            for item in self.manifest.get("fields") or []:
+                if isinstance(item, (list, tuple)) and len(item) == 2:
+                    fa[str(item[0])] = str(item[1])
         if self.manifest.get("stem_by_lang"):
             # stemmed vocab breaks the token-covers-raw containment;
             # an empty map disables every skip proof

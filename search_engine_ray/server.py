@@ -250,12 +250,24 @@ class IndexHandle:
             tmp_parquet,
         )
         try:
+            # a delta built without the base's stemmer or stopwords
+            # would use a different term space than the partitions it
+            # joins (same reason compact_index inherits them,
+            # compact.py BuildConfig); first flush of a fresh index has
+            # no manifest yet → BuildConfig defaults
+            gm: Dict[str, Any] = {}
+            mpath = os.path.join(self.index_dir, "manifest.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    gm = json.load(f)
             cfg = BuildConfig(
                 mappings=self.mappings,
                 doc_key_column="id",
                 extract_html=False,
                 dedup=False,
                 n_partitions=1,
+                stem_by_lang=gm.get("stem_by_lang", False),
+                stopwords=frozenset(gm.get("stopwords", ())),
             )
             build_partition(
                 os.path.join(parts_dir, pname), [tmp_parquet], cfg

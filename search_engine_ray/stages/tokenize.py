@@ -362,7 +362,10 @@ class GenericTokenizePostings:
         docs_out_dir: str | None = None,
         combine: bool = False,
     ):
-        from ..analysis.analyzers import analyzer_for_field_type
+        from ..analysis.analyzers import (
+            TOKENIZED_FIELD_TYPES,
+            analyzer_for_field_type,
+        )
         from ..analysis.mappings import flatten_doc
 
         self.docs_out_dir = docs_out_dir
@@ -372,7 +375,7 @@ class GenericTokenizePostings:
         self.analyzers = {
             path: analyzer_for_field_type(t)
             for path, t in self.mappings.items()
-            if t in ("text", "keyword", "email", "url", "phone")
+            if t in TOKENIZED_FIELD_TYPES
         }
         self.stopwords = stopwords
         self.store_positions = store_positions

@@ -880,6 +880,37 @@ class TestWinnerDesignation:
 
 
 class TestCompaction:
+    def test_rewrite_manifest_unions_term_space_flags(self, tmp_path):
+        """The global manifest's stopwords/stem_by_lang must take the
+        CONSERVATIVE combination across partition manifests (union /
+        any): the searcher's naive-scan skip proof reads them, and a
+        last-partition-wins rewrite would let one stopword-free delta
+        flush erase the base build's record and re-arm an unsound
+        skip (round-5 review finding)."""
+        import json
+
+        from search_engine_ray.index_build.compact import (
+            rewrite_global_manifest,
+        )
+
+        base = dict(
+            n_docs=2, sum_dl=4, n_postings=4, n_blocks=1,
+            store_positions=True, fields=[["name", "standard"]],
+        )
+        for p, extra in (
+            ("p00000", {"stopwords": ["the", "a"], "stem_by_lang": True}),
+            ("p00001", {"stopwords": [], "stem_by_lang": False}),
+            ("p00002", {"stopwords": ["zz"]}),
+        ):
+            d = tmp_path / "partitions" / p
+            d.mkdir(parents=True)
+            with open(d / "manifest.json", "w") as f:
+                json.dump({**base, **extra}, f)
+        gm = rewrite_global_manifest(str(tmp_path))
+        assert gm["stopwords"] == ["a", "the", "zz"]
+        assert gm["stem_by_lang"] is True
+        assert gm["total_docs"] == 6
+
     def test_compact_pages_index(self, tmp_path, ray_session):
         """compact_index merges a multi-partition page index into ONE
         partition with identical totals and identical search results."""

@@ -662,3 +662,80 @@ class TestNaiveScanEdgeCases:
         ])
         got = _ids(s, {"prefix": {"field": "*", "value": "alph"}})
         assert got == ["f1", "f2"]
+
+    def test_mapped_build_ignores_stale_page_fields(
+        self, tmp_path_factory, ray_session
+    ):
+        # a mapped (generic) build leaves manifest["fields"] at the
+        # PAGE_FIELDS default — the searcher must derive analyzers from
+        # the MAPPINGS alone, or a raw column that shadows a page-field
+        # name ('text' here, unmapped → no postings) would be marked
+        # standard-analyzed and the skip proof would drop its
+        # raw-value-only matches
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        root = tmp_path_factory.mktemp("naive-stale-fields")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            "id": ["a", "b"],
+            "name": ["abc one", "plain"],
+            "text": ["zzz", "abstract art"],
+        }), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"name": "text"}, doc_key_column="id",
+            extract_html=False, dedup=False, n_partitions=1,
+        ))
+        s = IndexSearcher(idx, text_fields=("name", "text"))
+        # the unmapped raw column must be ABSENT from the analyzer map
+        assert "text" not in s.field_analyzers
+        # doc 'a' matches via the token path (name), doc 'b' ONLY via
+        # the raw-value scan over the postings-less 'text' column —
+        # the union must keep both
+        got = _ids(s, {"prefix": {"field": "*", "value": "ab"}})
+        assert got == ["a", "b"]
+
+    def test_flush_keeps_build_stopwords(
+        self, tmp_path_factory, ray_session
+    ):
+        # a delta flush writes a partition manifest with ITS config's
+        # stopwords; the global rewrite must UNION across partitions
+        # (and the flush itself inherit the base's list) — the
+        # last-partition-wins form this replaces let one flush wipe
+        # the record and re-arm the skip proof over the base docs
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.server import IndexHandle
+
+        sw = frozenset({"the"})
+        root = tmp_path_factory.mktemp("naive-flush-sw")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            "id": ["b1", "b2"],
+            "name": ["the dog ran", "theory"],
+        }), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"name": "text"}, doc_key_column="id",
+            extract_html=False, dedup=False, n_partitions=1,
+            stopwords=sw,
+        ))
+        h = IndexHandle(idx, mappings={"name": "text"})
+        h.add_documents([{"id": "d1", "name": "fresh doc"}])
+        h.flush()
+        with open(f"{idx}/manifest.json") as f:
+            gm = _json.load(f)
+        assert "the" in gm["stopwords"]
+        # the reopened searcher (no query-side stopwords) must still
+        # raw-scan 'th' prefixes: 'the dog ran' is reachable only that
+        # way because the BUILD dropped its leading token
+        s = IndexSearcher(idx, text_fields=("name",))
+        got = _ids(s, {"prefix": {"field": "name", "value": "th"}})
+        assert got == ["b1", "b2"]
