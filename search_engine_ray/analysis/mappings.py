@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import re
 from datetime import date, datetime
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 _RE_EMAIL = re.compile(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}$")
 _RE_URL = re.compile(r"^https?://.+")
@@ -161,18 +161,3 @@ def infer_mappings(
             if t and t != "object":
                 mappings[path] = t
     return mappings
-
-
-def fields_config_from_mappings(
-    mappings: Dict[str, str]
-) -> List[Tuple[str, str]]:
-    """Mapping → (field, analyzer) pairs for the tokenizer, applying the
-    reference analyzer dispatch (SearchEngine.ts:939-954; note the quirk:
-    keyword fields are analyzed with the *standard* analyzer)."""
-    from .analyzers import analyzer_for_field_type
-
-    out = []
-    for path, ftype in mappings.items():
-        if ftype in ("text", "keyword", "email", "url", "phone"):
-            out.append((path, analyzer_for_field_type(ftype)))
-    return out

@@ -694,6 +694,12 @@ def build_partition(
         "stage1_seconds": round(t_stage1, 3),
         "stage2_seconds": round(time.time() - t0 - t_stage1, 3),
     }
+    if isinstance(cfg.mappings, dict):
+        # the mappings THIS partition was tokenized under: the searcher
+        # derives each partition's skip-proof analyzer map from its own
+        # record, so a later flush with different mappings can't claim
+        # token coverage for a field this partition never indexed
+        manifest["mappings"] = dict(cfg.mappings)
     _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
     return manifest
 
@@ -868,6 +874,9 @@ def build_partitions_fused(
             "build_seconds": build_seconds,
             "fused_chunk": [c[0] for c in chunk],
         }
+        if isinstance(cfg.mappings, dict):
+            # see build_partition: per-partition skip-proof provenance
+            manifest["mappings"] = dict(cfg.mappings)
         _atomic_write_json(os.path.join(part_dir, "manifest.json"), manifest)
         manifests[pi] = manifest
     shutil.rmtree(out_tmp, ignore_errors=True)

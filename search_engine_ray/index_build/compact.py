@@ -196,7 +196,14 @@ def rewrite_global_manifest(index_dir: str, mappings=None) -> dict:
         "avg_dl": (sum_dl / total_docs) if total_docs else 0.0,
         "n_postings": sum(m["n_postings"] for m in pms),
         "n_blocks": sum(m["n_blocks"] for m in pms),
-        "store_positions": pms[-1]["store_positions"] if pms else True,
+        # positions exist index-wide only if EVERY partition stored
+        # them (all) — a last-wins record would let one positionless
+        # delta claim positions for the whole index, and the next
+        # compaction's re-tokenize (which inherits this flag) would
+        # then mask that the base's positions were configured away
+        "store_positions": all(
+            m.get("store_positions", True) for m in pms
+        ),
         # conservative directions for the searcher's naive-scan skip
         # proof (query/engine.py): if ANY partition was built stemmed
         # the proof must stay disabled (OR), and a token a build dropped

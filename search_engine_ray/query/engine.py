@@ -1483,6 +1483,13 @@ class IndexSearcher:
             analyzer_for_field_type,
         )
 
+        def _fa_from_mappings(m: Dict[str, Any]) -> Dict[str, str]:
+            return {
+                str(f): analyzer_for_field_type(t)
+                for f, t in m.items()
+                if isinstance(t, str) and t in TOKENIZED_FIELD_TYPES
+            }
+
         mp = self.manifest.get("mappings")
         fa: Dict[str, str] = {}
         if isinstance(mp, dict):
@@ -1498,9 +1505,7 @@ class IndexSearcher:
             # ABSENT from the map — the skip proof then can't fire and
             # the raw-value scan still serves prefix/wildcard over its
             # stringified values.
-            for f, t in mp.items():
-                if isinstance(t, str) and t in TOKENIZED_FIELD_TYPES:
-                    fa[str(f)] = analyzer_for_field_type(t)
+            fa = _fa_from_mappings(mp)
         else:
             for item in self.manifest.get("fields") or []:
                 if isinstance(item, (list, tuple)) and len(item) == 2:
@@ -1514,8 +1519,30 @@ class IndexSearcher:
         # hide raw matches from the token path regardless of the
         # searcher's own (query-side) stopword config
         bs = frozenset(self.manifest.get("stopwords") or ())
-        for r in self._readers:
-            r.field_analyzers = fa
+        hetero = isinstance(mp, dict) and not self.manifest.get(
+            "stem_by_lang"
+        )
+        for d, r in zip(self.part_dirs, self._readers):
+            rf = fa
+            if hetero:
+                # a partition tokenized under DIFFERENT mappings (a
+                # flush after the handle's mappings changed, or a
+                # page-built base under a mapped index) must not claim
+                # token coverage for fields it never indexed: derive
+                # the skip-proof map from the partition's OWN recorded
+                # mappings; no record → conservative empty map, every
+                # raw-value scan runs against that partition
+                try:
+                    with open(os.path.join(d, "manifest.json")) as f:
+                        pmp = json.load(f).get("mappings")
+                except (OSError, ValueError):
+                    pmp = None
+                rf = (
+                    _fa_from_mappings(pmp)
+                    if isinstance(pmp, dict)
+                    else {}
+                )
+            r.field_analyzers = rf
             r.build_stopwords = bs
         self._apply_partition_exclusions()
         self._stats_json = self.stats.to_json()
@@ -1823,7 +1850,11 @@ class IndexSearcher:
                         *a,
                         doc_boosts=doc_boosts,
                         exclude_ids=getattr(r, "exclude_ids", None),
-                        field_analyzers=self.field_analyzers,
+                        # per-reader: partitions tokenized under
+                        # different mappings carry different maps
+                        field_analyzers=getattr(
+                            r, "field_analyzers", None
+                        ),
                         build_stopwords=getattr(
                             r, "build_stopwords", None
                         ),

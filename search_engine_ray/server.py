@@ -268,6 +268,7 @@ class IndexHandle:
                 n_partitions=1,
                 stem_by_lang=gm.get("stem_by_lang", False),
                 stopwords=frozenset(gm.get("stopwords", ())),
+                store_positions=gm.get("store_positions", True),
             )
             build_partition(
                 os.path.join(parts_dir, pname), [tmp_parquet], cfg

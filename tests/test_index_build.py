@@ -900,7 +900,7 @@ class TestCompaction:
         for p, extra in (
             ("p00000", {"stopwords": ["the", "a"], "stem_by_lang": True}),
             ("p00001", {"stopwords": [], "stem_by_lang": False}),
-            ("p00002", {"stopwords": ["zz"]}),
+            ("p00002", {"stopwords": ["zz"], "store_positions": False}),
         ):
             d = tmp_path / "partitions" / p
             d.mkdir(parents=True)
@@ -909,6 +909,9 @@ class TestCompaction:
         gm = rewrite_global_manifest(str(tmp_path))
         assert gm["stopwords"] == ["a", "the", "zz"]
         assert gm["stem_by_lang"] is True
+        # positions are an index-wide property only if EVERY partition
+        # stored them — one positionless partition means False
+        assert gm["store_positions"] is False
         assert gm["total_docs"] == 6
 
     def test_compact_pages_index(self, tmp_path, ray_session):

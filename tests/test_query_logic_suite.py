@@ -739,3 +739,83 @@ class TestNaiveScanEdgeCases:
         s = IndexSearcher(idx, text_fields=("name",))
         got = _ids(s, {"prefix": {"field": "name", "value": "th"}})
         assert got == ["b1", "b2"]
+
+    def test_hetero_mappings_skip_proof_is_per_partition(
+        self, tmp_path_factory, ray_session
+    ):
+        # base partitions built under mappings={'name':'text'} never
+        # tokenized 'bio' (its raw values ride along in the docstore
+        # side-files); a later flush under widened mappings rewrites
+        # the GLOBAL mappings to include bio:text.  The skip proof must
+        # read each partition's OWN recorded mappings — a global map
+        # would mark 'bio' token-covered index-wide, and one delta
+        # token hit would skip the raw scan that is the base docs'
+        # only route (round-5 second-review finding)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.server import IndexHandle
+
+        root = tmp_path_factory.mktemp("naive-hetero-mappings")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            "id": ["a", "b"],
+            "name": ["xylophone teacher", "plain two"],
+            "bio": ["unrelated", "xyqq raw only"],
+        }), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"name": "text"}, doc_key_column="id",
+            extract_html=False, dedup=False, n_partitions=1,
+        ))
+        h = IndexHandle(idx, mappings={"name": "text", "bio": "text"})
+        h.add_documents([{"id": "d", "name": "beta", "bio": "xyz fits"}])
+        h.flush()
+        s = IndexSearcher(idx, text_fields=("name", "bio"))
+        # in the BASE partition the 'xy' prefix has a token hit via
+        # 'name' (doc a), which is what arms the skip proof; doc b is
+        # reachable ONLY via the raw-value scan of its untokenized
+        # 'bio' column; delta doc d hits via its own bio postings
+        got = _ids(s, {"prefix": {"field": "*", "value": "xy"}})
+        assert sorted(got) == ["a", "b", "d"]
+
+    def test_flush_keeps_store_positions_off(
+        self, tmp_path_factory, ray_session
+    ):
+        # flush inherits store_positions from the base manifest and the
+        # global rewrite takes the conservative all() — without both,
+        # one delta flush flips a store_positions=False index back to
+        # True and the next compaction re-tokenizes the whole index
+        # with positions the build chose not to pay for
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.server import IndexHandle
+
+        root = tmp_path_factory.mktemp("naive-flush-pos")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            "id": ["b1"],
+            "name": ["base doc"],
+        }), src)
+        idx = str(root / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"name": "text"}, doc_key_column="id",
+            extract_html=False, dedup=False, n_partitions=1,
+            store_positions=False,
+        ))
+        h = IndexHandle(idx, mappings={"name": "text"})
+        h.add_documents([{"id": "d1", "name": "fresh doc"}])
+        h.flush()
+        with open(f"{idx}/manifest.json") as f:
+            gm = _json.load(f)
+        assert gm["store_positions"] is False
+        # and the delta partition itself was built positionless
+        pname = sorted(gm["partitions"])[-1]
+        with open(f"{idx}/partitions/{pname}/manifest.json") as f:
+            pm = _json.load(f)
+        assert pm["store_positions"] is False
