@@ -48,12 +48,18 @@ class OracleEngine:
         self.field_tokens: Dict[str, set] = {}
 
     # --- ingest -----------------------------------------------------------
-    def add(self, doc: dict, doc_id: int) -> None:
+    def add(self, doc: dict, doc_id: int, fields=None) -> None:
+        """``fields`` overrides the tokenized-field config for THIS doc —
+        the reference indexes each doc under the mappings in force at add
+        time (SearchEngine.ts:225-237: ``_indexDocumentFields`` walks the
+        current mappings; a later ``addMapping`` does not re-index), so a
+        doc added before a field was mapped has no postings for it while
+        its raw value still serves the naive scan."""
         if doc_id in self.docs:
             self.delete(doc_id)
         self.docs[doc_id] = doc
         dl = 0
-        for field, analyzer in self.fields:
+        for field, analyzer in fields if fields is not None else self.fields:
             value = doc.get(field)
             if not isinstance(value, str):
                 continue

@@ -165,3 +165,143 @@ def test_random_rawvalue_battery(setup):
                 failures.append((i, q, "score", (gd, gs), (wd, ws)))
                 break
     assert not failures, failures[:3]
+
+
+# --- heterogeneous-mappings battery ------------------------------------
+#
+# Base partitions built under mappings={'name': 'text'} (bio raw-only),
+# delta partition flushed under widened {'name','bio'} mappings — the
+# per-partition skip-proof surface: the engine must derive each
+# partition's analyzer map from its OWN manifest record, and the oracle
+# mirrors the reference's add-time-mappings rule via per-doc ``fields``.
+
+_HET_WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "xylophone", "quartz", "zephyr", "fjord", "glyph", "vortex",
+    "data-set", "v2.1", "readme.txt", "a@b.co", "x_y", "50%", "C++",
+]
+
+
+def _het_sentence(rng, lo, hi):
+    n = int(rng.integers(lo, hi))
+    return " ".join(str(rng.choice(_HET_WORDS)) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def hetero_setup(tmp_path_factory, ray_session):
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.query import IndexSearcher
+    from search_engine_ray.server import IndexHandle
+
+    rng = np.random.default_rng(31)
+    root = tmp_path_factory.mktemp("prand-hetero")
+    src = str(root / "docs.parquet")
+    base = [
+        {
+            "id": f"b{i:03d}",
+            "name": _het_sentence(rng, 2, 5),
+            "bio": _het_sentence(rng, 5, 12),
+        }
+        for i in range(160)
+    ]
+    pq.write_table(
+        pa.table({k: [d[k] for d in base] for k in ("id", "name", "bio")}),
+        src,
+    )
+    idx = str(root / "idx")
+    build_index(idx, src, BuildConfig(
+        mappings={"name": "text"}, doc_key_column="id",
+        extract_html=False, dedup=False, n_partitions=2,
+    ))
+    h = IndexHandle(idx, mappings={"name": "text", "bio": "text"})
+    h.add_documents([
+        {
+            "id": f"d{i:03d}",
+            "name": _het_sentence(rng, 2, 5),
+            "bio": _het_sentence(rng, 5, 12),
+        }
+        for i in range(40)
+    ])
+    h.flush()
+
+    searcher = IndexSearcher(
+        idx, text_fields=("name", "bio"), stopwords=frozenset()
+    )
+    oracle = OracleEngine(
+        fields=(("name", "standard"), ("bio", "standard")),
+        text_fields=("name", "bio"),
+        stopwords=frozenset(),
+    )
+    raw_values = []
+    for d, r in zip(searcher.part_dirs, searcher._readers):
+        with open(os.path.join(d, "manifest.json")) as f:
+            pmp = json.load(f)["mappings"]
+        fields = tuple(
+            (p, "standard") for p, t in sorted(pmp.items()) if t == "text"
+        )
+        tbl = r.docs_table(columns=["doc_id", "name", "bio"])
+        for row in tbl.to_pylist():
+            oracle.add(
+                {"name": row["name"], "bio": row["bio"]},
+                row["doc_id"],
+                fields=fields,
+            )
+        raw_values.extend(tbl["bio"].to_pylist()[:20])
+        raw_values.extend(tbl["name"].to_pylist()[:10])
+    return searcher, oracle, raw_values
+
+
+def test_random_hetero_mappings_battery(hetero_setup):
+    """Rank+score parity on an index whose partitions were tokenized
+    under DIFFERENT mappings (base: name only; delta: name+bio)."""
+    searcher, oracle, raw_values = hetero_setup
+    rng = np.random.default_rng(17)
+    vocab = [w for w in _HET_WORDS if w.isalpha()]
+    failures = []
+    for i in range(60):
+        field = str(rng.choice(["name", "bio", "*"]))
+        kind = rng.choice(
+            ["term", "match", "prefix_raw", "wildcard_raw",
+             "prefix_tok", "bool"],
+            p=[0.15, 0.15, 0.25, 0.25, 0.1, 0.1],
+        )
+        if kind in ("prefix_raw", "wildcard_raw"):
+            t = str(rng.choice(raw_values))
+            n = int(rng.integers(3, min(16, max(4, len(t)))))
+            if kind == "prefix_raw":
+                q = {"prefix": {"field": field, "value": t[:n].lower()}}
+            else:
+                j = int(rng.integers(0, max(1, len(t) - 6)))
+                frag = t[j:j + 5].lower().replace("*", "").replace("?", "")
+                q = {"wildcard": {"field": field,
+                                  "value": f"*{frag or 'a'}*"}}
+        elif kind == "prefix_tok":
+            w = str(rng.choice(vocab))
+            q = {"prefix": {"field": field, "value": w[:3]}}
+        elif kind == "bool":
+            w1, w2 = (str(rng.choice(vocab)) for _ in range(2))
+            q = {"bool": {
+                "must": [{"term": {"field": field, "value": w1}}],
+                "should": [{"prefix": {"field": "*", "value": w2[:2]}}],
+            }}
+        else:
+            w = str(rng.choice(vocab))
+            q = {kind: {"field": field, "value": w}}
+        size = int(rng.integers(1, 25))
+        got = searcher.search(q, size=size)
+        want = oracle.search(q, size=size)
+        g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
+        if [x[0] for x in g] != [w[0] for w in want]:
+            failures.append((i, q, "docids", g[:4], want[:4]))
+            continue
+        for (gd, gs), (wd, ws) in zip(g, want):
+            if abs(gs - ws) > 1e-12 * max(1.0, abs(ws)):
+                failures.append((i, q, "score", (gd, gs), (wd, ws)))
+                break
+    assert not failures, failures[:3]
