@@ -1,5 +1,12 @@
 """Randomized rank-identical parity: generated query DSL trees vs the
-reference-semantics oracle, plus a stopword-configured build."""
+reference-semantics oracle, plus a stopword-configured build.
+
+``PARITY_N`` scales every battery's iteration count and ``PARITY_SEED``
+offsets the rngs, so a long fuzz sweep is one env var away
+(``PARITY_N=500 PARITY_SEED=3 pytest tests/test_parity_random.py``)
+while the default CI cost stays fixed."""
+
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -8,6 +15,13 @@ import pytest
 from search_engine_ray.analysis.analyzers import REFERENCE_TEST_STOPWORDS
 from search_engine_ray.query.oracle import OracleEngine
 from search_engine_ray.sources.webpages import generate_pages
+
+PARITY_N = int(os.environ.get("PARITY_N", "0"))
+PARITY_SEED = int(os.environ.get("PARITY_SEED", "0"))
+
+
+def _n(default):
+    return PARITY_N or default
 
 
 def _rand_query(rng, vocab):
@@ -103,9 +117,9 @@ def setup(tmp_path_factory, ray_session, request):
 
 def test_random_battery(setup):
     searcher, oracle, vocab, _ = setup
-    rng = np.random.default_rng(99)
+    rng = np.random.default_rng(99 + PARITY_SEED)
     failures = []
-    for i in range(40):
+    for i in range(_n(40)):
         q = _rand_query(rng, vocab)
         size = int(rng.integers(1, 25))
         from_ = int(rng.integers(0, 5))
@@ -149,9 +163,9 @@ def test_random_rawvalue_battery(setup):
     """Engine vs oracle over raw-value-sliced prefix/wildcard queries
     (the naive-scan code paths added in round 5)."""
     searcher, oracle, vocab, raw_texts = setup
-    rng = np.random.default_rng(7)
+    rng = np.random.default_rng(7 + PARITY_SEED)
     failures = []
-    for i in range(30):
+    for i in range(_n(30)):
         q = _rand_rawvalue_query(rng, raw_texts)
         size = int(rng.integers(1, 25))
         got = searcher.search(q, size=size)
@@ -261,10 +275,10 @@ def test_random_hetero_mappings_battery(hetero_setup):
     """Rank+score parity on an index whose partitions were tokenized
     under DIFFERENT mappings (base: name only; delta: name+bio)."""
     searcher, oracle, raw_values = hetero_setup
-    rng = np.random.default_rng(17)
+    rng = np.random.default_rng(17 + PARITY_SEED)
     vocab = [w for w in _HET_WORDS if w.isalpha()]
     failures = []
-    for i in range(60):
+    for i in range(_n(60)):
         field = str(rng.choice(["name", "bio", "*"]))
         kind = rng.choice(
             ["term", "match", "prefix_raw", "wildcard_raw",
