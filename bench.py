@@ -77,6 +77,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.sources import read_parquet_clean
     from search_engine_ray.query import IndexSearcher
     from search_engine_ray.stages import aggregates as agg
     from search_engine_ray.stages import dedup as dd
@@ -181,14 +182,14 @@ def run_bench() -> dict:
 
     # 3. dedup: minhash-LSH near-dup candidates over sf documents
     t0 = time.time()
-    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     pairs = dd.minhash_lsh_candidates(docs, jaccard_threshold=0.5)
     results["dedup_minhash"] = round(time.time() - t0, 3)
     extras["minhash_pairs"] = int(len(pairs))
 
     # 4. similarity: brute-force cosine top-10 for 8 query vectors
     t0 = time.time()
-    emb = rd.read_parquet(
+    emb = read_parquet_clean(
         f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     qs = np.asarray(
@@ -218,7 +219,7 @@ def run_bench() -> dict:
             ex.submit(
                 _timed, "date_histogram",
                 lambda: agg.date_histogram_agg(
-                    rd.read_parquet(
+                    read_parquet_clean(
                         f"{SF_DIR}/events.parquet", columns=["ts", "value"]
                     ),
                     "ts", "1d", value_field="value",
@@ -227,7 +228,7 @@ def run_bench() -> dict:
             ex.submit(
                 _timed, "tumbling_window",
                 lambda: win.tumbling_window(
-                    rd.read_parquet(
+                    read_parquet_clean(
                         f"{SF_DIR}/events.parquet",
                         columns=["ts", "user_id", "value"],
                     ),
@@ -237,7 +238,7 @@ def run_bench() -> dict:
             ex.submit(
                 _timed, "terms",
                 lambda: agg.terms_agg(
-                    rd.read_parquet(
+                    read_parquet_clean(
                         f"{SF_DIR}/lineitem.parquet",
                         columns=["l_returnflag"],
                     ),
@@ -256,7 +257,7 @@ def run_bench() -> dict:
 
     t0 = time.time()
     n_red = (
-        rd.read_parquet(corpus, columns=["url", "text"])
+        read_parquet_clean(corpus, columns=["url", "text"])
         .map_batches(PIIRedactStage(), batch_format="pyarrow")
         .count()
     )
@@ -291,6 +292,7 @@ def run_build_only() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.sources import read_parquet_clean
 
     corpus = _ensure_corpus()
     _warm_cache(corpus)

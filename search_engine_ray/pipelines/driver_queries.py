@@ -23,6 +23,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from ..index_build.build import BuildConfig, build_index
+from ..sources.parquet import read_parquet_clean as _read
 from ..stages.tokenize import STATS_TERM, TokenizePostings
 from ..stages import aggregates as agg
 from ..stages import dedup as dd
@@ -34,12 +35,12 @@ DOC_FIELDS = (("text", "standard"),)
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return _read(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
     # pruned read: the unused 'label' column never leaves storage
-    return rd.read_parquet(
+    return _read(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -275,7 +276,7 @@ def _scale_value(ds: rd.Dataset, column: str = "value", scale: float = 1e6) -> r
 
 def date_histogram_events(sf_dir: str) -> pd.DataFrame:
     ds = _scale_value(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+        _read(f"{sf_dir}/events.parquet", columns=["ts", "value"])
     )
     out = agg.date_histogram_agg(ds, "ts", "1d", value_field="value")
     out["sum_value"] = _round_half_away(out["sum_value"] / 1e6)
@@ -283,7 +284,7 @@ def date_histogram_events(sf_dir: str) -> pd.DataFrame:
 
 
 def range_agg_value(sf_dir: str) -> pd.DataFrame:
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = _read(f"{sf_dir}/events.parquet", columns=["value"])
     out = agg.range_agg(ds, "value", [(None, 10.0), (10.0, 50.0), (50.0, None)])
     return out.astype({"doc_count": "int64"})
 
@@ -313,7 +314,7 @@ def filter_stats_en(sf_dir: str) -> pd.DataFrame:
 
 def tumbling_user_value(sf_dir: str) -> pd.DataFrame:
     ds = _scale_value(
-        rd.read_parquet(
+        _read(
             f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
         )
     )
@@ -327,7 +328,7 @@ def tumbling_user_value(sf_dir: str) -> pd.DataFrame:
 def sliding_user_value(sf_dir: str) -> pd.DataFrame:
     """Sliding 2h windows every 1h: each event lands in 2 windows."""
     ds = _scale_value(
-        rd.read_parquet(
+        _read(
             f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
         )
     )
@@ -342,7 +343,7 @@ def sliding_user_value(sf_dir: str) -> pd.DataFrame:
 
 def session_windows(sf_dir: str) -> pd.DataFrame:
     ds = _scale_value(
-        rd.read_parquet(
+        _read(
             f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
         )
     )
@@ -448,7 +449,7 @@ def distinct_users_hourly(sf_dir: str) -> pd.DataFrame:
     (stages/windows.py::tumbling_distinct) — the two-level dedup shape
     that replaces a per-window HyperLogLog when exactness matters."""
     out = win.tumbling_distinct(
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"]),
+        _read(f"{sf_dir}/events.parquet", columns=["ts", "user_id"]),
         ts_field="ts", window_us=3_600_000_000, distinct_field="user_id",
     )
     return out.astype({"window_us": "int64", "n_distinct": "int64"})
@@ -577,7 +578,7 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
         "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
         "l_discount", "l_shipdate",
     ]
-    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=cols)
+    ds = _read(f"{sf_dir}/lineitem.parquet", columns=cols)
 
     cutoff = pd.Timestamp("1998-09-02")
 
@@ -599,7 +600,7 @@ def pricing_summary(sf_dir: str) -> pd.DataFrame:
             p_disc=("d100", "sum"),
             p_n=("q100", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -641,10 +642,10 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
     Lineitem revenue is pre-aggregated per orderkey inside each batch so
     the join exchange moves one row per (batch, orderkey), not one per
     lineitem."""
-    customer = rd.read_parquet(
+    customer = _read(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).to_pandas()
-    nation = rd.read_parquet(
+    nation = _read(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
     ck2name = dict(
@@ -667,7 +668,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    orders = rd.read_parquet(
+    orders = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     ).map_batches(orders_with_nation, batch_format="pyarrow")
 
@@ -688,7 +689,7 @@ def nation_revenue(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(lineitem_partials, batch_format="pyarrow")
@@ -1098,7 +1099,7 @@ def asof_view_attribution(sf_dir: str) -> pd.DataFrame:
         return fn
 
     cols = ["event_id", "ts", "user_id", "event_type", "value"]
-    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+    events = _read(f"{sf_dir}/events.parquet", columns=cols)
     purchases = events.map_batches(only("purchase"), batch_format="pyarrow")
     views = events.map_batches(only("view"), batch_format="pyarrow")
     out = asof_join(
@@ -1122,7 +1123,7 @@ def trailing_1h_user_value(sf_dir: str) -> pd.DataFrame:
     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING window frame.  Values are
     summed as scaled integers (cents) so the result is bit-exact and
     order-independent across engines."""
-    events = rd.read_parquet(
+    events = _read(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "value"],
     )
@@ -1145,7 +1146,7 @@ def band_pairs_2h(sf_dir: str) -> pd.DataFrame:
     ordered pairs of same-user events at most 2 hours apart."""
     from ..stages.joins import band_self_join
 
-    events = rd.read_parquet(
+    events = _read(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     out = band_self_join(
@@ -1259,7 +1260,7 @@ def props_k_sum(sf_dir: str) -> pd.DataFrame:
         )
 
     out = (
-        rd.read_parquet(
+        _read(
             f"{sf_dir}/events.parquet", columns=["event_type", "props"]
         )
         .map_batches(partial, batch_format="pyarrow")
@@ -1396,7 +1397,7 @@ def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
     an order-preserving composite (stages/aggregates.py::group_argmax),
     so there is no second pass and no join.  Oracle = DuckDB
     row_number() OVER (PARTITION BY user ORDER BY ts DESC, id DESC)."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "event_id", "event_type", "value"],
     )
@@ -1423,7 +1424,7 @@ def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     (window, batch) partial regardless of cardinality.  Deterministic
     (fixed-key siphash), so the rows-only gate is stable; accuracy vs
     the exact operator is pytest-locked (<2% at p=14)."""
-    ds = rd.read_parquet(
+    ds = _read(
         f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
     )
     out = agg.hll_distinct(ds, "ts", 3_600_000_000, "user_id")

@@ -119,7 +119,7 @@ def date_histogram_agg(
             df = t.to_pandas().groupby("bucket_ms", as_index=False).agg(
                 partial_count=("v", "size"), partial_sum=("v", "sum")
             )
-            return pa.Table.from_pandas(df, preserve_index=False)
+            return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
         return _partial_counts(t, "bucket_ms")
 
     aggs = [Sum("partial_count", alias_name="doc_count")]
@@ -412,7 +412,7 @@ def group_argmax(
                 {group_field: win[group_field].values, "__comp": comp}
             ),
             preserve_index=False,
-        )
+        ).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(_partial, batch_format="pyarrow")

@@ -1294,7 +1294,7 @@ def cross_source_overlap(
         ]
         df = pd.DataFrame({"span": spans, "bit": sids[doc_idx[hit]]})
         part = df.drop_duplicates()
-        return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.Table.from_pandas(part, preserve_index=False).replace_schema_metadata(None)
 
     span_masks = (
         ds.map_batches(pass_b, batch_format="pyarrow")

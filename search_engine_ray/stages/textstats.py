@@ -391,7 +391,7 @@ def lm_perplexity(
             .size()
             .reset_index(name="c")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     counts = (
         ds.map_batches(count_partial, batch_format="pyarrow")

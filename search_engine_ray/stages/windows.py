@@ -71,7 +71,7 @@ def tumbling_window(
         g = df.groupby([key_field, "window_us"], as_index=False).agg(
             partial_count=("v", "size"), partial_sum=("v", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -112,7 +112,7 @@ def tumbling_distinct(
         # SQL count(DISTINCT k) ignores NULLs; drop_duplicates would
         # have counted NaN as one extra distinct value
         df = df[df["k"].notna()].drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -159,7 +159,7 @@ def sliding_window(
         g = df.groupby([key_field, "window_us"], as_index=False).agg(
             partial_count=("v", "size"), partial_sum=("v", "sum")
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")

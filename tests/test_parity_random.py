@@ -24,21 +24,34 @@ def _n(default):
     return PARITY_N or default
 
 
-def _rand_query(rng, vocab):
-    """Random DSL tree over corpus vocabulary (depth ≤ 2)."""
+def _rand_query(rng, vocab, depth=0):
+    """Random DSL tree over corpus vocabulary (bool depth ≤ 2)."""
 
     def leaf():
         kind = rng.choice(
-            ["term", "match", "prefix", "wildcard", "fuzzy", "phrase", "match_all"],
-            p=[0.3, 0.2, 0.1, 0.1, 0.1, 0.15, 0.05],
+            ["term", "match", "prefix", "wildcard", "fuzzy", "phrase",
+             "match_all", "range"],
+            p=[0.27, 0.18, 0.1, 0.1, 0.1, 0.15, 0.05, 0.05],
         )
         w = str(rng.choice(vocab))
         if kind == "match_all":
             return {"match_all": {}}
+        if kind == "range":
+            # string-lexicographic range on a stored raw column
+            # (vectorized pushdown engine-side vs raw compare oracle-side)
+            field = str(rng.choice(["lang", "text"]))
+            bounds = {"lang": ["de", "en", "es", "fr"], "text": vocab}[field]
+            lo, hi = sorted(str(rng.choice(bounds)) for _ in range(2))
+            q = {}
+            if rng.random() < 0.8:
+                q["gte" if rng.random() < 0.5 else "gt"] = lo
+            if rng.random() < 0.8 or not q:
+                q["lte" if rng.random() < 0.5 else "lt"] = hi
+            return {"range": {"field": field, **q}}
         if kind == "prefix":
             q = {"prefix": {"field": "text", "value": w[: max(1, len(w) // 2)]}}
             if rng.random() < 0.3:  # typo'd-prefix path
-                q["prefix"]["fuzziness"] = 1
+                q["prefix"]["fuzziness"] = int(rng.choice([1, 1, 2]))
             return q
         if kind == "wildcard":
             pat = w[: max(1, len(w) - 2)] + "*" if len(w) > 3 else w + "*"
@@ -52,25 +65,37 @@ def _rand_query(rng, vocab):
                 w2 = str(rng.choice(vocab))
                 return {"match": {"field": "text", "value": f"{w2} {mutated}",
                                   "fuzziness": 1}}
-            return {"fuzzy": {"field": "text", "value": mutated, "fuzziness": 1}}
+            return {"fuzzy": {"field": "text", "value": mutated,
+                              "fuzziness": int(rng.choice([1, 1, 1, 2]))}}
         if kind == "phrase":
             w2 = str(rng.choice(vocab))
-            return {
+            q = {
                 "match_phrase": {
                     "field": "text",
                     "value": f"{w} {w2}",
                     "slop": int(rng.integers(0, 3)),
                 }
             }
+            if rng.random() < 0.25:  # fuzzy-phrase path
+                q["match_phrase"]["fuzziness"] = 1
+            return q
         return {kind: {"field": "text", "value": w}}
 
-    if rng.random() < 0.4:
+    def node():
+        # nested bool one level down with small probability
+        if depth < 1 and rng.random() < 0.15:
+            return _rand_query(rng, vocab, depth + 1)
+        return leaf()
+
+    if rng.random() < 0.4 and depth == 0:
         return leaf()
     clauses = {
-        "must": [leaf() for _ in range(rng.integers(0, 3))],
-        "should": [leaf() for _ in range(rng.integers(0, 3))],
-        "must_not": [leaf() for _ in range(rng.integers(0, 2))],
+        "must": [node() for _ in range(rng.integers(0, 3))],
+        "should": [node() for _ in range(rng.integers(0, 3))],
+        "must_not": [node() for _ in range(rng.integers(0, 2))],
     }
+    if rng.random() < 0.25:
+        clauses["filter"] = [leaf() for _ in range(rng.integers(1, 3))]
     if clauses["should"] and rng.random() < 0.3:
         clauses["minimum_should_match"] = int(
             rng.integers(1, len(clauses["should"]) + 1)
