@@ -307,10 +307,23 @@ def test_random_hetero_mappings_battery(hetero_setup):
         field = str(rng.choice(["name", "bio", "*"]))
         kind = rng.choice(
             ["term", "match", "prefix_raw", "wildcard_raw",
-             "prefix_tok", "bool"],
-            p=[0.15, 0.15, 0.25, 0.25, 0.1, 0.1],
+             "prefix_tok", "bool", "phrase", "range"],
+            p=[0.12, 0.12, 0.2, 0.2, 0.08, 0.12, 0.08, 0.08],
         )
-        if kind in ("prefix_raw", "wildcard_raw"):
+        if kind == "phrase":
+            # positions exist only where the partition tokenized the
+            # field — a base-partition bio phrase must stay empty on
+            # both sides
+            w1, w2 = (str(rng.choice(vocab)) for _ in range(2))
+            q = {"match_phrase": {"field": field, "value": f"{w1} {w2}",
+                                  "slop": int(rng.integers(0, 2))}}
+        elif kind == "range":
+            # lexicographic raw-column scan; field '*' is not a column —
+            # pin to a concrete one
+            f = field if field != "*" else "name"
+            lo, hi = sorted(str(rng.choice(vocab)) for _ in range(2))
+            q = {"range": {"field": f, "gte": lo, "lte": hi}}
+        elif kind in ("prefix_raw", "wildcard_raw"):
             t = str(rng.choice(raw_values))
             n = int(rng.integers(3, min(16, max(4, len(t)))))
             if kind == "prefix_raw":
@@ -329,6 +342,16 @@ def test_random_hetero_mappings_battery(hetero_setup):
                 "must": [{"term": {"field": field, "value": w1}}],
                 "should": [{"prefix": {"field": "*", "value": w2[:2]}}],
             }}
+            if rng.random() < 0.4:
+                w3 = str(rng.choice(vocab))
+                q["bool"]["filter"] = [
+                    {"match": {"field": "*", "value": w3}}
+                ]
+            if rng.random() < 0.3:
+                w4 = str(rng.choice(vocab))
+                q["bool"]["must_not"] = [
+                    {"term": {"field": field, "value": w4}}
+                ]
         else:
             w = str(rng.choice(vocab))
             q = {kind: {"field": field, "value": w}}
