@@ -428,6 +428,45 @@ class TestDeleteDocuments:
             "query": {"match": {"field": "title", "value": "alive"}}})
         assert r["total"] == 1
 
+    def test_delete_excluded_from_rawvalue_naive_scan(self, server):
+        """Tombstoned and superseded docs must not resurface through
+        the raw-value naive scan (the round-5 prefix/wildcard docstore
+        scans run OUTSIDE the postings index; exclusion sets are
+        applied at the evaluate() boundary, after the scan)."""
+        _req(server, "/index", {"indexName": "rawdel"})
+        _req(server, "/index/rawdel/documents", {"documents": [
+            {"id": "a", "title": "report-v1.txt archived"},
+            {"id": "b", "title": "report-v2.txt current"},
+        ]})
+        _req(server, "/index/rawdel/flush", {})
+        # *-v1* matches only via the raw-value scan (analyzer strips
+        # the punctuation, so no vocab token contains '-v1.')
+        wq = {"wildcard": {"field": "title", "value": "*-v1.txt*"}}
+        code, r = _req(server, "/search/rawdel", {"query": wq})
+        assert r["total"] == 1
+        _req(server, "/index/rawdel/documents/delete", {"ids": ["a"]})
+        code, r = _req(server, "/search/rawdel", {"query": wq})
+        assert r["total"] == 0  # tombstone reaches the naive scan
+        # superseded version: re-add id b with a new raw value — the
+        # OLD raw value must stop matching immediately after flush
+        _req(server, "/index/rawdel/documents", {"documents": [
+            {"id": "b", "title": "report-v3.txt current"},
+        ]})
+        _req(server, "/index/rawdel/flush", {})
+        code, r = _req(server, "/search/rawdel", {
+            "query": {"wildcard": {"field": "title",
+                                   "value": "*-v2.txt*"}}})
+        assert r["total"] == 0  # old copy superseded, not raw-matched
+        code, r = _req(server, "/search/rawdel", {
+            "query": {"wildcard": {"field": "title",
+                                   "value": "*-v3.txt*"}}})
+        assert r["total"] == 1
+        # multi-word raw prefix over a deleted doc stays dead too
+        code, r = _req(server, "/search/rawdel", {
+            "query": {"prefix": {"field": "title",
+                                 "value": "report-v1.txt arch"}}})
+        assert r["total"] == 0
+
     def test_flush_unifies_heterogeneous_buffer_schema(self, server):
         """pa.Table.from_pylist infers the schema from the FIRST row
         only — a field absent there was silently never indexed."""
