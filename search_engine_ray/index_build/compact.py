@@ -301,6 +301,16 @@ def compact_index(
     ``doc_id`` is already assigned, so no re-hashing and no dedup), the
     old partition dirs are removed and the global manifest rewritten.
     Crash-atomic: see ``recover_compaction`` and the module docstring.
+
+    Documented divergence from the reference's add-time-mappings rule
+    (SearchEngine.ts:225-237): compaction re-analyzes every surviving
+    doc under the CURRENT global mappings, so a doc added before a
+    field mapping existed gains that field's tokens when compacted
+    (the reference has no compaction; this is rebuild machinery).  The
+    merged partition's manifest records the mappings it actually
+    tokenized under, so the naive-scan skip proof stays sound either
+    way — locked by
+    ``test_server.py::test_compact_reanalyzes_under_current_mappings``.
     """
     recover_compaction(index_dir)
     with open(os.path.join(index_dir, "manifest.json")) as f:

@@ -598,3 +598,65 @@ class TestAutoPersistence:
             assert code == 200 and out["total"] == 1, out
         finally:
             srv2.stop()
+
+
+def test_compact_reanalyzes_under_current_mappings(tmp_path, ray_session):
+    """Documented divergence (compact_index docstring): compaction
+    re-feeds every surviving doc through build_partition under the
+    CURRENT global mappings, so a base-partition doc whose ``bio`` was
+    never tokenized (added under name-only mappings) gains bio tokens
+    once the widened mappings land and the index is compacted.  The
+    reference keeps add-time analysis forever (SearchEngine.ts:225-237)
+    but has no compaction; this pins the rebuild semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.index_build.compact import compact_index
+    from search_engine_ray.query import IndexSearcher
+    from search_engine_ray.server import IndexHandle
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "id": ["b1", "b2"],
+        "name": ["alpha bravo", "charlie delta"],
+        "bio": ["zephyrine crystal", "quartz lattice"],
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(idx, src, BuildConfig(
+        mappings={"name": "text"}, doc_key_column="id",
+        extract_html=False, dedup=False, n_partitions=1,
+    ))
+    # widened mappings arrive with a delta flush (global manifest now
+    # records {name, bio})
+    h = IndexHandle(idx, mappings={"name": "text", "bio": "text"})
+    h.add_documents([{"id": "d1", "name": "echo foxtrot",
+                      "bio": "granite spire"}])
+    h.flush()
+
+    q = {"term": {"field": "bio", "value": "zephyrine"}}
+    s = IndexSearcher(idx, text_fields=("name", "bio"),
+                      stopwords=frozenset())
+    # pre-compact: the base partition never tokenized bio, and term
+    # queries have no raw-value fallback -> no hit
+    assert len(s.search(q, size=5)) == 0
+    # the delta doc's bio IS tokenized (add-time mappings)
+    assert len(s.search({"term": {"field": "bio", "value": "granite"}},
+                        size=5)) == 1
+
+    m = compact_index(idx)
+    assert m["total_docs"] == 3
+    s2 = IndexSearcher(idx, text_fields=("name", "bio"),
+                       stopwords=frozenset())
+    # post-compact: re-analysis under the widened mappings
+    assert len(s2.search(q, size=5)) == 1
+    assert len(s2.search({"term": {"field": "bio", "value": "granite"}},
+                         size=5)) == 1
+    # the merged partition records the mappings it tokenized under
+    import json as _json
+    import os as _os
+
+    (part,) = sorted(_os.listdir(_os.path.join(idx, "partitions")))
+    with open(_os.path.join(idx, "partitions", part, "manifest.json")) as f:
+        pm = _json.load(f)
+    assert pm["mappings"] == {"name": "text", "bio": "text"}
