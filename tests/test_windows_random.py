@@ -145,3 +145,71 @@ def test_session_window_random(con):
             FROM s GROUP BY user_id, session ORDER BY user_id, session
         """).df()
         _check(got, want, (i, gap))
+
+
+def test_trailing_window_random(con):
+    from search_engine_ray.stages.windows import trailing_window_agg
+
+    rng = np.random.default_rng(839 + PARITY_SEED)
+    for i in range(_n(5)):
+        w = int(rng.choice(SIZES_US))
+        ds = read_parquet_clean(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        got = trailing_window_agg(
+            ds, key_field="user_id", ts_field="ts", id_field="event_id",
+            window_us=w, value_field="value", value_scale=100,
+        )
+        got = got.astype(
+            {"event_id": "int64", "user_id": "int64", "ts_us": "int64",
+             "trail_n": "int64"}
+        ).sort_values("event_id").reset_index(drop=True)
+        want = con.execute(f"""
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   round(SUM(CAST(round(value * 100) AS BIGINT))
+                         OVER w / 100.0, 6) AS trail_sum,
+                   COUNT(*) OVER w AS trail_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN {w} PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """).df()
+        want["ts_us"] = want["ts_us"].astype("int64")
+        want["trail_n"] = want["trail_n"].astype("int64")
+        _check(got[list(want.columns)], want, (i, w))
+
+
+def test_band_self_join_random(con):
+    from search_engine_ray.stages.joins import band_self_join
+
+    rng = np.random.default_rng(941 + PARITY_SEED)
+    for i in range(_n(5)):
+        band = int(rng.choice(SIZES_US))
+        ds = read_parquet_clean(
+            f"{SF_DIR}/events.parquet",
+            columns=["event_id", "ts", "user_id"],
+        )
+        got = band_self_join(
+            ds, key_field="user_id", ts_field="ts", id_field="event_id",
+            band_us=band,
+        )
+        got = (
+            got[["user_id", "a_id", "b_id", "dt_us"]]
+            .astype({"user_id": "int64", "a_id": "int64",
+                     "b_id": "int64", "dt_us": "int64"})
+            .sort_values(["a_id", "b_id"]).reset_index(drop=True)
+        )
+        want = con.execute(f"""
+            SELECT a.user_id,
+                   a.event_id AS a_id,
+                   b.event_id AS b_id,
+                   CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND epoch_us(b.ts) <= epoch_us(a.ts) + {band}
+            ORDER BY a_id, b_id
+        """).df()
+        _check(got, want, (i, band))
