@@ -169,3 +169,65 @@ def test_range_agg_random(con):
             "range_label", key=lambda s: s.map(order)
         ).reset_index(drop=True)
         _check(got, want, (i, ranges))
+
+
+def test_group_argmax_random(con):
+    """Varied group/order/payload configs (the gate pins ONE:
+    user_id by (ts, event_id))."""
+    rng = np.random.default_rng(1223 + PARITY_SEED)
+    configs = [
+        # (group, order_fields, payloads)
+        ("user_id", ["ts", "event_id"], ["event_type", "value"]),
+        ("user_id", ["event_id"], ["value"]),
+        ("event_type", ["ts", "event_id"], ["user_id", "value"]),
+        ("event_type", ["value_cents", "event_id"], ["user_id"]),
+    ]
+    for i in range(_n(6)):
+        group, order, payloads = configs[int(rng.integers(0, len(configs)))]
+        cols = sorted({group, *order, *payloads} - {"value_cents"}
+                      | ({"value"} if "value_cents" in order else set()))
+        ds = read_parquet_clean(f"{SF_DIR}/events.parquet", columns=cols)
+        if "value_cents" in order:
+            # int-castable synthetic order field (order fields must be
+            # int-castable; raw float value is not)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def add_cents(b: pa.Table) -> pa.Table:
+                v = pc.cast(pc.round(pc.multiply(b["value"], 100)),
+                            pa.int64())
+                return b.append_column("value_cents", v)
+
+            ds = ds.map_batches(add_cents, batch_format="pyarrow")
+        got = agg.group_argmax(ds, group, list(order), list(payloads))
+        out_cols = [group, *order, *payloads]
+        got = got[out_cols].sort_values(group).reset_index(drop=True)
+        sql_order = ", ".join(
+            ("ts" if f == "ts" else
+             "CAST(round(value*100) AS BIGINT)" if f == "value_cents"
+             else f) + " DESC"
+            for f in order
+        )
+        sql_cols = ", ".join(
+            "epoch_us(ts)::BIGINT AS ts" if f == "ts" else
+            "CAST(round(value*100) AS BIGINT) AS value_cents"
+            if f == "value_cents" else f
+            for f in out_cols
+        )
+        want = con.execute(f"""
+            SELECT {sql_cols} FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY {group} ORDER BY {sql_order}) AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY {group}
+        """).df()
+        for c in out_cols:
+            a = got[c]
+            b = want[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                assert np.allclose(a.astype(float), b.astype(float),
+                                   rtol=0, atol=1e-9), (i, group, order, c)
+            else:
+                assert a.astype(str).tolist() == b.astype(str).tolist(), (
+                    i, group, order, c,
+                )
