@@ -241,11 +241,22 @@ def hetero_setup(tmp_path_factory, ray_session):
     rng = np.random.default_rng(31)
     root = tmp_path_factory.mktemp("prand-hetero")
     src = str(root / "docs.parquet")
+
+    def _maybe_degenerate(s, p_null=0.06, p_empty=0.06):
+        r = rng.random()
+        if r < p_null:
+            return None
+        if r < p_null + p_empty:
+            return ""
+        return s
+
     base = [
         {
             "id": f"b{i:03d}",
             "name": _het_sentence(rng, 2, 5),
-            "bio": _het_sentence(rng, 5, 12),
+            # null/empty bios: the naive raw scans and the oracle's
+            # isinstance-str universe must agree on degenerate values
+            "bio": _maybe_degenerate(_het_sentence(rng, 5, 12)),
         }
         for i in range(160)
     ]
@@ -263,7 +274,7 @@ def hetero_setup(tmp_path_factory, ray_session):
         {
             "id": f"d{i:03d}",
             "name": _het_sentence(rng, 2, 5),
-            "bio": _het_sentence(rng, 5, 12),
+            "bio": _maybe_degenerate(_het_sentence(rng, 5, 12)),
         }
         for i in range(40)
     ])
@@ -291,7 +302,9 @@ def hetero_setup(tmp_path_factory, ray_session):
                 row["doc_id"],
                 fields=fields,
             )
-        raw_values.extend(tbl["bio"].to_pylist()[:20])
+        raw_values.extend(
+            v for v in tbl["bio"].to_pylist()[:24] if v
+        )
         raw_values.extend(tbl["name"].to_pylist()[:10])
     return searcher, oracle, raw_values
 
