@@ -458,7 +458,9 @@ class _PartitionEvaluator:
         tbl = self._string_column(field)
         if tbl is None:
             return np.empty(0, dtype=np.int64)
-        mask = pc.starts_with(pc.utf8_lower(tbl[field]), pref)
+        from ..stages.util import utf8_lower_full
+
+        mask = pc.starts_with(utf8_lower_full(tbl[field]), pref)
         return self._masked_ids(tbl, mask)
 
     def _field_value_wildcard_docs(
@@ -474,14 +476,21 @@ class _PartitionEvaluator:
         tbl = self._string_column(field)
         if tbl is None:
             return np.empty(0, dtype=np.int64)
+        # full-Unicode lowering on BOTH sides (the JS toLowerCase model
+        # the oracle mirrors) rather than RE2 ignore_case, whose simple
+        # folding misses final-sigma/İ special cases
+        from ..stages.util import utf8_lower_full
+
         rx = (
             "^"
-            + re.escape(pattern).replace(r"\*", ".*").replace(r"\?", ".")
+            + re.escape(pattern.lower())
+            .replace(r"\*", ".*")
+            .replace(r"\?", ".")
             + "$"
         )
         try:
             mask = pc.match_substring_regex(
-                tbl[field], rx, ignore_case=True
+                utf8_lower_full(tbl[field]), rx
             )
         except pa.ArrowInvalid:
             return np.empty(0, dtype=np.int64)
@@ -1353,7 +1362,9 @@ def _tf_fallback_scores(
                     pa.string(),
                 )
         # JSON renders missing values as the word "null"
-        col = pc.fill_null(pc.utf8_lower(col), "null")
+        from ..stages.util import utf8_lower_full
+
+        col = pc.fill_null(utf8_lower_full(col), "null")
         for rx in regexes:
             cnt = pc.count_substring_regex(col, rx).to_numpy(
                 zero_copy_only=False
@@ -2038,6 +2049,10 @@ class IndexSearcher:
         return out
 
     def count(self, query, operator: str = "and") -> int:
+        if query is None:
+            # null query counts ALL documents — same convention as
+            # search()/search_full() (QueryEngine.ts:1099-1103)
+            query = {"match_all": {}}
         node = self._normalize(query, operator)
         if node is None:
             return 0

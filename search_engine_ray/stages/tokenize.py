@@ -36,6 +36,7 @@ from ..analysis.analyzers import DEFAULT_STOPWORDS, tokenize
 from ..analysis.html_extract import extract_text
 from ..codecs import varbyte_encode, varbyte_encode_with_offsets
 from ..sources.webpages import url_doc_id
+from .util import utf8_lower_full
 
 # Sentinel term for per-batch doc-stat partials riding the postings stream
 # (sorts before every real "field:token" key; merged at finalize).
@@ -245,7 +246,11 @@ def normalize_standard_arrow(col: pa.Array) -> pa.Array:
     (RE2 kernels, C++).  Returns per-row normalized strings whose
     ``.split(' ')`` (minus empties and len<=1 tokens and stopwords)
     equals ``standard_analyzer(row)``."""
-    a = pc.utf8_lower(col)
+    # full-Unicode lowering (str.lower/JS-toLowerCase parity): the
+    # per-row standard_analyzer this twin is property-locked against
+    # lowers with CPython, and utf8proc's simple mapping diverges on
+    # final sigma / special casing (stages/util.py::utf8_lower_full)
+    a = utf8_lower_full(col)
     a = pc.replace_substring_regex(a, pattern=r"(\w+)'(\w+)", replacement=r"\1 \2")
     a = pc.replace_substring_regex(a, pattern=r"(\w+)'s\b", replacement=r"\1")
     a = pc.replace_substring_regex(a, pattern=r"(\w+)s'\b", replacement=r"\1s")

@@ -52,3 +52,31 @@ def sorted_isin(sorted_arr, values):
     pos = np.searchsorted(sorted_arr, values)
     pos[pos == len(sorted_arr)] = 0
     return sorted_arr[pos] == values
+
+
+def utf8_lower_full(col):
+    """JS ``String.prototype.toLowerCase`` / Python ``str.lower`` parity
+    lowering of an Arrow string array.
+
+    Arrow's ``pc.utf8_lower`` is utf8proc's SIMPLE, context-free case
+    mapping: no final-sigma rule ('ΟΔΟΣ' → 'οδοσ', not 'οδος') and no
+    special casing ('İ' → 'i', not 'i̇') — both diverge from the
+    JS/Python full Unicode lowering the reference, the per-row
+    analyzers and the oracle all use.  ASCII rows (the overwhelming
+    majority of web text) stay on the C++ kernel; only non-ASCII rows
+    take CPython's full lowering, scattered back with
+    ``replace_with_mask``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lowered = pc.utf8_lower(col)
+    non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(col)), False)
+    if not pc.any(non_ascii).as_py():
+        return lowered
+    fixed = pa.array(
+        [v.lower() for v in col.filter(non_ascii).to_pylist()],
+        type=col.type,
+    )
+    return pc.replace_with_mask(lowered, non_ascii, fixed)

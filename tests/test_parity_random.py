@@ -380,3 +380,51 @@ def test_random_hetero_mappings_battery(hetero_setup):
                 failures.append((i, q, "score", (gd, gs), (wd, ws)))
                 break
     assert not failures, failures[:3]
+
+
+def test_unicode_case_parity_naive_scans(tmp_path, ray_session):
+    """Full-Unicode lowering parity on the raw-value naive scans
+    (stages/util.py::utf8_lower_full): Arrow's simple case mapping has
+    no final-sigma rule ('ΟΔΟΣ'→'οδοσ') and folds 'İ' to plain 'i',
+    so pre-fix the engine missed matches the oracle/reference (JS
+    toLowerCase / Python str.lower) find.  Deterministic repro of the
+    round-5 review finding."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.query import IndexSearcher
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({
+        "id": ["g1", "t1", "a1"],
+        "name": ["ΟΔΟΣ ΜΕΓΑΣ", "İstanbul Gezi", "plain ascii name"],
+    }), src)
+    idx = str(tmp_path / "idx")
+    build_index(idx, src, BuildConfig(
+        mappings={"name": "text"}, doc_key_column="id",
+        extract_html=False, dedup=False, n_partitions=1,
+    ))
+    searcher = IndexSearcher(idx, text_fields=("name",),
+                             stopwords=frozenset())
+    oracle = OracleEngine(fields=(("name", "standard"),),
+                          text_fields=("name",), stopwords=frozenset())
+    for r in searcher._readers:
+        for row in r.docs_table(columns=["doc_id", "name"]).to_pylist():
+            oracle.add({"name": row["name"]}, row["doc_id"])
+
+    cases = [
+        # multi-word prefix: token path empty -> naive scan only
+        {"prefix": {"field": "name", "value": "οδος μ"}},
+        {"prefix": {"field": "name", "value": "i̇stanbul g"}},
+        # boundary-spanning wildcard: naive scan only
+        {"wildcard": {"field": "name", "value": "*ος μεγ*"}},
+        {"wildcard": {"field": "name", "value": "*i̇stanbul*"}},
+        {"wildcard": {"field": "name", "value": "*ascii nam*"}},
+    ]
+    for q in cases:
+        got = searcher.search(q, size=5)
+        want = oracle.search(q, size=5)
+        assert got["doc_id"].tolist() == [w[0] for w in want], (
+            q, got["doc_id"].tolist(), want,
+        )
+        assert len(want) == 1, (q, want)  # every case matches exactly once

@@ -478,6 +478,9 @@ class TestPagination:
         assert len(paged["hits"]) == 2
         assert paged["total"] == 3
         assert paged["from"] == 1 and paged["size"] == 2
+        # count(None) follows the same null-query convention as
+        # search/search_full (was 0 pre-fix — round-5 review finding)
+        assert s.count(None) == 3
 
 
 class TestEnhancedWildcards:
