@@ -292,7 +292,6 @@ def run_build_only() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     from search_engine_ray.index_build import BuildConfig, build_index
-    from search_engine_ray.sources import read_parquet_clean
 
     corpus = _ensure_corpus()
     _warm_cache(corpus)

@@ -201,9 +201,10 @@ def _make_exclusion_filter(exclude_by_prefix: Dict[str, "np.ndarray"]):
         # the abspath prefixes compaction built (one unique-path pass,
         # not per row: a batch comes from very few source files)
         raw = batch["path"]
-        uniq = {p: os.path.abspath(p) for p in set(raw.to_pylist())}
+        pl = raw.to_pylist()
+        uniq = {p: os.path.abspath(p) for p in set(pl)}
         if any(k != v for k, v in uniq.items()):
-            paths = pa.array([uniq[p] for p in raw.to_pylist()])
+            paths = pa.array([uniq[p] for p in pl])
         else:
             paths = raw
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)

@@ -28,23 +28,28 @@ def read_parquet_clean(
     """``ray.data.read_parquet`` with the file's schema metadata stripped
     (see module docstring).  ``columns`` additionally projects the
     explicit schema so the reader and the projection agree."""
-    full = _SCHEMA_CACHE.get(path)
-    if full is None:
-        import os
+    import os
 
+    probe = path
+    if os.path.isdir(path):
+        # schema probe: any one file of the directory dataset
+        probe = next(
+            os.path.join(root, f)
+            for root, _, files in sorted(os.walk(path))
+            for f in sorted(files)
+            if f.endswith(".parquet")
+        )
+    # cache key includes the probe file's identity so a file rewritten
+    # at the same path (regenerated corpus) is re-probed, not served a
+    # stale schema
+    st = os.stat(probe)
+    key = (probe, st.st_mtime_ns, st.st_size)
+    full = _SCHEMA_CACHE.get(key)
+    if full is None:
         import pyarrow.parquet as pq
 
-        probe = path
-        if os.path.isdir(path):
-            # schema probe: any one file of the directory dataset
-            probe = next(
-                os.path.join(root, f)
-                for root, _, files in sorted(os.walk(path))
-                for f in sorted(files)
-                if f.endswith(".parquet")
-            )
         full = pq.read_schema(probe).remove_metadata()
-        _SCHEMA_CACHE[path] = full
+        _SCHEMA_CACHE[key] = full
     schema = (
         pa.schema([full.field(c) for c in columns])
         if columns is not None
