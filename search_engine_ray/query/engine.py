@@ -1356,7 +1356,9 @@ def _tf_fallback_scores(
 
                 col = pa.array(
                     [
-                        _json.dumps(v, default=str)
+                        # ensure_ascii=False: JSON.stringify leaves
+                        # non-ASCII unescaped
+                        _json.dumps(v, default=str, ensure_ascii=False)
                         for v in col.to_pylist()
                     ],
                     pa.string(),

@@ -393,13 +393,22 @@ class OracleEngine:
             toks = [t.split(":", 1)[1] for t in terms]
             if not toks and isinstance(query, str):
                 toks = tokenize(query, "standard", self.stopwords)
+            # re.ASCII: the reference's \b (JS RegExp, no 'u' flag) and
+            # the engine's RE2 kernel are both ASCII word boundaries;
+            # Python's default Unicode \b treats 'ï' as a word char and
+            # diverges on tokens that start/end next to non-ASCII text
             pats = [
-                _re.compile(r"\b" + _re.escape(t) + r"\b") for t in toks
+                _re.compile(r"\b" + _re.escape(t) + r"\b", _re.ASCII)
+                for t in toks
             ]
             scored = []
             for did in cand:
+                # ensure_ascii=False: JSON.stringify leaves non-ASCII
+                # unescaped, so 'naïve' must stay 'naïve', not 'ï'
                 text = _json.dumps(
-                    self.docs.get(did, {}), default=str
+                    self.docs.get(did, {}),
+                    default=str,
+                    ensure_ascii=False,
                 ).lower()
                 n = sum(len(p.findall(text)) for p in pats)
                 scored.append((did, float(max(1, n))))

@@ -428,3 +428,123 @@ def test_unicode_case_parity_naive_scans(tmp_path, ray_session):
             q, got["doc_id"].tolist(), want,
         )
         assert len(want) == 1, (q, want)  # every case matches exactly once
+
+
+# --- mixed-script Unicode battery ---------------------------------------
+#
+# Randomized breadth behind the deterministic repro above: a corpus of
+# Greek (final-sigma words), Turkish (dotted/dotless I), German (ß/ẞ),
+# accented Latin and ASCII words under random casing.  The token path is
+# largely insensitive to the lowering model (the standard analyzer's JS
+# ASCII-\w punct strip removes non-ASCII letters AFTER lowering, and the
+# simple-vs-full divergent outputs are all non-ASCII), so the battery
+# aims at the surfaces where lowering IS observable: raw-value naive
+# prefix/wildcard scans and the tf-fallback substring scorer.
+
+_UNI_WORDS = [
+    # Greek — uppercase forms end in Σ, full lowering needs final sigma
+    "ΟΔΟΣ", "ΜΕΓΑΣ", "λόγος", "σοφός", "ΚΟΣΜΟΣ", "θάλασσα",
+    # Turkish — İ lowers to i+combining-dot (full) vs plain i (simple)
+    "İstanbul", "DİYARBAKIR", "ılık", "IŞIK",
+    # German / accents
+    "Straße", "GROẞE", "café", "École", "naïve", "über",
+    # ASCII anchors so token queries have hits
+    "harbor", "market", "stone", "river", "trade2024", "x_ray",
+]
+
+
+def _uni_sentence(rng):
+    words = []
+    for _ in range(int(rng.integers(2, 7))):
+        w = str(rng.choice(_UNI_WORDS))
+        c = rng.random()
+        if c < 0.3:
+            w = w.upper()
+        elif c < 0.6:
+            w = w.lower()
+        words.append(w)
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def unicode_setup(tmp_path_factory, ray_session):
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.query import IndexSearcher
+
+    rng = np.random.default_rng(61)
+    root = tmp_path_factory.mktemp("prand-uni")
+    src = str(root / "docs.parquet")
+    rows = [
+        {"id": f"u{i:03d}", "name": _uni_sentence(rng)} for i in range(150)
+    ]
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in ("id", "name")}), src
+    )
+    idx = str(root / "idx")
+    build_index(idx, src, BuildConfig(
+        mappings={"name": "text"}, doc_key_column="id",
+        extract_html=False, dedup=False, n_partitions=2,
+    ))
+    searcher = IndexSearcher(idx, text_fields=("name",),
+                             stopwords=frozenset())
+    oracle = OracleEngine(fields=(("name", "standard"),),
+                          text_fields=("name",), stopwords=frozenset())
+    raw_values = []
+    for r in searcher._readers:
+        tbl = r.docs_table(columns=["doc_id", "name"])
+        for row in tbl.to_pylist():
+            oracle.add({"name": row["name"]}, row["doc_id"])
+        raw_values.extend(tbl["name"].to_pylist()[:40])
+    return searcher, oracle, raw_values
+
+
+def test_random_unicode_battery(unicode_setup):
+    """Rank+score parity over mixed-script values: raw-value prefix and
+    wildcard slices (Python str.lower on both the query value and the
+    stored value — utf8_lower_full engine-side), token term/match over
+    the ASCII survivors, and match (tf-fallback) over whole words."""
+    searcher, oracle, raw_values = unicode_setup
+    rng = np.random.default_rng(43 + PARITY_SEED)
+    ascii_vocab = [w.lower() for w in _UNI_WORDS if w.isascii()]
+    failures = []
+    for i in range(_n(60)):
+        kind = rng.choice(
+            ["prefix_raw", "wildcard_raw", "term", "match_word",
+             "wildcard_word"],
+            p=[0.3, 0.3, 0.15, 0.15, 0.1],
+        )
+        if kind == "prefix_raw":
+            t = str(rng.choice(raw_values))
+            n = int(rng.integers(3, min(14, max(4, len(t)))))
+            q = {"prefix": {"field": "name", "value": t[:n].lower()}}
+        elif kind == "wildcard_raw":
+            t = str(rng.choice(raw_values))
+            j = int(rng.integers(0, max(1, len(t) - 6)))
+            frag = t[j:j + int(rng.integers(3, 6))].lower()
+            frag = frag.replace("*", "").replace("?", "") or "a"
+            q = {"wildcard": {"field": "name", "value": f"*{frag}*"}}
+        elif kind == "wildcard_word":
+            # a whole mixed-script word, case-randomized then lowered
+            w = str(rng.choice(_UNI_WORDS))
+            w = (w.upper() if rng.random() < 0.5 else w).lower()
+            q = {"wildcard": {"field": "name", "value": f"*{w}*"}}
+        elif kind == "match_word":
+            w = str(rng.choice(_UNI_WORDS)).lower()
+            q = {"match": {"field": "name", "value": w}}
+        else:
+            q = {"term": {"field": "name",
+                          "value": str(rng.choice(ascii_vocab))}}
+        size = int(rng.integers(1, 20))
+        got = searcher.search(q, size=size)
+        want = oracle.search(q, size=size)
+        g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
+        if [x[0] for x in g] != [w[0] for w in want]:
+            failures.append((i, q, "docids", g[:4], want[:4]))
+            continue
+        for (gd, gs), (wd, ws) in zip(g, want):
+            if abs(gs - ws) > 1e-12 * max(1.0, abs(ws)):
+                failures.append((i, q, "score", (gd, gs), (wd, ws)))
+                break
+    assert not failures, failures[:3]
