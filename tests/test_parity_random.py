@@ -512,10 +512,51 @@ def test_random_unicode_battery(unicode_setup):
     for i in range(_n(60)):
         kind = rng.choice(
             ["prefix_raw", "wildcard_raw", "term", "match_word",
-             "wildcard_word"],
-            p=[0.3, 0.3, 0.15, 0.15, 0.1],
+             "wildcard_word", "fuzzy", "phrase", "range", "bool"],
+            p=[0.2, 0.2, 0.1, 0.1, 0.08, 0.1, 0.08, 0.06, 0.08],
         )
-        if kind == "prefix_raw":
+        if kind == "fuzzy":
+            # edit-distance expansion over a mixed-script value: the
+            # vocab is ASCII (the analyzer strips non-ASCII) but the
+            # QUERY value may not be — levenshtein must agree per
+            # codepoint on both sides
+            w = str(rng.choice(_UNI_WORDS)).lower()
+            if rng.random() < 0.5 and len(w) > 2:
+                w = w[:-1] + ("x" if not w.endswith("x") else "y")
+            q = {"fuzzy": {"field": "name", "value": w,
+                           "fuzziness": int(rng.choice([1, 1, 2]))}}
+        elif kind == "phrase":
+            # analyzed phrase: non-ASCII words tokenize to their ASCII
+            # fragments ('naïve' -> na ve) on BOTH sides
+            w1, w2 = (str(rng.choice(_UNI_WORDS)).lower()
+                      for _ in range(2))
+            q = {"match_phrase": {"field": "name", "value": f"{w1} {w2}",
+                                  "slop": int(rng.integers(0, 3))}}
+        elif kind == "range":
+            # lexicographic raw-value range spanning scripts: Arrow's
+            # binary UTF-8 compare must equal Python's codepoint order
+            lo, hi = sorted(
+                str(rng.choice(raw_values)) for _ in range(2)
+            )
+            q = {"range": {"field": "name",
+                           "gte" if rng.random() < 0.5 else "gt": lo,
+                           "lte" if rng.random() < 0.5 else "lt": hi}}
+        elif kind == "bool":
+            t = str(rng.choice(raw_values))
+            j = int(rng.integers(0, max(1, len(t) - 6)))
+            frag = t[j:j + 4].lower().replace("*", "").replace("?", "")
+            q = {"bool": {
+                "must": [{"wildcard": {"field": "name",
+                                       "value": f"*{frag or 'a'}*"}}],
+                "should": [{"match": {
+                    "field": "name",
+                    "value": str(rng.choice(_UNI_WORDS)).lower()}}],
+            }}
+            if rng.random() < 0.4:
+                q["bool"]["must_not"] = [{"term": {
+                    "field": "name",
+                    "value": str(rng.choice(ascii_vocab))}}]
+        elif kind == "prefix_raw":
             t = str(rng.choice(raw_values))
             n = int(rng.integers(3, min(14, max(4, len(t)))))
             q = {"prefix": {"field": "name", "value": t[:n].lower()}}
