@@ -362,6 +362,24 @@ class TestArrowTokenizeTwin:
         want = [standard_analyzer(t) for t in texts]
         assert got == want
 
+    def test_full_casing_special_cases(self):
+        """The codepoints where utf8proc's simple case mapping diverges
+        from str.lower/JS-toLowerCase (why the twin lowers via
+        utf8_lower_full): Greek final sigma, Turkish dotted capital I,
+        capital eszett, plus mixed-script text around them."""
+        from search_engine_ray.analysis.analyzers import standard_analyzer
+
+        texts = [
+            "ΟΔΟΣ ΜΕΓΑΣ οδός",          # Σ at word end → ς (full) vs σ
+            "İstanbul DİYARBAKIR ılık",   # İ → i+U+0307 (full) vs i
+            "GROẞE Straße",               # ẞ → ß (both), sanity
+            "naïve café x7 École_B2 mix", # accents interleaved w/ ASCII
+            "ΚΟΣΜΟΣ word ΚΟΣΜΟΣ",         # repeated final-sigma word
+        ]
+        got = self._reconstruct(texts)
+        want = [standard_analyzer(t, stopwords=frozenset()) for t in texts]
+        assert got == want
+
     def test_stopwords_and_nulls(self):
         import pyarrow as pa
 
