@@ -27,7 +27,7 @@ from ..analysis.analyzers import DEFAULT_STOPWORDS, standard_analyzer, tokenize
 from ..stages.tokenize import PAGE_FIELDS
 from .engine import collect_scoring_terms, normalize_query
 from .scorer import B, K1
-from .textmatch import levenshtein
+from .textmatch import levenshtein, prefix_slice_pair
 
 
 class OracleEngine:
@@ -169,7 +169,9 @@ class OracleEngine:
                     toks += [
                         t
                         for t in self._vocab(f)
-                        if levenshtein(t[: len(p)], p, fuzz) <= fuzz
+                        if levenshtein(
+                            *prefix_slice_pair(t, p), fuzz
+                        ) <= fuzz
                     ]
                 token_docs |= self._expand_docs(f, toks)
             # raw-value startswith scan (_prefixToDocs
@@ -210,7 +212,7 @@ class OracleEngine:
                             t
                             for t in self._vocab(f)
                             if levenshtein(
-                                t[: len(stripped)], stripped, fuzz
+                                *prefix_slice_pair(t, stripped), fuzz
                             )
                             <= fuzz
                         ]

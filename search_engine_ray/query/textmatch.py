@@ -10,11 +10,46 @@ from typing import List, Sequence
 import numpy as np
 
 
+def _bmp_only(s: str) -> bool:
+    """True when Python indexing equals JS (UTF-16) indexing — no
+    astral codepoints.  ASCII short-circuits at C speed."""
+    return s.isascii() or max(map(ord, s)) <= 0xFFFF
+
+
+def _u16(s: str):
+    """The string as UTF-16 code units — the JS string model the
+    reference's ``_levenshtein``/``slice`` operate in
+    (QueryEngine.ts:1405-1418: ``a.length``/``a[i-1]`` index code
+    UNITS, so an astral codepoint counts as its surrogate pair;
+    verified in node: dist('😀un','sun') == 2, not 1)."""
+    return tuple(memoryview(s.encode("utf-16-le")).cast("H"))
+
+
+def prefix_slice_pair(t: str, v: str):
+    """``(t.slice(0, v.length), v)`` in the JS string model: the slice
+    length and boundary are UTF-16 units (QueryEngine.ts:1205-1208
+    ``fieldVal.slice(0, searchValue.length)``).  BMP-only pairs stay
+    plain strings (unit indexing == codepoint indexing)."""
+    if _bmp_only(t) and _bmp_only(v):
+        return t[: len(v)], v
+    tu, vu = _u16(t), _u16(v)
+    return tu[: len(vu)], vu
+
+
 def levenshtein(a: str, b: str, limit: int | None = None) -> int:
     """Classic DP edit distance (mirrors the reference's
-    ``levenshteinDistance``), with an optional early-exit band."""
+    ``levenshteinDistance``), with an optional early-exit band.
+    String inputs containing astral codepoints are compared as UTF-16
+    code units, matching the reference's JS string model (an emoji is
+    2 units away from any 1-unit char, not 1)."""
     if a == b:
         return 0
+    if (
+        isinstance(a, str)
+        and isinstance(b, str)
+        and not (_bmp_only(a) and _bmp_only(b))
+    ):
+        a, b = _u16(a), _u16(b)
     la, lb = len(a), len(b)
     if la == 0:
         return lb
@@ -62,10 +97,15 @@ def fuzzy_matches(
     (QueryProcessor.ts:424-435; default fuzziness 1 per :429)."""
     v = value.lower()
     out = []
+    band_ok = _bmp_only(v)  # the codepoint length band is only valid
+    # when both sides index like UTF-16; levenshtein() re-bands in
+    # unit space after conversion
     for t in vocab.tolist():
-        if abs(len(t) - len(v)) <= fuzziness and levenshtein(
-            t, v, limit=fuzziness
-        ) <= fuzziness:
+        if (
+            not band_ok
+            or not _bmp_only(t)
+            or abs(len(t) - len(v)) <= fuzziness
+        ) and levenshtein(t, v, limit=fuzziness) <= fuzziness:
             out.append(t)
     return out
 
@@ -80,10 +120,11 @@ def fuzzy_prefix_matches(
     (QueryEngine.ts:1205-1208 prefix / :1239-1241, 1250-1253 wildcard:
     ``levenshtein(fieldVal.slice(0, value.length), value) <= fuzz``)."""
     v = value.lower()
-    n = len(v)
     out = []
     for t in vocab.tolist():
-        if levenshtein(t[:n], v, limit=fuzziness) <= fuzziness:
+        if levenshtein(
+            *prefix_slice_pair(t, v), limit=fuzziness
+        ) <= fuzziness:
             out.append(t)
     return out
 

@@ -326,3 +326,66 @@ class TestRegressionFixes:
         assert sorted(after["doc_id"]) == sorted(before["doc_id"])
         # 'running'/'runs' stem to 'run'; Porter keeps 'runner' distinct
         assert len(after) == 2
+
+
+class TestUtf16EditDistance:
+    """The reference's ``_levenshtein`` indexes ``a.length``/``a[i-1]``
+    — UTF-16 code units (QueryEngine.ts:1405-1418) — and its fuzzy
+    prefix slices are ``fieldVal.slice(0, value.length)``
+    (QueryEngine.ts:1205-1208), also in units.  Golden vectors below
+    were produced by running the reference's exact DP in node."""
+
+    def test_astral_distances_match_js(self):
+        from search_engine_ray.query.textmatch import levenshtein
+
+        assert levenshtein("😀un", "sun") == 2  # not the codepoint 1
+        assert levenshtein("😀😀", "ab") == 4
+        assert levenshtein("café", "cafe") == 1  # BMP: unchanged
+        # two emoji sharing the high surrogate differ by ONE unit
+        assert levenshtein("😀a", "😁a") == 1
+        assert levenshtein("x😀", "x") == 2
+        # band early-exit stays consistent in unit space
+        assert levenshtein("😀un", "sun", limit=1) > 1
+
+    def test_prefix_slice_in_units(self):
+        from search_engine_ray.query.textmatch import (
+            levenshtein,
+            prefix_slice_pair,
+        )
+
+        # '😀abc'.slice(0, 3) in JS is '😀a' (emoji = 2 units)
+        t, v = prefix_slice_pair("😀abc", "xya")
+        assert levenshtein(t, v) == 2  # node: lev('😀a','xya') == 2
+        # BMP pairs keep plain-string slicing
+        t, v = prefix_slice_pair("abcdef", "xyz")
+        assert (t, v) == ("abc", "xyz")
+
+    def test_fuzzy_vocab_scan_unit_semantics(self):
+        import numpy as np
+
+        from search_engine_ray.query.textmatch import (
+            fuzzy_matches,
+            fuzzy_prefix_matches,
+        )
+
+        vocab = np.array(["sun", "sunny", "😀un"], dtype=object)
+        # '😀un' is 2 units from 'sun' -> excluded at fuzziness 1,
+        # but matches itself
+        assert fuzzy_matches(vocab, "😀un", 1) == ["😀un"]
+        assert fuzzy_matches(vocab, "sun", 1) == ["sun"]
+        # at fuzz 2, 'sun' (slice 'sun', 2 unit edits away) matches
+        # too; 'sunny' (slice 'sunn', 3 edits) does not
+        assert fuzzy_prefix_matches(vocab, "😀un", 2) == ["sun", "😀un"]
+
+    def test_engine_oracle_agree_on_astral_fuzzy(self, setup):
+        """Engine and oracle stay rank-identical for an astral-char
+        fuzzy query (both now in unit space)."""
+        searcher, oracle = setup[0], setup[1]
+        for q in (
+            {"fuzzy": {"field": "text", "value": "😀ata", "fuzziness": 2}},
+            {"prefix": {"field": "text", "value": "😀at",
+                        "fuzziness": 2}},
+        ):
+            got = searcher.search(q, size=10)
+            want = oracle.search(q, size=10)
+            assert got["doc_id"].tolist() == [w[0] for w in want], q
