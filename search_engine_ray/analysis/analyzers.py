@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import re
 from typing import Callable, FrozenSet, List
-from urllib.parse import urlsplit
 
 # JS whitespace class (what /\\s/ matches in a non-unicode JS regex):
 # TAB LF VT FF CR SP NBSP OGHAM, U+2000-200A, LS PS NNBSP MMSP IDSP BOM
@@ -153,6 +152,164 @@ def email_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> 
 # --- url analyzer (Tokenizer.ts:282-324) ------------------------------------
 _RE_URL = re.compile(r"https?://" + _NOT_S + "+")
 
+# The reference parses each matched URL with the WHATWG ``new URL(...)``
+# (Tokenizer.ts:294) and tokenizes ``hostname``/``pathname`` — semantics
+# ``urllib.parse.urlsplit`` does NOT have: IDN hosts are punycoded
+# (UTS46 non-transitional, non-strict: 'münchen.de'→'xn--mnchen-3ya.de',
+# 'straße.de'→'xn--strae-oqa.de', underscores kept), hosts that end in a
+# numeric label go through the IPv4 parser ('0x7f.1'→'127.0.0.1',
+# '300.1.2.3' throws), percent-escapes in the host are decoded first
+# ('h%41.co'→'ha.co'), IPv6 hostnames keep their brackets and are
+# RFC-5952-canonicalized, backslashes in the path become slashes,
+# single/double-dot segments (incl. '%2e' spellings) are resolved, and
+# path codepoints outside the path-safe set are UTF-8 percent-encoded
+# (space, '"<>`{}', controls, non-ASCII — '^|[]' and existing '%' are
+# left alone).  ``_whatwg_host_path`` reimplements exactly that slice of
+# the URL spec; every behavior is locked against real node output by
+# tests/test_js_differential.py.
+
+_FORBIDDEN_DOMAIN = set('\x00\t\n\r #/:<>?@[\\]^|%') | {
+    chr(c) for c in range(0x20)
+} | {"\x7f"}
+
+_PATH_ENCODE = set(' "<>`{}') | {chr(c) for c in range(0x20)} | {"\x7f"}
+
+
+def _num_label(s: str) -> bool:
+    if not s:
+        return False
+    if s.isdigit():
+        return True
+    return s[:2] == "0x" and all(c in "0123456789abcdef" for c in s[2:])
+
+
+def _ipv4_num(s: str) -> int:
+    """One IPv4 part per the spec's number parser (dec / 0x hex /
+    0-octal); raises ValueError on invalid digits."""
+    if s[:2] == "0x":
+        return int(s[2:], 16) if len(s) > 2 else 0
+    if len(s) >= 2 and s[0] == "0":
+        return int(s, 8)
+    return int(s, 10)
+
+
+def _domain_to_ascii(host: str) -> str:
+    """WHATWG host parsing for a lowercased non-IPv6 authority: decode
+    percent-escapes, UTS46-map + punycode non-ASCII labels, reject
+    forbidden code points, and normalize number-tailed hosts as IPv4.
+    Raises ValueError where ``new URL`` throws."""
+    from urllib.parse import unquote
+
+    # the analyzer lowercased the raw URL, but percent-escapes can
+    # decode to uppercase ('h%41' → 'hA'); the domain mapping
+    # lowercases again
+    dom = unquote(host).lower()
+    if not dom:
+        raise ValueError("empty host")
+    if not dom.isascii():
+        try:
+            import idna
+
+            dom = idna.uts46_remap(dom, std3_rules=False,
+                                   transitional=False)
+        except ImportError:  # stdlib fallback: NFC, no mapping table
+            import unicodedata
+
+            dom = unicodedata.normalize("NFC", dom)
+        except Exception as e:  # disallowed codepoint → URL throws
+            raise ValueError(str(e))
+        dom = ".".join(
+            lab if lab.isascii()
+            else "xn--" + lab.encode("punycode").decode()
+            for lab in dom.split(".")
+        )
+    if any(c in _FORBIDDEN_DOMAIN for c in dom):
+        raise ValueError("forbidden host code point")
+    parts = dom.split(".")
+    if len(parts) > 1 and parts[-1] == "":
+        parts = parts[:-1]
+    if not parts or not _num_label(parts[-1]):
+        return dom
+    # ends in a number → MUST parse as IPv4
+    if len(parts) > 4:
+        raise ValueError("too many IPv4 parts")
+    nums = [_ipv4_num(p) for p in parts]  # ValueError propagates
+    if any(n > 255 for n in nums[:-1]) or nums[-1] >= 256 ** (
+        5 - len(nums)
+    ):
+        raise ValueError("IPv4 part out of range")
+    val = nums[-1]
+    for i, n in enumerate(nums[:-1]):
+        val += n << (8 * (3 - i))
+    return ".".join(str((val >> (8 * k)) & 0xFF) for k in (3, 2, 1, 0))
+
+
+def _enc_path_seg(s: str) -> str:
+    out = []
+    for c in s:
+        if c in _PATH_ENCODE or not c.isascii():
+            out.append(
+                "".join(f"%{b:02X}" for b in c.encode("utf-8"))
+            )
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def _whatwg_host_path(url: str):
+    """(hostname, pathname) of a lowercased http(s) URL per the WHATWG
+    parser; raises ValueError where ``new URL`` throws."""
+    rest = url.split(":", 1)[1]
+    i = 0
+    while i < len(rest) and rest[i] in "/\\":
+        i += 1
+    j = i
+    while j < len(rest) and rest[j] not in "/\\?#":
+        j += 1
+    auth = rest[i:j]
+    if "@" in auth:
+        auth = auth.rsplit("@", 1)[1]
+    if not auth:
+        raise ValueError("empty authority")
+    if auth.startswith("["):
+        k = auth.find("]")
+        if k == -1:
+            raise ValueError("unterminated IPv6")
+        import ipaddress
+
+        host = "[" + str(ipaddress.IPv6Address(auth[1:k])) + "]"
+        port_s = auth[k + 1:]
+        if port_s:
+            if not port_s.startswith(":"):
+                raise ValueError("junk after IPv6")
+            port_s = port_s[1:]
+    else:
+        host_part, _, port_s = auth.partition(":")
+        host = _domain_to_ascii(host_part)
+    if port_s and (not port_s.isdigit() or int(port_s) > 65535):
+        raise ValueError("invalid port")
+    tail = rest[j:]
+    for stop in "?#":
+        tail = tail.split(stop, 1)[0]
+    if not tail:
+        return host, "/"
+    segs = tail.replace("\\", "/").split("/")[1:]
+    out: List[str] = []
+    last_i = len(segs) - 1
+    for idx, s in enumerate(segs):
+        low = s.replace("%2e", ".")
+        if low == ".":
+            if idx == last_i:
+                out.append("")
+        elif low == "..":
+            if out:
+                out.pop()
+            if idx == last_i:
+                out.append("")
+        else:
+            out.append(_enc_path_seg(s))
+    return host, "/" + "/".join(out)
+
 
 def url_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> List[str]:
     if not text or not isinstance(text, str):
@@ -162,16 +319,14 @@ def url_analyzer(text: str, stopwords: FrozenSet[str] = DEFAULT_STOPWORDS) -> Li
         url = m.group(0).lower()
         tokens.append(url)
         try:
-            parsed = urlsplit(url)
-            hostname = parsed.hostname
+            hostname, path = _whatwg_host_path(url)
         except ValueError:
-            hostname = None
+            continue  # new URL(...) threw: keep only the raw match
         if hostname:
             tokens.append(hostname)
             for part in hostname.split("."):
                 if len(part) > 1:
                     tokens.append(part)
-            path = parsed.path
             if path and path != "/":
                 for part in path.split("/"):
                     if part and len(part) > 1:

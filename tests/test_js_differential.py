@@ -1,0 +1,178 @@
+"""Differential fuzz of the analyzer ports against a REAL JS engine.
+
+``tests/js_oracle/analyzers.mjs`` evaluates the reference's analyzer
+chains (transcribed with Tokenizer.ts line cites) under node — actual
+JS regex semantics (ASCII ``\\w``, the JS whitespace class, UTF-16
+``.length``), ``String.prototype`` casing/trim and WHATWG ``URL``
+parsing — and this test feeds both sides randomized mixed-content
+strings and requires token-identical output.  Complements the static
+golden vectors in test_analyzers.py: the generator covers the unicode
+/ punctuation / URL corners no hand-written vector list enumerates.
+
+Skipped when node is absent.  ``PARITY_N``/``PARITY_SEED`` scale it.
+"""
+
+import json
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from search_engine_ray.analysis import analyzers as an
+
+NODE = shutil.which("node")
+pytestmark = pytest.mark.skipif(NODE is None, reason="node unavailable")
+
+JS_ORACLE = os.path.join(os.path.dirname(__file__), "js_oracle",
+                         "analyzers.mjs")
+
+PARITY_N = int(os.environ.get("PARITY_N", "0"))
+PARITY_SEED = int(os.environ.get("PARITY_SEED", "0"))
+
+PY_FNS = {
+    "standard": an.standard_analyzer,
+    "simple": an.simple_analyzer,
+    "whitespace": an.whitespace_analyzer,
+    "keyword": an.keyword_analyzer,
+    "pattern": an.pattern_analyzer,
+    "email": an.email_analyzer,
+    "url": an.url_analyzer,
+    "phone": an.phone_analyzer,
+}
+
+_WORDS = [
+    "data", "Pipeline", "the", "of", "it", "x", "Y2", "mid-word",
+    "dot.sep", "a.b.c", "under_score", "don't", "can't", "cat's",
+    "cats'", "it''s", "'quoted'", "tail-", "-lead", "--", "...",
+    "naïve", "café", "ΟΔΟΣ", "λόγος", "İstanbul", "ılık", "Straße",
+    "GROẞE", "測試", "データ", "😀", "x😀y", "👍🏽", "étude",
+    "50%", "C++", "$100", "a@b", "semi;colon", "(paren)", "[brack]",
+]
+
+_EMAILS = [
+    "John.Doe+tag@Example.COM", "a@b.co", "x_y%z@sub.domain.org",
+    "bad@@double.com", "no-tld@host", "UPPER@CASE.NET,next",
+    "ünï@höst.de",
+]
+
+_URLS = [
+    "https://Example.COM/Path/To/Page?q=1&r=2#frag",
+    "http://sub.domain.org:8080/a/b/",
+    "https://münchen.de/straße",
+    "http://xn--mnchen-3ya.de/x",
+    "https://host", "http://a.b/c%20d", "https://user:pw@h.io/p",
+    "http://[::1]:3000/v6", "https://trailing.dot./p",
+]
+
+_PHONES = [
+    "(555) 123-4567", "555-123-4567", "+1 555 123 4567",
+    "+44-555-123-4567", "5551234567", "123", "1234", "12345",
+    "555.123.4567", "(555)123 4567",
+]
+
+_WS = [" ", "  ", "\t", "\n", " ", " ", "　", "﻿",
+       "​"]  # NB: ​ is NOT JS whitespace — a separator test
+
+
+_HOST_LABELS = ["example", "sub", "h_x", "münchen", "straße", "測試",
+                "xn--mnchen-3ya", "0x7f", "42", "255", "300", "a-b",
+                "-lead", "tail-", "h%41", "ドメイン", "ab%2ccd"]
+_TLDS = ["com", "de", "jp", "1", "co", ""]
+_PATH_SEGS = ["a", "..", ".", "%2e", "%2e%2e", "straße", "c%20d",
+              "{q}", "`t`", "<hi>", "測試", "%zz", "😀", "~u_v",
+              ";,=+!*()", "x\\y"]
+
+
+def _rand_url(rng):
+    """Compositional URL builder covering the WHATWG edges the port
+    reimplements: IDN/punycode labels, number-tailed hosts (IPv4
+    parser), percent-escapes in host and path, dot-segment spellings,
+    backslash path separators, userinfo, ports incl. overflow."""
+    scheme = "https" if rng.random() < 0.5 else "http"
+    host = ".".join(
+        str(rng.choice(_HOST_LABELS))
+        for _ in range(int(rng.integers(1, 4)))
+    )
+    tld = str(rng.choice(_TLDS))
+    if tld:
+        host = host + "." + tld
+    url = scheme + "://"
+    if rng.random() < 0.15:
+        url += "user:pw@"
+    url += "[::1]" if rng.random() < 0.1 else host
+    if rng.random() < 0.25:
+        url += ":" + str(rng.choice(["80", "8080", "99999", "0", ""]))
+    for _ in range(int(rng.integers(0, 4))):
+        url += "/" + str(rng.choice(_PATH_SEGS))
+    if rng.random() < 0.2:
+        url += "/"
+    if rng.random() < 0.2:
+        url += "?q=" + str(rng.choice(["1", "ü", "x"]))
+    if rng.random() < 0.15:
+        url += "#frag"
+    return url
+
+
+_SOUP = list("abβ郵'.-_@:/%()\"<>{}`^|[]\\+*?!😀ß3 ")
+
+
+def _rand_text(rng):
+    parts = []
+    for _ in range(int(rng.integers(1, 10))):
+        r = rng.random()
+        if r < 0.45:
+            parts.append(str(rng.choice(_WORDS)))
+        elif r < 0.58:
+            parts.append(str(rng.choice(_EMAILS)))
+        elif r < 0.68:
+            parts.append(str(rng.choice(_URLS)))
+        elif r < 0.82:
+            parts.append(_rand_url(rng))
+        elif r < 0.92:
+            parts.append(str(rng.choice(_PHONES)))
+        else:
+            parts.append(
+                "".join(str(rng.choice(_SOUP))
+                        for _ in range(int(rng.integers(1, 16))))
+            )
+        parts.append(str(rng.choice(_WS)))
+    s = "".join(parts)
+    if rng.random() < 0.3:
+        s = str(rng.choice(_WS)) + s  # leading JS-whitespace
+    if rng.random() < 0.1:
+        s = s.upper()
+    return s
+
+
+def _n(default):
+    return PARITY_N or default
+
+
+def test_analyzers_match_node():
+    rng = np.random.default_rng(811 + PARITY_SEED)
+    sw_variants = [[], sorted(an.REFERENCE_TEST_STOPWORDS)]
+    cases = []
+    for i in range(_n(150)):
+        cases.append({
+            "text": _rand_text(rng),
+            "stopwords": sw_variants[i % 2],
+        })
+    proc = subprocess.run(
+        [NODE, JS_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = json.loads(line)
+        sw = frozenset(case["stopwords"])
+        for name, fn in PY_FNS.items():
+            got = fn(case["text"], stopwords=sw)
+            if got != want[name]:
+                failures.append(
+                    (name, repr(case["text"]), got, want[name])
+                )
+    assert not failures, failures[:5]
