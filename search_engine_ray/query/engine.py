@@ -476,22 +476,24 @@ class _PartitionEvaluator:
         tbl = self._string_column(field)
         if tbl is None:
             return np.empty(0, dtype=np.int64)
-        # full-Unicode lowering on BOTH sides (the JS toLowerCase model
-        # the oracle mirrors) rather than RE2 ignore_case, whose simple
-        # folding misses final-sigma/İ special cases
-        from ..stages.util import utf8_lower_full
+        # _testWildcard is `new RegExp('^..$', 'i')` over the RAW field
+        # value (QueryEngine.ts:1393-1403) — the JS non-unicode /i
+        # canonicalization, NOT toLowerCase-both-sides (it unifies
+        # ς/σ/Σ but keeps İ, ß/ẞ, ſ, K distinct).  Both sides go
+        # through the node-derived fold (jsfold.py) and match
+        # case-sensitively; ASCII rows stay on C++ kernels.
+        from ..analysis.jsfold import js_ifold
+        from ..stages.util import ifold_arrow
 
         rx = (
             "^"
-            + re.escape(pattern.lower())
+            + re.escape(js_ifold(pattern))
             .replace(r"\*", ".*")
             .replace(r"\?", ".")
             + "$"
         )
         try:
-            mask = pc.match_substring_regex(
-                utf8_lower_full(tbl[field]), rx
-            )
+            mask = pc.match_substring_regex(ifold_arrow(tbl[field]), rx)
         except pa.ArrowInvalid:
             return np.empty(0, dtype=np.int64)
         return self._masked_ids(tbl, mask)
@@ -1333,12 +1335,17 @@ def _tf_fallback_scores(
     tbl = reader.docs_table(filter=pc.field("doc_id").isin(cand))
     ids = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64)
     cols = [c for c in tbl.column_names if c != "doc_id"]
-    regexes = [r"\b" + _re.escape(t) + r"\b" for t in tokens]
+    # tokens arrive lowercased; fold them the same way the text columns
+    # are folded (jsfold.py — the /gi canonicalization on lowered text)
+    from ..analysis.jsfold import js_ifold
+
+    regexes = [r"\b" + _re.escape(js_ifold(t)) + r"\b" for t in tokens]
     # JSON.stringify(doc) includes the field NAMES — their token matches
-    # are a per-row constant over the key scaffolding
-    skel = " ".join(cols).lower()
+    # are a per-row constant over the key scaffolding (re.ASCII: \b is
+    # an ASCII word boundary in both the JS RegExp and the RE2 kernel)
+    skel = js_ifold(" ".join(cols).lower())
     base = float(
-        sum(len(_re.findall(rx, skel)) for rx in regexes)
+        sum(len(_re.findall(rx, skel, _re.ASCII)) for rx in regexes)
     )
     scores = np.full(ids.size, base, dtype=np.float64)
     for c in cols:
@@ -1363,10 +1370,13 @@ def _tf_fallback_scores(
                     ],
                     pa.string(),
                 )
-        # JSON renders missing values as the word "null"
-        from ..stages.util import utf8_lower_full
+        # JSON renders missing values as the word "null"; the scan is
+        # JSON.stringify(doc).toLowerCase() + /token/gi — lowercase
+        # THEN /i-canonicalize (jsfold.py), so both text and tokens go
+        # through fold∘lower ("NULL" is the folded spelling)
+        from ..stages.util import ifold_lower_arrow
 
-        col = pc.fill_null(utf8_lower_full(col), "null")
+        col = pc.fill_null(ifold_lower_arrow(col), "NULL")
         for rx in regexes:
             cnt = pc.count_substring_regex(col, rx).to_numpy(
                 zero_copy_only=False

@@ -226,13 +226,25 @@ class OracleEngine:
                 token_docs |= self._expand_docs(f, toks)
             # raw-value anchored wildcard scan (_testWildcard
             # QueryEngine.ts:1393-1403 via the naive scan :1226-1254),
-            # UNIONED with the token path (engine.py _with_naive)
+            # UNIONED with the token path (engine.py _with_naive).
+            # _testWildcard is `new RegExp(.., 'i')` over the RAW value
+            # — the JS /i canonicalization (jsfold.py), which is not
+            # toLowerCase on either side
+            from ..analysis.jsfold import js_ifold
+
+            rx_raw = re.compile(
+                "^"
+                + re.escape(js_ifold(str(q["value"])))
+                .replace(r"\*", ".*")
+                .replace(r"\?", ".")
+                + r"\Z"
+            )
             naive_docs = {
                 did
                 for did, doc in self.docs.items()
                 for f in self._fields_of(q["field"])
                 if isinstance(doc.get(f), str)
-                and rx.match(doc[f].lower())
+                and rx_raw.match(js_ifold(doc[f]))
             }
             return token_docs | naive_docs
         if "fuzzy" in node:
@@ -398,20 +410,27 @@ class OracleEngine:
             # re.ASCII: the reference's \b (JS RegExp, no 'u' flag) and
             # the engine's RE2 kernel are both ASCII word boundaries;
             # Python's default Unicode \b treats 'ï' as a word char and
-            # diverges on tokens that start/end next to non-ASCII text
+            # diverges on tokens that start/end next to non-ASCII text.
+            # The scan is /token/gi on stringify(doc).toLowerCase(), so
+            # both sides additionally take the JS /i canonicalization
+            # (jsfold.py) on top of the lowering.
+            from ..analysis.jsfold import js_ifold
+
             pats = [
-                _re.compile(r"\b" + _re.escape(t) + r"\b", _re.ASCII)
+                _re.compile(
+                    r"\b" + _re.escape(js_ifold(t)) + r"\b", _re.ASCII
+                )
                 for t in toks
             ]
             scored = []
             for did in cand:
                 # ensure_ascii=False: JSON.stringify leaves non-ASCII
                 # unescaped, so 'naïve' must stay 'naïve', not 'ï'
-                text = _json.dumps(
+                text = js_ifold(_json.dumps(
                     self.docs.get(did, {}),
                     default=str,
                     ensure_ascii=False,
-                ).lower()
+                ).lower())
                 n = sum(len(p.findall(text)) for p in pats)
                 scored.append((did, float(max(1, n))))
         scored.sort(key=lambda t: (-t[1], t[0]))

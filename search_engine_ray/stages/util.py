@@ -80,3 +80,49 @@ def utf8_lower_full(col):
         type=col.type,
     )
     return pc.replace_with_mask(lowered, non_ascii, fixed)
+
+
+def _ifold_nonascii(col, lowered, pre_lower: bool):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..analysis.jsfold import js_ifold
+
+    non_ascii = pc.fill_null(pc.invert(pc.string_is_ascii(col)), False)
+    if not pc.any(non_ascii).as_py():
+        return lowered
+    fixed = pa.array(
+        [
+            js_ifold(v.lower() if pre_lower else v)
+            for v in col.filter(non_ascii).to_pylist()
+        ],
+        type=col.type,
+    )
+    return pc.replace_with_mask(lowered, non_ascii, fixed)
+
+
+def ifold_arrow(col):
+    """JS ``/i``-flag canonical form of an Arrow string column
+    (analysis/jsfold.py::js_ifold): ASCII rows on the C++ upper kernel
+    (ASCII fold ≡ uppercase), non-ASCII rows through the generated
+    class table.  Matches the reference's ``new RegExp(.., 'i')`` over
+    RAW field values (_testWildcard)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _ifold_nonascii(col, pc.utf8_upper(col), pre_lower=False)
+
+
+def ifold_lower_arrow(col):
+    """``js_ifold(s.toLowerCase())`` of an Arrow string column — the
+    reference's ``JSON.stringify(doc).toLowerCase()`` + ``/token/gi``
+    composition in _computeScore.  For ASCII, fold∘lower ≡ uppercase;
+    non-ASCII rows take CPython full lowering then the fold table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _ifold_nonascii(col, pc.utf8_upper(col), pre_lower=True)

@@ -1,0 +1,63 @@
+// Test-support micro-oracle: the reference's raw-value predicates
+// evaluated by a real JS engine, for tests/test_js_differential.py.
+// Transcribed from the spec at the cited lines of
+// /root/reference/src/domain/QueryEngine.ts.
+//
+// Protocol: JSONL on stdin; per line either
+//   {"op":"wildcard","value":<fieldVal>,"pattern":<pattern>}
+//   {"op":"score","doc":{...},"query":{...}}
+// emits JSONL {"r": <bool|number>}.
+
+import { createInterface } from 'node:readline';
+
+// QueryEngine.ts:1393-1403
+function testWildcard(fieldVal, pattern) {
+  if (typeof fieldVal !== 'string') return false;
+  const regexStr = '^' + pattern.split('').map((ch) => {
+    if (ch === '*') return '.*';
+    if (ch === '?') return '.';
+    return ch.replace(/[-/\\^$+?.()|[\]{}]/g, '\\$&');
+  }).join('') + '$';
+  return new RegExp(regexStr, 'i').test(fieldVal);
+}
+
+// QueryEngine.ts:1441-1513, single-leaf slice (match/term/prefix/
+// wildcard/fuzzy): token = the query value (wildcards stripped for
+// wildcard queries), counted as \b-bounded 'gi' matches over
+// JSON.stringify(doc).toLowerCase(), min score 1
+function computeScore(doc, query) {
+  if (!query) return 1;
+  const text = JSON.stringify(doc).toLowerCase();
+  let tokens = [];
+  for (const kind of ['match', 'term', 'prefix', 'wildcard', 'fuzzy']) {
+    if (query[kind]) {
+      let v = query[kind].value;
+      if (v == null) continue;
+      v = String(v);
+      if (kind === 'wildcard') v = v.replace(/[\*\?]/g, '');
+      tokens = [v.toLowerCase()];
+      break;
+    }
+  }
+  if (tokens.length === 0) return 1;
+  let score = 0;
+  for (const t of tokens) {
+    if (!t) continue;
+    const regex = new RegExp(
+      `\\b${t.replace(/[.*+?^${}()|[\]\\]/g, '\\$&')}\\b`, 'gi',
+    );
+    const matches = text.match(regex);
+    if (matches) score += matches.length;
+  }
+  return Math.max(1, score);
+}
+
+const rl = createInterface({ input: process.stdin, terminal: false });
+rl.on('line', (line) => {
+  if (!line.trim()) return;
+  const q = JSON.parse(line);
+  const r = q.op === 'wildcard'
+    ? testWildcard(q.value, q.pattern)
+    : computeScore(q.doc, q.query);
+  process.stdout.write(JSON.stringify({ r }) + '\n');
+});

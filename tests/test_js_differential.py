@@ -176,3 +176,116 @@ def test_analyzers_match_node():
                     (name, repr(case["text"]), got, want[name])
                 )
     assert not failures, failures[:5]
+
+
+PRED_ORACLE = os.path.join(os.path.dirname(__file__), "js_oracle",
+                           "predicates.mjs")
+
+_CASE_CHARS = list("aAbZzſßẞKκςσΣİıiI😀") + ["K", "é", "É",
+                                               "ϴ", "θ", "Ω", "ω"]
+_PAT_EXTRA = list("*?.-+()[]{}|^$\\/ ")
+
+
+def _rand_value(rng, n_lo=0, n_hi=12):
+    return "".join(
+        str(rng.choice(_CASE_CHARS))
+        for _ in range(int(rng.integers(n_lo, n_hi)))
+    )
+
+
+def test_wildcard_predicate_matches_node():
+    """The /i-canonicalized wildcard model (jsfold.js_ifold on both
+    sides + case-sensitive anchored regex — what engine and oracle
+    now implement) against the reference's _testWildcard running in
+    node, over case-torture values: sigma forms, eszett pair, Kelvin,
+    long s, dotted/dotless I, astral chars, regex metachars."""
+    import re as _re
+
+    from search_engine_ray.analysis.jsfold import js_ifold
+
+    rng = np.random.default_rng(907 + PARITY_SEED)
+    cases = []
+    for _ in range(_n(400)):
+        value = _rand_value(rng)
+        pat_chars = []
+        for _ in range(int(rng.integers(0, 10))):
+            r = rng.random()
+            if r < 0.6:
+                pat_chars.append(str(rng.choice(_CASE_CHARS)))
+            else:
+                pat_chars.append(str(rng.choice(_PAT_EXTRA)))
+        pattern = "".join(pat_chars)
+        if rng.random() < 0.4:  # slice-of-value patterns hit more
+            j = int(rng.integers(0, max(1, len(value))))
+            pattern = "*" + value[j:j + 4] + "*"
+        cases.append({"op": "wildcard", "value": value,
+                      "pattern": pattern})
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        rx = _re.compile(
+            "^"
+            + _re.escape(js_ifold(case["pattern"]))
+            .replace(r"\*", ".*")
+            .replace(r"\?", ".")
+            + r"\Z",
+            _re.DOTALL,
+        )
+        got = bool(rx.match(js_ifold(case["value"])))
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]
+
+
+def test_fallback_score_matches_node(ray_session):
+    """The oracle's tf-fallback (fold∘lower text + ASCII-\\b counting)
+    against the reference's _computeScore in node, over docs whose
+    values mix scripts; prefix values span word boundaries so BM25
+    stays zero and the fallback is the scorer on both sides."""
+    from search_engine_ray.query.oracle import OracleEngine
+
+    rng = np.random.default_rng(1013 + PARITY_SEED)
+    cases = []
+    for _ in range(_n(120)):
+        words = [
+            "".join(str(rng.choice(_CASE_CHARS[:14]))
+                    for _ in range(int(rng.integers(1, 6))))
+            for _ in range(int(rng.integers(1, 6)))
+        ]
+        doc = {"name": " ".join(words)}
+        if rng.random() < 0.4:
+            doc["n"] = int(rng.integers(0, 99))
+        # a two-word raw slice: analyzer yields no postings hit for
+        # the whole value -> zero BM25 -> fallback on both sides
+        w = str(rng.choice(words))
+        val = (w + " " + str(rng.choice(words))).lower()
+        cases.append((doc, {"prefix": {"field": "name", "value": val}}))
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(
+            json.dumps({"op": "score", "doc": d, "query": q})
+            for d, q in cases
+        ),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for (doc, query), line in zip(cases, proc.stdout.splitlines()):
+        want = float(json.loads(line)["r"])
+        oracle = OracleEngine(fields=(("name", "standard"),),
+                              text_fields=("name",),
+                              stopwords=frozenset())
+        oracle.add(doc, 1)
+        res = oracle.search(query, size=1)
+        if not res:  # prefix missed this doc: nothing to score
+            continue
+        got = res[0][1]
+        if got != want:
+            failures.append((doc, query, got, want))
+    assert not failures, failures[:5]

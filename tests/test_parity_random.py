@@ -413,21 +413,27 @@ def test_unicode_case_parity_naive_scans(tmp_path, ray_session):
             oracle.add({"name": row["name"]}, row["doc_id"])
 
     cases = [
-        # multi-word prefix: token path empty -> naive scan only
-        {"prefix": {"field": "name", "value": "οδος μ"}},
-        {"prefix": {"field": "name", "value": "i̇stanbul g"}},
-        # boundary-spanning wildcard: naive scan only
-        {"wildcard": {"field": "name", "value": "*ος μεγ*"}},
-        {"wildcard": {"field": "name", "value": "*i̇stanbul*"}},
-        {"wildcard": {"field": "name", "value": "*ascii nam*"}},
+        # multi-word prefix (toLowerCase().startsWith — FULL lowering):
+        # token path empty -> naive scan only
+        ({"prefix": {"field": "name", "value": "οδος μ"}}, 1),
+        ({"prefix": {"field": "name", "value": "i̇stanbul g"}}, 1),
+        # wildcard = _testWildcard's /i canonicalization (jsfold.py):
+        # ς/σ/Σ unify (BOTH sigma spellings match the uppercase raw
+        # value), but 'i̇' (i+dot) does NOT match 'İ' — JS /i leaves
+        # İ in a class of its own
+        ({"wildcard": {"field": "name", "value": "*ος μεγ*"}}, 1),
+        ({"wildcard": {"field": "name", "value": "*οσ μεγ*"}}, 1),
+        ({"wildcard": {"field": "name", "value": "*i̇stanbul*"}}, 0),
+        ({"wildcard": {"field": "name", "value": "*İstanbul*"}}, 1),
+        ({"wildcard": {"field": "name", "value": "*ascii nam*"}}, 1),
     ]
-    for q in cases:
+    for q, n in cases:
         got = searcher.search(q, size=5)
         want = oracle.search(q, size=5)
         assert got["doc_id"].tolist() == [w[0] for w in want], (
             q, got["doc_id"].tolist(), want,
         )
-        assert len(want) == 1, (q, want)  # every case matches exactly once
+        assert len(want) == n, (q, want)
 
 
 # --- mixed-script Unicode battery ---------------------------------------
