@@ -168,11 +168,11 @@ _RE_URL = re.compile(r"https?://" + _NOT_S + "+")
 # the URL spec; every behavior is locked against real node output by
 # tests/test_js_differential.py.
 
-_FORBIDDEN_DOMAIN = set('\x00\t\n\r #/:<>?@[\\]^|%') | {
-    chr(c) for c in range(0x20)
-} | {"\x7f"}
+_RE_FORBIDDEN_DOMAIN = re.compile(r"[\x00-\x20\x7f#/:<>?@\[\\\]^|%]")
 
 _PATH_ENCODE = set(' "<>`{}') | {chr(c) for c in range(0x20)} | {"\x7f"}
+
+_RE_AUTH_END = re.compile(r"[/\\?#]")
 
 
 def _num_label(s: str) -> bool:
@@ -203,7 +203,7 @@ def _domain_to_ascii(host: str) -> str:
     # the analyzer lowercased the raw URL, but percent-escapes can
     # decode to uppercase ('h%41' → 'hA'); the domain mapping
     # lowercases again
-    dom = unquote(host).lower()
+    dom = unquote(host).lower() if "%" in host else host
     if not dom:
         raise ValueError("empty host")
     if not dom.isascii():
@@ -223,7 +223,7 @@ def _domain_to_ascii(host: str) -> str:
             else "xn--" + lab.encode("punycode").decode()
             for lab in dom.split(".")
         )
-    if any(c in _FORBIDDEN_DOMAIN for c in dom):
+    if _RE_FORBIDDEN_DOMAIN.search(dom):
         raise ValueError("forbidden host code point")
     parts = dom.split(".")
     if len(parts) > 1 and parts[-1] == "":
@@ -244,7 +244,12 @@ def _domain_to_ascii(host: str) -> str:
     return ".".join(str((val >> (8 * k)) & 0xFF) for k in (3, 2, 1, 0))
 
 
+_RE_PATH_NEEDS_ENC = re.compile(r'[\x00-\x1f\x7f "<>`{}]|[^\x00-\x7f]')
+
+
 def _enc_path_seg(s: str) -> str:
+    if not _RE_PATH_NEEDS_ENC.search(s):  # common case: one C scan
+        return s
     out = []
     for c in s:
         if c in _PATH_ENCODE or not c.isascii():
@@ -263,9 +268,8 @@ def _whatwg_host_path(url: str):
     i = 0
     while i < len(rest) and rest[i] in "/\\":
         i += 1
-    j = i
-    while j < len(rest) and rest[j] not in "/\\?#":
-        j += 1
+    m = _RE_AUTH_END.search(rest, i)
+    j = m.start() if m else len(rest)
     auth = rest[i:j]
     if "@" in auth:
         auth = auth.rsplit("@", 1)[1]
@@ -290,14 +294,17 @@ def _whatwg_host_path(url: str):
         raise ValueError("invalid port")
     tail = rest[j:]
     for stop in "?#":
-        tail = tail.split(stop, 1)[0]
+        if stop in tail:
+            tail = tail.split(stop, 1)[0]
     if not tail:
         return host, "/"
-    segs = tail.replace("\\", "/").split("/")[1:]
+    if "\\" in tail:
+        tail = tail.replace("\\", "/")
+    segs = tail.split("/")[1:]
     out: List[str] = []
     last_i = len(segs) - 1
     for idx, s in enumerate(segs):
-        low = s.replace("%2e", ".")
+        low = s.replace("%2e", ".") if "%2e" in s else s
         if low == ".":
             if idx == last_i:
                 out.append("")
