@@ -289,3 +289,74 @@ def test_fallback_score_matches_node(ray_session):
         if got != want:
             failures.append((doc, query, got, want))
     assert not failures, failures[:5]
+
+
+REF_STEMMERS = "/root/reference/src/lib/stemmers"
+STEM_DRIVER = os.path.join(os.path.dirname(__file__), "js_oracle",
+                           "stem_driver.mjs")
+
+# alphabet per reference language code (file name in src/lib/stemmers)
+_LATIN = "abcdefghijklmnopqrstuvwxyz"
+_STEM_ALPHABETS = {
+    "en": _LATIN, "de": _LATIN + "äöüß", "es": _LATIN + "áéíóúüñ",
+    "fr": _LATIN + "àâçéèêëîïôûùüÿ", "pt": _LATIN + "ãõáéíóúâêôç",
+    "it": _LATIN + "àèéìòù", "nl": _LATIN + "èé",
+    "dk": _LATIN + "æøå", "no": _LATIN + "æøå", "se": _LATIN + "äöå",
+    "fi": _LATIN + "äö", "hu": _LATIN + "áéíóöőúüű",
+    "ro": _LATIN + "ăâîșşțţ", "id": _LATIN, "ie": _LATIN + "áéíóú",
+    "lt": _LATIN + "ąčęėįšųūž", "sk": _LATIN,
+    "tr": _LATIN + "çğıiöşü",
+    "ru": "абвгдежзийклмнопрстуфхцчшщъыьэюя",
+    "uk": "абвгґдеєжзиіїйклмнопрстуфхцчшщьюя",
+    "bg": "абвгдежзийклмнопрстуфхцчшщъьюя",
+    "rs": "абвгдђежзијклљмнњопрстћуфхцчџш" + "abcdefghijklmnopqrstuvwxyzčćđšž",
+    "gr": "αβγδεζηθικλμνξοπρστυφχψωςάέήίόύώϊϋ",
+    "ar": "ابتثجحخدذرزسشصضطظعغفقكلمنهويءآأؤإئةى",
+    "ta": "அஆஇஈஉஊஎஏஐஒஓஔகஙசஞடணதநபமயரலவழளறனிீுூெேைொோௌ்ா",
+    "am": "աբգդեզէըթժիլխծկհձղճմյնշոչպջռսվտրցւփքօֆ",
+    "in": "अआइईउऊएऐओऔकखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसहिीुूेैोौ्ा",
+    "np": "अआइईउऊएऐओऔकखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसहिीुूेैोौ्ा",
+}
+
+_PY_STEM_FOR_FILE = {  # reference file code → registry code
+    c: c for c in _STEM_ALPHABETS
+}
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_STEMMERS),
+                    reason="reference tree unavailable")
+def test_stemmers_match_compiled_js():
+    """All 28 decoded Python stemmers vs the reference's compiled
+    Snowball JS running under node, on random words from each
+    language's alphabet (plus length-1..2 and repeated-suffix edges).
+    Earlier rounds fuzz-verified these offline via tools/stem_fuzz.py;
+    this locks the parity in the suite."""
+    from search_engine_ray.analysis.snowball import stemmer_for_lang
+
+    rng = np.random.default_rng(1117 + PARITY_SEED)
+    per_lang = max(20, _n(60))
+    cases = []
+    for code, alpha in sorted(_STEM_ALPHABETS.items()):
+        words = []
+        for _ in range(per_lang):
+            n = int(rng.integers(1, 14))
+            words.append("".join(str(rng.choice(list(alpha)))
+                                 for _ in range(n)))
+        # doubled word (suffix-of-suffix shapes) and single letters
+        words += [words[0] + words[1], alpha[0], alpha[-1]]
+        cases.append({"lang": code, "words": words})
+    proc = subprocess.run(
+        [NODE, STEM_DRIVER, REF_STEMMERS],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = json.loads(line)["stems"]
+        fn = stemmer_for_lang(_PY_STEM_FOR_FILE[case["lang"]])
+        for w, ws in zip(case["words"], want):
+            got = fn(w)
+            if got != ws:
+                failures.append((case["lang"], w, got, ws))
+    assert not failures, (len(failures), failures[:8])
