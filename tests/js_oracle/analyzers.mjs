@@ -140,6 +140,15 @@ const analyzers = {
   },
 };
 
+// Tokenizer.ts:386-396 — Set-union of four chains, insertion order
+analyzers.advanced = (text, sw) =>
+  [...new Set([
+    ...analyzers.standard(text, sw),
+    ...analyzers.email(text, sw),
+    ...analyzers.url(text, sw),
+    ...analyzers.phone(text, sw),
+  ])];
+
 const rl = createInterface({ input: process.stdin, terminal: false });
 rl.on('line', (line) => {
   if (!line.trim()) return;

@@ -58,6 +58,19 @@ rl.on('line', (line) => {
   const q = JSON.parse(line);
   const r = q.op === 'wildcard'
     ? testWildcard(q.value, q.pattern)
-    : computeScore(q.doc, q.query);
+    : q.op === 'bm25'
+      ? bm25(q)
+      : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
+
+// BM25Scorer.ts:84-117 — exported for the numeric differential
+export function bm25(q) {
+  const { tf, df, totalDocs, dl, avgdl, k1, b, boost } = q;
+  if (df === 0) return 0;
+  const idf = Math.log((totalDocs - df + 0.5) / (df + 0.5) + 1);
+  const a = avgdl || 1;
+  const numerator = tf * (k1 + 1);
+  const denominator = tf + k1 * (1 - b + b * (dl / a));
+  return Math.max(0, boost * idf * (numerator / denominator));
+}

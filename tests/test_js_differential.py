@@ -40,6 +40,7 @@ PY_FNS = {
     "email": an.email_analyzer,
     "url": an.url_analyzer,
     "phone": an.phone_analyzer,
+    "advanced": an.advanced_analyzer,
 }
 
 _WORDS = [
@@ -360,3 +361,46 @@ def test_stemmers_match_compiled_js():
             if got != ws:
                 failures.append((case["lang"], w, got, ws))
     assert not failures, (len(failures), failures[:8])
+
+
+def test_bm25_formula_matches_node():
+    """The vectorized scorer (query/scorer.py::bm25_score_arrays)
+    against BM25Scorer.ts:84-117 evaluated in node, at random
+    (tf, df, totalDocs, dl, avgdl, k1, b, boost) — locks the formula
+    shape and op order (rel diff < 1e-12 allows libm rounding)."""
+    from search_engine_ray.query.scorer import bm25_score_arrays
+
+    rng = np.random.default_rng(1201 + PARITY_SEED)
+    cases = []
+    for _ in range(_n(200)):
+        total = int(rng.integers(1, 10_000_000))
+        cases.append({
+            "op": "bm25",
+            "tf": int(rng.integers(0, 500)),
+            "df": int(rng.integers(0, total + 1)),
+            "totalDocs": total,
+            "dl": int(rng.integers(0, 100_000)),
+            "avgdl": float(np.round(rng.uniform(0, 5000), 3)),
+            "k1": float(np.round(rng.uniform(0, 3), 3)),
+            "b": float(np.round(rng.uniform(0, 1), 3)),
+            "boost": float(np.round(rng.uniform(0, 5), 3)),
+        })
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = float(json.loads(line)["r"])
+        got = float(bm25_score_arrays(
+            np.array([case["tf"]]), np.array([case["dl"]]),
+            total_docs=case["totalDocs"], avg_dl=case["avgdl"],
+            df=case["df"], boost=case["boost"], k1=case["k1"],
+            b=case["b"],
+        )[0])
+        tol = 1e-12 * max(1.0, abs(want))
+        if abs(got - want) > tol:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]
