@@ -21,11 +21,22 @@ import re
 from datetime import date, datetime
 from typing import Any, Dict, Optional, Sequence
 
+from .analyzers import _js_trim
+
 _RE_EMAIL = re.compile(r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}$")
 _RE_URL = re.compile(r"^https?://.+")
 _RE_DATE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _RE_DATETIME = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}")
-_RE_NUMBER = re.compile(r"^\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?\s*$")
+# what JS `Number(value)` parses to non-NaN (the detection test is
+# `!isNaN(Number(value)) && value.trim() !== ''`, ts:473): decimal
+# literals with optional sign/exponent, signed Infinity, and UNSIGNED
+# hex/binary/octal ('-0x10' is NaN); surrounding JS whitespace
+# (incl. NBSP/BOM — wider than Python \s) is trimmed first
+_RE_JS_NUMBER = re.compile(
+    r"(?:[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+    r"|[+-]?Infinity"
+    r"|0[xX][0-9a-fA-F]+|0[bB][01]+|0[oO][0-7]+)\Z"
+)
 
 _TEXT_FIELD_PATTERNS = (
     "name", "title", "description", "content", "text", "summary",
@@ -43,7 +54,8 @@ def detect_keyword_or_text(value: str, field_name: Optional[str] = None) -> str:
         return "url"
     if _RE_DATE.match(value) or _RE_DATETIME.match(value):
         return "date"
-    if value.strip() != "" and _RE_NUMBER.match(value):
+    t = _js_trim(value)
+    if t != "" and _RE_JS_NUMBER.match(t):
         return "number"
     if field_name:
         lower = field_name.lower()

@@ -60,7 +60,9 @@ rl.on('line', (line) => {
     ? testWildcard(q.value, q.pattern)
     : q.op === 'bm25'
       ? bm25(q)
-      : computeScore(q.doc, q.query);
+      : q.op === 'detect'
+        ? detectKeywordOrText(q.value, q.fieldName)
+        : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
 
@@ -73,4 +75,30 @@ export function bm25(q) {
   const numerator = tf * (k1 + 1);
   const denominator = tf + k1 * (1 - b + b * (dl / a));
   return Math.max(0, boost * idf * (numerator / denominator));
+}
+
+// MappingsManager.ts:454-505 — string field-type detection
+export function detectKeywordOrText(value, fieldName) {
+  if (/^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}$/.test(value)) {
+    return 'email';
+  }
+  if (/^https?:\/\/.+/.test(value)) return 'url';
+  if (/^\d{4}-\d{2}-\d{2}$/.test(value)
+      || /^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}/.test(value)) {
+    return 'date';
+  }
+  if (!isNaN(Number(value)) && value.trim() !== '') return 'number';
+  if (fieldName) {
+    const lower = fieldName.toLowerCase();
+    const pats = ['name', 'title', 'description', 'content', 'text',
+      'summary', 'city', 'country', 'address', 'street', 'location',
+      'comment', 'note', 'message', 'subject', 'body', 'caption',
+      'label', 'tag', 'category'];
+    for (const p of pats) if (lower.includes(p)) return 'text';
+  }
+  if (value.length > 100) return 'text';
+  if (value.includes(' ') && value.trim().split(/\s+/).length > 1) {
+    return 'text';
+  }
+  return 'keyword';
 }

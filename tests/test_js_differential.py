@@ -404,3 +404,49 @@ def test_bm25_formula_matches_node():
         if abs(got - want) > tol:
             failures.append((case, got, want))
     assert not failures, failures[:5]
+
+
+def test_detect_field_type_matches_node():
+    """String field-type detection (analysis/mappings.py::
+    detect_keyword_or_text) vs detectKeywordOrText under node — the
+    number branch is JS `Number(value)` coercion (hex/binary/octal,
+    signed Infinity, JS-whitespace trimming), which a plain decimal
+    regex gets wrong."""
+    from search_engine_ray.analysis.mappings import (
+        detect_keyword_or_text,
+    )
+
+    rng = np.random.default_rng(1301 + PARITY_SEED)
+    pool = [
+        "0x1A", "-0x10", "0b101", "0o17", "Infinity", "+Infinity",
+        "infinity", "NaN", ".5", "5.", "5.e2", ".5e-1", "1e3", "1e",
+        " 12 ", "﻿7﻿", "1_000", "+3", "12px", "0x", "",
+        " ", "2024-01-05", "2024-01-05T10:11:12", "2024-1-5",
+        "a@b.co", "not@an@email", "https://x.y", "http://", "httpx://z",
+        "word", "two words", "  spaced  ", "x" * 101, "x" * 100,
+        "naïve café", "ΟΔΟΣ", " ", "tab\tsep",
+    ]
+    names = [None, "username", "price", "city_code", "misc", "TAGS",
+             "subject_line", "id"]
+    cases = []
+    for _ in range(_n(200)):
+        if rng.random() < 0.6:
+            v = str(rng.choice(pool))
+        else:
+            v = "".join(str(rng.choice(list("0123456789xXbBoOeE.+- aZ")))
+                        for _ in range(int(rng.integers(0, 10))))
+        cases.append({"op": "detect", "value": v,
+                      "fieldName": rng.choice(names)})
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        got = detect_keyword_or_text(case["value"], case["fieldName"])
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:6]
