@@ -62,7 +62,9 @@ rl.on('line', (line) => {
       ? bm25(q)
       : q.op === 'detect'
         ? detectKeywordOrText(q.value, q.fieldName)
-        : computeScore(q.doc, q.query);
+        : q.op === 'custom'
+          ? customAnalyzer(q.text, q.options, q.stopwords || [])
+          : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
 
@@ -101,4 +103,35 @@ export function detectKeywordOrText(value, fieldName) {
     return 'text';
   }
   return 'keyword';
+}
+
+// Tokenizer.ts:421-470 — configurable analyzer, default (non-
+// customPattern) chain
+export function customAnalyzer(text, options, stopwords) {
+  const {
+    lowercase = true,
+    removeStopwords = true,
+    minLength = 1,
+    maxLength = Infinity,
+    preserveHyphens = false,
+    preserveApostrophes = false,
+  } = options || {};
+  const sw = new Set(stopwords);
+  let processed = text;
+  if (lowercase) processed = processed.toLowerCase();
+  if (!preserveApostrophes) processed = processed.replace(/'/g, ' ');
+  if (!preserveHyphens) processed = processed.replace(/-/g, ' ');
+  processed = processed
+    .replace(/[^\w\s]/g, ' ')
+    .replace(/\s+/g, ' ')
+    .trim();
+  return processed.split(' ')
+    .filter(Boolean)
+    .filter((token) => {
+      if (removeStopwords && sw.has(token)) return false;
+      if (token.length < minLength || token.length > maxLength) {
+        return false;
+      }
+      return true;
+    });
 }

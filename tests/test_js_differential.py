@@ -450,3 +450,48 @@ def test_detect_field_type_matches_node():
         if got != want:
             failures.append((case, got, want))
     assert not failures, failures[:6]
+
+
+def test_custom_analyzer_matches_node():
+    """customAnalyzer's default (non-customPattern) chain at random
+    option combinations vs node (Tokenizer.ts:421-470)."""
+    rng = np.random.default_rng(1409 + PARITY_SEED)
+    failures = []
+    cases = []
+    for _ in range(_n(150)):
+        opts = {
+            "lowercase": bool(rng.random() < 0.7),
+            "removeStopwords": bool(rng.random() < 0.7),
+            "minLength": int(rng.integers(1, 4)),
+            "preserveHyphens": bool(rng.random() < 0.4),
+            "preserveApostrophes": bool(rng.random() < 0.4),
+        }
+        if rng.random() < 0.5:
+            opts["maxLength"] = int(rng.integers(2, 12))
+        cases.append({
+            "op": "custom", "text": _rand_text(rng), "options": opts,
+            "stopwords": sorted(an.REFERENCE_TEST_STOPWORDS)
+            if rng.random() < 0.5 else [],
+        })
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        o = case["options"]
+        got = an.custom_analyzer(
+            case["text"],
+            stopwords=frozenset(case["stopwords"]),
+            lowercase=o["lowercase"],
+            remove_stopwords=o["removeStopwords"],
+            min_length=o["minLength"],
+            max_length=o.get("maxLength", float("inf")),
+            preserve_hyphens=o["preserveHyphens"],
+            preserve_apostrophes=o["preserveApostrophes"],
+        )
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]
