@@ -64,7 +64,12 @@ rl.on('line', (line) => {
         ? detectKeywordOrText(q.value, q.fieldName)
         : q.op === 'custom'
           ? customAnalyzer(q.text, q.options, q.stopwords || [])
-          : computeScore(q.doc, q.query);
+          : q.op === 'phrase'
+            ? checkPhrase(q.docTokens, q.phraseTokens, q.slop,
+                          q.fuzziness || 0)
+            : q.op === 'lev'
+              ? lev(q.a, q.b)
+              : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
 
@@ -134,4 +139,56 @@ export function customAnalyzer(text, options, stopwords) {
       }
       return true;
     });
+}
+
+// QueryProcessor.ts:29-51 — the UTF-16 DP both proximity variants use
+export function lev(str1, str2) {
+  const m = [];
+  for (let i = 0; i <= str2.length; i++) m[i] = [i];
+  for (let j = 0; j <= str1.length; j++) m[0][j] = j;
+  for (let i = 1; i <= str2.length; i++) {
+    for (let j = 1; j <= str1.length; j++) {
+      if (str2.charAt(i - 1) === str1.charAt(j - 1)) {
+        m[i][j] = m[i - 1][j - 1];
+      } else {
+        m[i][j] = Math.min(m[i - 1][j - 1] + 1, m[i][j - 1] + 1,
+                           m[i - 1][j] + 1);
+      }
+    }
+  }
+  return m[str2.length][str1.length];
+}
+
+// QueryProcessor.ts:579-617 (exact) / :619-661 (fuzzy: window widens
+// by fuzziness and token equality becomes lev <= fuzziness)
+export function checkPhrase(docTokens, phraseTokens, slop, fuzziness) {
+  if (phraseTokens.length === 0) return true;
+  if (docTokens.length < phraseTokens.length) return false;
+  const P = phraseTokens.map((t) => t.toLowerCase());
+  const D = docTokens.map((t) => t.toLowerCase());
+  const extra = slop + (fuzziness || 0);
+  for (let i = 0; i <= D.length - P.length; i++) {
+    let matches = 0;
+    let maxGap = 0;
+    let last = i - 1;
+    for (let j = 0; j < P.length; j++) {
+      let found = false;
+      for (let k = Math.max(last + 1, i + j);
+           k < Math.min(D.length, i + j + extra + 1); k++) {
+        const hit = fuzziness
+          ? lev(P[j], D[k]) <= fuzziness
+          : D[k] === P[j];
+        if (hit) {
+          matches++;
+          maxGap = Math.max(maxGap, k - last - 1);
+          last = k;
+          found = true;
+          break;
+        }
+      }
+      if (!found) break;
+    }
+    if (matches === P.length && maxGap <= slop) return true;
+  }
+  return false;
 }

@@ -495,3 +495,68 @@ def test_custom_analyzer_matches_node():
         if got != want:
             failures.append((case, got, want))
     assert not failures, failures[:5]
+
+
+def test_phrase_proximity_matches_node():
+    """OracleEngine._check_phrase (the reference-semantics model the
+    engine's positions-based checker is locked against) vs
+    _checkPhraseProximity / _checkFuzzyPhraseProximity under node
+    (QueryProcessor.ts:579-661), over random token streams with
+    repeats, near-miss tokens and astral chars."""
+    from search_engine_ray.query.oracle import OracleEngine
+
+    rng = np.random.default_rng(1511 + PARITY_SEED)
+    vocab = ["ab", "abc", "abd", "ba", "x", "xy", "😀b", "ς", "σ"]
+    cases = []
+    for _ in range(_n(300)):
+        doc = [str(rng.choice(vocab))
+               for _ in range(int(rng.integers(1, 12)))]
+        phrase = [str(rng.choice(vocab))
+                  for _ in range(int(rng.integers(1, 4)))]
+        if rng.random() < 0.5:  # slices of the doc hit more often
+            j = int(rng.integers(0, len(doc)))
+            phrase = doc[j:j + int(rng.integers(1, 4))] or phrase
+        cases.append({
+            "op": "phrase", "docTokens": doc, "phraseTokens": phrase,
+            "slop": int(rng.integers(0, 4)),
+            "fuzziness": int(rng.choice([0, 0, 1, 2])),
+        })
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        got = OracleEngine._check_phrase(
+            case["docTokens"], case["phraseTokens"], case["slop"],
+            case["fuzziness"],
+        )
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]
+
+
+def test_levenshtein_matches_node():
+    """textmatch.levenshtein vs the reference's UTF-16 DP in node at
+    random mixed-script strings (incl. astral)."""
+    from search_engine_ray.query.textmatch import levenshtein
+
+    rng = np.random.default_rng(1613 + PARITY_SEED)
+    cases = [{"op": "lev", "a": _rand_value(rng, 0, 10),
+              "b": _rand_value(rng, 0, 10)} for _ in range(_n(300))]
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = int(json.loads(line)["r"])
+        got = levenshtein(case["a"], case["b"])
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]
