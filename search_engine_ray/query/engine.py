@@ -58,6 +58,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis.analyzers import DEFAULT_STOPWORDS, standard_analyzer
+from ..analysis.jsnum import js_str
 from ..index_build.build import load_index_manifest
 from ..state.stats import GlobalStats
 from .postings import PartitionReader, TermPostings
@@ -1353,23 +1354,32 @@ def _tf_fallback_scores(
         if not pa.types.is_string(col.type) and not pa.types.is_large_string(
             col.type
         ):
-            try:
-                col = pc.cast(col, pa.string())
-            except pa.lib.ArrowNotImplementedError:
-                # struct/list columns (e.g. geo 'location') have no
-                # string cast kernel — JSON-render them like the
-                # reference's JSON.stringify would (candidate-bounded)
-                import json as _json  # noqa: PLC0415
+            if pa.types.is_integer(col.type) or pa.types.is_floating(
+                col.type
+            ):
+                # JSON.stringify renders numbers with the JS formatting
+                # (integral doubles without '.0', JS exponent
+                # thresholds, NaN/Infinity → 'null') — NOT the Arrow
+                # cast ('10.0'→'10' agrees but 1e16/-0/nan do not);
+                # node-differential-locked in jsnum.py
+                from ..analysis.jsnum import js_number_strings
 
-                col = pa.array(
-                    [
-                        # ensure_ascii=False: JSON.stringify leaves
-                        # non-ASCII unescaped
-                        _json.dumps(v, default=str, ensure_ascii=False)
-                        for v in col.to_pylist()
-                    ],
-                    pa.string(),
-                )
+                col = js_number_strings(col, json_mode=True)
+            else:
+                try:
+                    col = pc.cast(col, pa.string())
+                except pa.lib.ArrowNotImplementedError:
+                    # struct/list columns (e.g. geo 'location') have no
+                    # string cast kernel — JSON-render them like the
+                    # reference's JSON.stringify would
+                    # (candidate-bounded; JS number model + non-ASCII
+                    # unescaped, jsnum.js_json_dumps)
+                    from ..analysis.jsnum import js_json_dumps
+
+                    col = pa.array(
+                        [js_json_dumps(v) for v in col.to_pylist()],
+                        pa.string(),
+                    )
         # JSON renders missing values as the word "null"; the scan is
         # JSON.stringify(doc).toLowerCase() + /token/gi — lowercase
         # THEN /i-canonicalize (jsfold.py), so both text and tokens go
@@ -2115,11 +2125,21 @@ class IndexSearcher:
         for pi, ids in cands:
             if ids.size == 0:
                 continue
+            # a field absent from this partition's docstore is
+            # `undefined` in the reference — project it as all-null
+            # instead of letting the dataset scan raise (aggs over a
+            # never-indexed field must yield empty buckets, not 500)
+            avail = set(self._readers[pi].docs_schema().names)
+            present = [c for c in roots if c in avail]
             tbl = self._readers[pi].docs_table(
-                columns=["doc_id", *roots],
+                columns=["doc_id", *present],
                 filter=pc.field("doc_id").isin(ids.tolist()),
             )
-            frames.append(tbl.to_pandas())
+            df = tbl.to_pandas()
+            for c in roots:
+                if c not in df.columns:
+                    df[c] = None
+            frames.append(df)
         if not frames:
             return pd.DataFrame(columns=["doc_id", *columns])
         df = pd.concat(frames, ignore_index=True)
@@ -2148,7 +2168,15 @@ class IndexSearcher:
         out: Dict[str, Dict[str, int]] = {}
         for f in facet_fields:
             vc = _explode_listlike(df[f]).value_counts()
-            out[f] = {str(k): int(v) for k, v in vc.items()}
+            # String(value) bucket keys (FacetEngine.ts:116-161) — JS
+            # number formatting, so a float 10.0 buckets as '10'; two
+            # native values that stringify equal MERGE into one bucket
+            # (the reference counts into a string-keyed object)
+            counts: Dict[str, int] = {}
+            for k, v in vc.items():
+                sk = js_str(k)
+                counts[sk] = counts.get(sk, 0) + int(v)
+            out[f] = counts
         return out
 
     def aggregations(self, query, aggs: Dict[str, dict], operator: str = "and"):
@@ -2176,8 +2204,14 @@ class IndexSearcher:
                     vc = _explode_listlike(df[a["field"]]).value_counts()
                     size = a.get("size", 10)
                     mdc = a.get("min_doc_count", 1)
+                    # const key = String(val) (SearchEngine.ts:993) —
+                    # stringify-equal values merge BEFORE min_doc_count
+                    merged: Dict[str, int] = {}
+                    for k, v in vc.items():
+                        sk = js_str(k)
+                        merged[sk] = merged.get(sk, 0) + int(v)
                     items = [
-                        (str(k), int(v)) for k, v in vc.items() if v >= mdc
+                        (k, v) for k, v in merged.items() if v >= mdc
                     ]
                     items.sort(key=lambda t: (-t[1], t[0]))
                     out[name] = {
@@ -2293,17 +2327,45 @@ class IndexSearcher:
 
                     out[name] = compute(sub, global_provider)
                 elif "filter" in agg:
-                    sub_node = self._normalize(agg["filter"], operator)
-                    sub_cands = []
-                    for (pi, ids), r in zip(cands, self._readers):
-                        ev = _PartitionEvaluator(
-                            r, self.text_fields, self.stopwords,
-                            self.synonyms, token_filter=self.token_filter,
-                        )
-                        extra = ev.evaluate(sub_node)
-                        sub_cands.append(
-                            (pi, np.intersect1d(ids, extra, assume_unique=True))
-                        )
+                    # the reference's filter agg is a bespoke DOC-level
+                    # filter, not a query: term = strict ===, match =
+                    # substring over toString().toLowerCase(), range =
+                    # typeof-number only (_applyFilterToDocuments,
+                    # SearchEngine.ts:1078-1101; docfilter.py port).
+                    # Other shapes keep everything there — the engine
+                    # instead evaluates them as a query (documented
+                    # extension).
+                    from .docfilter import filter_doc_predicate, filter_field
+
+                    pred = filter_doc_predicate(agg["filter"])
+                    ffield = filter_field(agg["filter"])
+                    if pred is not None and ffield:
+                        # missing fields arrive as all-null from
+                        # _result_docs_table (undefined → no match)
+                        fdf = self._result_docs_table(cands, [ffield])
+                        keep = fdf["doc_id"][
+                            fdf[ffield].map(pred).astype(bool)
+                        ].to_numpy(dtype=np.int64)
+                        keep_sorted = np.sort(keep)
+                        sub_cands = [
+                            (pi, ids[np.isin(ids, keep_sorted,
+                                             assume_unique=True)])
+                            for pi, ids in cands
+                        ]
+                    else:
+                        sub_node = self._normalize(agg["filter"], operator)
+                        sub_cands = []
+                        for (pi, ids), r in zip(cands, self._readers):
+                            ev = _PartitionEvaluator(
+                                r, self.text_fields, self.stopwords,
+                                self.synonyms,
+                                token_filter=self.token_filter,
+                            )
+                            extra = ev.evaluate(sub_node)
+                            sub_cands.append(
+                                (pi, np.intersect1d(
+                                    ids, extra, assume_unique=True))
+                            )
                     sub = agg.get("aggs", {})
                     result = compute(
                         sub,

@@ -401,7 +401,6 @@ class OracleEngine:
             scored.append((did, s))
         if scored and all(s == 0.0 for _, s in scored):
             # zero-score term-frequency fallback (SearchEngine.ts:589-604)
-            import json as _json
             import re as _re
 
             toks = [t.split(":", 1)[1] for t in terms]
@@ -422,14 +421,16 @@ class OracleEngine:
                 )
                 for t in toks
             ]
+            from ..analysis.jsnum import js_json_dumps
+
             scored = []
             for did in cand:
-                # ensure_ascii=False: JSON.stringify leaves non-ASCII
-                # unescaped, so 'naïve' must stay 'naïve', not 'ï'
-                text = js_ifold(_json.dumps(
-                    self.docs.get(did, {}),
-                    default=str,
-                    ensure_ascii=False,
+                # js_json_dumps: JSON.stringify model — non-ASCII left
+                # unescaped ('naïve' stays 'naïve'), JS number
+                # formatting (10.0→'10', 1e16→full digits, NaN→'null'),
+                # compact separators; node-differential-locked
+                text = js_ifold(js_json_dumps(
+                    self.docs.get(did, {})
                 ).lower())
                 n = sum(len(p.findall(text)) for p in pats)
                 scored.append((did, float(max(1, n))))

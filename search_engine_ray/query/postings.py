@@ -396,3 +396,12 @@ class PartitionReader:
             glob.glob(os.path.join(self.part_dir, "docs", "*.parquet"))
         )
         return pads.dataset(docs_files).to_table(columns=columns, filter=filter)
+
+    def docs_schema(self) -> pa.Schema:
+        """Docstore schema without reading any rows (cached)."""
+        if getattr(self, "_docs_schema", None) is None:
+            docs_files = sorted(
+                glob.glob(os.path.join(self.part_dir, "docs", "*.parquet"))
+            )
+            self._docs_schema = pads.dataset(docs_files).schema
+        return self._docs_schema

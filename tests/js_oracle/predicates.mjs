@@ -69,9 +69,60 @@ rl.on('line', (line) => {
                           q.fuzziness || 0)
             : q.op === 'lev'
               ? lev(q.a, q.b)
-              : computeScore(q.doc, q.query);
+              : q.op === 'numstr'
+                ? numstr(q.rep)
+                : q.op === 'stringify'
+                  ? JSON.stringify(q.doc)
+                  : q.op === 'docfilter'
+                    ? applyFilter(q.doc, q.config)
+                    : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
+
+// SearchEngine.ts:1078-1101 — the filter-aggregation doc predicate
+// (verbatim semantics: strict ===, truthy-guarded substring include,
+// typeof-number range)
+export function applyFilter(doc, filterConfig) {
+  if (filterConfig.term) {
+    const field = filterConfig.term.field;
+    const value = filterConfig.term.value;
+    return doc[field] === value;
+  } else if (filterConfig.match) {
+    const field = filterConfig.match.field;
+    const value = filterConfig.match.value;
+    return Boolean(doc[field]
+      && doc[field].toString().toLowerCase()
+        .includes(value.toLowerCase()));
+  } else if (filterConfig.range) {
+    const field = filterConfig.range.field;
+    const docValue = doc[field];
+    if (typeof docValue !== 'number') return false;
+    if (filterConfig.range.gte !== undefined
+        && docValue < filterConfig.range.gte) return false;
+    if (filterConfig.range.gt !== undefined
+        && docValue <= filterConfig.range.gt) return false;
+    if (filterConfig.range.lte !== undefined
+        && docValue > filterConfig.range.lte) return false;
+    if (filterConfig.range.lt !== undefined
+        && docValue >= filterConfig.range.lt) return false;
+    return true;
+  }
+  return true;
+}
+
+// ECMA Number::toString / JSON number serialization — the semantics
+// String(val) bucket keys (SearchEngine.ts:993, FacetEngine.ts:116)
+// and the JSON.stringify tf-fallback render (SearchEngine.ts:589-604)
+// leak into output.  rep is a Python repr ('nan'/'inf'/'-inf'
+// sentinels for the non-finite values JSON can't carry).
+export function numstr(rep) {
+  let v;
+  if (rep === 'nan') v = NaN;
+  else if (rep === 'inf') v = Infinity;
+  else if (rep === '-inf') v = -Infinity;
+  else v = Number(rep);
+  return [String(v), JSON.stringify(v)];
+}
 
 // BM25Scorer.ts:84-117 — exported for the numeric differential
 export function bm25(q) {

@@ -259,9 +259,19 @@ def test_fallback_score_matches_node(ray_session):
                     for _ in range(int(rng.integers(1, 6))))
             for _ in range(int(rng.integers(1, 6)))
         ]
+        if rng.random() < 0.4:
+            # numeric words collide with the rendered number fields
+            # below — the \b counts then depend on the JS number
+            # formatting of the doc render (10.0 → '10', not '10.0')
+            words.append(str(rng.choice(["10", "99", "0", "5", "16"])))
         doc = {"name": " ".join(words)}
         if rng.random() < 0.4:
             doc["n"] = int(rng.integers(0, 99))
+        if rng.random() < 0.5:
+            doc["x"] = float(rng.choice([
+                10.0, 99.0, 0.5, 12.25, 1e16, 1e-7, 1e21,
+                123456789.0, 100.5,
+            ]))
         # a two-word raw slice: analyzer yields no postings hit for
         # the whole value -> zero BM25 -> fallback on both sides
         w = str(rng.choice(words))
@@ -557,6 +567,206 @@ def test_levenshtein_matches_node():
     for case, line in zip(cases, proc.stdout.splitlines()):
         want = int(json.loads(line)["r"])
         got = levenshtein(case["a"], case["b"])
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]
+
+
+def _rand_doubles(rng, n):
+    import struct
+
+    vals = [0.0, -0.0, 1.0, 10.0, 1e15, 1e16, 1e20, 1e21, 1e22,
+            123456789.0, 0.1, 1e-5, 1e-6, 1e-7, 5e-7, float(2 ** 53),
+            float(2 ** 53 - 1), 9.999999999999999e20, float("nan"),
+            float("inf"), float("-inf"), 1.5e300, 5e-324,
+            1.7976931348623157e308]
+    for _ in range(n // 2):
+        e = int(rng.integers(-320, 308))
+        vals.append(float((rng.random() * 10 - 5) * (10.0 ** e)))
+    for _ in range(n // 2):
+        b = int(rng.integers(0, 2 ** 64, dtype=np.uint64))
+        vals.append(struct.unpack("<d", struct.pack("<Q", b))[0])
+    return vals
+
+
+def test_number_tostring_matches_node():
+    """jsnum.js_number_str / js_json_dumps number formatting vs node's
+    String() / JSON.stringify over random doubles (uniform exponents +
+    raw bit patterns: subnormals, extremes, NaN/Inf) — the semantics
+    that leak into terms/facet bucket keys (String(val),
+    SearchEngine.ts:993) and the tf-fallback doc render
+    (JSON.stringify, SearchEngine.ts:589-604)."""
+    from search_engine_ray.analysis.jsnum import (
+        js_json_dumps, js_number_str,
+    )
+
+    rng = np.random.default_rng(1717 + PARITY_SEED)
+    vals = _rand_doubles(rng, _n(1200))
+    vals += [int(rng.integers(-2 ** 62, 2 ** 62)) for _ in range(50)]
+    cases = [{"op": "numstr", "rep": repr(v)} for v in vals]
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for v, line in zip(vals, proc.stdout.splitlines()):
+        want_s, want_j = json.loads(line)["r"]
+        got_s = js_number_str(v)
+        got_j = js_json_dumps(v)
+        if got_s != want_s or got_j != want_j:
+            failures.append((repr(v), got_s, want_s, got_j, want_j))
+    assert not failures, failures[:5]
+
+
+def test_number_strings_arrow_matches_scalar():
+    """The vectorized js_number_strings column render agrees with the
+    scalar formatter (incl. the int64 fast path boundary at 2**53,
+    nulls, and json_mode non-finite → 'null')."""
+    import pyarrow as pa
+
+    from search_engine_ray.analysis.jsnum import (
+        js_number_str, js_number_strings,
+    )
+
+    rng = np.random.default_rng(1815 + PARITY_SEED)
+    vals = _rand_doubles(rng, _n(400))
+    vals += [float(v) for v in rng.integers(-10 ** 6, 10 ** 6, 100)]
+    arr = pa.array(vals + [None], pa.float64())
+    got = js_number_strings(arr, json_mode=True).to_pylist()
+    import math
+
+    want = [
+        "null" if (v != v or v in (math.inf, -math.inf))
+        else js_number_str(v)
+        for v in vals
+    ] + [None]
+    assert got == want
+    # integer columns: in-range stays on the Arrow cast, out-of-range
+    # goes through the double like JSON.parse would
+    big = pa.array([1, -5, 2 ** 60, None], pa.int64())
+    assert js_number_strings(big).to_pylist() == [
+        "1", "-5", js_number_str(2 ** 60), None,
+    ]
+
+
+def test_json_stringify_matches_node():
+    """js_json_dumps over random nested docs (floats, ints, bools,
+    nulls, arrays, nested objects, mixed-script strings) vs node's
+    JSON.stringify — byte-identical output, so the tf-fallback
+    \\b-token counts over the render match by construction."""
+    from search_engine_ray.analysis.jsnum import js_json_dumps
+
+    rng = np.random.default_rng(1913 + PARITY_SEED)
+
+    def rand_leaf():
+        r = rng.random()
+        if r < 0.3:
+            return _rand_value(rng, 0, 8)
+        if r < 0.5:
+            e = int(rng.integers(-20, 22))
+            return float((rng.random() * 10 - 5) * (10.0 ** e))
+        if r < 0.65:
+            return int(rng.integers(-10 ** 9, 10 ** 9))
+        if r < 0.75:
+            return bool(rng.random() < 0.5)
+        if r < 0.85:
+            return None
+        return [rand_leaf() for _ in range(int(rng.integers(0, 4)))]
+
+    def rand_doc(depth=0):
+        d = {}
+        for i in range(int(rng.integers(1, 6))):
+            k = f"k{i}_" + _rand_value(rng, 0, 4)
+            if depth < 2 and rng.random() < 0.25:
+                d[k] = rand_doc(depth + 1)
+            else:
+                d[k] = rand_leaf()
+        return d
+
+    docs = [rand_doc() for _ in range(_n(150))]
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(
+            json.dumps({"op": "stringify", "doc": d}) for d in docs
+        ),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for d, line in zip(docs, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        # node round-tripped the doc through JSON.parse: compare our
+        # render of the same parsed value (floats stay bit-identical)
+        got = js_json_dumps(json.loads(json.dumps(d)))
+        if got != want:
+            failures.append((got, want))
+    assert not failures, failures[:3]
+
+
+def test_docfilter_matches_node():
+    """query/docfilter.filter_doc_predicate vs the reference's
+    _applyFilterToDocuments (SearchEngine.ts:1078-1101) in node:
+    strict === term equality, truthy-guarded substring match over the
+    String() coercion, typeof-number range — across value kinds
+    (strings, ints, floats, bools, arrays, objects, null/absent)."""
+    from search_engine_ray.query.docfilter import filter_doc_predicate
+
+    rng = np.random.default_rng(2027 + PARITY_SEED)
+
+    def rand_val():
+        r = rng.random()
+        if r < 0.3:
+            return str(rng.choice(
+                ["English", "eng", "", "10", "0", "fish", "selfish",
+                 "ÉTUDE", "étude", "a b"]))
+        if r < 0.5:
+            return float(rng.choice(
+                [0.0, -0.0, 10.0, 10.5, 1e16, -3.0, 0.25]))
+        if r < 0.65:
+            return int(rng.integers(-5, 15))
+        if r < 0.75:
+            return bool(rng.random() < 0.5)
+        if r < 0.82:
+            return None
+        if r < 0.9:
+            return [rand_val() for _ in range(int(rng.integers(0, 3)))]
+        return {"x": 1}
+
+    def rand_config():
+        kind = str(rng.choice(["term", "match", "range"]))
+        if kind == "term":
+            return {"term": {"field": "v", "value": rand_val()}}
+        if kind == "match":
+            return {"match": {"field": "v", "value": str(rng.choice(
+                ["en", "ENG", "fish", "10", "0", "étude", "", "b",
+                 "object", ","]))}}
+        r = {}
+        for b in ("gte", "gt", "lte", "lt"):
+            if rng.random() < 0.4:
+                r[b] = float(rng.integers(-5, 15))
+        r["field"] = "v"
+        return {"range": r}
+
+    cases = []
+    for _ in range(_n(500)):
+        doc = {}
+        if rng.random() < 0.9:  # 10%: field absent entirely
+            doc["v"] = rand_val()
+        cases.append({"op": "docfilter", "doc": doc,
+                      "config": rand_config()})
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = bool(json.loads(line)["r"])
+        pred = filter_doc_predicate(case["config"])
+        got = pred(case["doc"].get("v"))
         if got != want:
             failures.append((case, got, want))
     assert not failures, failures[:5]

@@ -1,0 +1,229 @@
+"""JS number→string semantics (analysis/jsnum.py) at the surfaces
+where the reference leaks them into output:
+
+* ``String(val)`` terms/facet bucket keys (SearchEngine.ts:993,
+  QueryEngine.ts:279, FacetEngine.ts:116-161) — a float ``10.0``
+  buckets under the key ``'10'``;
+* the tf-fallback ``JSON.stringify(doc)`` render
+  (SearchEngine.ts:589-604) — ``String(1e16)`` is the full 17-digit
+  string (Python repr flips to exponent at 1e16), ``NaN`` serializes
+  as ``null``.
+
+The formatter itself is node-differential-locked in
+test_js_differential.py; these are the deterministic engine-level
+locks (no node needed).
+"""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.analysis.jsnum import (
+    js_json_dumps,
+    js_number_str,
+    js_str,
+)
+
+
+class TestScalars:
+    @pytest.mark.parametrize("v,want", [
+        (10.0, "10"),
+        (-0.0, "0"),
+        (0.5, "0.5"),
+        (1e15, "1000000000000000"),
+        (1e16, "10000000000000000"),
+        (1e20, "100000000000000000000"),
+        (1e21, "1e+21"),
+        (1e-6, "0.000001"),
+        (1e-7, "1e-7"),
+        (5e-7, "5e-7"),
+        (123456789.0, "123456789"),
+        (float("nan"), "NaN"),
+        (float("inf"), "Infinity"),
+        (float("-inf"), "-Infinity"),
+        (7, "7"),
+        (-(2 ** 60), js_number_str(float(-(2 ** 60)))),
+    ])
+    def test_number_str(self, v, want):
+        assert js_number_str(v) == want
+
+    def test_js_str_coercions(self):
+        # String() over the value kinds bucket keys can see
+        assert js_str("abc") == "abc"
+        assert js_str(True) == "true"
+        assert js_str(np.bool_(False)) == "false"
+        assert js_str(np.float64(10.0)) == "10"
+        assert js_str(np.int64(-3)) == "-3"
+        assert js_str([1.0, "a", None]) == "1,a,"  # Array.toString
+        assert js_str({"a": 1}) == "[object Object]"
+
+    def test_json_dumps_model(self):
+        # compact separators, JS numbers, NaN/Inf → null, unicode raw
+        doc = {"a": 10.0, "b": [1e16, float("nan")], "c": "naïve",
+               "d": None, "e": True}
+        assert js_json_dumps(doc) == (
+            '{"a":10,"b":[10000000000000000,null],"c":"naïve",'
+            '"d":null,"e":true}'
+        )
+
+
+@pytest.fixture(scope="module")
+def float_index(tmp_path_factory, ray_session):
+    from search_engine_ray.analysis.mappings import infer_mappings
+    from search_engine_ray.index_build import BuildConfig, build_index
+
+    root = tmp_path_factory.mktemp("jsnum")
+    src = str(root / "docs.parquet")
+    # Each name seeds a token once: the fallback floor hides a single
+    # match (max(1, 1) == max(1, 0)), so the price render's extra
+    # match is what lifts a doc above 1.0 — making every assertion
+    # below sensitive to the render.
+    names = ["p 10 q", "z 0 w", "g 10 h",
+             "delta 10000000000000000", "epsilon null"]
+    rows = {
+        "id": list(range(1, 6)),
+        "name": names,
+        # integral doubles + one 17-digit double + NaN: the shapes
+        # whose JS render differs from both Python str and Arrow cast
+        "price": pa.array([10.0, 10.0, 10.5, 1e16, float("nan")],
+                          pa.float64()),
+    }
+    pq.write_table(pa.table(rows), src)
+    mappings = {"name": "text", "price": "number"}
+    assert infer_mappings([{"name": names[0], "price": 10.0}])[
+        "price"] == "number"
+    idx = str(root / "idx")
+    build_index(
+        idx, src,
+        BuildConfig(mappings=mappings, doc_key_column="id",
+                    extract_html=False, dedup=False, n_partitions=1),
+    )
+    return idx
+
+
+class TestEngineSurfaces:
+    def test_facet_keys_are_js_strings(self, float_index):
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        f = s.facets({"match_all": {}}, ["price"])
+        # String(10) === '10' — never '10.0'.  A NaN value is dropped
+        # like a null (the Arrow→pandas bridge conflates them; JSON
+        # ingestion can't produce NaN doc values in the reference, so
+        # only a programmatic JS add could ever see a 'NaN' bucket) —
+        # pinned divergence.
+        assert f["price"] == {"10": 2, "10.5": 1,
+                              "10000000000000000": 1}
+
+    def test_terms_agg_keys_are_js_strings(self, float_index):
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        aggs = s.aggregations(
+            {"match_all": {}},
+            {"p": {"terms": {"field": "price", "size": 10}}},
+        )
+        buckets = {b["key"]: b["doc_count"]
+                   for b in aggs["p"]["buckets"]}
+        assert buckets == {"10": 2, "10.5": 1,
+                           "10000000000000000": 1}
+
+    def test_tf_fallback_renders_js_numbers(self, float_index):
+        """Direct render check: token '10000000000000000' (the JS
+        String of 1e16) must count a match for doc 4 — the old Arrow
+        cast rendered '1e+16' and missed it; NaN renders 'null'."""
+        from search_engine_ray.query import IndexSearcher
+        from search_engine_ray.query.engine import _tf_fallback_scores
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        r = s._readers[0]
+        t = r.docs_table(columns=["doc_id", "id"]).to_pydict()
+        key2did = dict(zip(t["id"], t["doc_id"]))
+        cand = np.array(sorted(key2did.values()), dtype=np.int64)
+        ids, scores = _tf_fallback_scores(
+            r, cand, ["10000000000000000"], k=5)
+        by_id = dict(zip(ids.tolist(), scores.tolist()))
+        # doc with price=1e16 renders the full 17-digit string → one
+        # \b match; everyone else floors at 1.  The old Arrow cast
+        # rendered '1e+16' and missed the match.
+        assert by_id[key2did[4]] == 2.0
+        assert all(v == 1.0 for d, v in by_id.items()
+                   if d != key2did[4])
+
+    def test_tf_fallback_counts(self, float_index):
+        from search_engine_ray.query import IndexSearcher
+        from search_engine_ray.query.engine import _tf_fallback_scores
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        r = s._readers[0]
+        t = r.docs_table(columns=["doc_id", "id"]).to_pydict()
+        key2did = dict(zip(t["id"], t["doc_id"]))
+        cand = np.array(sorted(key2did.values()), dtype=np.int64)
+
+        def counts(tokens):
+            ids, sc = _tf_fallback_scores(r, cand, tokens, k=5)
+            by = dict(zip(ids.tolist(), sc.tolist()))
+            return {k: by[d] for k, d in key2did.items()}
+
+        # '10' matches the render of 10.0 ('10') and 10.5 ('10.5' —
+        # \b10\b matches before the '.'), not 1e16's 17-digit string
+        c10 = counts(["10"])
+        assert c10[1] == 2.0  # name '10' + price '10'
+        assert c10[3] == 2.0  # name '10' + '10.5' prefix boundary
+        assert c10[4] == 1.0  # no \b10\b inside '10000000000000000'
+        # '0' must NOT match the render of 10.0: a json.dumps-style
+        # '10.0' would count its trailing 0 and lift doc 2 to 2.0
+        c0 = counts(["0"])
+        assert c0[2] == 1.0  # name '0' only → floored
+        # NaN serializes as JSON null (JSON.stringify(NaN) === 'null')
+        cn = counts(["null"])
+        assert cn[5] == 2.0  # name 'null' + price null render
+
+    def test_filter_agg_reference_semantics(self, float_index):
+        """The filter agg is the reference's DOC-level filter
+        (_applyFilterToDocuments, SearchEngine.ts:1078-1101), not a
+        query: match = substring containment over toString() — 'elta'
+        matches 'delta ...' though no analyzed token equals it; term =
+        strict === (the number 10 matches the double 10.0); range
+        applies to typeof-number fields only."""
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        a = s.aggregations(
+            {"match_all": {}},
+            {
+                "sub": {"filter": {"match": {"field": "name",
+                                             "value": "elta"}}},
+                "ten": {"filter": {"term": {"field": "price",
+                                            "value": 10}}},
+                "strrange": {"filter": {"range": {
+                    "field": "name", "gte": 0}}},
+                "prange": {"filter": {"range": {
+                    "field": "price", "gte": 10.5, "lt": 1e17}}},
+            },
+        )
+        assert a["sub"]["doc_count"] == 1      # substring, not token
+        assert a["ten"]["doc_count"] == 2      # 10 === 10.0 twice
+        assert a["strrange"]["doc_count"] == 0  # strings never match
+        assert a["prange"]["doc_count"] == 2   # 10.5 and 1e16
+
+    def test_aggs_over_missing_field(self, float_index):
+        """A field no docstore holds is `undefined` in the reference:
+        terms/facets yield no buckets and a filter keeps nothing —
+        previously the dataset scan raised ArrowInvalid (a 500 at the
+        server surface)."""
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        a = s.aggregations(
+            {"match_all": {}},
+            {"t": {"terms": {"field": "nope", "size": 5}},
+             "f": {"filter": {"match": {"field": "nope",
+                                        "value": "x"}}}},
+        )
+        assert a["t"]["buckets"] == []
+        assert a["f"]["doc_count"] == 0
+        assert s.facets({"match_all": {}}, ["nope"]) == {"nope": {}}
