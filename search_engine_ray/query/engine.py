@@ -218,6 +218,54 @@ def _explode_listlike(series: pd.Series) -> pd.Series:
     return series
 
 
+def _js_number_series(s: pd.Series) -> pd.Series:
+    """The series under JS's ``typeof value === 'number'`` guard
+    (FacetEngine.ts:191, 279): numeric dtypes pass through as float64,
+    booleans and strings become NaN (JS booleans/numeric strings are
+    NOT numbers — no coercion), object cells are checked per value."""
+    from .docfilter import _as_number
+
+    if pd.api.types.is_bool_dtype(s):
+        return pd.Series(np.nan, index=s.index, dtype="float64")
+    if pd.api.types.is_numeric_dtype(s):
+        return s.astype("float64")
+    return s.map(_as_number).astype("float64")
+
+
+_JS_DATE_MAX_MS = 8_640_000_000_000_000  # ±100M days (ECMA TimeClip)
+
+
+def _js_iso_ms(ms: int) -> str:
+    """``new Date(ms).toISOString()`` — UTC, millisecond precision;
+    years outside 0-9999 take the ECMA expanded form (sign + 6
+    digits).  Callers must pre-filter |ms| > 8.64e15 (Invalid Date —
+    the reference skips those rows via its isNaN guard)."""
+    s = str(np.datetime64(int(ms), "ms"))
+    neg = s.startswith("-")
+    body = s[1:] if neg else s
+    year, rest = body.split("-", 1)
+    y = int(year)
+    if neg:
+        ystr = "-%06d" % y
+    elif y > 9999:
+        ystr = "+%06d" % y
+    else:
+        ystr = "%04d" % y
+    return f"{ystr}-{rest}Z"
+
+
+def _range_key(lo, hi) -> str:
+    """``_generateRangeKey`` (FacetEngine.ts:379-389): ``from-to`` with
+    ``*`` for open ends, numbers in the JS formatting."""
+    if lo is not None and hi is not None:
+        return f"{js_str(lo)}-{js_str(hi)}"
+    if lo is not None:
+        return f"{js_str(lo)}-*"
+    if hi is not None:
+        return f"*-{js_str(hi)}"
+    return "*"
+
+
 def collect_scoring_terms(
     node, text_fields: Sequence[str], stopwords=DEFAULT_STOPWORDS
 ) -> List[str]:
@@ -2221,13 +2269,14 @@ class IndexSearcher:
                         ]
                     }
                 elif "histogram" in agg:
+                    # typeof value === 'number' guard: strings/bools
+                    # never bucket (FacetEngine.ts:184-205)
                     a = agg["histogram"]
                     df = df_provider([a["field"]])
                     interval = a["interval"]
-                    key = np.floor(
-                        df[a["field"]].astype(float) / interval
-                    ) * interval
-                    vc = pd.Series(key).value_counts().sort_index()
+                    vals = _js_number_series(df[a["field"]]).dropna()
+                    key = np.floor(vals / interval) * interval
+                    vc = key.value_counts().sort_index()
                     out[name] = {
                         "buckets": [
                             {"key": float(k), "doc_count": int(v)}
@@ -2235,41 +2284,81 @@ class IndexSearcher:
                         ]
                     }
                 elif "date_histogram" in agg:
+                    # FacetEngine.ts:210-263: unknown interval falls
+                    # back to 1d; numbers are epoch MILLISECONDS (JS
+                    # `new Date(number)`); unparseable values are
+                    # skipped (errors='coerce' approximates the loose
+                    # JS date parse); bucket key = toISOString() with
+                    # key_as_string duplicated
                     a = agg["date_histogram"]
-                    ms = DATE_INTERVALS_MS[a.get("interval", "1d")]
-                    df = df_provider([a["field"]])
-                    ts = (
-                        pd.to_datetime(df[a["field"]])
-                        .astype("datetime64[us]")
-                        .astype("int64") // 1000
+                    ms = DATE_INTERVALS_MS.get(
+                        a.get("interval", "1d"), DATE_INTERVALS_MS["1d"]
                     )
+                    df = df_provider([a["field"]])
+                    col = df[a["field"]]
+                    if pd.api.types.is_bool_dtype(col):
+                        ts = pd.Series([], dtype="int64")
+                    elif pd.api.types.is_numeric_dtype(col):
+                        ts = col.dropna().astype("int64")
+                    elif pd.api.types.is_datetime64_any_dtype(col):
+                        dt = pd.to_datetime(col, utc=True).dropna()
+                        ts = (
+                            dt.astype("datetime64[ms, UTC]")
+                            .astype("int64")
+                        )
+                    else:
+                        # format='mixed': per-value parse, so one odd
+                        # row can't blank the column (pandas infers a
+                        # single format from the first row otherwise)
+                        dt = pd.to_datetime(
+                            col, errors="coerce", utc=True,
+                            format="mixed",
+                        ).dropna()
+                        ts = (
+                            dt.astype("datetime64[ms, UTC]")
+                            .astype("int64")
+                        )
+                    # TimeClip: |ms| > 8.64e15 is Invalid Date — the
+                    # reference's isNaN(date.getTime()) guard skips it
+                    ts = ts[ts.abs() <= _JS_DATE_MAX_MS]
                     key = (ts // ms) * ms
-                    vc = pd.Series(key).value_counts().sort_index()
+                    vc = key.value_counts().sort_index()
                     out[name] = {
                         "buckets": [
-                            {"key_ms": int(k), "doc_count": int(v)}
+                            {
+                                "key": _js_iso_ms(k),
+                                "key_as_string": _js_iso_ms(k),
+                                "doc_count": int(v),
+                            }
                             for k, v in vc.items()
                         ]
                     }
                 elif "range" in agg:
+                    # FacetEngine.ts:268-296: typeof-number values
+                    # only; every bucket carries a key (range.key or
+                    # the generated 'from-to' label, JS numbers)
                     a = agg["range"]
                     df = df_provider([a["field"]])
-                    v = df[a["field"]].astype(float)
+                    v = _js_number_series(df[a["field"]])
                     buckets = []
                     for rng in a["ranges"]:
                         lo, hi = rng.get("from"), rng.get("to")
-                        m = pd.Series(True, index=v.index)
+                        m = v.notna()
                         if lo is not None:
                             m &= v >= lo
                         if hi is not None:
                             m &= v < hi
-                        buckets.append(
-                            {
-                                "from": lo,
-                                "to": hi,
-                                "doc_count": int(m.sum()),
-                            }
-                        )
+                        b: Dict[str, Any] = {
+                            "key": rng.get("key") or _range_key(lo, hi)
+                        }
+                        # undefined from/to stay absent, as
+                        # JSON.stringify would drop them
+                        if lo is not None:
+                            b["from"] = lo
+                        if hi is not None:
+                            b["to"] = hi
+                        b["doc_count"] = int(m.sum())
+                        buckets.append(b)
                     out[name] = {"buckets": buckets}
                 elif "nested" in agg:
                     # FacetEngine.ts:301-325: docs having the path +

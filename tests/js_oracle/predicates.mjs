@@ -75,7 +75,9 @@ rl.on('line', (line) => {
                   ? JSON.stringify(q.doc)
                   : q.op === 'docfilter'
                     ? applyFilter(q.doc, q.config)
-                    : computeScore(q.doc, q.query);
+                    : q.op === 'iso'
+                      ? new Date(q.ms).toISOString()
+                      : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
 

@@ -770,3 +770,34 @@ def test_docfilter_matches_node():
         if got != want:
             failures.append((case, got, want))
     assert not failures, failures[:5]
+
+
+def test_iso_ms_matches_node():
+    """engine._js_iso_ms (date_histogram bucket keys,
+    FacetEngine.ts:247 `bucketDate.toISOString()`) vs node over the
+    valid JS date range incl. the expanded-year forms (+/-6-digit
+    years outside 0-9999) and both limits."""
+    from search_engine_ray.query.engine import (
+        _JS_DATE_MAX_MS, _js_iso_ms,
+    )
+
+    rng = np.random.default_rng(2113 + PARITY_SEED)
+    vals = [0, 1, -1, 1704153600000, 253402300799999, 253402300800000,
+            -62135596800000, -62198755200000, _JS_DATE_MAX_MS,
+            -_JS_DATE_MAX_MS]
+    vals += [int(rng.integers(-_JS_DATE_MAX_MS, _JS_DATE_MAX_MS))
+             for _ in range(_n(400))]
+    cases = [{"op": "iso", "ms": v} for v in vals]
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for v, line in zip(vals, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        got = _js_iso_ms(v)
+        if got != want:
+            failures.append((v, got, want))
+    assert not failures, failures[:5]

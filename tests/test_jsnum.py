@@ -227,3 +227,57 @@ class TestEngineSurfaces:
         assert a["t"]["buckets"] == []
         assert a["f"]["doc_count"] == 0
         assert s.facets({"match_all": {}}, ["nope"]) == {"nope": {}}
+
+    def test_date_histogram_reference_shape(self, float_index):
+        """date_histogram buckets carry toISOString() keys with
+        key_as_string (FacetEngine.ts:247-262); numeric values are
+        epoch MILLISECONDS (`new Date(number)`), |ms| > 8.64e15 is an
+        Invalid Date and skipped (TimeClip), and unparseable string
+        columns yield no buckets."""
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        a = s.aggregations(
+            {"match_all": {}},
+            {"d": {"date_histogram": {"field": "price",
+                                      "interval": "1d"}},
+             "bad": {"date_histogram": {"field": "name",
+                                        "interval": "1d"}}},
+        )
+        # prices 10, 10, 10.5 → ms 10/10/10 → bucket 0; 1e16 exceeds
+        # the JS date range (Invalid Date) and NaN is skipped
+        assert a["d"]["buckets"] == [{
+            "key": "1970-01-01T00:00:00.000Z",
+            "key_as_string": "1970-01-01T00:00:00.000Z",
+            "doc_count": 3,
+        }]
+        assert a["bad"]["buckets"] == []
+
+    def test_range_agg_reference_shape(self, float_index):
+        """Range buckets carry a key (range.key or the generated
+        'from-to' label with JS number formatting) and omit undefined
+        ends (FacetEngine.ts:268-296, :379-389); string fields never
+        match (typeof-number guard)."""
+        from search_engine_ray.query import IndexSearcher
+
+        s = IndexSearcher(float_index, text_fields=("name",))
+        a = s.aggregations(
+            {"match_all": {}},
+            {"r": {"range": {"field": "price", "ranges": [
+                {"to": 10.5},
+                {"from": 10.5, "key": "big"},
+                {"from": 10.0, "to": 20.0},
+            ]}},
+             "sr": {"range": {"field": "name",
+                              "ranges": [{"from": 0.0}]}},
+             "h": {"histogram": {"field": "name", "interval": 10}}},
+        )
+        assert a["r"]["buckets"] == [
+            {"key": "*-10.5", "to": 10.5, "doc_count": 2},
+            {"key": "big", "from": 10.5, "doc_count": 2},
+            {"key": "10-20", "from": 10.0, "to": 20.0, "doc_count": 3},
+        ]
+        assert a["sr"]["buckets"] == [
+            {"key": "0-*", "from": 0.0, "doc_count": 0}
+        ]
+        assert a["h"]["buckets"] == []
