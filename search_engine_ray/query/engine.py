@@ -1030,6 +1030,14 @@ class _PartitionEvaluator:
             lat0, lon0 = float(center["lat"]), float(center["lon"])
         else:
             return np.empty(0, dtype=np.int64)
+        # DOCUMENTED DIVERGENCE (QueryEngine.ts:916): the reference
+        # parses STRING distances as parseFloat(str.replace(/m$/,''))
+        # / 1000 — i.e. strings are meters and a 'km' suffix silently
+        # truncates at the 'k' ('5km' → 5 METERS).  That path is
+        # untested upstream and user-hostile; the engine keeps sane
+        # units ('Nkm' = N km, 'Nm' = N m, bare string = km), locked
+        # by the '300km' cases in test_generic_docs.  Number distances
+        # are km on both sides (the only shape the reference tests).
         dist = q.get("distance", 0)
         if isinstance(dist, str):
             s = dist.strip().lower()

@@ -77,7 +77,10 @@ rl.on('line', (line) => {
                     ? applyFilter(q.doc, q.config)
                     : q.op === 'iso'
                       ? new Date(q.ms).toISOString()
-                      : computeScore(q.doc, q.query);
+                      : q.op === 'dateparse'
+                        ? (isNaN(Date.parse(q.s)) ? null
+                           : Date.parse(q.s))
+                        : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
 

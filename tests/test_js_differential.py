@@ -801,3 +801,48 @@ def test_iso_ms_matches_node():
         if got != want:
             failures.append((v, got, want))
     assert not failures, failures[:5]
+
+
+def test_date_histogram_string_parse_vs_node():
+    """The date_histogram string path (`new Date(value)`,
+    FacetEngine.ts:234) is approximated with
+    pd.to_datetime(errors='coerce', utc=True, format='mixed').  This
+    pins the approximation against node's Date.parse over the common
+    date spellings: identical epoch-ms on every format both accept
+    (incl. US month-first slashes, RFC 2822, bare years, tz offsets),
+    with pandas permissive on exactly two shapes JS rejects (compact
+    ISO '20240102' and day-first '31/12/2024') — a superset, so no
+    reference-accepted date is ever dropped."""
+    import pandas as pd
+
+    fmts = ["2024-01-02", "2024-01-02T03:04:05", "2024-01-02T03:04:05Z",
+            "2024-01-02 03:04:05", "Jan 5, 2024", "January 5, 2024",
+            "2024/01/05", "05/01/2024", "5 Jan 2024", "2024-1-2",
+            "2024-01-02T03:04:05.123+02:00",
+            "Tue, 02 Jan 2024 03:04:05 GMT", "02 Jan 2024", "2024",
+            "garbage", "2024-13-45", "1704153600000",
+            "20240102", "31/12/2024"]
+    known_permissive = {"20240102", "31/12/2024"}
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(
+            json.dumps({"op": "dateparse", "s": s}) for s in fmts
+        ),
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for s, line in zip(fmts, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        v = pd.to_datetime(pd.Series([s]), errors="coerce", utc=True,
+                           format="mixed")
+        got = (None if v.isna()[0]
+               else int(v.astype("datetime64[ms, UTC]")
+                        .astype("int64")[0]))
+        if s in known_permissive:
+            if want is not None:  # node started accepting it: re-pin
+                failures.append((s, got, want, "was permissive"))
+            continue
+        if got != want:
+            failures.append((s, got, want))
+    assert not failures, failures
