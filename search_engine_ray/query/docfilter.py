@@ -102,6 +102,13 @@ def filter_doc_predicate(config: dict) -> Optional[Callable[[Any], bool]]:
         field_value = config["term"].get("value")
 
         def term_pred(v, _want=field_value):
+            if _want is None:
+                # null === null is TRUE in JS: an explicit-null doc
+                # value matches a null term value.  The columnar
+                # docstore conflates explicit null with an absent
+                # field (JS undefined, where undefined === null is
+                # false) — pinned: null-valued cells match.
+                return _is_missing(v)
             if _is_missing(v):
                 return False
             return _strict_equal(v, _want)

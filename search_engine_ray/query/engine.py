@@ -292,12 +292,17 @@ def collect_scoring_terms(
             return
         for kind in ("term", "match", "prefix", "wildcard", "fuzzy"):
             if kind in n:
-                v = str(n[kind]["value"]).lower()
+                # String(value) coercion (QueryEngine.ts:795 etc.) —
+                # js_str so a numeric 10.0 scores under 'field:10',
+                # the same token term_docs/build indexed
+                v = js_str(n[kind]["value"]).lower()
                 for f in fan(n[kind]["field"]):
                     out.append(f"{f}:{v}")
                 return
         if "phrase" in n:
-            toks = standard_analyzer(str(n["phrase"]["value"]), stopwords)
+            toks = standard_analyzer(
+                js_str(n["phrase"]["value"]), stopwords
+            )
             for f in fan(n["phrase"]["field"]):
                 for t in toks:
                     out.append(f"{f}:{t}")
@@ -434,7 +439,7 @@ class _PartitionEvaluator:
 
     def term_docs(self, field: str, value: str) -> np.ndarray:
         fields = self.text_fields if field == "*" else [field]
-        norm = str(value).lower()
+        norm = js_str(value).lower()
         # synonym expansion: normalized synonyms whose postings exist are
         # unioned in (QueryProcessor.ts:187-195 / SynonymEngine.ts:97-158)
         tokens = [norm] + [
@@ -457,7 +462,7 @@ class _PartitionEvaluator:
         the match set REGARDLESS of fuzziness — QueryProcessor.ts:187)."""
         toks = [
             str(s).lower()
-            for s in self.synonyms.get(str(value).lower(), [])
+            for s in self.synonyms.get(js_str(value).lower(), [])
         ]
         if self.token_filter is not None:
             toks = [self.token_filter(t) for t in toks]
@@ -610,7 +615,7 @@ class _PartitionEvaluator:
                 # slice windows) — a per-document scan this engine
                 # deliberately replaces with the token-based analog that
                 # its test set expects (fuzzy-query.test.ts:78-89).
-                words = standard_analyzer(str(q["value"]), self.stopwords)
+                words = standard_analyzer(js_str(q["value"]), self.stopwords)
                 syn = self._synonym_tokens(q["value"])
                 arrays = []
                 for f in fields:
@@ -640,7 +645,7 @@ class _PartitionEvaluator:
             return self.term_docs(q["field"], q["value"])
         if "prefix" in node:
             q = node["prefix"]
-            pref = str(q["value"]).lower()
+            pref = js_str(q["value"]).lower()
             fuzz = int(q.get("fuzziness", 0) or 0)
             # '*' fans out over text fields (QueryProcessor.ts
             # _processPrefix), like term/match
@@ -713,12 +718,12 @@ class _PartitionEvaluator:
             )
             arrays = []
             for f in fields:
-                toks = wildcard_matches(self.r.vocab(f), str(q["value"]))
+                toks = wildcard_matches(self.r.vocab(f), js_str(q["value"]))
                 if fuzz:
                     # wildcard+fuzziness: strip the metachars and accept
                     # tokens whose same-length prefix is within the edit
                     # budget (QueryEngine.ts:1239-1253)
-                    stripped = re.sub(r"[*?]", "", str(q["value"])).lower()
+                    stripped = re.sub(r"[*?]", "", js_str(q["value"])).lower()
                     if stripped:
                         toks = list(
                             dict.fromkeys(
@@ -759,7 +764,7 @@ class _PartitionEvaluator:
             # anchored regex — unless the field isn't
             # standard-analyzed, a stopword the vocab dropped matches
             # the pattern, or a token_filter rewrote the vocab.
-            pat_l = str(q["value"]).lower()
+            pat_l = js_str(q["value"]).lower()
             rx_l = re.compile(
                 "^"
                 + re.escape(pat_l).replace(r"\*", ".*").replace(r"\?", ".")
@@ -784,7 +789,7 @@ class _PartitionEvaluator:
             return self._with_naive(
                 token_docs, fields,
                 lambda f: self._field_value_wildcard_docs(
-                    f, str(q["value"])
+                    f, js_str(q["value"])
                 ),
             )
         if "fuzzy" in node:
@@ -802,7 +807,7 @@ class _PartitionEvaluator:
             syn = self._synonym_tokens(q["value"])
             arrays = []
             for f in fields:
-                toks = fuzzy_matches(self.r.vocab(f), str(q["value"]), fuzz)
+                toks = fuzzy_matches(self.r.vocab(f), js_str(q["value"]), fuzz)
                 a = self._expanded_docs(f, list(toks) + syn)
                 if a.size:
                     arrays.append(a)
@@ -899,7 +904,7 @@ class _PartitionEvaluator:
 
     def _eval_phrase(self, q) -> np.ndarray:
         field = q["field"]
-        value = str(q["value"])
+        value = js_str(q["value"])
         slop = q.get("slop", 0) or 0
         fuzz = q.get("fuzziness", 0) or 0
         fields = self.text_fields if field == "*" else [field]
@@ -1180,7 +1185,7 @@ def _phrase_topk(
     if len(fields) != 1:
         return None
     f = fields[0]
-    toks = standard_analyzer(str(pq["value"]), ev.stopwords)
+    toks = standard_analyzer(js_str(pq["value"]), ev.stopwords)
     if ev.token_filter is not None:
         toks = [ev.token_filter(t) for t in toks]
     if len(toks) < 2:

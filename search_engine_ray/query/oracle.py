@@ -24,6 +24,7 @@ import math
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..analysis.analyzers import DEFAULT_STOPWORDS, standard_analyzer, tokenize
+from ..analysis.jsnum import js_str
 from ..stages.tokenize import PAGE_FIELDS
 from .engine import collect_scoring_terms, normalize_query
 from .scorer import B, K1
@@ -119,7 +120,7 @@ class OracleEngine:
     def _term_docs(self, field: str, value: str) -> set:
         out: set = set()
         for f in self._fields_of(field):
-            out |= set(self.postings.get(f"{f}:{str(value).lower()}", {}))
+            out |= set(self.postings.get(f"{f}:{js_str(value).lower()}", {}))
         return out
 
     def _vocab(self, field: str) -> set:
@@ -143,7 +144,7 @@ class OracleEngine:
                 # multi-word fuzzy values AND the per-word expansions
                 # (engine semantics; the reference serves these via its
                 # naive prefix-slice scan — see engine.py term/match)
-                words = standard_analyzer(str(q["value"]), self.stopwords)
+                words = standard_analyzer(js_str(q["value"]), self.stopwords)
                 out: set = set()
                 for f in self._fields_of(q["field"]):
                     docs: Optional[set] = None
@@ -160,7 +161,7 @@ class OracleEngine:
             return self._term_docs(q["field"], q["value"])
         if "prefix" in node:
             q = node["prefix"]
-            p = str(q["value"]).lower()
+            p = js_str(q["value"]).lower()
             fuzz = int(q.get("fuzziness", 0) or 0)
             token_docs: set = set()
             for f in self._fields_of(q["field"]):
@@ -192,7 +193,7 @@ class OracleEngine:
             import re
 
             q = node["wildcard"]
-            pat = str(q["value"]).lower()
+            pat = js_str(q["value"]).lower()
             fuzz = int(q.get("fuzziness", 0) or 0)
             # \Z, not $: Python's $ also matches before a trailing
             # newline, which neither the JS RegExp nor the engine's
@@ -234,7 +235,7 @@ class OracleEngine:
 
             rx_raw = re.compile(
                 "^"
-                + re.escape(js_ifold(str(q["value"])))
+                + re.escape(js_ifold(js_str(q["value"])))
                 .replace(r"\*", ".*")
                 .replace(r"\?", ".")
                 + r"\Z"
@@ -250,7 +251,7 @@ class OracleEngine:
         if "fuzzy" in node:
             q = node["fuzzy"]
             fuzz = q.get("fuzziness", 1) or 1
-            v = str(q["value"]).lower()
+            v = js_str(q["value"]).lower()
             toks = [
                 t
                 for t in self._vocab(q["field"])
@@ -317,7 +318,7 @@ class OracleEngine:
     def _eval_phrase(self, q) -> set:
         # faithful port of _checkPhraseProximity over re-tokenized doc text
         field = q["field"]
-        value = str(q["value"])
+        value = js_str(q["value"])
         slop = q.get("slop", 0) or 0
         fuzz = q.get("fuzziness", 0) or 0
         out: set = set()

@@ -24,6 +24,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..analysis.jsnum import js_str
+
 from ..state.stats import GlobalStats
 from .postings import TermPostings
 from .scorer import bm25_block_upper_bound, bm25_score_arrays, field_boost
@@ -38,7 +40,7 @@ def pruning_plan(node, text_fields: Sequence[str]) -> Optional[Tuple[str, List[s
         if not q or (q.get("fuzziness") or 0):
             return None
         fields = list(text_fields) if q["field"] == "*" else [q["field"]]
-        return [f"{f}:{str(q['value']).lower()}" for f in fields]
+        return [f"{f}:{js_str(q['value']).lower()}" for f in fields]
 
     if not isinstance(node, dict):
         return None

@@ -149,6 +149,8 @@ def range_agg(
         for lo, hi in ranges
     ]
 
+    idxs = list(range(len(ranges)))
+
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[field].to_numpy(zero_copy_only=False).astype(np.float64)
         counts = []
@@ -159,23 +161,26 @@ def range_agg(
             if hi is not None:
                 m &= v < hi
             counts.append(int(m.sum()))
+        # keyed by range INDEX, not label: duplicate ranges (or two
+        # distinct ranges whose %g labels collide) must each keep
+        # their own bucket — a label-keyed Sum double-counted them
         return pa.table(
             {
-                "range_label": pa.array(labels, pa.string()),
+                "range_idx": pa.array(idxs, pa.int64()),
                 "partial_count": pa.array(counts, pa.int64()),
             }
         )
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("range_label")
+        .groupby("range_idx")
         .aggregate(Sum("partial_count", alias_name="doc_count"))
         .to_pandas()
+        .sort_values("range_idx")
+        .reset_index(drop=True)
     )
-    order = {l: i for i, l in enumerate(labels)}
-    merged["__o"] = merged["range_label"].map(order)
-    merged = merged.sort_values("__o").drop(columns="__o")
-    return merged.reset_index(drop=True)
+    merged["range_label"] = [labels[i] for i in merged["range_idx"]]
+    return merged[["range_label", "doc_count"]]
 
 
 def filter_agg(

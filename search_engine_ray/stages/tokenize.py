@@ -33,6 +33,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..analysis.analyzers import DEFAULT_STOPWORDS, tokenize
+from ..analysis.jsnum import js_str
 from ..analysis.html_extract import extract_text
 from ..codecs import varbyte_encode, varbyte_encode_with_offsets
 from ..sources.webpages import url_doc_id
@@ -430,7 +431,12 @@ class GenericTokenizePostings:
                 top = "." not in path and isinstance(value, str)
                 for item in values:
                     if not isinstance(item, str):
-                        item = str(item)
+                        # extension: the reference indexes ONLY string
+                        # values (SearchEngine.ts:892 typeof guard);
+                        # non-strings take the JS String() render so
+                        # build tokens agree with query-side coercion
+                        # (10.0 -> '10', True -> 'true')
+                        item = js_str(item)
                     item_strs.append(item)
                     item_row.append(ri)
                     item_top.append(top)
@@ -630,7 +636,12 @@ class GenericTokenizePostings:
                 is_url_field = self.mappings.get(path) == "url"
                 for item in values:
                     if not isinstance(item, str):
-                        item = str(item)
+                        # extension: the reference indexes ONLY string
+                        # values (SearchEngine.ts:892 typeof guard);
+                        # non-strings take the JS String() render so
+                        # build tokens agree with query-side coercion
+                        # (10.0 -> '10', True -> 'true')
+                        item = js_str(item)
                     toks = tokenize(item, analyzer, self.stopwords)
                     # reference side-channels (DocumentIndexer.ts:29-37):
                     # fields named *phone* also index the digits-only form;

@@ -161,13 +161,10 @@ def test_range_agg_random(con):
             )
         want = con.execute(" UNION ALL ".join(parts)).df()
         # duplicate labels collapse in the engine's groupby — dedup the
-        # oracle the same way (first occurrence wins; counts identical)
-        want = want.drop_duplicates("range_label").reset_index(drop=True)
-        got = got.drop_duplicates("range_label").reset_index(drop=True)
-        order = {r[0]: i for i, r in enumerate(want.itertuples(index=False))}
-        got = got.sort_values(
-            "range_label", key=lambda s: s.map(order)
-        ).reset_index(drop=True)
+        # one bucket PER RANGE in input order, duplicates included —
+        # the UNION ALL oracle and the engine line up positionally
+        # (range_agg keys partials by range index, so duplicate
+        # ranges or colliding %g labels each keep their own bucket)
         _check(got, want, (i, ranges))
 
 

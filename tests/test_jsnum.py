@@ -281,3 +281,36 @@ class TestEngineSurfaces:
             {"key": "0-*", "from": 0.0, "doc_count": 0}
         ]
         assert a["h"]["buckets"] == []
+
+    def test_numeric_term_query_js_coercion(self, tmp_path, ray_session):
+        """Query values coerce via String() (QueryEngine.ts:795 etc.)
+        and the build-side extension that indexes non-string values
+        under text-like mappings uses the same JS render — so a JSON
+        query value 10.0 (the double 10 → token '10') hits a doc whose
+        text-mapped field holds the float 10.0.  (The reference itself
+        never indexes non-string values, SearchEngine.ts:892 typeof
+        guard; the extension just has to be self-consistent.)"""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(pa.table({
+            "id": [1, 2, 3],
+            "name": ["a", "b", "c"],
+            "rank": pa.array([10.0, 10.0, 11.5], pa.float64()),
+        }), src)
+        idx = str(tmp_path / "idx")
+        build_index(idx, src, BuildConfig(
+            mappings={"name": "text", "rank": "text"},
+            doc_key_column="id", extract_html=False, dedup=False,
+            n_partitions=1))
+        s = IndexSearcher(idx, text_fields=("name",))
+        hits = s.search({"term": {"field": "rank", "value": 10.0}},
+                        size=10)
+        assert len(hits) == 2
+        hits2 = s.search({"term": {"field": "rank", "value": 10}},
+                         size=10)
+        assert sorted(hits2["doc_id"]) == sorted(hits["doc_id"])
