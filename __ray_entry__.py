@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_n_chars": q.histogram_n_chars,
         "date_histogram_events": q.date_histogram_events,
         "range_agg_value": q.range_agg_value,
+        "range_agg_dup": q.range_agg_dup,
         "stats_n_chars": q.stats_n_chars,
         "filter_stats_en": q.filter_stats_en,
         # stream-shaped (windowed aggregates)
@@ -344,6 +345,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '50-*', count(*)::BIGINT
               FROM events WHERE value >= 50
+        """,
+        "range_agg_dup": """
+            SELECT '*-10' AS range_label, count(*)::BIGINT AS doc_count
+              FROM events WHERE value < 10
+            UNION ALL
+            SELECT '*-10', count(*)::BIGINT
+              FROM events WHERE value < 10
+            UNION ALL
+            SELECT '10-*', count(*)::BIGINT
+              FROM events WHERE value >= 10
         """,
         "stats_n_chars": """
             SELECT count(*)::BIGINT AS count,

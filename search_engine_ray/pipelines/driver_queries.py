@@ -289,6 +289,18 @@ def range_agg_value(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_count": "int64"})
 
 
+def range_agg_dup(sf_dir: str) -> pd.DataFrame:
+    """Duplicate ranges each keep their own bucket (ranges are counted
+    independently, FacetEngine.ts:268-296) — locks the index-keyed
+    partials fix: a label-keyed groupby Sum double-counted duplicate
+    or %g-label-colliding ranges (found by the seed-31 fuzz sweep)."""
+    ds = _read(f"{sf_dir}/events.parquet", columns=["value"])
+    out = agg.range_agg(
+        ds, "value", [(None, 10.0), (None, 10.0), (10.0, None)]
+    )
+    return out.astype({"doc_count": "int64"})
+
+
 def stats_n_chars(sf_dir: str) -> pd.DataFrame:
     """Global stats agg (SURVEY §2.5 global/stats) over documents.n_chars."""
     out = agg.stats_agg(_docs(sf_dir, ["n_chars"]), "n_chars")
