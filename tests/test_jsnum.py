@@ -314,3 +314,33 @@ class TestEngineSurfaces:
         hits2 = s.search({"term": {"field": "rank", "value": 10}},
                          size=10)
         assert sorted(hits2["doc_id"]) == sorted(hits["doc_id"])
+
+
+class TestNumberStrProperties:
+    def test_roundtrip_property(self):
+        """Node-free invariants over random doubles: the JS render
+        must round-trip to the exact same double (shortest-repr
+        preservation — any digit loss or exponent slip breaks this),
+        and js_json_dumps must emit valid JSON that parses back to
+        the same value."""
+        import json
+        import struct
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=500, deadline=None)
+        @given(st.integers(min_value=0, max_value=2 ** 64 - 1))
+        def check(bits):
+            (x,) = struct.unpack("<d", struct.pack("<Q", bits))
+            if x != x or x in (float("inf"), float("-inf")):
+                assert js_json_dumps(x) == "null"
+                return
+            s = js_number_str(x)
+            assert float(s) == x or (x == 0 and s == "0")
+            j = json.loads(js_json_dumps({"v": x}))
+            # compare as doubles: Python json parses '36028797018963970'
+            # as an exact int, JS would parse it back to the same double
+            assert float(j["v"]) == x or (x == 0 and j["v"] == 0)
+
+        check()

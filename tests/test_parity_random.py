@@ -79,6 +79,14 @@ def _rand_query(rng, vocab, depth=0):
             if rng.random() < 0.25:  # fuzzy-phrase path
                 q["match_phrase"]["fuzziness"] = 1
             return q
+        if rng.random() < 0.25 and w.isdigit():
+            # numeric query values coerce via String()
+            # (QueryEngine.ts:795): an int/float value must behave
+            # exactly like its JS-rendered token ('10', never '10.0')
+            # on BOTH the exact and block-max-pruned paths
+            return {kind: {"field": "text",
+                           "value": float(w) if rng.random() < 0.5
+                           else int(w)}}
         return {kind: {"field": "text", "value": w}}
 
     def node():
