@@ -660,3 +660,52 @@ def test_compact_reanalyzes_under_current_mappings(tmp_path, ray_session):
     with open(_os.path.join(idx, "partitions", part, "manifest.json")) as f:
         pm = _json.load(f)
     assert pm["mappings"] == {"name": "text", "bio": "text"}
+
+
+class TestAggShapesOverHTTP:
+    """The reference-shaped aggregation buckets survive the HTTP JSON
+    layer: String(val) terms keys (JS number formatting), toISOString
+    date_histogram keys + key_as_string, range bucket keys with
+    omitted undefined ends, and the doc-level filter predicate
+    (substring match, SearchEngine.ts:1078-1101)."""
+
+    def test_agg_shapes(self, server):
+        code, _ = _req(server, "/index", {"indexName": "aggshape"})
+        assert code == 201
+        docs = [
+            {"id": "a", "name": "alpha delta", "price": 10.0,
+             "when": "2024-01-02"},
+            {"id": "b", "name": "beta", "price": 10.0,
+             "when": "2024-01-02"},
+            {"id": "c", "name": "gamma", "price": 12.5,
+             "when": "2024-01-03"},
+        ]
+        code, _ = _req(server, "/index/aggshape/documents",
+                       {"documents": docs})
+        assert code == 200
+        code, _ = _req(server, "/index/aggshape/flush", {})
+        assert code == 200
+        code, out = _req(server, "/search/aggshape", {
+            "query": {"match_all": {}},
+            "size": 10,
+            "aggregations": {
+                "p": {"terms": {"field": "price", "size": 10}},
+                "d": {"date_histogram": {"field": "when",
+                                         "interval": "1d"}},
+                "r": {"range": {"field": "price",
+                                "ranges": [{"to": 11.0}]}},
+                "f": {"filter": {"match": {"field": "name",
+                                           "value": "elta"}}},
+            },
+        })
+        assert code == 200
+        aggs = out["aggregations"]
+        assert {b["key"]: b["doc_count"]
+                for b in aggs["p"]["buckets"]} == {"10": 2, "12.5": 1}
+        dbuckets = aggs["d"]["buckets"]
+        assert [b["key"] for b in dbuckets] == [
+            "2024-01-02T00:00:00.000Z", "2024-01-03T00:00:00.000Z"]
+        assert all(b["key_as_string"] == b["key"] for b in dbuckets)
+        assert aggs["r"]["buckets"] == [
+            {"key": "*-11", "to": 11.0, "doc_count": 2}]
+        assert aggs["f"]["doc_count"] == 1  # substring, not token
