@@ -118,9 +118,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_texts": q.normalized_texts,
         # corpus-trained bigram-LM perplexity scoring (no external model)
         "perplexity_by_doc": q.perplexity_by_doc,
+        # distributed per-group top-k (stages/aggregates.py::group_topk)
+        "top3_docs_per_lang": q.top3_docs_per_lang,
+        # url canonicalization + per-host doc counts (stages/urls.py)
+        "host_doc_counts": q.host_doc_counts,
         # ---- rows-only checks (no SQL-expressible oracle) LAST: the
-        # driver evaluates only the first 50 entries, so every
-        # oracle-paired entry above must precede these (VERDICT r4 #1)
+        # driver evaluates only the first 50 entries — the 50 entries
+        # above are ALL oracle-paired (hash-matched), so the driver
+        # window is 50/50 SQL-checked; the rows-only ops below are
+        # locked by their pytest suites instead (VERDICT r4 #1)
         "distinct_users_hll": q.distinct_users_hll,
         "neardup_probe": q.neardup_probe,
         "langid_counts": q.langid_counts,
@@ -1027,5 +1033,67 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
             GROUP BY a.source, b.source
             ORDER BY source_a, source_b
+        """,
+        "top3_docs_per_lang": """
+            SELECT lang, rn AS rnk, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+            ORDER BY lang, rnk
+        """,
+        # urls synthesized from (doc_id, source) exactly as the engine's
+        # _synth_urls; canonicalization mirrors stages/urls.py rule by
+        # rule (both sides are RE2): lower scheme+host, drop userinfo,
+        # strip default port per scheme then the www. prefix, empty
+        # path -> '/', collapse non-root trailing slashes, drop the
+        # fragment, filter tracking query params (utm_*/fbclid/gclid/
+        # msclkid/ref) keeping the remainder in order.
+        "host_doc_counts": """
+            WITH urls AS (
+              SELECT CASE (doc_id % 8)
+                WHEN 0 THEN 'https://www.' || source || '.example.com/docs/' || doc_id
+                WHEN 1 THEN 'HTTP://' || upper(source) || '.Example.COM:80/a/' || doc_id || '/'
+                WHEN 2 THEN 'https://' || source || '.example.com:443/p/' || doc_id || '?utm_source=x&q=1'
+                WHEN 3 THEN 'http://user:pass@' || source || '.example.com/x/' || doc_id || '#frag'
+                WHEN 4 THEN 'https://www.' || source || '.example.com:8443/s/' || doc_id || '?gclid=z'
+                WHEN 5 THEN 'oops ' || doc_id
+                WHEN 6 THEN 'https://' || source || '.example.com/a/b/?ref=h&keep=2&utm_x=1'
+                ELSE 'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/'
+              END AS url
+              FROM documents
+            ),
+            parts AS (
+              SELECT regexp_extract(url,
+                '^([A-Za-z][A-Za-z0-9+.-]*)://(?:([^/?#@]*)@)?([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$',
+                ['scheme', 'userinfo', 'host', 'path', 'query']) AS p
+              FROM urls
+              WHERE regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+            ),
+            canon AS (
+              SELECT
+                lower(p.scheme) AS scheme,
+                regexp_replace(
+                  CASE WHEN lower(p.scheme) = 'http'
+                         THEN regexp_replace(lower(p.host), ':80$', '')
+                       WHEN lower(p.scheme) = 'https'
+                         THEN regexp_replace(lower(p.host), ':443$', '')
+                       ELSE lower(p.host) END,
+                  '^www\\.(.+)$', '\\1') AS host,
+                CASE WHEN p.path = '' THEN '/'
+                     ELSE regexp_replace(p.path, '^(.+?)/+$', '\\1') END AS path,
+                array_to_string(list_filter(string_split(p."query", '&'),
+                  x -> x <> '' AND NOT regexp_matches(x,
+                    '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)')), '&') AS fq
+              FROM parts p
+            )
+            SELECT host, count(*)::BIGINT AS n_docs,
+                   min(scheme || '://' || host || path ||
+                       CASE WHEN fq <> '' THEN '?' || fq ELSE '' END)
+                     AS sample_url
+            FROM canon GROUP BY host ORDER BY host
         """,
     }

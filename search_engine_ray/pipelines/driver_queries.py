@@ -1550,3 +1550,82 @@ def perplexity_by_doc(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def top3_docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Distributed per-group top-k (stages/aggregates.py::group_topk):
+    the 3 longest documents per language, ties broken by doc_id.  The
+    per-batch partial cuts every block to ≤ 3 rows per lang before the
+    groupby, so the shuffle moves candidates, not the corpus.  Oracle =
+    DuckDB row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC,
+    doc_id)."""
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    out = agg.group_topk(ds, "lang", "n_chars", 3, tie_field="doc_id")
+    return out.astype({
+        "lang": str, "rnk": "int64", "doc_id": "int64", "n_chars": "int64",
+    })
+
+
+# url variants synthesized from (doc_id, source) — each exercises one
+# canonicalization rule (stages/urls.py); the oracle builds the SAME
+# strings in SQL and mirrors the rules with DuckDB's RE2 kernels.
+_URL_VARIANTS = 8
+
+
+def _synth_urls(batch: pa.Table) -> pa.Table:
+    d = batch.to_pandas()
+    s = d["source"].astype(str)
+    su = s.str.upper()
+    ids = d["doc_id"].astype("int64").astype(str)
+    v = (d["doc_id"].astype("int64") % _URL_VARIANTS).to_numpy()
+    choices = [
+        "https://www." + s + ".example.com/docs/" + ids,
+        "HTTP://" + su + ".Example.COM:80/a/" + ids + "/",
+        "https://" + s + ".example.com:443/p/" + ids + "?utm_source=x&q=1",
+        "http://user:pass@" + s + ".example.com/x/" + ids + "#frag",
+        "https://www." + s + ".example.com:8443/s/" + ids + "?gclid=z",
+        "oops " + ids,
+        "https://" + s + ".example.com/a/b/?ref=h&keep=2&utm_x=1",
+        "HTTPS://WWW." + su + ".EXAMPLE.COM:443/",
+    ]
+    url = np.select([v == i for i in range(_URL_VARIANTS)], choices)
+    return pa.table({"url": pa.array(url.astype(object), pa.string())})
+
+
+def host_doc_counts(sf_dir: str) -> pd.DataFrame:
+    """URL canonicalization + per-host doc counts (stages/urls.py) over
+    a deterministic url column derived from (doc_id, source): per-batch
+    partial (host, count, min canonical url) then one cardinality-sized
+    groupby.  ``sample_url`` = min(url_canon) locks the FULL canonical
+    string (scheme/host/port/userinfo/path/query/fragment rules), not
+    just the host key, against the SQL mirror."""
+    from ray.data.aggregate import Min
+
+    from ..stages.urls import canonicalize_urls
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = canonicalize_urls(_synth_urls(batch))
+        df = t.to_pandas().dropna(subset=["host"])
+        g = df.groupby("host", as_index=False).agg(
+            n_partial=("host", "size"), min_canon=("url_canon", "min")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    out = (
+        _docs(sf_dir, columns=["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_partial", alias_name="n_docs"),
+            Min("min_canon", alias_name="sample_url"),
+        )
+        .to_pandas()
+    )
+    return (
+        out[["host", "n_docs", "sample_url"]]
+        .astype({"host": str, "n_docs": "int64", "sample_url": str})
+        .sort_values("host")
+        .reset_index(drop=True)
+    )

@@ -524,3 +524,75 @@ def hll_distinct(
             est = m * np.log(m / zeros)
         rows.append((int(w), int(round(est))))
     return pd.DataFrame(rows, columns=["window_us", "n_distinct_est"])
+
+
+def group_topk(
+    ds,
+    group_field: str,
+    order_field: str,
+    k: int,
+    tie_field: str,
+    ascending: bool = False,
+    rank_field: str = "rnk",
+):
+    """Distributed per-group top-k: for every group, the ``k`` rows with
+    the greatest (or, with ``ascending=True``, smallest) ``order_field``,
+    ties broken by ``tie_field`` ascending (pass a unique id for full
+    determinism).  Generalizes :func:`group_argmax` (k=1) to the
+    "top-N documents per domain / per language" shape that per-group
+    caps and curation reports need.
+
+    Shape: a vectorized per-batch partial top-k (sort + ``head(k)`` per
+    group — one pandas pass, no Python row loop) cuts each block to at
+    most ``k × |groups-in-block|`` rows, then ONE ``groupby(group)``
+    shuffle over those survivors picks the global top-k per group in
+    ``map_groups``.  The all-to-all exchange moves candidate rows only
+    (≤ k per group per block), never the corpus — at 10^12 rows the
+    shuffle input is metadata-sized as long as per-block group
+    cardinality is bounded, the same assumption ``cap_per_group``
+    documents.
+
+    Returns a DataFrame ``(group, rank 1..k, order, tie)`` sorted by
+    (group, rank).  Unlike the reference's serving-tier facets this is
+    a whole-corpus batch operator; rank is dense within each group.
+    """
+    cols = list(dict.fromkeys([group_field, order_field, tie_field]))
+    if tie_field == order_field:
+        sort_cols, sort_asc = [order_field], [ascending]
+    else:
+        sort_cols, sort_asc = [order_field, tie_field], [ascending, True]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(cols)
+        if t.num_rows == 0:
+            return t
+        df = t.to_pandas()
+        df = df.sort_values(sort_cols, ascending=sort_asc, kind="stable")
+        win = df.groupby(group_field, as_index=False, sort=False).head(k)
+        return pa.Table.from_pandas(
+            win, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values(sort_cols, ascending=sort_asc, kind="stable")
+            .head(k)
+            .reset_index(drop=True)
+        )
+        g[rank_field] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(group_field)
+        .map_groups(_final, batch_format="pandas")
+        .to_pandas()
+    )
+    out_cols = list(dict.fromkeys(
+        [group_field, rank_field, order_field, tie_field]
+    ))
+    return (
+        out[out_cols]
+        .sort_values([group_field, rank_field])
+        .reset_index(drop=True)
+    )

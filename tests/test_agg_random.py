@@ -228,3 +228,77 @@ def test_group_argmax_random(con):
                 assert a.astype(str).tolist() == b.astype(str).tolist(), (
                     i, group, order, c,
                 )
+
+
+def test_group_topk_random(con):
+    """Distributed per-group top-k vs DuckDB row_number() at varied
+    (group, order, k, direction) — the gate pins ONE config (lang by
+    n_chars DESC, k=3).  Forced multi-block input so the per-batch
+    partial cut + groupby merge path is actually exercised."""
+    rng = np.random.default_rng(1777 + PARITY_SEED)
+    configs = [
+        # (table, group, order, tie)
+        ("documents", "lang", "n_chars", "doc_id"),
+        ("documents", "source", "n_chars", "doc_id"),
+        ("documents", "source", "doc_id", "doc_id"),
+        ("events", "user_id", "event_id", "event_id"),
+        ("events", "event_type", "user_id", "event_id"),
+    ]
+    for i in range(_n(8)):
+        table, group, order, tie = configs[int(rng.integers(0, len(configs)))]
+        k = int(rng.integers(1, 11))
+        ascending = bool(rng.integers(0, 2))
+        cols = sorted({group, order, tie})
+        ds = read_parquet_clean(f"{SF_DIR}/{table}.parquet", columns=cols)
+        ds = ds.repartition(5)
+        got = agg.group_topk(
+            ds, group, order, k, tie_field=tie, ascending=ascending
+        )
+        direction = "ASC" if ascending else "DESC"
+        tie_sel = "" if tie == order else f", {tie}"
+        want = con.execute(f"""
+            SELECT {group}, rn AS rnk, {order}{tie_sel} FROM (
+              SELECT {group}, {order}{tie_sel},
+                     row_number() OVER (
+                       PARTITION BY {group}
+                       ORDER BY {order} {direction}, {tie} ASC
+                     ) AS rn
+              FROM {table}
+            ) WHERE rn <= {k}
+            ORDER BY {group}, rnk
+        """).df()
+        got = got.reset_index(drop=True)
+        want = want.reset_index(drop=True)
+        assert len(got) == len(want), (i, table, group, order, k, ascending)
+        for c in want.columns:
+            assert got[c].astype(str).tolist() == \
+                want[c].astype(str).tolist(), (
+                    i, table, group, order, k, ascending, c)
+
+
+def test_new_gate_queries_match_their_oracles(con):
+    """Gate-shape lock for the two round-5 additions: the driver-facing
+    callables vs their oracle_sql() strings through the SAME
+    dtype-strict compare the local gate uses."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        from check_oracles import _canon, compare_frames
+
+        import __ray_entry__ as entrymod
+    finally:
+        sys.path.pop(0)
+        sys.path.pop(0)
+
+    from search_engine_ray.pipelines import driver_queries as q
+
+    sql = entrymod.oracle_sql()
+    for name, fn in (
+        ("top3_docs_per_lang", q.top3_docs_per_lang),
+        ("host_doc_counts", q.host_doc_counts),
+    ):
+        got = _canon(fn(SF_DIR))
+        want = _canon(con.execute(sql[name]).df())
+        assert compare_frames(got, want) == [], name
