@@ -798,6 +798,12 @@ class SearchServer:
                     return self._json(
                         400, {"error": "documents array is required"}
                     )
+                if not docs:
+                    # SharedMemoryWorkerPool.ts:1166-1168 rejects an
+                    # empty batch (success:false -> server.ts:380 500)
+                    return self._json(
+                        500, {"error": "Invalid indexName or documents"}
+                    )
                 r = h.add_documents(docs)
                 server.auto_persist.check_auto_save(r["addedCount"])
                 self._json(200, {

@@ -555,6 +555,12 @@ def group_topk(
     Returns a DataFrame ``(group, rank 1..k, order, tie)`` sorted by
     (group, rank).  Unlike the reference's serving-tier facets this is
     a whole-corpus batch operator; rank is dense within each group.
+
+    Assumes non-null group keys (null-key rows are dropped by the
+    pandas partial, matching SQL ``PARTITION BY`` only when the data
+    has no NULL keys — filter or fill nulls upstream); null ORDER
+    values sort last on both sides (pandas ``na_position='last'`` ==
+    DuckDB default NULLS LAST).
     """
     cols = list(dict.fromkeys([group_field, order_field, tie_field]))
     if tie_field == order_field:
