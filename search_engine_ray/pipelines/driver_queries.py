@@ -921,13 +921,17 @@ def multimodal_frames(sf_dir: str) -> pd.DataFrame:
             fn_constructor_kwargs=dict(height=8, width=8, fake=False),
             batch_format="pyarrow",
             batch_size=32,
-            concurrency=2,
+            # autoscaling (min, max): a FIXED 2+2 pool claims every CPU
+            # of a 4-cpu session and starves the producer stages — a
+            # hard streaming-executor deadlock (observed: 0 blocks for
+            # 50 min under pytest's num_cpus=4)
+            concurrency=(1, 2),
         )
         .map_batches(
             ImageFeatureStage,
             fn_constructor_kwargs=dict(hw=(8, 8)),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .select_columns(["doc_id", "features"])
         .to_pandas()

@@ -2274,6 +2274,13 @@ class IndexSearcher:
                     items = [
                         (k, v) for k, v in merged.items() if v >= mdc
                     ]
+                    # PINNED DIVERGENCE (tie order): the reference's
+                    # stable .sort((a,b)=>b[1]-a[1]) leaves equal-count
+                    # buckets in Map INSERTION order — the first-seen
+                    # order of its in-memory doc iteration, which its
+                    # own snapshot restore does not preserve.  A
+                    # columnar engine has no add order; ties break by
+                    # key asc (deterministic, restore-stable).
                     items.sort(key=lambda t: (-t[1], t[0]))
                     out[name] = {
                         "buckets": [
