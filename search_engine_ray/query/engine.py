@@ -1383,8 +1383,6 @@ def _tf_fallback_scores(
       lowercased string-cast values plus a constant per-token count over
       the column-name scaffolding (JSON.stringify serializes keys too),
       instead of a Python regex loop over ``to_pylist`` rows."""
-    import re as _re
-
     from .wand import topk_select
 
     if cand.size == 0:
@@ -1392,25 +1390,47 @@ def _tf_fallback_scores(
     if not tokens:
         ids = np.sort(cand)[:k]
         return ids, np.ones(ids.size, dtype=np.float64)
+    st = _tf_state(reader)
+    if st.ids_sorted.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+    scores_rows = _tf_token_scores(reader, st, tokens[0])
+    if len(tokens) > 1:
+        scores_rows = scores_rows.copy()
+        for t in tokens[1:]:
+            scores_rows += _tf_token_scores(reader, st, t)
+    # candidate doc ids → docstore row numbers (cand came from this
+    # partition's postings, so every id is present; the valid mask only
+    # drops ids the old isin() filter would likewise have dropped)
+    pos = np.searchsorted(st.ids_sorted, cand)
+    pos[pos >= st.ids_sorted.size] = 0
+    valid = st.ids_sorted[pos] == cand
+    rows = st.rows_sorted[pos[valid]]
+    ids = cand[valid]
+    scores = scores_rows[rows]
+    np.maximum(scores, 1.0, out=scores)  # Math.max(1, score), ts:602
+    return topk_select(ids, scores, k)
+
+
+# per-reader byte budget for keeping the folded docstore render resident;
+# above it the render is rebuilt per NEW token instead of cached (the tiny
+# per-token count vectors are always cached)
+_TF_FOLD_CACHE_MAX_BYTES = 256 << 20
+
+
+class _TfState:
+    __slots__ = ("fp", "ids_sorted", "rows_sorted", "colnames", "skel",
+                 "cols", "token_scores")
+
+
+def _tf_render_cols(reader, colnames):
+    """fold∘lower JSON-render of every docstore column (full table, row
+    order = docs_table order): numbers through the JS formatter, structs
+    through js_json_dumps, nulls as the folded 'null' spelling."""
     import pyarrow.compute as pc
 
-    tbl = reader.docs_table(filter=pc.field("doc_id").isin(cand))
-    ids = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64)
-    cols = [c for c in tbl.column_names if c != "doc_id"]
-    # tokens arrive lowercased; fold them the same way the text columns
-    # are folded (jsfold.py — the /gi canonicalization on lowered text)
-    from ..analysis.jsfold import js_ifold
-
-    regexes = [r"\b" + _re.escape(js_ifold(t)) + r"\b" for t in tokens]
-    # JSON.stringify(doc) includes the field NAMES — their token matches
-    # are a per-row constant over the key scaffolding (re.ASCII: \b is
-    # an ASCII word boundary in both the JS RegExp and the RE2 kernel)
-    skel = js_ifold(" ".join(cols).lower())
-    base = float(
-        sum(len(_re.findall(rx, skel, _re.ASCII)) for rx in regexes)
-    )
-    scores = np.full(ids.size, base, dtype=np.float64)
-    for c in cols:
+    tbl = reader.docs_table()
+    out = {}
+    for c in colnames:
         col = tbl[c]
         if not pa.types.is_string(col.type) and not pa.types.is_large_string(
             col.type
@@ -1432,9 +1452,8 @@ def _tf_fallback_scores(
                 except pa.lib.ArrowNotImplementedError:
                     # struct/list columns (e.g. geo 'location') have no
                     # string cast kernel — JSON-render them like the
-                    # reference's JSON.stringify would
-                    # (candidate-bounded; JS number model + non-ASCII
-                    # unescaped, jsnum.js_json_dumps)
+                    # reference's JSON.stringify would (JS number model
+                    # + non-ASCII unescaped, jsnum.js_json_dumps)
                     from ..analysis.jsnum import js_json_dumps
 
                     col = pa.array(
@@ -1447,14 +1466,75 @@ def _tf_fallback_scores(
         # through fold∘lower ("NULL" is the folded spelling)
         from ..stages.util import ifold_lower_arrow
 
-        col = pc.fill_null(ifold_lower_arrow(col), "NULL")
-        for rx in regexes:
-            cnt = pc.count_substring_regex(col, rx).to_numpy(
-                zero_copy_only=False
-            )
-            scores += cnt.astype(np.float64)
-    np.maximum(scores, 1.0, out=scores)  # Math.max(1, score), ts:602
-    return topk_select(ids, scores, k)
+        out[c] = pc.fill_null(ifold_lower_arrow(col), "NULL")
+    return out
+
+
+def _tf_state(reader) -> _TfState:
+    """Cached fallback-render state for one partition reader.  The
+    docstore is an immutable segment, so the folded render and the
+    per-token count vectors are computed ONCE per partition and reused
+    across queries (the round-5 JS-parity fold made the per-query render
+    the dominant fallback cost); the fingerprint re-keys the cache if
+    compaction ever replaces the files in place."""
+    fp = reader.docs_fingerprint()
+    st = getattr(reader, "_tf_state", None)
+    if st is not None and st.fp == fp:
+        return st
+    st = _TfState()
+    st.fp = fp
+    tbl = reader.docs_table(columns=["doc_id"])
+    ids = np.asarray(tbl["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+    order = np.argsort(ids, kind="stable")
+    st.ids_sorted = ids[order]
+    st.rows_sorted = order
+    st.colnames = [
+        c for c in reader.docs_schema().names if c != "doc_id"
+    ]
+    from ..analysis.jsfold import js_ifold
+
+    # JSON.stringify(doc) includes the field NAMES — their token matches
+    # are a per-row constant over the key scaffolding
+    st.skel = js_ifold(" ".join(st.colnames).lower())
+    st.token_scores = {}
+    cols = _tf_render_cols(reader, st.colnames)
+    nbytes = sum(a.nbytes for a in cols.values())
+    st.cols = cols if nbytes <= _TF_FOLD_CACHE_MAX_BYTES else None
+    reader._tf_state = st
+    return st
+
+
+def _tf_token_scores(reader, st: _TfState, token: str) -> np.ndarray:
+    """Full-table per-row match counts (incl. the key-scaffolding
+    constant) for one query token, cached on the reader state."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    got = st.token_scores.get(token)
+    if got is not None:
+        return got
+    from ..analysis.jsfold import js_ifold
+
+    # tokens arrive lowercased; fold them the same way the text columns
+    # are folded (jsfold.py — the /gi canonicalization on lowered text).
+    # re.ASCII: \b is an ASCII word boundary in both the JS RegExp (no
+    # 'u' flag) and the RE2 kernel
+    rx = r"\b" + _re.escape(js_ifold(token)) + r"\b"
+    base = float(len(_re.findall(rx, st.skel, _re.ASCII)))
+    scores = np.full(st.ids_sorted.size, base, dtype=np.float64)
+    cols = st.cols if st.cols is not None else _tf_render_cols(
+        reader, st.colnames
+    )
+    for col in cols.values():
+        cnt = pc.count_substring_regex(col, rx).to_numpy(
+            zero_copy_only=False
+        )
+        scores += cnt.astype(np.float64)
+    if len(st.token_scores) >= 512:  # unbounded-vocabulary guard
+        st.token_scores.clear()
+    st.token_scores[token] = scores
+    return scores
 
 
 def _df_bounded(node) -> bool:

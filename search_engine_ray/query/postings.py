@@ -391,11 +391,26 @@ class PartitionReader:
         arr.sort()
         return arr
 
-    def docs_table(self, columns: Optional[List[str]] = None, filter=None) -> pa.Table:
-        docs_files = sorted(
+    def docs_files(self) -> List[str]:
+        return sorted(
             glob.glob(os.path.join(self.part_dir, "docs", "*.parquet"))
         )
-        return pads.dataset(docs_files).to_table(columns=columns, filter=filter)
+
+    def docs_fingerprint(self) -> tuple:
+        """(path, mtime_ns, size) of every docstore file — the identity
+        key for caches derived from docstore CONTENT.  Segments are
+        immutable, but compaction can replace a partition's files in
+        place, so content caches key on this rather than the dir name."""
+        return tuple(
+            (f, st.st_mtime_ns, st.st_size)
+            for f in self.docs_files()
+            for st in (os.stat(f),)
+        )
+
+    def docs_table(self, columns: Optional[List[str]] = None, filter=None) -> pa.Table:
+        return pads.dataset(self.docs_files()).to_table(
+            columns=columns, filter=filter
+        )
 
     def docs_schema(self) -> pa.Schema:
         """Docstore schema without reading any rows (cached)."""
