@@ -468,38 +468,89 @@ class _PartitionEvaluator:
             toks = [self.token_filter(t) for t in toks]
         return toks
 
-    def _string_column(self, field: str) -> Optional[pa.Table]:
-        """(doc_id, field) docstore table restricted to non-null rows,
-        or None when the field is absent or not string-typed — the
-        naive scan's 'typeof fieldVal === string' universe
-        (QueryEngine.ts:1246-1253: numeric/bool/array values do NOT
-        match, mirroring oracle.py's isinstance check)."""
-        try:
-            tbl = self.r.docs_table(
-                columns=["doc_id", field],
-                filter=pc.field(field).is_valid(),
+    def _string_column(self, field: str, kind: str = "raw"):
+        """(doc_ids ndarray, values array) of the docstore rows with a
+        non-null STRING value for ``field`` — the naive scan's 'typeof
+        fieldVal === string' universe (QueryEngine.ts:1246-1253:
+        numeric/bool/array values do NOT match, mirroring oracle.py's
+        isinstance check); None when the field is absent or not
+        string-typed.  ``kind`` selects the folded variant the caller's
+        kernel needs ('lower' = toLowerCase model, 'ifold' = JS /i
+        canonical form).  Cached on the reader: segments are immutable
+        (fingerprint guards in-place compaction rewrites) and these
+        scans run per QUERY — re-reading + re-folding the column each
+        time dominated wildcard latency."""
+        r = self.r
+        fp = r.docs_fingerprint()
+        cache = getattr(r, "_naive_scan_cache", None)
+        if cache is None or cache.get("fp") != fp:
+            cache = {"fp": fp, "bytes": 0}
+            r._naive_scan_cache = cache
+        key = (field, kind)
+        if key in cache:
+            return cache[key]
+        if ("__type_ok__", field) not in cache:
+            try:
+                ftype = r.docs_schema().field(field).type
+            except KeyError:
+                ftype = None
+            cache[("__type_ok__", field)] = ftype is not None and (
+                pa.types.is_string(ftype) or pa.types.is_large_string(ftype)
             )
-        except (KeyError, pa.ArrowInvalid):
+        if not cache[("__type_ok__", field)]:
+            cache[key] = None
             return None
-        ftype = tbl.schema.field(field).type
-        if not (pa.types.is_string(ftype) or pa.types.is_large_string(ftype)):
-            return None
-        return tbl
+        base = cache.get((field, "raw"))
+        if base is None:
+            try:
+                tbl = r.docs_table(
+                    columns=["doc_id", field],
+                    filter=pc.field(field).is_valid(),
+                )
+            except (KeyError, pa.ArrowInvalid):
+                cache[key] = None
+                return None
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            base = (ids, tbl[field].combine_chunks())
+            cache[(field, "raw")] = base
+            cache["bytes"] += ids.nbytes + base[1].nbytes
+        if kind == "raw":
+            return base
+        ids, col = base
+        if kind == "lower":
+            from ..stages.util import utf8_lower_full
+
+            folded = utf8_lower_full(col)
+        else:  # 'ifold'
+            from ..stages.util import ifold_arrow
+
+            folded = ifold_arrow(col)
+        val = (ids, folded)
+        # byte budget: above it, folded variants are recomputed per
+        # query instead of held resident (the raw column stays — the
+        # parquet read feeds every kind)
+        if cache["bytes"] + folded.nbytes <= _TF_FOLD_CACHE_MAX_BYTES:
+            cache[key] = val
+            cache["bytes"] += folded.nbytes
+        return val
 
     @staticmethod
-    def _masked_ids(tbl: pa.Table, mask=None) -> np.ndarray:
-        col = tbl["doc_id"] if mask is None else tbl["doc_id"].filter(mask)
-        ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
-        ids.sort()
+    def _masked_ids(ids: np.ndarray, mask=None) -> np.ndarray:
+        if mask is not None:
+            m = mask.to_numpy(zero_copy_only=False)
+            ids = ids[np.asarray(m, dtype=bool)]
+        ids = np.sort(ids)
         return ids
 
     def _field_present_docs(self, field: str) -> np.ndarray:
         """Sorted doc ids whose docstore row carries a non-null STRING
         value for ``field``."""
-        tbl = self._string_column(field)
-        if tbl is None:
+        got = self._string_column(field)
+        if got is None:
             return np.empty(0, dtype=np.int64)
-        return self._masked_ids(tbl)
+        return self._masked_ids(got[0])
 
     def _field_value_startswith_docs(
         self, field: str, pref: str
@@ -509,13 +560,12 @@ class _PartitionEvaluator:
         `fieldVal.toLowerCase().startsWith(prefix)` test
         (QueryEngine.ts:838, :1216-1222), vectorized as a
         pc.starts_with over the docstore column."""
-        tbl = self._string_column(field)
-        if tbl is None:
+        got = self._string_column(field, "lower")
+        if got is None:
             return np.empty(0, dtype=np.int64)
-        from ..stages.util import utf8_lower_full
-
-        mask = pc.starts_with(utf8_lower_full(tbl[field]), pref)
-        return self._masked_ids(tbl, mask)
+        ids, folded = got
+        mask = pc.starts_with(folded, pref)
+        return self._masked_ids(ids, mask)
 
     def _field_value_wildcard_docs(
         self, field: str, pattern: str
@@ -527,17 +577,17 @@ class _PartitionEvaluator:
         everything else literal; RE2 '$' = end-of-text, same as the
         JS RegExp), vectorized as one RE2 kernel over the docstore
         column."""
-        tbl = self._string_column(field)
-        if tbl is None:
-            return np.empty(0, dtype=np.int64)
         # _testWildcard is `new RegExp('^..$', 'i')` over the RAW field
         # value (QueryEngine.ts:1393-1403) — the JS non-unicode /i
         # canonicalization, NOT toLowerCase-both-sides (it unifies
         # ς/σ/Σ but keeps İ, ß/ẞ, ſ, K distinct).  Both sides go
         # through the node-derived fold (jsfold.py) and match
         # case-sensitively; ASCII rows stay on C++ kernels.
+        got = self._string_column(field, "ifold")
+        if got is None:
+            return np.empty(0, dtype=np.int64)
+        ids, folded = got
         from ..analysis.jsfold import js_ifold
-        from ..stages.util import ifold_arrow
 
         rx = (
             "^"
@@ -547,10 +597,10 @@ class _PartitionEvaluator:
             + "$"
         )
         try:
-            mask = pc.match_substring_regex(ifold_arrow(tbl[field]), rx)
+            mask = pc.match_substring_regex(folded, rx)
         except pa.ArrowInvalid:
             return np.empty(0, dtype=np.int64)
-        return self._masked_ids(tbl, mask)
+        return self._masked_ids(ids, mask)
 
     def _with_naive(
         self, token_docs: np.ndarray, fields, scan
