@@ -256,7 +256,10 @@ class TestDispatch:
 
 
 class TestPorterStemmer:
-    # classic published Porter vectors
+    # node-derived truth from the reference's en.js regex chain (the
+    # classic published vectors EXCEPT where the JS formulation's
+    # pinned quirks diverge: conditional→condition, adoption→adop —
+    # see analysis/stemmer.py's docstring and the node differential)
     @pytest.mark.parametrize(
         "word,stem",
         [
@@ -268,7 +271,7 @@ class TestPorterStemmer:
             ("tanned", "tan"), ("falling", "fall"), ("hissing", "hiss"),
             ("fizzed", "fizz"), ("failing", "fail"), ("filing", "file"),
             ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
-            ("conditional", "condit"), ("rational", "ration"),
+            ("conditional", "condition"), ("rational", "ration"),
             ("valenci", "valenc"), ("hesitanci", "hesit"),
             ("digitizer", "digit"), ("conformabli", "conform"),
             ("radicalli", "radic"), ("differentli", "differ"),
@@ -287,7 +290,11 @@ class TestPorterStemmer:
             ("adjustable", "adjust"), ("defensible", "defens"),
             ("irritant", "irrit"), ("replacement", "replac"),
             ("adjustment", "adjust"), ("dependent", "depend"),
-            ("adoption", "adopt"), ("homologou", "homolog"),
+            ("adoption", "adop"), ("revolution", "revolu"),
+            ("toy", "toi"), ("ies", "ie"), ("yes", "ye"),
+            ("nucbly", "nucbl"), ("possibly", "possibl"),
+            ("quickly", "quickli"), ("analogy", "analog"),
+            ("geology", "geologi"), ("homologou", "homolog"),
             ("communism", "commun"), ("activate", "activ"),
             ("angulariti", "angular"), ("homologous", "homolog"),
             ("effective", "effect"), ("bowdlerize", "bowdler"),
