@@ -77,7 +77,9 @@ EARTH_RADIUS_M = 6371e3  # QueryProcessor.ts:437-527 haversine radius
 # Query AST normalization (QueryParser semantics)
 # --------------------------------------------------------------------------
 
-def _single_field_value(node: dict, extra_keys=("fuzziness", "boost", "slop")):
+def _single_field_value(
+    node: dict, extra_keys=("fuzziness", "boost", "slop", "_str")
+):
     """Support internal {field, value} and OpenSearch {fieldName: value}."""
     if "field" in node and "value" in node:
         return node["field"], node["value"], node
@@ -111,7 +113,17 @@ def normalize_query(raw, operator: str = "and"):
         if not terms:
             # empty-string query returns ALL documents (QueryEngine.ts:1105)
             return {"match_all": {}}
-        clauses = [{"match": {"field": "*", "value": t}} for t in terms]
+        # "_str" marks STRING-query provenance: the reference's naive
+        # scan dispatches on the RAW query shape (QueryEngine.ts:201 runs
+        # _naiveScan on the original argument) — a string query takes the
+        # token-membership branch (ts:1138-1178, covered by the token
+        # path), while a dict-form term/match takes evalDoc's SUBSTRING
+        # _stringFieldMatch (ts:1185-1189, :1350-1382), which the
+        # evaluator unions in only when this flag is absent.
+        clauses = [
+            {"match": {"field": "*", "value": t, "_str": True}}
+            for t in terms
+        ]
         if len(clauses) == 1:
             return clauses[0]
         key = "should" if operator.lower() == "or" else "must"
@@ -145,6 +157,10 @@ def normalize_query(raw, operator: str = "and"):
             node = {"field": f, "value": v}
             if opts.get("fuzziness") is not None:
                 node["fuzziness"] = opts["fuzziness"]
+            if opts.get("_str"):
+                # re-normalizing an already-normalized string-origin
+                # node must not demote it to dict-form semantics
+                node["_str"] = True
             return {kind: node}
     if "match_phrase" in raw or "phrase" in raw:
         p = raw.get("match_phrase") or raw.get("phrase")
@@ -567,6 +583,23 @@ class _PartitionEvaluator:
         mask = pc.starts_with(folded, pref)
         return self._masked_ids(ids, mask)
 
+    def _field_value_contains_docs(
+        self, field: str, sub: str
+    ) -> np.ndarray:
+        """Sorted doc ids whose raw string value CONTAINS ``sub``
+        case-insensitively — the naive scan's dict-form term/match test
+        (`fieldVal.toLowerCase().includes(value)`, _stringFieldMatch,
+        QueryEngine.ts:1350-1382), vectorized as one fixed-string
+        pc.match_substring over the cached lowered docstore column.
+        Arrow matches JS on the empty needle (''.includes → true for
+        every string-valued row)."""
+        got = self._string_column(field, "lower")
+        if got is None:
+            return np.empty(0, dtype=np.int64)
+        ids, folded = got
+        mask = pc.match_substring(folded, sub)
+        return self._masked_ids(ids, mask)
+
     def _field_value_wildcard_docs(
         self, field: str, pattern: str
     ) -> np.ndarray:
@@ -692,7 +725,31 @@ class _PartitionEvaluator:
                 if not arrays:
                     return np.empty(0, dtype=np.int64)
                 return np.unique(np.concatenate(arrays))
-            return self.term_docs(q["field"], q["value"])
+            token_docs = self.term_docs(q["field"], q["value"])
+            if q.get("_str"):
+                # string-query provenance: the reference's naive scan
+                # for strings is token-membership (QueryEngine.ts:
+                # 1138-1178), already covered by the token path
+                return token_docs
+            # dict-form term/match: the naive scan's doc-level test is
+            # a SUBSTRING include over the lowercased raw value —
+            # `fieldVal.toLowerCase().includes(value.toLowerCase())`
+            # (_stringFieldMatch, QueryEngine.ts:1350-1382; its extra
+            # whitespace-token equality check is subsumed by the
+            # substring test, a token being a substring of the value).
+            # This is how multi-word dict matches ('muno kedota') and
+            # infix fragments match.  Unioned with the token path per
+            # _with_naive; never skippable — the substring set is a
+            # SUPERSET of the token set on standard fields, so the
+            # token path can never prove it redundant.
+            sub = js_str(q["value"]).lower()
+            fields = (
+                self.text_fields if q["field"] == "*" else [q["field"]]
+            )
+            return self._with_naive(
+                token_docs, fields,
+                lambda f: self._field_value_contains_docs(f, sub),
+            )
         if "prefix" in node:
             q = node["prefix"]
             pref = js_str(q["value"]).lower()
@@ -1602,7 +1659,10 @@ def _df_bounded(node) -> bool:
             for cl in ("must", "should", "must_not", "filter")
             for n in b.get(cl, [])
         )
-    return "term" in node or "match" in node
+    q = node.get("term") or node.get("match")
+    # dict-form term/match (no "_str" provenance) runs the naive
+    # substring docstore scan — candidates are not bounded by postings
+    return q is not None and bool(q.get("_str"))
 
 
 def _est_candidates(node, dfs: Dict[str, int]) -> int:

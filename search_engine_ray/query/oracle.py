@@ -158,7 +158,25 @@ class OracleEngine:
                         docs = d if docs is None else (docs & d)
                     out |= docs or set()
                 return out
-            return self._term_docs(q["field"], q["value"])
+            token_docs = self._term_docs(q["field"], q["value"])
+            if q.get("_str"):
+                # string-query provenance → token-membership naive
+                # branch (QueryEngine.ts:1138-1178), covered above
+                return token_docs
+            # dict-form term/match: naive SUBSTRING include over the
+            # lowercased raw value (_stringFieldMatch,
+            # QueryEngine.ts:1350-1382; the whitespace-token equality
+            # check there is subsumed by the substring test).  UNIONED
+            # with the token path — same closure as prefix/wildcard.
+            sub = js_str(q["value"]).lower()
+            naive_docs = {
+                did
+                for did, doc in self.docs.items()
+                for f in self._fields_of(q["field"])
+                if isinstance(doc.get(f), str)
+                and sub in doc[f].lower()
+            }
+            return token_docs | naive_docs
         if "prefix" in node:
             q = node["prefix"]
             p = js_str(q["value"]).lower()

@@ -39,6 +39,12 @@ def pruning_plan(node, text_fields: Sequence[str]) -> Optional[Tuple[str, List[s
         q = n.get("term") or n.get("match") if isinstance(n, dict) else None
         if not q or (q.get("fuzziness") or 0):
             return None
+        if not q.get("_str"):
+            # dict-form term/match carries the naive SUBSTRING scan
+            # (engine.py _field_value_contains_docs) — postings alone
+            # can't bound its candidates, so block-max is ineligible;
+            # string-origin nodes ("_str") stay on the pruned path
+            return None
         fields = list(text_fields) if q["field"] == "*" else [q["field"]]
         return [f"{f}:{js_str(q['value']).lower()}" for f in fields]
 

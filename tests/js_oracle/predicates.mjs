@@ -52,11 +52,33 @@ function computeScore(doc, query) {
   return Math.max(1, score);
 }
 
+// QueryEngine.ts:1350-1382 — the naive scan's dict-form term/match
+// doc test, single named-field slice (typeof-string guard, substring
+// include + whitespace-token equality at fuzziness 0)
+function stringFieldMatch(fieldVal, value, fuzziness) {
+  if (typeof fieldVal !== 'string') return false;
+  const a = fieldVal.toLowerCase();
+  const b = String(value).toLowerCase();
+  if (!fuzziness || fuzziness <= 0) {
+    if (a.includes(b)) return true;
+    const tokens = a.split(/\s+/);
+    return tokens.includes(b);
+  }
+  const fieldTokens = a.split(/\s+/);
+  const queryTokens = b.split(/\s+/);
+  return queryTokens.every((qt) =>
+    fieldTokens.some((ft) => levRef(ft, qt) <= fuzziness));
+}
+
+function levRef(a, b) { return lev(a, b); }
+
 const rl = createInterface({ input: process.stdin, terminal: false });
 rl.on('line', (line) => {
   if (!line.trim()) return;
   const q = JSON.parse(line);
-  const r = q.op === 'wildcard'
+  const r = q.op === 'sfm'
+    ? stringFieldMatch(q.value, q.needle, q.fuzziness || 0)
+    : q.op === 'wildcard'
     ? testWildcard(q.value, q.pattern)
     : q.op === 'bm25'
       ? bm25(q)

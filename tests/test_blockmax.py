@@ -22,22 +22,34 @@ def idx(tmp_path_factory, ray_session):
 
 def test_pruning_plan_eligibility():
     tf = ["text"]
-    assert pruning_plan({"match": {"field": "text", "value": "x"}}, tf) == (
-        "or", ["text:x"],
+    # only STRING-origin nodes ("_str", normalize_query's string branch)
+    # are eligible: dict-form term/match carries the naive substring
+    # docstore scan, which postings can't bound
+    assert pruning_plan(
+        {"match": {"field": "text", "value": "x", "_str": True}}, tf
+    ) == ("or", ["text:x"])
+    assert (
+        pruning_plan({"match": {"field": "text", "value": "x"}}, tf)
+        is None
     )
     assert pruning_plan(
-        {"bool": {"must": [{"term": {"field": "text", "value": "a"}},
-                            {"term": {"field": "text", "value": "b"}}],
-                  "should": [], "must_not": [], "filter": [],
-                  "minimum_should_match": 0}},
+        {"bool": {
+            "must": [
+                {"term": {"field": "text", "value": "a", "_str": True}},
+                {"term": {"field": "text", "value": "b", "_str": True}},
+            ],
+            "should": [], "must_not": [], "filter": [],
+            "minimum_should_match": 0}},
         tf,
     ) == ("and", ["text:a", "text:b"])
     # must_not disqualifies
     assert (
         pruning_plan(
-            {"bool": {"must": [{"term": {"field": "text", "value": "a"}}],
+            {"bool": {"must": [{"term": {"field": "text", "value": "a",
+                                         "_str": True}}],
                       "should": [], "filter": [],
-                      "must_not": [{"term": {"field": "text", "value": "b"}}],
+                      "must_not": [{"term": {"field": "text", "value": "b",
+                                             "_str": True}}],
                       "minimum_should_match": 0}},
             tf,
         )
@@ -45,7 +57,8 @@ def test_pruning_plan_eligibility():
     )
     # fuzziness disqualifies
     assert (
-        pruning_plan({"match": {"field": "text", "value": "x", "fuzziness": 1}}, tf)
+        pruning_plan({"match": {"field": "text", "value": "x",
+                                "fuzziness": 1, "_str": True}}, tf)
         is None
     )
 

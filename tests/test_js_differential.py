@@ -244,6 +244,57 @@ def test_wildcard_predicate_matches_node():
     assert not failures, failures[:5]
 
 
+def test_string_field_match_matches_node():
+    """The dict-form term/match naive predicate — engine model:
+    pc.match_substring(utf8_lower_full(value), needle.lower()) — against
+    the reference's _stringFieldMatch (QueryEngine.ts:1350-1382) in
+    node, over case-torture values (final sigma, dotted I, eszett,
+    astral) and needle shapes (case-flipped slices, multi-word spans,
+    whitespace, empty).  The whitespace-token-equality arm of the JS
+    predicate is provably subsumed by the substring include (every
+    token is a substring), which this differential re-checks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from search_engine_ray.stages.util import utf8_lower_full
+
+    rng = np.random.default_rng(1303 + PARITY_SEED)
+    cases = []
+    for _ in range(_n(400)):
+        value = _rand_value(rng, 0, 14)
+        if rng.random() < 0.5 and len(value) >= 2:
+            j = int(rng.integers(0, len(value)))
+            needle = value[j:j + int(rng.integers(1, 6))]
+            if rng.random() < 0.5:
+                needle = needle.swapcase()
+        else:
+            needle = _rand_value(rng, 0, 5)
+        if rng.random() < 0.2:
+            value = value + " " + _rand_value(rng, 1, 6)
+        if rng.random() < 0.1:
+            needle = ""
+        cases.append({"op": "sfm", "value": value, "needle": needle})
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    vals = utf8_lower_full(
+        pa.chunked_array([pa.array([c["value"] for c in cases])])
+    )
+    failures = []
+    for i, (case, line) in enumerate(zip(cases, proc.stdout.splitlines())):
+        want = json.loads(line)["r"]
+        got = bool(
+            pc.match_substring(vals[i:i + 1],
+                               case["needle"].lower())[0].as_py()
+        )
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]
+
+
 def test_fallback_score_matches_node(ray_session):
     """The oracle's tf-fallback (fold∘lower text + ASCII-\\b counting)
     against the reference's _computeScore in node, over docs whose
@@ -329,6 +380,18 @@ _STEM_ALPHABETS = {
     "np": "अआइईउऊएऐओऔकखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसहिीुूेैोौ्ा",
 }
 
+# every suffix en.js's steps can match (plus y/ly/ied/ying composites)
+_EN_SUFFIXES = [
+    "sses", "ies", "ss", "s", "eed", "ed", "ing", "y", "ational",
+    "tional", "enci", "anci", "izer", "bli", "abli", "alli", "entli",
+    "eli", "ousli", "ization", "ation", "ator", "alism", "iveness",
+    "fulness", "ousness", "aliti", "iviti", "biliti", "logi", "icate",
+    "ative", "alize", "iciti", "ical", "ful", "ness", "al", "ance",
+    "ence", "er", "ic", "able", "ible", "ant", "ement", "ment", "ent",
+    "ou", "ism", "ate", "iti", "ous", "ive", "ize", "sion", "tion",
+    "ion", "e", "ll", "ly", "es", "ied", "ying", "yly", "yes",
+]
+
 _PY_STEM_FOR_FILE = {  # reference file code → registry code
     c: c for c in _STEM_ALPHABETS
 }
@@ -353,6 +416,19 @@ def test_stemmers_match_compiled_js():
             n = int(rng.integers(1, 14))
             words.append("".join(str(rng.choice(list(alpha)))
                                  for _ in range(n)))
+        # suffix-dense shapes: pure-random words almost never end in a
+        # rule suffix (this is how en.js's step-2/4 quirks hid for four
+        # rounds), so recombine random stems with the suffix inventory
+        # (en) and with tails sliced from sibling words (every lang)
+        for w in list(words):
+            tail = words[int(rng.integers(0, len(words)))]
+            words.append(w[: int(rng.integers(0, 5))]
+                         + tail[-int(rng.integers(1, 6)):])
+        if code == "en":
+            for suf in _EN_SUFFIXES:
+                stem = "".join(str(rng.choice(list(alpha)))
+                               for _ in range(int(rng.integers(0, 6))))
+                words.append(stem + suf)
         # doubled word (suffix-of-suffix shapes) and single letters
         words += [words[0] + words[1], alpha[0], alpha[-1]]
         cases.append({"lang": code, "words": words})

@@ -177,7 +177,19 @@ def _rand_rawvalue_query(rng, raw_texts):
     (QueryEngine.ts:835-841, :1226-1254 under the bigger-set-wins
     rule ts:201-204)."""
     t = str(rng.choice(raw_texts))
-    kind = rng.choice(["prefix", "wildcard", "wildcard_mid"])
+    kind = rng.choice(["prefix", "wildcard", "wildcard_mid",
+                       "match_sub", "term_sub"])
+    if kind in ("match_sub", "term_sub"):
+        # dict-form term/match → the naive SUBSTRING include
+        # (_stringFieldMatch, QueryEngine.ts:1350-1382): interior
+        # slices (infix fragments) and multi-word spans that the token
+        # path alone can never serve
+        j = int(rng.integers(0, max(1, len(t) - 10)))
+        frag = t[j : j + int(rng.integers(3, 12))]
+        if rng.random() < 0.3:
+            frag = frag.swapcase()
+        k = "match" if kind == "match_sub" else "term"
+        return {k: {"field": "text", "value": frag}}
     if kind == "prefix":
         # often spans the first word boundary -> token path empty
         n = int(rng.integers(4, min(18, len(t))))

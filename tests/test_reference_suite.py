@@ -1524,10 +1524,14 @@ class TestShardedPostingsContracts:
             got = _ids(s, {"term": {"field": field, "value": value}})
             assert got == [want], (field, got)
         # CJK: JS \w is ASCII-only, so the reference's standard
-        # analyzer strips 测试 to nothing exactly like this port —
-        # the term lookup is empty on BOTH engines
+        # analyzer strips 测试 to nothing exactly like this port — the
+        # TOKEN lookup is empty on both engines, but dict-form term
+        # queries also run the naive SUBSTRING scan
+        # (_stringFieldMatch, QueryEngine.ts:1350-1382; bigger-set-wins
+        # serves it when the processor finds nothing), so the raw value
+        # still matches
         assert _ids(s, {"term": {"field": "unicode",
-                                 "value": "测试"}}) == []
+                                 "value": "测试"}}) == ["s4"]
         # the whole raw value (incl. the CJK one) still matches
         # through the wildcard operator's raw-value naive path (the
         # engine's vectorized analog of the reference's whole-value
@@ -1538,6 +1542,68 @@ class TestShardedPostingsContracts:
         got = _ids(s, {"wildcard": {"field": "unicode",
                                     "value": "测试"}})
         assert got == ["s4"]
+
+
+class TestDictTermMatchNaiveSubstring:
+    """Dict-form term/match runs the naive scan's SUBSTRING doc test
+    (_stringFieldMatch, QueryEngine.ts:1350-1382) under bigger-set-wins
+    (ts:201-204) — string queries take the token-membership naive
+    branch (ts:1138-1178) instead.  Locks the round-5 fix for
+    multi-word and infix dict matches returning nothing."""
+
+    @pytest.fixture(scope="class")
+    def idx(self, tmp_path_factory):
+        docs = [
+            {"id": "d1", "name": "John Smith", "bio": "writes data pipelines"},
+            {"id": "d2", "name": "Johnny Cash", "bio": "sings about data"},
+            {"id": "d3", "name": "Jane Doe", "bio": "pipelines of words"},
+            {"id": "d4", "name": "Smith & Wesson", "bio": "data pipelines daily"},
+        ]
+        return _mk_index(tmp_path_factory, docs, "dictmatch")
+
+    def test_multiword_dict_match_is_substring(self, idx):
+        s = _searcher(idx, text_fields=("name", "bio"))
+        # 'data pipelines' as one dict value: no vocab token contains a
+        # space — only the substring scan can serve it (d1, d4; NOT d2
+        # where the words are non-adjacent, NOT d3 reversed order)
+        assert _ids(s, {"match": {"field": "bio",
+                                  "value": "data pipelines"}}) == ["d1", "d4"]
+        assert _ids(s, {"term": {"field": "bio",
+                                 "value": "data pipelines"}}) == ["d1", "d4"]
+
+    def test_infix_dict_match(self, idx):
+        s = _searcher(idx, text_fields=("name", "bio"))
+        # 'ohn' is an infix of the tokens john/johnny — the token path
+        # finds nothing, the substring include finds both
+        assert _ids(s, {"match": {"field": "name",
+                                  "value": "ohn"}}) == ["d1", "d2"]
+        # exact token still works and unions cleanly
+        assert _ids(s, {"match": {"field": "name",
+                                  "value": "john"}}) == ["d1", "d2"]
+
+    def test_string_query_stays_token_based(self, idx):
+        s = _searcher(idx, text_fields=("name", "bio"))
+        # the STRING query 'ohn' naive-scans token-membership
+        # (ts:1138-1178): no token equals 'ohn' → no hits
+        assert _ids(s, "ohn") == []
+        # multi-word string query = AND of token matches; with
+        # operator=or, docs with either token join (d2 has only 'data')
+        assert _ids(s, "data pipelines") == ["d1", "d4"]
+        assert _ids(s, "data pipelines", operator="or") == [
+            "d1", "d2", "d3", "d4"
+        ]
+
+    def test_bool_composition_and_case(self, idx):
+        s = _searcher(idx, text_fields=("name", "bio"))
+        # substring test lowers both sides (a.includes(b) on
+        # toLowerCase'd strings)
+        assert _ids(s, {"match": {"field": "name",
+                                  "value": "SMITH &"}}) == ["d4"]
+        got = _ids(s, {"bool": {"must": [
+            {"match": {"field": "bio", "value": "data pipelines"}},
+            {"match": {"field": "name", "value": "ohn"}},
+        ]}})
+        assert got == ["d1"]
 
 
 class TestEngineSurfaceSmoke:

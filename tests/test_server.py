@@ -637,19 +637,26 @@ def test_compact_reanalyzes_under_current_mappings(tmp_path, ray_session):
     q = {"term": {"field": "bio", "value": "zephyrine"}}
     s = IndexSearcher(idx, text_fields=("name", "bio"),
                       stopwords=frozenset())
-    # pre-compact: the base partition never tokenized bio, and term
-    # queries have no raw-value fallback -> no hit
-    assert len(s.search(q, size=5)) == 0
+    # pre-compact: the base partition never tokenized bio, so the
+    # TOKEN path is empty — but dict-form term queries also run the
+    # naive substring scan over the raw docstore value
+    # (_stringFieldMatch, QueryEngine.ts:1350-1382), which reads
+    # documents, not the index, so b1 still matches.  The tokenless
+    # state is observable through the STRING-query form instead, whose
+    # naive branch is token-membership (ts:1138-1178):
+    assert len(s.search(q, size=5)) == 1
+    assert len(s.search("zephyrine", size=5)) == 0
     # the delta doc's bio IS tokenized (add-time mappings)
-    assert len(s.search({"term": {"field": "bio", "value": "granite"}},
-                        size=5)) == 1
+    assert len(s.search("granite", size=5)) == 1
 
     m = compact_index(idx)
     assert m["total_docs"] == 3
     s2 = IndexSearcher(idx, text_fields=("name", "bio"),
                        stopwords=frozenset())
-    # post-compact: re-analysis under the widened mappings
+    # post-compact: re-analysis under the widened mappings — the token
+    # path now serves both forms
     assert len(s2.search(q, size=5)) == 1
+    assert len(s2.search("zephyrine", size=5)) == 1
     assert len(s2.search({"term": {"field": "bio", "value": "granite"}},
                          size=5)) == 1
     # the merged partition records the mappings it tokenized under
