@@ -264,9 +264,12 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "phrase_docs": f"""
+            -- token-adjacency UNION the naive raw substring include
+            -- (QueryEngine.ts:1270-1274; engine _eval_phrase)
             SELECT doc_id FROM documents
             WHERE ' ' || array_to_string({_TOKS}, ' ') || ' '
                   LIKE '% batch batch %'
+               OR contains(lower(text), 'batch batch')
             ORDER BY doc_id
         """,
         "prefix_docs": """

@@ -1095,9 +1095,27 @@ class _PartitionEvaluator:
                     hits.append(d)
             out.append(np.asarray(hits, dtype=np.int64))
         out = [o for o in out if o.size]
-        if not out:
-            return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(out)) if len(out) > 1 else out[0]
+        token_docs = (
+            np.unique(np.concatenate(out))
+            if len(out) > 1
+            else (out[0] if out else np.empty(0, dtype=np.int64))
+        )
+        if field == "*":
+            # the naive phrase branch has NO '*' fan-out: _getFieldValue
+            # (doc, '*') is undefined → the scan matches nothing
+            # (QueryEngine.ts:1265-1271)
+            return token_docs
+        # naive phrase test: a raw SUBSTRING include of the whole phrase
+        # value over the lowercased field (QueryEngine.ts:1270-1274,
+        # regardless of slop) — how punctuation-spanning and intra-token
+        # phrase fragments match.  Unioned per _with_naive; the
+        # fuzziness>0 sliding-window levenshtein arm (ts:1276-1286) is a
+        # deliberate non-model like the multi-word-fuzzy rule (the
+        # processor-side per-token expansion above serves those).
+        return self._with_naive(
+            token_docs, [field],
+            lambda f: self._field_value_contains_docs(f, value.lower()),
+        )
 
     def _eval_range(self, q) -> np.ndarray:
         # vectorized docstore scan (reference: full doc scan,
@@ -1414,7 +1432,33 @@ def _score_partition(
             field_boosts, scorer,
         )
         if got is not None:
-            return got
+            pq = node["phrase"]
+            naive_ids = (
+                ev._field_value_contains_docs(
+                    pq["field"], js_str(pq["value"]).lower()
+                )
+                if pq.get("field") != "*"  # naive phrase has no '*' fan-out
+                else np.empty(0, dtype=np.int64)
+            )
+            if naive_ids.size == 0:
+                return got
+            # exact merge of the pruned token-path top-k with the naive
+            # substring include: every union member outside the pruned
+            # top-k is in naive_ids (a token doc outranking the k-th
+            # would already be in `got`), so scoring naive_ids and
+            # re-selecting is exact.  No exclusions/boosts here — the
+            # fast path is gated off when either is present.
+            from .wand import topk_select
+
+            g_ids, g_sc = got
+            n_sc = ev.score_candidates(
+                naive_ids, scoring_terms, global_dfs, stats,
+                field_boosts, scorer,
+            )
+            ids = np.concatenate([g_ids, naive_ids])
+            sc = np.concatenate([g_sc, n_sc])
+            uids, first = np.unique(ids, return_index=True)
+            return topk_select(uids, sc[first], k)
     if pruning != "off" and not synonyms and scorer is None:
         from .wand import pruning_plan, topk_blockmax
 

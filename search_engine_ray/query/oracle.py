@@ -363,6 +363,19 @@ class OracleEngine:
                 doc_toks = standard_analyzer(doc[f], self.stopwords)
                 if self._check_phrase(doc_toks, phrase_toks, slop, fuzz):
                     out.add(did)
+        if field != "*":
+            # naive phrase test: raw substring include of the whole
+            # value, slop-independent (QueryEngine.ts:1270-1274); no
+            # '*' fan-out there (ts:1265-1271).  Same union closure as
+            # term/match; the fuzzy sliding-window arm stays unmodeled
+            # (engine docstring).
+            sub = value.lower()
+            out |= {
+                did
+                for did, doc in self.docs.items()
+                if isinstance(doc.get(field), str)
+                and sub in doc[field].lower()
+            }
         return out
 
     @staticmethod

@@ -178,7 +178,17 @@ def _rand_rawvalue_query(rng, raw_texts):
     rule ts:201-204)."""
     t = str(rng.choice(raw_texts))
     kind = rng.choice(["prefix", "wildcard", "wildcard_mid",
-                       "match_sub", "term_sub"])
+                       "match_sub", "term_sub", "phrase_sub"])
+    if kind == "phrase_sub":
+        # phrase naive: raw substring include of the whole value
+        # (QueryEngine.ts:1270-1274), slop-independent — interior
+        # slices span token boundaries and punctuation
+        j = int(rng.integers(0, max(1, len(t) - 12)))
+        frag = t[j : j + int(rng.integers(4, 14))]
+        node = {"field": "text", "value": frag}
+        if rng.random() < 0.3:
+            node["slop"] = int(rng.integers(0, 3))
+        return {"match_phrase": node}
     if kind in ("match_sub", "term_sub"):
         # dict-form term/match → the naive SUBSTRING include
         # (_stringFieldMatch, QueryEngine.ts:1350-1382): interior

@@ -1593,6 +1593,21 @@ class TestDictTermMatchNaiveSubstring:
             "d1", "d2", "d3", "d4"
         ]
 
+    def test_phrase_naive_substring_include(self, idx):
+        s = _searcher(idx, text_fields=("name", "bio"))
+        # the naive phrase test is a raw substring include of the whole
+        # value (QueryEngine.ts:1270-1274) — 'ta pipel' spans the
+        # data/pipelines token boundary, so only the include serves it
+        assert _ids(s, {"match_phrase": {"field": "bio",
+                                         "value": "ta pipel"}}) == [
+            "d1", "d4"
+        ]
+        # slop applies to the token path only; the include is
+        # slop-independent
+        assert _ids(s, {"match_phrase": {"field": "bio",
+                                         "value": "ta pipel",
+                                         "slop": 2}}) == ["d1", "d4"]
+
     def test_bool_composition_and_case(self, idx):
         s = _searcher(idx, text_fields=("name", "bio"))
         # substring test lowers both sides (a.includes(b) on

@@ -178,9 +178,16 @@ def test_build_with_stemming_analyzer(tmp_path, ray_session):
     # phrase with inflected forms
     got = s.search({"match_phrase": {"field": "text", "value": "kinder lesen"}})
     assert len(got) == 1
-    # unstemmed searcher misses (documents carry only stems)
+    # unstemmed searcher: the TOKEN path misses (the index carries only
+    # stems — 'hauser' stemmed to 'haus'), observable via the string
+    # query whose naive branch is token-membership; the dict-form match
+    # still finds doc 1 through the naive substring scan over the RAW
+    # docstore text ('die hauser der stadte'), exactly like the
+    # reference's _stringFieldMatch (QueryEngine.ts:1350-1382)
     s_plain = IndexSearcher(idx)
-    assert len(s_plain.search({"match": {"field": "text", "value": "hauser"}})) == 0
+    assert len(s_plain.search("hauser")) == 0
+    got = s_plain.search({"match": {"field": "text", "value": "hauser"}})
+    assert len(got) == 1
 
 
 def test_build_stem_by_lang_dispatch(tmp_path, ray_session):
