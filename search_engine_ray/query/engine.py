@@ -907,7 +907,22 @@ class _PartitionEvaluator:
             fz = q.get("fuzziness")
             fuzz = 1 if fz is None else int(fz)
             if fuzz == 0:
-                return self.term_docs(q["field"], q["value"])
+                # naive-scan side: evalDoc's fuzzy branch calls
+                # _stringFieldMatch with the explicit fuzziness, and at
+                # 0 that is the SUBSTRING include (QueryEngine.ts:
+                # 1259-1264 → :1350-1382) — same union as term/match.
+                # The fuzz>0 raw-token-levenshtein arm (with its
+                # different default of 2) stays unmodeled like the
+                # multi-word-fuzzy rule.
+                token_docs = self.term_docs(q["field"], q["value"])
+                sub = js_str(q["value"]).lower()
+                fields = (
+                    self.text_fields if q["field"] == "*" else [q["field"]]
+                )
+                return self._with_naive(
+                    token_docs, fields,
+                    lambda f: self._field_value_contains_docs(f, sub),
+                )
             fields = (
                 self.text_fields if q["field"] == "*" else [q["field"]]
             )

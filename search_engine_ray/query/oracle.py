@@ -268,14 +268,32 @@ class OracleEngine:
             return token_docs | naive_docs
         if "fuzzy" in node:
             q = node["fuzzy"]
-            fuzz = q.get("fuzziness", 1) or 1
+            # default 1 only when ABSENT (QueryProcessor.ts:429);
+            # explicit fuzziness=0 is an exact lookup plus the naive
+            # substring include (evalDoc fuzzy → _stringFieldMatch at 0,
+            # QueryEngine.ts:1259-1264 → :1350-1382) — engine parity
+            fz = q.get("fuzziness")
+            fuzz = 1 if fz is None else int(fz)
             v = js_str(q["value"]).lower()
-            toks = [
-                t
-                for t in self._vocab(q["field"])
-                if levenshtein(v, t, fuzz) <= fuzz
-            ]
-            return self._expand_docs(q["field"], toks)
+            if fuzz == 0:
+                token_docs = self._term_docs(q["field"], q["value"])
+                naive_docs = {
+                    did
+                    for did, doc in self.docs.items()
+                    for f in self._fields_of(q["field"])
+                    if isinstance(doc.get(f), str)
+                    and v in doc[f].lower()
+                }
+                return token_docs | naive_docs
+            out: set = set()
+            for f in self._fields_of(q["field"]):
+                toks = [
+                    t
+                    for t in self._vocab(f)
+                    if levenshtein(v, t, fuzz) <= fuzz
+                ]
+                out |= self._expand_docs(f, toks)
+            return out
         if "phrase" in node:
             return self._eval_phrase(node["phrase"])
         if "range" in node:

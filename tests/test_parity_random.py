@@ -65,8 +65,10 @@ def _rand_query(rng, vocab, depth=0):
                 w2 = str(rng.choice(vocab))
                 return {"match": {"field": "text", "value": f"{w2} {mutated}",
                                   "fuzziness": 1}}
+            # explicit fuzziness=0 = exact lookup + naive substring
+            # include (QueryProcessor.ts:429 / QueryEngine.ts:1259-1264)
             return {"fuzzy": {"field": "text", "value": mutated,
-                              "fuzziness": int(rng.choice([1, 1, 1, 2]))}}
+                              "fuzziness": int(rng.choice([0, 1, 1, 2]))}}
         if kind == "phrase":
             w2 = str(rng.choice(vocab))
             q = {
@@ -560,7 +562,7 @@ def test_random_unicode_battery(unicode_setup):
             if rng.random() < 0.5 and len(w) > 2:
                 w = w[:-1] + ("x" if not w.endswith("x") else "y")
             q = {"fuzzy": {"field": "name", "value": w,
-                           "fuzziness": int(rng.choice([1, 1, 2]))}}
+                           "fuzziness": int(rng.choice([0, 1, 1, 2]))}}
         elif kind == "phrase":
             # analyzed phrase: non-ASCII words tokenize to their ASCII
             # fragments ('naïve' -> na ve) on BOTH sides
