@@ -124,6 +124,43 @@ def normalize_query(raw, operator: str = "and"):
             {"match": {"field": "*", "value": t, "_str": True}}
             for t in terms
         ]
+        # The naive branch tokenizes the STRING with the standard
+        # analyzer and NO stopword filter (ts:1141 passes none), so a
+        # punctuated term ('foo-bar', 'user@x.com') membership-matches
+        # its analyzed parts even though the processor's whitespace-term
+        # token ('foo-bar') is never in any vocabulary.  Purely-numeric
+        # queries additionally push a formatting-stripped variant and,
+        # at RAW lengths 10 / 11-leading-1, phone area/exchange/number
+        # parts (ts:1144-1165).  When that token list differs from the
+        # whitespace terms, union the two conjunctions — the
+        # partition-decomposable closure of bigger-set-wins (ts:201-204,
+        # same rule as _with_naive).
+        naive_toks = list(standard_analyzer(raw))
+        if naive_toks and re.fullmatch(r"\d+", naive_toks[0]):
+            stripped = re.sub(r"[\s\-().]", "", raw)
+            if stripped != raw:
+                naive_toks.append(stripped)
+            if len(raw) == 10:
+                naive_toks += [raw[0:3], raw[3:6], raw[6:]]
+            elif len(raw) == 11 and raw.startswith("1"):
+                naive_toks += [raw[1:4], raw[4:7], raw[7:]]
+        if naive_toks and naive_toks != [t.lower() for t in terms]:
+            naive_clauses = [
+                {"match": {"field": "*", "value": t, "_str": True}}
+                for t in naive_toks
+            ]
+            if operator.lower() == "or":
+                # both sides are plain unions — one merged should list
+                seen = {t.lower() for t in terms}
+                clauses += [
+                    c for c in naive_clauses
+                    if c["match"]["value"] not in seen
+                ]
+                return {"bool": {"should": clauses}}
+            return {"bool": {"should": [
+                {"bool": {"must": clauses}},
+                {"bool": {"must": naive_clauses}},
+            ]}}
         if len(clauses) == 1:
             return clauses[0]
         key = "should" if operator.lower() == "or" else "must"
@@ -592,13 +629,111 @@ class _PartitionEvaluator:
         QueryEngine.ts:1350-1382), vectorized as one fixed-string
         pc.match_substring over the cached lowered docstore column.
         Arrow matches JS on the empty needle (''.includes → true for
-        every string-valued row)."""
+        every string-valued row).
+
+        Vocab fast path: a plain-alnum needle of length ≥ 2 can only
+        occur inside one maximal ``[a-z0-9]+`` run of the lowered raw
+        value (the standard analyzer lowercases FIRST, every separator
+        it introduces is non-alnum, and its only deletion — the
+        possessive ``'s`` — is never run-contiguous), and that run
+        survives into a token that still CONTAINS the needle unless the
+        token was dropped (length ≤ 1 is impossible at needle length
+        ≥ 2; a stopword containing the needle is checked below).  So
+        docs-with-substring == union of postings of vocab tokens
+        containing the needle — a scan over the small term dictionary
+        instead of the corpus text (~60 ms → ~1 ms per partition at
+        100k docs).  Conditions mirror the prefix skip proof: standard
+        analyzer recorded for the field, no token_filter (stemming
+        rewrites the vocab), no stopword containing the needle.
+
+        Results are cached per (field, needle) on the reader (same
+        fingerprinted store as the folded columns, bounded): partitions
+        are immutable, so repeated query terms skip both kernels."""
+        import re as _re
+
+        cache = getattr(self.r, "_naive_scan_cache", None)
+        fp = self.r.docs_fingerprint()
+        if cache is None or cache.get("fp") != fp:
+            cache = {"fp": fp, "bytes": 0}
+            self.r._naive_scan_cache = cache
+        ckey = (field, "__contains__", sub)
+        hit = cache.get(ckey)
+        if hit is not None:
+            return hit
+        out = self._contains_docs_uncached(field, sub, _re)
+        if sum(1 for k in cache if k[1:2] == ("__contains__",)) > 2048:
+            for k in [k for k in cache if k[1:2] == ("__contains__",)]:
+                del cache[k]  # unbounded-needle guard
+        cache[ckey] = out
+        return out
+
+    def _contains_docs_uncached(
+        self, field: str, sub: str, _re
+    ) -> np.ndarray:
+        try:
+            ftype = self.r.docs_schema().field(field).type
+        except KeyError:
+            ftype = None
+        col_is_str = ftype is not None and (
+            pa.types.is_string(ftype) or pa.types.is_large_string(ftype)
+        )
+        if (
+            col_is_str  # naive universe = string-typed values only
+            and _re.fullmatch(r"[a-z0-9]{2,}", sub)
+            and self.token_filter is None
+            and self.field_analyzers.get(field) == "standard"
+            and not any(
+                sub in sw
+                for s in (self.stopwords or (), self.build_stopwords)
+                for sw in s
+            )
+        ):
+            vocab = self.r.vocab(field)
+            if not vocab.size:
+                return np.empty(0, dtype=np.int64)
+            mask = pc.match_substring(pa.array(vocab), sub)
+            toks = vocab[mask.to_numpy(zero_copy_only=False)]
+            cand = self._expanded_docs(field, toks.tolist())
+            if cand.size == 0:
+                return cand
+            # candidates can include join artifacts (the analyzer's
+            # plural-possessive rule deletes an apostrophe BETWEEN runs:
+            # cats'x → token catsx, whose raw value never contained
+            # 'tsx') — verify just the candidate rows against the cached
+            # folded column, so the per-query kernel cost is ∝
+            # candidates, not corpus
+            got = self._string_column(field, "lower")
+            if got is None or got[0].size == 0:
+                return np.empty(0, dtype=np.int64)
+            ids, folded = got
+            order = self._ids_argsort(field, ids)
+            pos = np.searchsorted(ids[order], cand)
+            pos[pos >= order.size] = 0
+            valid = ids[order][pos] == cand
+            rows = order[pos[valid]]
+            cand = cand[valid]
+            sub_mask = pc.match_substring(
+                pc.take(folded, pa.array(rows)), sub
+            )
+            out = cand[sub_mask.to_numpy(zero_copy_only=False)]
+            return np.sort(out)
         got = self._string_column(field, "lower")
         if got is None:
             return np.empty(0, dtype=np.int64)
         ids, folded = got
         mask = pc.match_substring(folded, sub)
         return self._masked_ids(ids, mask)
+
+    def _ids_argsort(self, field: str, ids: np.ndarray) -> np.ndarray:
+        """Cached argsort of a naive-scan column's doc-id vector (same
+        fingerprinted cache as the column itself)."""
+        cache = self.r._naive_scan_cache
+        key = (field, "__argsort__")
+        got = cache.get(key)
+        if got is None:
+            got = np.argsort(ids, kind="stable")
+            cache[key] = got
+        return got
 
     def _field_value_wildcard_docs(
         self, field: str, pattern: str
@@ -1475,7 +1610,63 @@ def _score_partition(
             uids, first = np.unique(ids, return_index=True)
             return topk_select(uids, sc[first], k)
     if pruning != "off" and not synonyms and scorer is None:
-        from .wand import pruning_plan, topk_blockmax
+        from .wand import pruning_plan, topk_blockmax, topk_select
+
+        # single-leaf DICT-form term/match: result = token ∪ naive
+        # substring docs.  Keep the block-max fast path for the token
+        # side and exact-merge the scored naive candidates (same
+        # argument as the phrase merge: any union member outside the
+        # pruned token top-k is in naive_ids).  Multi-leaf dict trees
+        # stay on the generic path — per-leaf unions inside an AND are
+        # not expressible as a post-hoc merge.
+        leaf = (
+            (node.get("term") or node.get("match"))
+            if isinstance(node, dict)
+            and (set(node) == {"term"} or set(node) == {"match"})
+            else None
+        )
+        if (
+            leaf is not None
+            and not leaf.get("_str")
+            and not (leaf.get("fuzziness") or 0)
+        ):
+            val = js_str(leaf["value"]).lower()
+            tok = token_filter(val) if token_filter is not None else val
+            fields = (
+                list(text_fields) if leaf["field"] == "*"
+                else [leaf["field"]]
+            )
+            plan_terms = [f"{f}:{tok}" for f in fields]
+            ev.prefetch(plan_terms)
+            pmap = {t: ev._cache[t] for t in plan_terms if t in ev._cache}
+            g_ids, g_sc = topk_blockmax(
+                pmap, plan_terms, "or", global_dfs, stats, k, field_boosts
+            )
+            naive = [
+                a
+                for f in fields
+                for a in (ev._field_value_contains_docs(f, val),)
+                if a.size
+            ]
+            if not naive:
+                return g_ids, g_sc
+            naive_ids = (
+                np.unique(np.concatenate(naive))
+                if len(naive) > 1
+                else naive[0]
+            )
+            if ev.exclude is not None and naive_ids.size:
+                from ..stages.util import sorted_isin
+
+                naive_ids = naive_ids[~sorted_isin(ev.exclude, naive_ids)]
+            n_sc = ev.score_candidates(
+                naive_ids, scoring_terms, global_dfs, stats,
+                field_boosts, scorer,
+            )
+            ids = np.concatenate([g_ids, naive_ids])
+            sc = np.concatenate([g_sc, n_sc])
+            uids, first = np.unique(ids, return_index=True)
+            return topk_select(uids, sc[first], k)
 
         plan = pruning_plan(node, text_fields)
         if plan is not None:
@@ -1718,10 +1909,12 @@ def _df_bounded(node) -> bool:
             for cl in ("must", "should", "must_not", "filter")
             for n in b.get(cl, [])
         )
-    q = node.get("term") or node.get("match")
-    # dict-form term/match (no "_str" provenance) runs the naive
-    # substring docstore scan — candidates are not bounded by postings
-    return q is not None and bool(q.get("_str"))
+    # dict-form term/match additionally runs the naive substring scan,
+    # but the vocab fast path + the per-(field, needle) result cache
+    # make the WARM evaluation cached-array math like the token path —
+    # the serial path beats pool dispatch for both forms (the one cold
+    # fold-build per partition is a one-time cost either way)
+    return "term" in node or "match" in node
 
 
 def _est_candidates(node, dfs: Dict[str, int]) -> int:

@@ -1608,6 +1608,37 @@ class TestDictTermMatchNaiveSubstring:
                                          "value": "ta pipel",
                                          "slop": 2}}) == ["d1", "d4"]
 
+    def test_string_query_analyzed_token_union(self, idx):
+        s = _searcher(idx, text_fields=("name", "bio"))
+        # the string naive branch tokenizes with the STANDARD analyzer
+        # (QueryEngine.ts:1141): 'data-pipelines' has no vocab token,
+        # but its analyzed parts membership-match under AND — the union
+        # closure of bigger-set-wins serves those docs
+        assert _ids(s, "data-pipelines") == ["d1", "d4"]
+        # both parts must be present (d2 lacks 'pipelines')
+        assert _ids(s, "sings-data") == ["d2"]
+        assert _ids(s, "sings-pipelines") == []
+
+    def test_numeric_string_query_phone_parts(self, tmp_path_factory):
+        docs = [
+            {"id": "p1", "note": "call 5551234567 now"},
+            {"id": "p2", "note": "area 555 exchange 123 line 4567"},
+            {"id": "p3", "note": "extension 9999"},
+        ]
+        idx = _mk_index(tmp_path_factory, docs, "phoneparts")
+        s = _searcher(idx, text_fields=("note",))
+        # purely-numeric 10-char string queries push area/exchange/
+        # number parts into the naive token list (QueryEngine.ts:
+        # 1152-1160); under OR any part matches, so p2 joins p1
+        assert _ids(s, "5551234567", operator="or") == ["p1", "p2"]
+        # under AND the naive side requires EVERY token INCLUDING the
+        # original 10-digit one (parts are pushed, not substituted), so
+        # p2 fails it; p1 serves through the processor side
+        assert _ids(s, "5551234567") == ["p1"]
+        # dashed form: analyzed parts + the formatting-stripped variant
+        # (ts:1146-1150; raw length 12 → no part-split)
+        assert _ids(s, "555-123-4567", operator="or") == ["p1", "p2"]
+
     def test_bool_composition_and_case(self, idx):
         s = _searcher(idx, text_fields=("name", "bio"))
         # substring test lowers both sides (a.includes(b) on
