@@ -567,8 +567,14 @@ class _PartitionEvaluator:
                 np.int64
             )
             base = (ids, tbl[field].combine_chunks())
-            cache[(field, "raw")] = base
-            cache["bytes"] += ids.nbytes + base[1].nbytes
+            # the raw column obeys the same byte budget as the folds:
+            # an over-budget partition re-reads parquet per query
+            # instead of pinning an unbounded column resident (matters
+            # at 100× partition text sizes; correctness unaffected)
+            nb = ids.nbytes + base[1].nbytes
+            if cache["bytes"] + nb <= _TF_FOLD_CACHE_MAX_BYTES:
+                cache[(field, "raw")] = base
+                cache["bytes"] += nb
         if kind == "raw":
             return base
         ids, col = base
