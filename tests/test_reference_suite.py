@@ -1639,6 +1639,30 @@ class TestDictTermMatchNaiveSubstring:
         # (ts:1146-1150; raw length 12 → no part-split)
         assert _ids(s, "555-123-4567", operator="or") == ["p1", "p2"]
 
+    def test_phone_name_digits_push_parity(self, tmp_path_factory):
+        """The reference's string-naive doc side pushes a
+        digit-normalized copy of any value whose KEY contains 'phone'
+        regardless of mapping (extractDocTokens,
+        QueryEngine.ts:1127-1132); the build mirrors this with a
+        name-based digits side-channel (stages/tokenize.py), so the
+        digits-form string query matches under BOTH phone and text
+        mappings — no divergence to pin."""
+        from search_engine_ray.index_build import BuildConfig, build_index
+
+        root = tmp_path_factory.mktemp("phonename")
+        src = str(root / "docs.parquet")
+        pq.write_table(pa.table({
+            "id": ["c1"], "contact_phone": ["555-123-4567"],
+        }), src)
+        for mapping in ("phone", "text"):
+            idx = str(root / f"idx_{mapping}")
+            build_index(idx, src, BuildConfig(
+                mappings={"contact_phone": mapping}, doc_key_column="id",
+                extract_html=False, dedup=False, n_partitions=1,
+            ))
+            s = IndexSearcher(idx, text_fields=("contact_phone",))
+            assert len(s.search("5551234567", size=5)) == 1, mapping
+
     def test_bool_composition_and_case(self, idx):
         s = _searcher(idx, text_fields=("name", "bio"))
         # substring test lowers both sides (a.includes(b) on
