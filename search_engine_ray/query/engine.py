@@ -1742,10 +1742,13 @@ def _tf_fallback_scores(
       is just the first ``k`` candidates in the pinned (score desc,
       doc_id asc) order — **no document reads whatsoever** (previously a
       full candidate-set docstore scan to compute a constant);
-    * with tokens: per-column Arrow ``count_substring_regex`` over the
-      lowercased string-cast values plus a constant per-token count over
-      the column-name scaffolding (JSON.stringify serializes keys too),
-      instead of a Python regex loop over ``to_pylist`` rows."""
+    * with tokens: Arrow ``count_substring_regex`` over a cached
+      fold∘lower FULL-JSON render column (bit-equal to
+      ``JSON.stringify(doc).toLowerCase()`` per row — keys, seams and
+      escapes included), instead of a Python regex loop over
+      ``to_pylist`` rows; only tokens starting with a non-word char
+      (where RE2's resume semantics drop the left ``\\b`` context)
+      take the CPython path."""
     from .wand import topk_select
 
     if cand.size == 0:
@@ -1781,56 +1784,115 @@ _TF_FOLD_CACHE_MAX_BYTES = 256 << 20
 
 
 class _TfState:
-    __slots__ = ("fp", "ids_sorted", "rows_sorted", "colnames", "skel",
-                 "cols", "token_scores")
+    __slots__ = ("fp", "ids_sorted", "rows_sorted", "colnames",
+                 "render", "token_scores")
 
 
-def _tf_render_cols(reader, colnames):
-    """fold∘lower JSON-render of every docstore column (full table, row
-    order = docs_table order): numbers through the JS formatter, structs
-    through js_json_dumps, nulls as the folded 'null' spelling."""
+# JSON escapes for control chars (what json.dumps / JSON.stringify emit
+# beyond the vectorized backslash+quote passes); applied only to the
+# rare rows a regex probe flags
+_JSON_CTRL = {
+    chr(i): f"\\u{i:04x}" for i in range(0x20)
+}
+_JSON_CTRL.update({
+    "\b": "\\b", "\t": "\\t", "\n": "\\n", "\f": "\\f", "\r": "\\r",
+})
+
+
+def _json_escape_arrow(col):
+    """JSON string-content escaping of an Arrow string column, matching
+    ``json.dumps(v, ensure_ascii=False)[1:-1]`` (= JSON.stringify's
+    escape set: backslash, double quote, control chars).  Vectorized
+    replace passes; control chars (rare) fix up per flagged row."""
     import pyarrow.compute as pc
 
+    need = pc.any(
+        pc.match_substring_regex(col, r'["\\\x00-\x1f]')
+    ).as_py()
+    if not need:
+        return col
+    col = pc.replace_substring(col, "\\", "\\\\")
+    col = pc.replace_substring(col, '"', '\\"')
+    mask = pc.match_substring_regex(col, r"[\x00-\x1f]")
+    if pc.any(mask).as_py():
+        vals = col.to_pylist()
+        for i, flagged in enumerate(mask.to_pylist()):
+            if flagged and vals[i] is not None:
+                vals[i] = "".join(
+                    _JSON_CTRL.get(ch, ch) for ch in vals[i]
+                )
+        col = pa.array(vals, type=col.type)
+    return col
+
+
+def _tf_render_full(reader, colnames):
+    """fold∘lower of the FULL JSON render per row — bit-equal to the
+    oracle's ``js_ifold(js_json_dumps(doc).lower())`` (the reference
+    scans ``JSON.stringify(doc).toLowerCase()`` as ONE string,
+    SearchEngine.ts:596-603).  Built vectorized: per-column
+    ``"name":<value>`` pieces (JSON-escaped strings, JS number
+    formatting, structs via js_json_dumps) joined element-wise.  A
+    per-column approximation diverges on tokens that span the
+    key/value scaffolding or contain JSON-escaped characters."""
+    import pyarrow.compute as pc
+
+    from ..analysis.jsnum import js_json_dumps, js_number_strings
+    from ..stages.util import ifold_lower_arrow
+
     tbl = reader.docs_table()
-    out = {}
+    LS = pa.large_string()  # uniform type: renders can exceed 2 GiB
+
+    def _ls(x):
+        return pc.cast(x, LS)
+
+    def _join(*parts):
+        return pc.binary_join_element_wise(
+            *(p if isinstance(p, pa.Array) else pa.scalar(p, LS)
+              for p in parts),
+            pa.scalar("", LS),
+        )
+
+    pieces = []
     for c in colnames:
         col = tbl[c]
-        if not pa.types.is_string(col.type) and not pa.types.is_large_string(
-            col.type
-        ):
-            if pa.types.is_integer(col.type) or pa.types.is_floating(
-                col.type
-            ):
-                # JSON.stringify renders numbers with the JS formatting
-                # (integral doubles without '.0', JS exponent
-                # thresholds, NaN/Infinity → 'null') — NOT the Arrow
-                # cast ('10.0'→'10' agrees but 1e16/-0/nan do not);
-                # node-differential-locked in jsnum.py
-                from ..analysis.jsnum import js_number_strings
-
-                col = js_number_strings(col, json_mode=True)
-            else:
-                try:
-                    col = pc.cast(col, pa.string())
-                except pa.lib.ArrowNotImplementedError:
-                    # struct/list columns (e.g. geo 'location') have no
-                    # string cast kernel — JSON-render them like the
-                    # reference's JSON.stringify would (JS number model
-                    # + non-ASCII unescaped, jsnum.js_json_dumps)
-                    from ..analysis.jsnum import js_json_dumps
-
-                    col = pa.array(
-                        [js_json_dumps(v) for v in col.to_pylist()],
-                        pa.string(),
-                    )
-        # JSON renders missing values as the word "null"; the scan is
-        # JSON.stringify(doc).toLowerCase() + /token/gi — lowercase
-        # THEN /i-canonicalize (jsfold.py), so both text and tokens go
-        # through fold∘lower ("NULL" is the folded spelling)
-        from ..stages.util import ifold_lower_arrow
-
-        out[c] = pc.fill_null(ifold_lower_arrow(col), "NULL")
-    return out
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            piece = _join(
+                f'"{c}":"', _ls(_json_escape_arrow(col)), '"'
+            )
+        elif pa.types.is_integer(t) or pa.types.is_floating(t):
+            # JSON.stringify number formatting (integral doubles
+            # without '.0', JS exponent thresholds, NaN/Infinity →
+            # 'null') — node-differential-locked in jsnum.py
+            piece = _join(
+                f'"{c}":', _ls(js_number_strings(col, json_mode=True))
+            )
+        elif pa.types.is_boolean(t):
+            piece = _join(
+                f'"{c}":', _ls(pc.if_else(col, "true", "false"))
+            )
+        else:
+            # struct/list/timestamp columns — per-value js_json_dumps
+            # (the reference's JSON.stringify model)
+            piece = pa.array(
+                [
+                    None if v is None else f'"{c}":' + js_json_dumps(v)
+                    for v in col.to_pylist()
+                ],
+                LS,
+            )
+        # a null cell renders as "name":null (JSON.stringify of a
+        # null property; same model the oracle's js_json_dumps uses)
+        pieces.append(pc.fill_null(piece, pa.scalar(f'"{c}":null', LS)))
+    body = (
+        pc.binary_join_element_wise(*pieces, pa.scalar(",", LS))
+        if len(pieces) > 1
+        else pieces[0]
+    )
+    full = _join("{", body, "}")
+    return ifold_lower_arrow(full)
 
 
 def _tf_state(reader) -> _TfState:
@@ -1854,22 +1916,18 @@ def _tf_state(reader) -> _TfState:
     st.colnames = [
         c for c in reader.docs_schema().names if c != "doc_id"
     ]
-    from ..analysis.jsfold import js_ifold
-
-    # JSON.stringify(doc) includes the field NAMES — their token matches
-    # are a per-row constant over the key scaffolding
-    st.skel = js_ifold(" ".join(st.colnames).lower())
     st.token_scores = {}
-    cols = _tf_render_cols(reader, st.colnames)
-    nbytes = sum(a.nbytes for a in cols.values())
-    st.cols = cols if nbytes <= _TF_FOLD_CACHE_MAX_BYTES else None
+    render = _tf_render_full(reader, st.colnames)
+    st.render = (
+        render if render.nbytes <= _TF_FOLD_CACHE_MAX_BYTES else None
+    )
     reader._tf_state = st
     return st
 
 
 def _tf_token_scores(reader, st: _TfState, token: str) -> np.ndarray:
-    """Full-table per-row match counts (incl. the key-scaffolding
-    constant) for one query token, cached on the reader state."""
+    """Full-table per-row match counts over the full-render column for
+    one query token, cached on the reader state."""
     import re as _re
 
     import pyarrow.compute as pc
@@ -1879,21 +1937,42 @@ def _tf_token_scores(reader, st: _TfState, token: str) -> np.ndarray:
         return got
     from ..analysis.jsfold import js_ifold
 
-    # tokens arrive lowercased; fold them the same way the text columns
-    # are folded (jsfold.py — the /gi canonicalization on lowered text).
+    # tokens arrive lowercased; fold them the same way the render is
+    # folded (jsfold.py — the /gi canonicalization on lowered text).
     # re.ASCII: \b is an ASCII word boundary in both the JS RegExp (no
     # 'u' flag) and the RE2 kernel
-    rx = r"\b" + _re.escape(js_ifold(token)) + r"\b"
-    base = float(len(_re.findall(rx, st.skel, _re.ASCII)))
-    scores = np.full(st.ids_sorted.size, base, dtype=np.float64)
-    cols = st.cols if st.cols is not None else _tf_render_cols(
+    folded = js_ifold(token)
+    rx = r"\b" + _re.escape(folded) + r"\b"
+    render = st.render if st.render is not None else _tf_render_full(
         reader, st.colnames
     )
-    for col in cols.values():
-        cnt = pc.count_substring_regex(col, rx).to_numpy(
+    if folded[:1] and (folded[0].isascii() and (
+        folded[0].isalnum() or folded[0] == "_"
+    )):
+        # leading \b binds to the char BEFORE the match only when the
+        # first token char is a word char — then a prior adjacent
+        # match always left a non-word char there (its own trailing
+        # \b), so RE2's lost-left-context resume (count_substring_regex
+        # restarts each scan at match end, treating it as text start)
+        # decides every boundary the same way JS does
+        scores = pc.count_substring_regex(render, rx).to_numpy(
             zero_copy_only=False
+        ).astype(np.float64)
+    else:
+        # token starts with a NON-word char: the leading \b needs a
+        # word char before the match, and when the previous adjacent
+        # match ends in one, RE2's resume loses it and undercounts
+        # ('\b many\b' on 'was many many' counts 1, JS/Python count 2)
+        # — count with CPython re, which keeps full-string context
+        pat = _re.compile(rx, _re.ASCII)
+        scores = np.fromiter(
+            (
+                0.0 if v is None else float(len(pat.findall(v)))
+                for v in render.to_pylist()
+            ),
+            dtype=np.float64,
+            count=len(render),
         )
-        scores += cnt.astype(np.float64)
     if len(st.token_scores) >= 512:  # unbounded-vocabulary guard
         st.token_scores.clear()
     st.token_scores[token] = scores
