@@ -1,0 +1,202 @@
+"""Randomized index-lifecycle battery: a random interleaving of
+add / upsert / delete / flush / compact / server-restart ops, with the
+visible document set checked after every phase against the
+reference-semantics oracle rebuilt from a plain dict model.
+
+This fuzzes the machinery the targeted lifecycle locks in
+``test_server.py`` pin one case at a time: tombstone propagation into
+postings AND the raw-value naive scans, newest-wins supersede across
+delta partitions, delete-then-readd revival, compaction equivalence,
+and recovery via ``discoverIndices`` after a restart
+(reference flow: SearchEngine.ts ``delete``/``saveSnapshot``,
+server.ts:226-440).
+
+``PARITY_N``/``PARITY_SEED`` scale it like the other batteries."""
+
+import json
+import os
+import urllib.request
+
+import numpy as np
+import pytest
+
+PARITY_N = int(os.environ.get("PARITY_N", "0"))
+PARITY_SEED = int(os.environ.get("PARITY_SEED", "0"))
+
+VOCAB = [
+    "muno", "kedota", "tavoka", "rilo", "bunema", "sarki", "odane",
+    "plim", "vestara", "koju", "report", "current", "archived",
+    "search", "engine", "pasta", "water",
+]
+PUNCT = ["report-v1.txt", "report-v2.txt", "a.b@c.io", "x_y-z"]
+IDS = [f"d{i}" for i in range(24)]
+
+
+def _req(port, path, body=None, method=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        url, data=data, method=method or ("POST" if data else "GET"),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _rand_doc(rng, did):
+    words = [str(w) for w in rng.choice(VOCAB, rng.integers(2, 6))]
+    if rng.random() < 0.25:
+        words.append(str(rng.choice(PUNCT)))
+    body = " ".join(str(w) for w in rng.choice(VOCAB, rng.integers(4, 10)))
+    return {"id": did, "title": " ".join(words), "body": body}
+
+
+def _rand_query(rng, model):
+    """Random query over current corpus content — shapes drawn from the
+    same families the parity batteries compare engine-vs-oracle on."""
+    texts = [d["title"] for d in model.values()] + [
+        d["body"] for d in model.values()
+    ]
+    field = str(rng.choice(["title", "body"]))
+    w = str(rng.choice(VOCAB))
+    kind = rng.choice(
+        ["term", "match", "string", "prefix", "wildcard", "raw_sub",
+         "phrase", "bool"],
+    )
+    if kind == "string":
+        return " ".join(str(x) for x in rng.choice(VOCAB, 2))
+    if kind == "term":
+        return {"term": {"field": field, "value": w}}
+    if kind == "match":
+        w2 = str(rng.choice(VOCAB))
+        return {"match": {"field": field, "value": f"{w} {w2}"
+                          if rng.random() < 0.4 else w}}
+    if kind == "prefix":
+        return {"prefix": {"field": field, "value": w[: max(2, len(w) - 2)]}}
+    if kind == "wildcard":
+        if rng.random() < 0.4:
+            return {"wildcard": {"field": "title", "value": "*-v1.txt*"}}
+        return {"wildcard": {"field": field, "value": w[:3] + "*"}}
+    if kind == "raw_sub" and texts:
+        t = str(rng.choice(texts))
+        j = int(rng.integers(0, max(1, len(t) - 6)))
+        frag = t[j : j + int(rng.integers(3, 9))]
+        return {"match": {"field": field, "value": frag}}
+    if kind == "phrase" and texts:
+        t = str(rng.choice(texts)).split()
+        if len(t) >= 2:
+            j = int(rng.integers(0, len(t) - 1))
+            return {"match_phrase": {"field": field,
+                                     "value": " ".join(t[j : j + 2])}}
+        return {"term": {"field": field, "value": w}}
+    return {"bool": {
+        "must": [{"term": {"field": field, "value": w}}],
+        "must_not": [{"term": {"field": "title",
+                               "value": str(rng.choice(VOCAB))}}],
+    }}
+
+
+def _oracle_ids(model, query):
+    """Matched user-id set under the reference-semantics oracle."""
+    from search_engine_ray.query.oracle import OracleEngine
+
+    oracle = OracleEngine(
+        fields=(("title", "standard"), ("body", "standard")),
+        text_fields=("title", "body"),
+    )
+    by_int = {}
+    for i, (did, doc) in enumerate(sorted(model.items())):
+        oracle.add({"title": doc["title"], "body": doc["body"]}, i)
+        by_int[i] = did
+    hits = oracle.search(query, size=10_000)
+    return {by_int[d] for d, _ in hits}
+
+
+@pytest.mark.parametrize("battery_seed", [0])
+def test_random_lifecycle_battery(
+    tmp_path_factory, ray_session, battery_seed
+):
+    from search_engine_ray.server import SearchServer
+
+    rng = np.random.default_rng(6101 + PARITY_SEED + battery_seed)
+    phases = max(3, PARITY_N // 40) if PARITY_N else 3
+    queries_per_phase = 8
+
+    root = str(tmp_path_factory.mktemp("lcr"))
+    srv = SearchServer(root)
+    port = srv.start()
+    _req(port, "/index", {"indexName": "lc"})
+    # decoy index: mutated alongside, never queried directly — any
+    # cross-index leak shows up as oracle mismatches on 'lc'
+    _req(port, "/index", {"indexName": "other"})
+    _req(port, "/index/other/documents", {"documents": [
+        {"id": "o1", "title": " ".join(VOCAB[:6]),
+         "body": " ".join(VOCAB[6:12])},
+    ]})
+    _req(port, "/index/other/flush", {})
+    model = {}
+    try:
+        for phase in range(phases):
+            # --- mutation ops (applied to the model in the same order)
+            for _ in range(int(rng.integers(1, 4))):
+                op = rng.choice(["add", "add", "delete"])
+                if op == "add":
+                    ids = [str(i) for i in rng.choice(
+                        IDS, int(rng.integers(1, 6)), replace=False
+                    )]
+                    docs = [_rand_doc(rng, d) for d in ids]
+                    _req(port, "/index/lc/documents", {"documents": docs})
+                    for d in docs:
+                        model[d["id"]] = d
+                elif model or rng.random() < 0.3:
+                    pool = list(model) + ["ghost-1", "ghost-2"]
+                    ids = [str(i) for i in rng.choice(
+                        pool, min(len(pool), int(rng.integers(1, 4))),
+                        replace=False,
+                    )]
+                    _req(port, "/index/lc/documents/delete", {"ids": ids})
+                    for d in ids:
+                        model.pop(d, None)
+            code, out = _req(port, "/index/lc/flush", {})
+            assert code == 200, out
+            if rng.random() < 0.4:  # keep the decoy churning too
+                _req(port, "/index/other/documents", {"documents": [
+                    _rand_doc(rng, f"o{phase}")
+                ]})
+                _req(port, "/index/other/flush", {})
+            if rng.random() < 0.35:
+                code, out = _req(port, "/index/lc/compact", {})
+                assert code == 200, out
+            if rng.random() < 0.3:
+                srv.stop()
+                srv = SearchServer(root)  # rediscovers from disk
+                port = srv.start()
+            # --- visibility battery: engine hit-set == oracle over the
+            # model (ranking parity is the other batteries' job; the
+            # lifecycle invariant is exactly WHICH docs are alive)
+            failures = []
+            for qi in range(queries_per_phase):
+                q = _rand_query(rng, model)
+                code, res = _req(
+                    port, "/search/lc", {"query": q, "size": 10_000}
+                )
+                assert code == 200, res
+                got = {h["id"] for h in res["hits"]}
+                want = _oracle_ids(model, q)
+                if got != want:
+                    failures.append(
+                        (phase, qi, q, sorted(got ^ want)[:5],
+                         len(got), len(want))
+                    )
+            assert not failures, failures[:3]
+            # totals line up with the model after every phase
+            code, res = _req(
+                port, "/search/lc",
+                {"query": {"match_all": {}}, "size": 10_000},
+            )
+            assert res["total"] == len(model), (phase, len(model))
+    finally:
+        srv.stop()
