@@ -46,6 +46,61 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _empty_aggs(spec: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference-shaped aggregations over ZERO documents, for the
+    created-but-never-flushed index path (no searcher exists yet).
+    Mirrors ``IndexSearcher._aggregations_from_cands`` on empty
+    candidates — the reference computes every requested agg over the
+    empty scored set rather than dropping the keys (QueryEngine.ts:
+    257-310); equivalence with the real layer is locked by the
+    lifecycle battery's emptied-index comparison."""
+    from .query.engine import _range_key
+
+    out: Dict[str, Any] = {}
+    for name, agg in (spec or {}).items():
+        if not isinstance(agg, dict):
+            continue
+        if (
+            "terms" in agg or "histogram" in agg
+            or "date_histogram" in agg
+        ):
+            out[name] = {"buckets": []}
+        elif "range" in agg:
+            buckets = []
+            for rng in agg["range"].get("ranges", []):
+                lo, hi = rng.get("from"), rng.get("to")
+                b: Dict[str, Any] = {
+                    "key": rng.get("key") or _range_key(lo, hi)
+                }
+                if lo is not None:
+                    b["from"] = lo
+                if hi is not None:
+                    b["to"] = hi
+                b["doc_count"] = 0
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        elif "nested" in agg:
+            sub = _empty_aggs(agg["nested"].get("aggs", {}))
+            if any(
+                "field" in ks
+                for ag in agg["nested"].get("aggs", {}).values()
+                if isinstance(ag, dict)
+                for ks in ag.values()
+                if isinstance(ks, dict)
+            ):
+                sub["doc_count"] = 0
+            out[name] = sub
+        elif "global" in agg:
+            sub = {k: v for k, v in agg.items() if k != "global"}
+            sub.update(agg["global"].get("aggs", {}))
+            out[name] = _empty_aggs(sub)
+        elif "filter" in agg:
+            sub = _empty_aggs(agg.get("aggs", {}))
+            sub["doc_count"] = 0
+            out[name] = sub
+    return out
+
+
 def _doc_id_for(doc: Dict[str, Any]) -> str:
     if isinstance(doc.get("id"), (str, int)):
         return str(doc["id"])
@@ -707,7 +762,12 @@ class SearchServer:
                         "hits": [], "total": 0,
                         "from": int(b.get("from", 0)),
                         "size": int(b.get("size", 10)),
-                        "aggregations": {}, "facets": {},
+                        # requested aggs still answer with their empty
+                        # shapes, like the real layer over zero docs
+                        "aggregations": _empty_aggs(
+                            b.get("aggregations") or b.get("aggs") or {}
+                        ),
+                        "facets": {},
                         "_performance": {"queryTime": "0.0ms",
                                          "cached": False},
                     })

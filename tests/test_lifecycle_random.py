@@ -51,7 +51,9 @@ def _rand_doc(rng, did):
     if rng.random() < 0.25:
         words.append(str(rng.choice(PUNCT)))
     body = " ".join(str(w) for w in rng.choice(VOCAB, rng.integers(4, 10)))
-    return {"id": did, "title": " ".join(words), "body": body}
+    tag = str(rng.choice(["red", "green", "blue", "x1"]))
+    return {"id": did, "title": " ".join(words), "body": body,
+            "tag": tag}
 
 
 def _rand_query(rng, model):
@@ -192,11 +194,25 @@ def test_random_lifecycle_battery(
                          len(got), len(want))
                     )
             assert not failures, failures[:3]
-            # totals line up with the model after every phase
+            # totals AND aggregation buckets line up with the model
+            # after every phase (aggs run over the same candidate set,
+            # so tombstones/supersedes must reach them too)
             code, res = _req(
                 port, "/search/lc",
-                {"query": {"match_all": {}}, "size": 10_000},
+                {"query": {"match_all": {}}, "size": 10_000,
+                 "aggregations": {
+                     "tags": {"terms": {"field": "tag", "size": 10}},
+                 }},
             )
             assert res["total"] == len(model), (phase, len(model))
+            from collections import Counter
+
+            want_tags = Counter(d["tag"] for d in model.values())
+            got_tags = {
+                b["key"]: b["doc_count"]
+                for b in res["aggregations"]["tags"]["buckets"]
+            }
+            assert got_tags == dict(want_tags), (phase, got_tags,
+                                                 dict(want_tags))
     finally:
         srv.stop()

@@ -480,6 +480,45 @@ class TestDeleteDocuments:
             "query": {"match": {"field": "note", "value": "zanzibar"}}})
         assert r["total"] == 1
 
+    def test_empty_index_agg_shapes_match_real_layer(self, server):
+        """Requested aggregations answer with their empty shapes on an
+        index with no searchable docs — and the never-flushed early
+        return must produce EXACTLY what the real agg layer computes
+        over an index whose docs were all deleted (the reference
+        evaluates every requested agg over the empty scored set,
+        QueryEngine.ts:257-310, instead of dropping the keys)."""
+        aggs = {
+            "t": {"terms": {"field": "tag", "size": 5}},
+            "h": {"histogram": {"field": "n", "interval": 2}},
+            "d": {"date_histogram": {"field": "when", "interval": "1d"}},
+            "r": {"range": {"field": "n", "ranges": [
+                {"to": 5.0}, {"from": 5.0, "to": 9.0, "key": "mid"},
+            ]}},
+            "f": {"filter": {"match": {"field": "tag", "value": "x"}},
+                  "aggs": {"ft": {"terms": {"field": "tag"}}}},
+        }
+        body = {"query": {"match_all": {}}, "aggregations": aggs}
+        _req(server, "/index", {"indexName": "aggempty1"})
+        code, never_flushed = _req(server, "/search/aggempty1", body)
+        assert code == 200
+        _req(server, "/index", {"indexName": "aggempty2"})
+        _req(server, "/index/aggempty2/documents", {"documents": [
+            {"id": "a", "tag": "red", "n": 3.0, "when": "2024-01-02"},
+        ]})
+        _req(server, "/index/aggempty2/flush", {})
+        _req(server, "/index/aggempty2/documents/delete", {"ids": ["a"]})
+        code, emptied = _req(server, "/search/aggempty2", body)
+        assert code == 200 and emptied["total"] == 0
+        assert never_flushed["aggregations"] == emptied["aggregations"]
+        assert never_flushed["aggregations"]["t"] == {"buckets": []}
+        assert never_flushed["aggregations"]["r"]["buckets"] == [
+            {"key": "*-5", "to": 5.0, "doc_count": 0},
+            {"key": "mid", "from": 5.0, "to": 9.0, "doc_count": 0},
+        ]
+        assert never_flushed["aggregations"]["f"] == {
+            "ft": {"buckets": []}, "doc_count": 0,
+        }
+
     def test_delete_unknown_id_is_silent_noop(self, server):
         code, out = _req(server, "/index/deld/documents/delete",
                          {"ids": ["never-existed"]})
