@@ -2764,7 +2764,10 @@ class IndexSearcher:
             for k, v in vc.items():
                 sk = js_str(k)
                 counts[sk] = counts.get(sk, 0) + int(v)
-            out[f] = counts
+            # a facet field with no countable values is OMITTED, not
+            # empty (QueryEngine.ts:249 `Object.keys(counts).length`)
+            if counts:
+                out[f] = counts
         return out
 
     def aggregations(self, query, aggs: Dict[str, dict], operator: str = "and"):

@@ -130,7 +130,7 @@ def test_random_lifecycle_battery(
     root = str(tmp_path_factory.mktemp("lcr"))
     srv = SearchServer(root)
     port = srv.start()
-    _req(port, "/index", {"indexName": "lc"})
+    _req(port, "/index", {"indexName": "lc", "facetFields": ["tag"]})
     # decoy index: mutated alongside, never queried directly — any
     # cross-index leak shows up as oracle mismatches on 'lc'
     _req(port, "/index", {"indexName": "other"})
@@ -214,5 +214,12 @@ def test_random_lifecycle_battery(
             }
             assert got_tags == dict(want_tags), (phase, got_tags,
                                                  dict(want_tags))
+            # facets (configured at index creation) count over the SAME
+            # full result set — bucket keys only appear when non-empty
+            want_facets = (
+                {"tag": dict(want_tags)} if want_tags else {}
+            )
+            assert res["facets"] == want_facets, (phase, res["facets"],
+                                                  want_facets)
     finally:
         srv.stop()
