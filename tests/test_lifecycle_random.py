@@ -193,6 +193,24 @@ def test_random_lifecycle_battery(
                         (phase, qi, q, sorted(got ^ want)[:5],
                          len(got), len(want))
                     )
+                    continue
+                if isinstance(q, str):
+                    continue  # string-query total counts the page
+                # random page: hits ⊆ the full set, total unchanged
+                # (dict-query total counts ALL matches regardless of
+                # the requested page, SearchEngine.ts:638)
+                size = int(rng.integers(1, 6))
+                from_ = int(rng.integers(0, 4))
+                code, page = _req(
+                    port, "/search/lc",
+                    {"query": q, "size": size, "from": from_},
+                )
+                page_ids = {h["id"] for h in page["hits"]}
+                if not (page_ids <= want) or page["total"] != len(want):
+                    failures.append(
+                        (phase, qi, q, "page", sorted(page_ids - want),
+                         page["total"], len(want))
+                    )
             assert not failures, failures[:3]
             # totals AND aggregation buckets line up with the model
             # after every phase (aggs run over the same candidate set,
