@@ -226,7 +226,10 @@ class TestEngineSurfaces:
         )
         assert a["t"]["buckets"] == []
         assert a["f"]["doc_count"] == 0
-        assert s.facets({"match_all": {}}, ["nope"]) == {"nope": {}}
+        # a facet field with zero countable values is OMITTED from the
+        # response, not included empty (QueryEngine.ts:249
+        # `if (Object.keys(counts).length > 0)`)
+        assert s.facets({"match_all": {}}, ["nope"]) == {}
 
     def test_date_histogram_reference_shape(self, float_index):
         """date_histogram buckets carry toISOString() keys with
