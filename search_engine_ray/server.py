@@ -9,6 +9,22 @@ real cluster, the handler logic is identical):
 * ``POST /search/<index>``            body ``{query, from, size,
   aggregations|aggs}`` → ``{hits, total, from, size, aggregations,
   facets, _performance}`` (server.ts:226-267)
+
+  PINNED DIVERGENCE (HTTP pre-processing): the reference endpoint runs
+  ``PerformanceOptimizations.optimizeQuery`` / ``optimizeSearchOptions``
+  (server.ts:231-236 → PerformanceOptimizations.ts:139-196) before the
+  engine: (a) STRING queries are rewritten to ``{term|match: {field:
+  '_all', value}}`` — and since no layer resolves ``_all`` (postings
+  have no ``_all`` field; ``_getFieldValue(doc, '_all')`` is undefined
+  in the naive scan), every string query through the LIVE reference
+  server matches nothing.  The reference's own endpoint tests bypass
+  HTTP and drive SearchEngine directly (server-search-endpoint.test.ts
+  header comment) — this server keeps the engine-level string-query
+  semantics those tests cover.  (b) ``size`` is clamped to ≤100,
+  ``size: 0`` becomes 10, and ``from`` is clamped to ≤10000 — caps of
+  the reference's worker transport, not query semantics; this server
+  honors the requested page (``test_server.py::
+  TestHttpPreprocessingDivergence``).
 * ``GET  /performance``               query metrics (server.ts:269-279)
 * ``POST /index``                     body ``{indexName, facetFields?,
   mappings?}`` → registers an index (server.ts:314-350)

@@ -531,6 +531,42 @@ class TestDeleteDocuments:
         assert code == 404
 
 
+class TestHttpPreprocessingDivergence:
+    """PINNED DIVERGENCE vs the reference's HTTP pre-processing
+    (server.ts:231-236 → PerformanceOptimizations.ts:139-196) — see the
+    server.py module docstring.  The live reference endpoint rewrites
+    STRING queries to ``{term|match: {field: '_all', value}}``, and no
+    downstream layer resolves '_all' (no postings field; undefined in
+    the naive scan's _getFieldValue), so every string query through it
+    matches nothing; its own endpoint tests drive SearchEngine directly
+    to sidestep that.  It also clamps size to ≤100 (0 → 10) and from to
+    ≤10000.  This server keeps the engine-level semantics."""
+
+    def test_string_query_returns_hits_and_large_size_honored(
+        self, server
+    ):
+        _req(server, "/index", {"indexName": "httppre"})
+        docs = [
+            {"id": str(i), "title": f"muno kedota w{i}"}
+            for i in range(120)
+        ]
+        _req(server, "/index/httppre/documents", {"documents": docs})
+        _req(server, "/index/httppre/flush", {})
+        # string query via HTTP: engine string semantics, not the
+        # reference's dead '_all' rewrite
+        code, out = _req(server, "/search/httppre",
+                         {"query": "muno", "size": 150})
+        assert code == 200 and len(out["hits"]) == 120
+        # size > 100 honored (reference clamps to 100)
+        code, out = _req(server, "/search/httppre",
+                         {"query": {"match_all": {}}, "size": 150})
+        assert len(out["hits"]) == 120 and out["size"] == 150
+        # size: 0 returns an empty page (reference turns 0 into 10)
+        code, out = _req(server, "/search/httppre",
+                         {"query": {"match_all": {}}, "size": 0})
+        assert out["hits"] == [] and out["total"] == 120
+
+
 def _poll_total(port, name, query, want, timeout=90):
     import time
 
