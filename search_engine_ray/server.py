@@ -860,6 +860,16 @@ class SearchServer:
                 self._json(201, {
                     "message": f"Index '{name}' created successfully",
                     "indexName": name,
+                    # server.ts:335-343 echoes the sharding config —
+                    # incl. its quirk of reporting `numShards || 1`
+                    # while initializing the pool with `numShards || 4`
+                    # (ts:328 vs :339); partitioning here comes from
+                    # build partitions, the echo is config parroting
+                    "sharding": {
+                        "enabled": bool(b.get("enableShardedStorage")),
+                        "numShards": b.get("numShards") or 1,
+                        "facetFields": b.get("facetFields") or [],
+                    },
                 })
 
             def _add_documents(self, name: str):

@@ -59,6 +59,12 @@ class TestServer:
             {"indexName": "docs", "facetFields": ["status"]},
         )
         assert code == 201
+        # server.ts:335-343 response shape incl. the `numShards || 1`
+        # echo quirk (pool init uses `|| 4`, ts:328)
+        assert out["sharding"] == {
+            "enabled": False, "numShards": 1,
+            "facetFields": ["status"],
+        }
 
         code, out = _req(server, "/index/docs/documents", {"documents": DOCS})
         assert code == 200 and out["addedCount"] == 3
