@@ -669,6 +669,8 @@ class SearchServer:
                         "message": "search_engine_ray API server",
                         "indices": sorted(server.indexes),
                         "version": "1.0.0",
+                        # server.ts:305 — always-true once serving
+                        "workerPoolReady": True,
                     })
                 if self.path == "/stats":
                     # worker-pool stats shape
@@ -689,10 +691,21 @@ class SearchServer:
                     })
                 if self.path == "/performance":
                     n = server.query_count
+                    import resource
+
                     return self._json(200, {
                         "query": {
                             "count": n,
                             "avgMs": (server.query_ms_total / n) if n else 0.0,
+                        },
+                        # server.ts:272-277 {query, worker, memory,
+                        # uptime}; memory = process.memoryUsage()
+                        # analog (rss in bytes)
+                        "worker": {},
+                        "memory": {
+                            "rss": resource.getrusage(
+                                resource.RUSAGE_SELF
+                            ).ru_maxrss * 1024,
                         },
                         "uptime": time.time() - server.t0,
                     })
@@ -898,6 +911,14 @@ class SearchServer:
                         f"'{name}'"
                     ),
                     **r,
+                    # server.ts:367-375 — duplicateCount/totalDocs are
+                    # undefined on the pool result and so dropped from
+                    # the live response; persistence is the literal
+                    # {enabled, triggered: addedCount > 0} object
+                    "persistence": {
+                        "enabled": True,
+                        "triggered": r["addedCount"] > 0,
+                    },
                 })
 
             def _flush(self, name: str):

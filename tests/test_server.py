@@ -48,6 +48,7 @@ class TestServer:
         code, out = _req(server, "/")
         assert code == 200 and out["status"] == "ok"
         assert out["indices"] == []
+        assert out["workerPoolReady"] is True  # server.ts:305
 
     def test_create_requires_name(self, server):
         code, out = _req(server, "/index", {})
@@ -68,6 +69,9 @@ class TestServer:
 
         code, out = _req(server, "/index/docs/documents", {"documents": DOCS})
         assert code == 200 and out["addedCount"] == 3
+        # server.ts:367-375: persistence echo; duplicateCount/totalDocs
+        # are undefined on the live pool result and thus absent
+        assert out["persistence"] == {"enabled": True, "triggered": True}
 
         code, out = _req(server, "/index/docs/flush", {})
         assert code == 200 and out["flushed"] == 3
@@ -141,6 +145,10 @@ class TestServer:
     def test_performance_counts(self, server):
         code, out = _req(server, "/performance")
         assert code == 200 and out["query"]["count"] >= 2
+        # server.ts:272-277 response shape {query, worker, memory,
+        # uptime}
+        assert set(out) >= {"query", "worker", "memory", "uptime"}
+        assert out["memory"]["rss"] > 0
 
     def test_auto_compaction_bounds_partitions(self, server):
         """Auto-compaction policy (the reference's auto-persistence
