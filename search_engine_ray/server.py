@@ -927,7 +927,18 @@ class SearchServer:
                     return self._json(
                         404, {"error": f"Index '{name}' not found"}
                     )
-                self._json(200, h.flush())
+                r = h.flush()
+                # reference envelope fields (flush server.ts:427-432,
+                # snapshot :398-402: message/timestamp/indexName) on
+                # top of this engine's delta-partition result; the
+                # worker-pool counters (flushedWorkers/totalWorkers)
+                # have no analog here — partitions replace workers
+                r.setdefault(
+                    "message", f"Flushed index '{name}' successfully"
+                )
+                r["timestamp"] = int(time.time() * 1000)
+                r["indexName"] = name
+                self._json(200, r)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]

@@ -76,6 +76,9 @@ class TestServer:
         code, out = _req(server, "/index/docs/flush", {})
         assert code == 200 and out["flushed"] == 3
         assert out["totalDocs"] == 3
+        # reference envelope (server.ts:398-402/:427-432)
+        assert out["indexName"] == "docs" and out["timestamp"] > 0
+        assert out["message"].startswith("Flushed")
 
         code, out = _req(
             server, "/search/docs",
