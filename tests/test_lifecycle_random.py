@@ -101,7 +101,7 @@ def _rand_query(rng, model):
     }}
 
 
-def _oracle_ids(model, query):
+def _oracle_ids(model, query, operator="and"):
     """Matched user-id set under the reference-semantics oracle."""
     from search_engine_ray.query.oracle import OracleEngine
 
@@ -113,7 +113,7 @@ def _oracle_ids(model, query):
     for i, (did, doc) in enumerate(sorted(model.items())):
         oracle.add({"title": doc["title"], "body": doc["body"]}, i)
         by_int[i] = did
-    hits = oracle.search(query, size=10_000)
+    hits = oracle.search(query, size=10_000, operator=operator)
     return {by_int[d] for d, _ in hits}
 
 
@@ -182,12 +182,14 @@ def test_random_lifecycle_battery(
             failures = []
             for qi in range(queries_per_phase):
                 q = _rand_query(rng, model)
+                op = "or" if rng.random() < 0.25 else "and"
                 code, res = _req(
-                    port, "/search/lc", {"query": q, "size": 10_000}
+                    port, "/search/lc",
+                    {"query": q, "size": 10_000, "operator": op},
                 )
                 assert code == 200, res
                 got = {h["id"] for h in res["hits"]}
-                want = _oracle_ids(model, q)
+                want = _oracle_ids(model, q, op)
                 if got != want:
                     failures.append(
                         (phase, qi, q, sorted(got ^ want)[:5],
@@ -203,7 +205,8 @@ def test_random_lifecycle_battery(
                 from_ = int(rng.integers(0, 4))
                 code, page = _req(
                     port, "/search/lc",
-                    {"query": q, "size": size, "from": from_},
+                    {"query": q, "size": size, "from": from_,
+                     "operator": op},
                 )
                 page_ids = {h["id"] for h in page["hits"]}
                 if not (page_ids <= want) or page["total"] != len(want):
@@ -211,6 +214,29 @@ def test_random_lifecycle_battery(
                         (phase, qi, q, "page", sorted(page_ids - want),
                          page["total"], len(want))
                     )
+                if qi == 0:
+                    # aggs run over the query's FULL candidate set,
+                    # not the page — counts must match the oracle set
+                    code, ares = _req(
+                        port, "/search/lc",
+                        {"query": q, "size": 1, "operator": op,
+                         "aggregations": {"tags": {
+                             "terms": {"field": "tag", "size": 10}}}},
+                    )
+                    from collections import Counter
+
+                    want_agg = Counter(
+                        model[d]["tag"] for d in want if d in model
+                    )
+                    got_agg = {
+                        b["key"]: b["doc_count"]
+                        for b in ares["aggregations"]["tags"]["buckets"]
+                    }
+                    if got_agg != dict(want_agg):
+                        failures.append(
+                            (phase, qi, q, "agg", got_agg,
+                             dict(want_agg))
+                        )
             assert not failures, failures[:3]
             # totals AND aggregation buckets line up with the model
             # after every phase (aggs run over the same candidate set,
