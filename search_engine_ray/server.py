@@ -299,11 +299,30 @@ class IndexHandle:
         if not docs:
             return {"flushed": 0, "message": "nothing to flush"}
 
-        if self.mappings is None:
-            from .analysis.mappings import infer_mappings
+        # add-time auto-mapping (SearchEngine.ts:226-231 runs
+        # mappingsManager.autoMap(doc) on EVERY add; autoMap is
+        # extend-only, MappingsManager.ts:314-367 `!this.mappings.has`):
+        # a field first seen in a later batch must be mapped and indexed
+        # from that batch onward, while already-mapped fields keep their
+        # original detected type.  infer_mappings is first-wins in
+        # buffer order, so merging its NEW keys under the existing map
+        # reproduces per-add autoMap exactly.  Base partitions built
+        # before the widening keep their own per-partition mappings
+        # provenance (skip-proof machinery), so token-coverage claims
+        # stay per-partition-honest.
+        from .analysis.mappings import infer_mappings
 
-            self.mappings = infer_mappings(docs)
+        inferred = infer_mappings(docs)
+        if self.mappings is None:
+            self.mappings = inferred
             self._save_config()
+        else:
+            new_fields = {
+                k: v for k, v in inferred.items() if k not in self.mappings
+            }
+            if new_fields:
+                self.mappings = {**self.mappings, **new_fields}
+                self._save_config()
 
         parts_dir = os.path.join(self.index_dir, "partitions")
         os.makedirs(parts_dir, exist_ok=True)

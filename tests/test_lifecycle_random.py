@@ -30,6 +30,10 @@ VOCAB = [
 ]
 PUNCT = ["report-v1.txt", "report-v2.txt", "a.b@c.io", "x_y-z"]
 IDS = [f"d{i}" for i in range(24)]
+# fields that only SOME docs carry: exercises add-time auto-mapping
+# widening across delta partitions (SearchEngine.ts:226-231 autoMap per
+# add; extend-only per MappingsManager.ts:314-367)
+EXTRA_FIELDS = ["ex1", "ex2"]
 
 
 def _req(port, path, body=None, method=None):
@@ -52,8 +56,14 @@ def _rand_doc(rng, did):
         words.append(str(rng.choice(PUNCT)))
     body = " ".join(str(w) for w in rng.choice(VOCAB, rng.integers(4, 10)))
     tag = str(rng.choice(["red", "green", "blue", "x1"]))
-    return {"id": did, "title": " ".join(words), "body": body,
-            "tag": tag}
+    doc = {"id": did, "title": " ".join(words), "body": body,
+           "tag": tag}
+    if rng.random() < 0.25:  # late-introduced field → mapping widening
+        f = str(rng.choice(EXTRA_FIELDS))
+        doc[f] = " ".join(
+            str(w) for w in rng.choice(VOCAB, rng.integers(1, 4))
+        )
+    return doc
 
 
 def _rand_query(rng, model):
@@ -62,7 +72,8 @@ def _rand_query(rng, model):
     texts = [d["title"] for d in model.values()] + [
         d["body"] for d in model.values()
     ]
-    field = str(rng.choice(["title", "body"]))
+    field = str(rng.choice(["title", "title", "title", "body", "body",
+                            "body", "ex1", "ex2"]))
     w = str(rng.choice(VOCAB))
     kind = rng.choice(
         ["term", "match", "string", "prefix", "wildcard", "raw_sub",
@@ -106,12 +117,17 @@ def _oracle_ids(model, query, operator="and"):
     from search_engine_ray.query.oracle import OracleEngine
 
     oracle = OracleEngine(
-        fields=(("title", "standard"), ("body", "standard")),
-        text_fields=("title", "body"),
+        fields=(("title", "standard"), ("body", "standard"),
+                ("ex1", "standard"), ("ex2", "standard")),
+        text_fields=("title", "body", "ex1", "ex2"),
     )
     by_int = {}
     for i, (did, doc) in enumerate(sorted(model.items())):
-        oracle.add({"title": doc["title"], "body": doc["body"]}, i)
+        oracle.add(
+            {k: doc[k]
+             for k in ("title", "body", *EXTRA_FIELDS) if k in doc},
+            i,
+        )
         by_int[i] = did
     hits = oracle.search(query, size=10_000, operator=operator)
     return {by_int[d] for d, _ in hits}

@@ -871,3 +871,96 @@ class TestDddValueObjectRulings:
         )
         assert code == 200 and out["total"] == 1
         assert out["hits"][0]["id"].startswith("auto-")
+
+
+class TestAddTimeMappingWidening:
+    """Fields first seen in a LATER add are auto-mapped and indexed from
+    that batch onward: the reference runs ``mappingsManager.autoMap(doc)``
+    on every add (SearchEngine.ts:226-231) and autoMap is extend-only
+    (MappingsManager.ts:314-367 ``!this.mappings.has(fieldName)``), so a
+    new field widens the mapping while an already-mapped field keeps its
+    first-detected type."""
+
+    def test_field_introduced_in_later_flush_is_indexed(self, server):
+        _req(server, "/index", {"indexName": "widen"})
+        _req(server, "/index/widen/documents", {"documents": [
+            {"id": "a", "title": "muno kedota"},
+        ]})
+        code, out = _req(server, "/index/widen/flush", {})
+        assert code == 200, out
+        _req(server, "/index/widen/documents", {"documents": [
+            {"id": "b", "title": "rilo", "extra": "vestara plim"},
+        ]})
+        code, out = _req(server, "/index/widen/flush", {})
+        assert code == 200, out
+        # dict term over the new field: tokenized postings, BM25-scored
+        # (not just the raw-value naive arm)
+        code, res = _req(server, "/search/widen", {
+            "query": {"term": {"field": "extra", "value": "vestara"}},
+            "size": 10,
+        })
+        assert code == 200
+        assert [h["id"] for h in res["hits"]] == ["b"]
+        assert 0.0 < res["hits"][0]["_score"] < 1.0  # scored, not naive-1.0
+        # string query walks every mapped text field, incl. the new one
+        code, res = _req(server, "/search/widen", {"query": "vestara",
+                                                   "size": 10})
+        assert code == 200
+        assert [h["id"] for h in res["hits"]] == ["b"]
+
+    def test_widened_mappings_survive_restart(
+        self, tmp_path_factory, ray_session
+    ):
+        from search_engine_ray.server import SearchServer
+
+        root = str(tmp_path_factory.mktemp("widenrst"))
+        srv = SearchServer(root)
+        port = srv.start()
+        try:
+            _req(port, "/index", {"indexName": "w2"})
+            _req(port, "/index/w2/documents", {"documents": [
+                {"id": "a", "title": "muno"},
+            ]})
+            _req(port, "/index/w2/flush", {})
+            _req(port, "/index/w2/documents", {"documents": [
+                {"id": "b", "title": "rilo", "note": "koju sarki"},
+            ]})
+            _req(port, "/index/w2/flush", {})
+        finally:
+            srv.stop()
+        srv = SearchServer(root)  # rediscovers from disk
+        port = srv.start()
+        try:
+            code, res = _req(port, "/search/w2", {"query": "koju",
+                                                  "size": 10})
+            assert code == 200
+            assert [h["id"] for h in res["hits"]] == ["b"]
+            assert srv.indexes["w2"].mappings.get("note") == "text"
+        finally:
+            srv.stop()
+
+    def test_existing_field_type_is_not_rewritten(
+        self, tmp_path_factory, ray_session
+    ):
+        from search_engine_ray.server import SearchServer
+
+        root = str(tmp_path_factory.mktemp("widenty"))
+        srv = SearchServer(root)
+        port = srv.start()
+        try:
+            _req(port, "/index", {"indexName": "w3"})
+            _req(port, "/index/w3/documents", {"documents": [
+                {"id": "a", "title": "muno", "v": 5},
+            ]})
+            _req(port, "/index/w3/flush", {})
+            first = dict(srv.indexes["w3"].mappings)
+            _req(port, "/index/w3/documents", {"documents": [
+                {"id": "b", "title": "rilo", "v": "not a number now",
+                 "fresh": "tavoka"},
+            ]})
+            _req(port, "/index/w3/flush", {})
+            after = srv.indexes["w3"].mappings
+            assert after["v"] == first["v"]  # extend-only: type kept
+            assert "fresh" in after  # new field still widens
+        finally:
+            srv.stop()
