@@ -443,7 +443,14 @@ class _PartitionEvaluator:
         self.r = reader
         self.text_fields = list(text_fields)
         self.stopwords = stopwords
-        self.synonyms = synonyms or {}
+        # SynonymEngine lowercases KEYS and VALUES at load/add time
+        # (SynonymEngine.ts:53-66, :97-113), and QueryProcessor looks up
+        # getSynonyms(value.toLowerCase()) — so a map given with 'Quick'
+        # or 'QUICK' keys must still hit for query value 'quick'
+        self.synonyms = {
+            str(k).lower(): [str(v).lower() for v in vs]
+            for k, vs in (synonyms or {}).items()
+        }
         # optional per-token transform applied to query tokens before
         # posting lookup (e.g. a Snowball stemmer matching a
         # stem_by_lang-built index)
@@ -490,14 +497,20 @@ class _PartitionEvaluator:
             tp = got.get(term)
         return tp
 
-    def term_docs(self, field: str, value: str) -> np.ndarray:
+    def term_docs(
+        self, field: str, value: str, use_synonyms: bool = True
+    ) -> np.ndarray:
         fields = self.text_fields if field == "*" else [field]
         norm = js_str(value).lower()
         # synonym expansion: normalized synonyms whose postings exist are
-        # unioned in (QueryProcessor.ts:187-195 / SynonymEngine.ts:97-158)
-        tokens = [norm] + [
-            str(s).lower() for s in self.synonyms.get(norm, [])
-        ]
+        # unioned in (QueryProcessor.ts:187-195 / SynonymEngine.ts:97-158).
+        # ``use_synonyms=False`` for string-provenance nodes: a raw string
+        # query throws inside QueryProcessor.execute (`'term' in <string>`
+        # TypeError on the primitive), so the reference serves strings via
+        # _naiveScan only — which never consults the synonym engine.
+        tokens = [norm]
+        if use_synonyms:
+            tokens += self.synonyms.get(norm, [])
         if self.token_filter is not None:
             tokens = [self.token_filter(t) for t in tokens]
         arrays = []
@@ -866,11 +879,15 @@ class _PartitionEvaluator:
                 if not arrays:
                     return np.empty(0, dtype=np.int64)
                 return np.unique(np.concatenate(arrays))
-            token_docs = self.term_docs(q["field"], q["value"])
+            token_docs = self.term_docs(
+                q["field"], q["value"], use_synonyms=not q.get("_str")
+            )
             if q.get("_str"):
                 # string-query provenance: the reference's naive scan
                 # for strings is token-membership (QueryEngine.ts:
-                # 1138-1178), already covered by the token path
+                # 1138-1178), already covered by the token path —
+                # and synonym-FREE (execute() throws on the string
+                # primitive before _processSingleTerm could expand)
                 return token_docs
             # dict-form term/match: the naive scan's doc-level test is
             # a SUBSTRING include over the lowercased raw value —

@@ -38,11 +38,18 @@ class OracleEngine:
         stopwords=DEFAULT_STOPWORDS,
         text_fields: Sequence[str] = ("text",),
         field_boosts: Optional[Dict[str, float]] = None,
+        synonyms: Optional[Dict[str, Sequence[str]]] = None,
     ):
         self.fields = tuple(fields)
         self.stopwords = stopwords
         self.text_fields = list(text_fields)
         self.field_boosts = field_boosts or {}
+        # SynonymEngine lowers keys and values at load/add
+        # (SynonymEngine.ts:53-66, :97-113)
+        self.synonyms: Dict[str, List[str]] = {
+            str(k).lower(): [str(v).lower() for v in vs]
+            for k, vs in (synonyms or {}).items()
+        }
         self.postings: Dict[str, Dict[int, List[int]]] = {}
         self.doc_lengths: Dict[int, int] = {}
         self.docs: Dict[int, dict] = {}
@@ -126,6 +133,19 @@ class OracleEngine:
     def _vocab(self, field: str) -> set:
         return self.field_tokens.get(field, set())
 
+    def _syn_docs(self, field: str, value) -> set:
+        """Whole-value synonym expansion (QueryProcessor.ts:186-195):
+        ``getSynonyms(value.toLowerCase())``, each lowered synonym added
+        iff it is an existing field token — union of those postings.
+        Only ``_processSingleTerm`` consults synonyms, so this applies
+        to term / match / fuzzy (at ANY fuzziness, the expansion block
+        runs after either branch), never to phrase/prefix/wildcard."""
+        out: set = set()
+        for s in self.synonyms.get(js_str(value).lower(), []):
+            for f in self._fields_of(field):
+                out |= set(self.postings.get(f"{f}:{s}", {}))
+        return out
+
     def _expand_docs(self, field: str, tokens) -> set:
         out: set = set()
         for t in tokens:
@@ -157,12 +177,20 @@ class OracleEngine:
                         d = self._expand_docs(f, toks)
                         docs = d if docs is None else (docs & d)
                     out |= docs or set()
-                return out
+                # whole-value synonyms union in regardless of fuzziness
+                # (QueryProcessor.ts:186-195 runs after either branch)
+                return out | self._syn_docs(q["field"], q["value"])
             token_docs = self._term_docs(q["field"], q["value"])
             if q.get("_str"):
                 # string-query provenance → token-membership naive
-                # branch (QueryEngine.ts:1138-1178), covered above
+                # branch (QueryEngine.ts:1138-1178), covered above.
+                # NO synonym expansion here: a raw string query throws
+                # inside QueryProcessor.execute (`'term' in <string>`
+                # TypeError), so the reference serves strings via
+                # _naiveScan ONLY — and the naive scan never consults
+                # the synonym engine.
                 return token_docs
+            token_docs |= self._syn_docs(q["field"], q["value"])
             # dict-form term/match: naive SUBSTRING include over the
             # lowercased raw value (_stringFieldMatch,
             # QueryEngine.ts:1350-1382; the whitespace-token equality
@@ -284,7 +312,8 @@ class OracleEngine:
                     if isinstance(doc.get(f), str)
                     and v in doc[f].lower()
                 }
-                return token_docs | naive_docs
+                return (token_docs | naive_docs
+                        | self._syn_docs(q["field"], q["value"]))
             out: set = set()
             for f in self._fields_of(q["field"]):
                 toks = [
@@ -293,7 +322,9 @@ class OracleEngine:
                     if levenshtein(v, t, fuzz) <= fuzz
                 ]
                 out |= self._expand_docs(f, toks)
-            return out
+            # fuzzy routes through _processSingleTerm too
+            # (QueryProcessor.ts:425-434) → same whole-value expansion
+            return out | self._syn_docs(q["field"], q["value"])
         if "phrase" in node:
             return self._eval_phrase(node["phrase"])
         if "range" in node:

@@ -395,6 +395,18 @@ class TestSynonyms:
         b = syn.search({"term": {"field": "text", "value": "quick"}}, size=10)
         assert a["doc_id"].tolist() == [1]
         assert sorted(b["doc_id"].tolist()) == [1, 2]  # synonym matched doc 2
+        # SynonymEngine lowercases keys AND values at load/add
+        # (SynonymEngine.ts:53-66, :97-113): a mixed-case map behaves
+        # identically
+        up = IndexSearcher(idx, synonyms={"QUICK": ["Fast", "SPEEDY"]})
+        c = up.search({"term": {"field": "text", "value": "quick"}}, size=10)
+        assert sorted(c["doc_id"].tolist()) == [1, 2]
+        # raw STRING queries never expand synonyms: QueryProcessor
+        # .execute throws on the string primitive (`'term' in <string>`)
+        # so the reference serves them via _naiveScan only, which does
+        # not consult the synonym engine
+        d = syn.search("quick", size=10)
+        assert d["doc_id"].tolist() == [1]
 
 
 class TestAutoStopwords:

@@ -627,3 +627,149 @@ def test_random_unicode_battery(unicode_setup):
                 failures.append((i, q, "score", (gd, gs), (wd, ws)))
                 break
     assert not failures, failures[:3]
+
+
+# --- synonyms battery --------------------------------------------------
+#
+# Random synonym maps over a fixed corpus, engine vs oracle at exact
+# rank+score.  The reference expands synonyms ONLY in
+# _processSingleTerm (QueryProcessor.ts:186-195): term / match / fuzzy
+# (any fuzziness) look up getSynonyms(value.toLowerCase()) and add each
+# lowered synonym iff it is an existing field token; phrase / prefix /
+# wildcard and the naive raw-value arms never consult synonyms, and
+# ranking tokens never include them (RankingPipeline.ts:71-104), so a
+# synonym-only match scores 0 / the tf-fallback render count.
+
+
+@pytest.fixture(scope="module")
+def synonyms_setup(tmp_path_factory, ray_session):
+    from search_engine_ray.index_build import BuildConfig, build_index
+
+    root = tmp_path_factory.mktemp("synrand")
+    corpus = str(root / "c")
+    generate_pages(corpus, n_rows=200, seed=31, n_files=2)
+    idx = str(root / "i")
+    build_index(
+        idx, corpus, BuildConfig(n_partitions=2, stopwords=frozenset())
+    )
+    from search_engine_ray.query import IndexSearcher
+
+    probe = IndexSearcher(idx, stopwords=frozenset())
+    frames = [
+        r.docs_table(columns=["doc_id", "url", "text", "lang"])
+        for r in probe._readers
+    ]
+    tbl = pa.concat_tables(frames)
+    rows = tbl.to_pylist()
+    vocab = sorted(
+        {
+            w
+            for t in tbl["text"].to_pylist()[:120]
+            for w in t.lower().split()
+            if len(w) > 2 and w.isalnum()
+        }
+    )
+    return idx, rows, vocab
+
+
+def _rand_synonyms(rng, vocab):
+    """Random synonym map: keys are vocab words / multi-word values /
+    absent words, values are vocab words (often-hitting), junk words
+    (gated out by fieldTokens.has) and multi-word strings (never a
+    token → always gated), with mixed casing to exercise the lowering."""
+    syn = {}
+    for _ in range(int(rng.integers(3, 9))):
+        r = rng.random()
+        if r < 0.6:
+            key = str(rng.choice(vocab))
+        elif r < 0.8:
+            key = f"{rng.choice(vocab)} {rng.choice(vocab)}"
+        else:
+            key = "zzq" + str(rng.integers(0, 99))
+        if rng.random() < 0.25:
+            key = key.upper()
+        vals = []
+        for _ in range(int(rng.integers(1, 4))):
+            rv = rng.random()
+            if rv < 0.7:
+                v = str(rng.choice(vocab))
+            elif rv < 0.85:
+                v = "qqz" + str(rng.integers(0, 99))
+            else:
+                v = f"{rng.choice(vocab)} {rng.choice(vocab)}"
+            if rng.random() < 0.25:
+                v = v.capitalize()
+            vals.append(v)
+        syn[key] = vals
+    return syn
+
+
+def _rand_syn_query(rng, syn_keys, vocab):
+    """Queries biased toward synonym keys: term/match/fuzzy leaves,
+    string queries containing a key, and bools over key leaves."""
+    def value():
+        r = rng.random()
+        if r < 0.6 and syn_keys:
+            v = str(rng.choice(syn_keys))
+        else:
+            v = str(rng.choice(vocab))
+        if rng.random() < 0.3:
+            v = v.swapcase()
+        return v
+
+    kind = rng.choice(["term", "match", "fuzzy", "string", "bool"])
+    field = "text" if rng.random() < 0.8 else "*"
+    if kind == "term":
+        return {"term": {"field": field, "value": value()}}
+    if kind == "match":
+        return {"match": {"field": field, "value": value()}}
+    if kind == "fuzzy":
+        node = {"field": field, "value": value()}
+        if rng.random() < 0.6:
+            node["fuzziness"] = int(rng.integers(0, 3))
+        return {"fuzzy": node}
+    if kind == "string":
+        single = [k for k in syn_keys if " " not in k]
+        if single and rng.random() < 0.7:
+            return f"{rng.choice(single)} {rng.choice(vocab)}"
+        return f"{rng.choice(vocab)} {rng.choice(vocab)}"
+    return {"bool": {
+        "must": [{"term": {"field": "text", "value": value()}}],
+        "should": [{"match": {"field": "text", "value": value()}}],
+    }}
+
+
+def test_random_synonyms_battery(synonyms_setup):
+    from search_engine_ray.query import IndexSearcher
+
+    idx, rows, vocab = synonyms_setup
+    rng = np.random.default_rng(61 + PARITY_SEED)
+    failures = []
+    for m in range(_n(6)):
+        syn = _rand_synonyms(rng, vocab)
+        searcher = IndexSearcher(
+            idx, stopwords=frozenset(), synonyms=syn
+        )
+        oracle = OracleEngine(stopwords=frozenset(), synonyms=syn)
+        for row in rows:
+            oracle.add(
+                {"url": row["url"], "text": row["text"],
+                 "lang": row["lang"]},
+                row["doc_id"],
+            )
+        keys = list(syn)
+        for i in range(_n(25)):
+            q = _rand_syn_query(rng, keys, vocab)
+            size = int(rng.integers(1, 25))
+            op = "or" if rng.random() < 0.3 else "and"
+            got = searcher.search(q, size=size, operator=op)
+            want = oracle.search(q, size=size, operator=op)
+            g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
+            if [x[0] for x in g] != [w[0] for w in want]:
+                failures.append((m, i, q, "docids", g[:3], want[:3]))
+                continue
+            for (gd, gs), (wd, ws) in zip(g, want):
+                if abs(gs - ws) > 1e-12 * max(1.0, abs(ws)):
+                    failures.append((m, i, q, "score", (gd, gs), (wd, ws)))
+                    break
+    assert not failures, failures[:3]
