@@ -180,23 +180,42 @@ def run_bench() -> dict:
         cached.search(q, size=10, operator=op)
     extras["cache_hit_qps"] = round(n_q / (time.time() - t0), 1)
 
+    # best-of-2 for every remaining pipeline, both runs recorded (same
+    # rationale as the build: host/VM contention on the shared box
+    # inflates single wall-times 1.5-2.5x — BASELINE.md variance record)
+    pipeline_runs: dict = {}
+
+    def _best_of_2(name, fn):
+        runs = []
+        for _ in range(2):
+            t = time.time()
+            out = fn()
+            runs.append(round(time.time() - t, 3))
+        pipeline_runs[name] = runs
+        results[name] = min(runs)
+        return out
+
     # 3. dedup: minhash-LSH near-dup candidates over sf documents
-    t0 = time.time()
-    docs = read_parquet_clean(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-    pairs = dd.minhash_lsh_candidates(docs, jaccard_threshold=0.5)
-    results["dedup_minhash"] = round(time.time() - t0, 3)
+    def _dedup():
+        docs = read_parquet_clean(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return dd.minhash_lsh_candidates(docs, jaccard_threshold=0.5)
+
+    pairs = _best_of_2("dedup_minhash", _dedup)
     extras["minhash_pairs"] = int(len(pairs))
 
     # 4. similarity: brute-force cosine top-10 for 8 query vectors
-    t0 = time.time()
-    emb = read_parquet_clean(
-        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    qs = np.asarray(
-        emb.limit(8).to_pandas()["embedding"].tolist(), dtype=np.float32
-    )
-    sim.brute_force_topk(emb, qs, k=10)
-    results["similarity_topk"] = round(time.time() - t0, 3)
+    def _similarity():
+        emb = read_parquet_clean(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        qs = np.asarray(
+            emb.limit(8).to_pandas()["embedding"].tolist(), dtype=np.float32
+        )
+        return sim.brute_force_topk(emb, qs, k=10)
+
+    _best_of_2("similarity_topk", _similarity)
 
     # 5. aggregates + windows over events/lineitem — pruned reads, each
     # op timed separately (itemized launch constants), and the three
@@ -213,57 +232,63 @@ def run_bench() -> dict:
         fn()
         agg_times[name] = round(time.time() - t, 3)
 
-    t0 = time.time()
-    with _cf.ThreadPoolExecutor(3) as ex:
-        futs = [
-            ex.submit(
-                _timed, "date_histogram",
-                lambda: agg.date_histogram_agg(
-                    read_parquet_clean(
-                        f"{SF_DIR}/events.parquet", columns=["ts", "value"]
+    def _aggregates():
+        with _cf.ThreadPoolExecutor(3) as ex:
+            futs = [
+                ex.submit(
+                    _timed, "date_histogram",
+                    lambda: agg.date_histogram_agg(
+                        read_parquet_clean(
+                            f"{SF_DIR}/events.parquet",
+                            columns=["ts", "value"],
+                        ),
+                        "ts", "1d", value_field="value",
                     ),
-                    "ts", "1d", value_field="value",
                 ),
-            ),
-            ex.submit(
-                _timed, "tumbling_window",
-                lambda: win.tumbling_window(
-                    read_parquet_clean(
-                        f"{SF_DIR}/events.parquet",
-                        columns=["ts", "user_id", "value"],
+                ex.submit(
+                    _timed, "tumbling_window",
+                    lambda: win.tumbling_window(
+                        read_parquet_clean(
+                            f"{SF_DIR}/events.parquet",
+                            columns=["ts", "user_id", "value"],
+                        ),
+                        "ts", "user_id", 3_600_000_000, "value",
                     ),
-                    "ts", "user_id", 3_600_000_000, "value",
                 ),
-            ),
-            ex.submit(
-                _timed, "terms",
-                lambda: agg.terms_agg(
-                    read_parquet_clean(
-                        f"{SF_DIR}/lineitem.parquet",
-                        columns=["l_returnflag"],
+                ex.submit(
+                    _timed, "terms",
+                    lambda: agg.terms_agg(
+                        read_parquet_clean(
+                            f"{SF_DIR}/lineitem.parquet",
+                            columns=["l_returnflag"],
+                        ),
+                        "l_returnflag",
                     ),
-                    "l_returnflag",
                 ),
-            ),
-        ]
-        for f in futs:
-            f.result()
-    results["aggregates"] = round(time.time() - t0, 3)
+            ]
+            for f in futs:
+                f.result()
+
+    _best_of_2("aggregates", _aggregates)
+    # breakdown keeps the LAST round's per-op times (same contention
+    # regime as the reported best-of total)
     extras["aggregates_breakdown"] = agg_times
 
     # 6. scrub: PII redaction + counts over the full page corpus (the
     #    vectorized-RE2 curation path; docs/s is the headline number)
     from search_engine_ray.stages.scrub import PIIRedactStage
 
-    t0 = time.time()
-    n_red = (
-        read_parquet_clean(corpus, columns=["url", "text"])
-        .map_batches(PIIRedactStage(), batch_format="pyarrow")
-        .count()
+    def _scrub():
+        return (
+            read_parquet_clean(corpus, columns=["url", "text"])
+            .map_batches(PIIRedactStage(), batch_format="pyarrow")
+            .count()
+        )
+
+    n_red = _best_of_2("pii_redact", _scrub)
+    extras["pii_redact_docs_per_sec"] = round(
+        n_red / results["pii_redact"], 1
     )
-    dt = time.time() - t0
-    results["pii_redact"] = round(dt, 3)
-    extras["pii_redact_docs_per_sec"] = round(n_red / dt, 1)
 
     ray.shutdown()
     return {
@@ -273,6 +298,7 @@ def run_bench() -> dict:
         "queries": results,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "pipeline_runs": pipeline_runs,
         **extras,
     }
 
