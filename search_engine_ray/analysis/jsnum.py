@@ -195,3 +195,118 @@ def js_number_strings(col, json_mode: bool = False):
         else:
             out[i] = js_number_str(f)
     return pa.array(out, pa.string())
+
+
+# --- ECMA ToNumber / abstract relational comparison ---------------------
+#
+# The range query's comparison semantics (QueryProcessor.ts:298-328
+# `value < gte` etc. and the naive `_rangeToDocs` QueryEngine.ts:892-905)
+# are the JS abstract relational comparison: ToPrimitive both operands;
+# if BOTH are strings compare by UTF-16 code units, else ToNumber both
+# and any NaN operand makes the comparison false.
+
+_RE_JS_NUM = None  # lazily borrowed from analysis.mappings (same table)
+
+
+def js_to_number(v) -> float:
+    """ECMA ``ToNumber`` for the primitives a comparison can see:
+    None (null) → 0, bool → 0/1, str via StringToNumber (JS-whitespace
+    trim, '' → 0, decimal/hex/octal/binary literals, signed Infinity,
+    anything else NaN).  Objects must go through ``js_to_primitive``
+    first."""
+    global _RE_JS_NUM
+    if v is None:
+        return 0.0
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, (int, float)):
+        return float(v)
+    if not isinstance(v, str):
+        return math.nan
+    if _RE_JS_NUM is None:
+        from .mappings import _RE_JS_NUMBER as _RE_JS_NUM_  # noqa: N811
+
+        _RE_JS_NUM = _RE_JS_NUM_
+    from .analyzers import _js_trim
+
+    t = _js_trim(v)
+    if t == "":
+        return 0.0
+    if not _RE_JS_NUM.match(t):
+        # rejects Python-isms JS does not accept: 'nan', 'inf',
+        # 'infinity' (case-insensitive), '1_0' separators
+        return math.nan
+    low = t.lower()
+    if low.startswith(("0x", "0b", "0o")):
+        return float(int(t, 16 if low[1] == "x" else 2 if low[1] == "b" else 8))
+    if t.endswith("Infinity"):
+        return -math.inf if t.startswith("-") else math.inf
+    return float(t)
+
+
+def js_to_primitive(v):
+    """ToPrimitive for the doc-value types the columnar store can hold:
+    arrays join per ``Array.prototype.toString`` (elements via String(),
+    null/None elements render ''), plain objects → '[object Object]',
+    datetimes → epoch milliseconds (Date valueOf), primitives pass
+    through."""
+    if isinstance(v, (list, tuple)):
+        parts = []
+        for el in v:
+            if el is None:
+                parts.append("")
+            elif isinstance(el, (list, tuple)):
+                parts.append(js_to_primitive(el))
+            elif isinstance(el, dict):
+                parts.append("[object Object]")
+            else:
+                parts.append(js_str(el))
+        return ",".join(parts)
+    if isinstance(v, dict):
+        return "[object Object]"
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.timestamp() * 1000.0
+    if isinstance(v, _dt.date):
+        return (
+            _dt.datetime(v.year, v.month, v.day,
+                         tzinfo=_dt.timezone.utc).timestamp() * 1000.0
+        )
+    return v
+
+
+def js_utf16_key(s: str) -> bytes:
+    """Sort key reproducing JS string comparison (UTF-16 code-unit
+    order): big-endian UTF-16 bytes compare exactly like code units,
+    which differs from UTF-8/code-point order once astral characters
+    (surrogate pairs, units 0xD800-0xDFFF) meet BMP chars ≥ U+E000."""
+    return s.encode("utf-16-be", "surrogatepass")
+
+
+def js_rel(a, b, op: str) -> bool:
+    """JS abstract relational comparison ``a <op> b`` with op one of
+    '<' '<=' '>' '>=' — NaN on either side → False (which is what makes
+    the reference's NEGATED range-processor conditions include every
+    doc whose value does not coerce to a number)."""
+    a = js_to_primitive(a)
+    b = js_to_primitive(b)
+    if isinstance(a, str) and isinstance(b, str):
+        ka, kb = js_utf16_key(a), js_utf16_key(b)
+        if op == "<":
+            return ka < kb
+        if op == "<=":
+            return ka <= kb
+        if op == ">":
+            return ka > kb
+        return ka >= kb
+    na, nb = js_to_number(a), js_to_number(b)
+    if math.isnan(na) or math.isnan(nb):
+        return False
+    if op == "<":
+        return na < nb
+    if op == "<=":
+        return na <= nb
+    if op == ">":
+        return na > nb
+    return na >= nb

@@ -1290,25 +1290,156 @@ class _PartitionEvaluator:
             lambda f: self._field_value_contains_docs(f, value.lower()),
         )
 
+    # exclusion comparison per bound op: _processRange's NEGATED form
+    # (`if (gte !== undefined && value < gte) matches = false`,
+    # QueryProcessor.ts:298-328) — a comparison that evaluates false
+    # (including every NaN comparison) never excludes, so docs whose
+    # value does not coerce to a number match ANY numeric bound.  The
+    # naive `_rangeToDocs` (QueryEngine.ts:892-905) uses the positive
+    # form, which is a subset of this one for every value/bound pair
+    # (identical when both coerce, excluded-vs-included on NaN), so the
+    # per-node union closure is exactly the processor semantics.
+    _RANGE_EXCL = {"gte": "<", "gt": "<=", "lte": ">", "lt": ">="}
+
+    def _range_field_type(self, field: str):
+        try:
+            sch = self.r.docs_schema()
+        except Exception:
+            return None
+        parts = field.split(".")
+        try:
+            cur = sch.field(parts[0]).type
+            for p in parts[1:]:
+                if pa.types.is_struct(cur):
+                    cur = cur.field(p).type
+                else:
+                    return None
+        except KeyError:
+            return None
+        return cur
+
     def _eval_range(self, q) -> np.ndarray:
-        # vectorized docstore scan (reference: full doc scan,
-        # QueryProcessor.ts:298-328)
+        """Range scan with the reference's JS comparison semantics
+        (abstract relational comparison): both-strings → UTF-16
+        code-unit order, else ToNumber both with NaN-comparisons-false
+        under the negated processor form above.  Vectorized Arrow
+        filters serve the common typed cases (numeric column +
+        numeric-coercible bounds, ASCII/BMP string column + string
+        bounds); rows or bounds that need JS coercion quirks fall back
+        to a per-row scalar scan (``js_rel``) — the same full-doc-scan
+        cost class as the reference's own evaluator."""
+        import math as _math
+
+        from ..analysis.jsnum import js_rel, js_to_number, js_to_primitive
+
         field = q["field"]
-        fref = pc.field(*field.split("."))
-        expr = None
-        for op, fn in (("gte", fref >= q.get("gte")),
-                       ("gt", fref > q.get("gt")),
-                       ("lte", fref <= q.get("lte")),
-                       ("lt", fref < q.get("lt"))):
-            if q.get(op) is None:
-                continue
-            expr = fn if expr is None else (expr & fn)
-        if expr is None:
+        bounds = [(op, q[op]) for op in self._RANGE_EXCL if op in q]
+        ftype = self._range_field_type(field)
+        if ftype is None:
             return np.empty(0, dtype=np.int64)
-        tbl = self.r.docs_table(columns=["doc_id"], filter=expr)
-        arr = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        arr.sort()
-        return arr
+        fref = pc.field(*field.split("."))
+
+        def _ids_of(expr) -> np.ndarray:
+            tbl = self.r.docs_table(columns=["doc_id"], filter=expr)
+            arr = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            arr.sort()
+            return arr
+
+        def _python_scan() -> np.ndarray:
+            # scalar js_rel over the non-null rows (dotted struct paths
+            # fetch the root column and walk in python)
+            root = field.split(".")[0]
+            try:
+                tbl = self.r.docs_table(
+                    columns=["doc_id", root], filter=fref.is_valid()
+                )
+            except (KeyError, pa.ArrowInvalid):
+                return np.empty(0, dtype=np.int64)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            vals = tbl[root].to_pylist()
+            for p in field.split(".")[1:]:
+                vals = [v.get(p) if isinstance(v, dict) else None
+                        for v in vals]
+            keep = []
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                if not any(
+                    js_rel(v, b, self._RANGE_EXCL[op]) for op, b in bounds
+                ):
+                    keep.append(ids[i])
+            out = np.asarray(keep, dtype=np.int64)
+            out.sort()
+            return out
+
+        is_num = (
+            pa.types.is_integer(ftype)
+            or pa.types.is_floating(ftype)
+            or pa.types.is_decimal(ftype)
+        )
+        is_str = pa.types.is_string(ftype) or pa.types.is_large_string(
+            ftype
+        )
+        base = fref.is_valid()
+        if is_num or pa.types.is_boolean(ftype) or pa.types.is_timestamp(
+            ftype
+        ) or pa.types.is_date(ftype):
+            # value side coerces numerically (bool → 0/1, Date → epoch
+            # ms via valueOf); bounds via ToPrimitive→ToNumber, NaN
+            # bounds never exclude
+            col = fref
+            if pa.types.is_boolean(ftype):
+                col = fref.cast(pa.int8())
+            elif pa.types.is_timestamp(ftype) or pa.types.is_date(ftype):
+                col = fref.cast(pa.timestamp("ms")).cast(pa.int64())
+            expr = base
+            for op, b in bounds:
+                nb = js_to_number(js_to_primitive(b))
+                if _math.isnan(nb):
+                    continue
+                rel = self._RANGE_EXCL[op]
+                excl = (
+                    col < nb if rel == "<" else
+                    col <= nb if rel == "<=" else
+                    col > nb if rel == ">" else
+                    col >= nb
+                )
+                expr = expr & ~excl
+            return _ids_of(expr)
+        if is_str:
+            prim = [(op, js_to_primitive(b)) for op, b in bounds]
+            if all(isinstance(b, str) for _, b in prim):
+                # both-strings comparisons: Arrow's UTF-8 order equals
+                # JS code-unit order while everything stays in the BMP
+                bmp_bounds = all(
+                    max(map(ord, b), default=0) <= 0xFFFF for _, b in prim
+                )
+                if bmp_bounds:
+                    astral = self.r.docs_table(
+                        columns=["doc_id"],
+                        filter=base & pc.match_substring_regex(
+                            fref, "[\\x{10000}-\\x{10FFFF}]"
+                        ),
+                    )
+                    if astral.num_rows == 0:
+                        expr = base
+                        for op, b in prim:
+                            rel = self._RANGE_EXCL[op]
+                            excl = (
+                                fref < b if rel == "<" else
+                                fref <= b if rel == "<=" else
+                                fref > b if rel == ">" else
+                                fref >= b
+                            )
+                            expr = expr & ~excl
+                        return _ids_of(expr)
+            return _python_scan()
+        # list / struct / other object-typed columns: ToPrimitive rows
+        return _python_scan()
 
     def _eval_geo(self, q) -> np.ndarray:
         # haversine doc scan, R=6371e3 m (QueryProcessor.ts:437-527)

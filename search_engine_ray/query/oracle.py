@@ -328,22 +328,25 @@ class OracleEngine:
         if "phrase" in node:
             return self._eval_phrase(node["phrase"])
         if "range" in node:
+            # _processRange's NEGATED comparisons under JS abstract
+            # relational semantics (QueryProcessor.ts:298-328): a false
+            # comparison — including every NaN comparison — never
+            # excludes, so string values that don't coerce numerically
+            # match ANY numeric bound, and a PRESENT bound of None is
+            # ToNumber(null)=0.  The naive _rangeToDocs positive form
+            # (QueryEngine.ts:892-905) is a subset for every value/bound
+            # pair, so the union closure is exactly this arm.
+            from ..analysis.jsnum import js_rel
+
             q = node["range"]
+            excl = {"gte": "<", "gt": "<=", "lte": ">", "lt": ">="}
+            bounds = [(op, q[op]) for op in excl if op in q]
             out = set()
             for did, doc in self.docs.items():
                 v = doc.get(q["field"])
                 if v is None:
                     continue
-                ok = True
-                if q.get("gte") is not None and not v >= q["gte"]:
-                    ok = False
-                if q.get("gt") is not None and not v > q["gt"]:
-                    ok = False
-                if q.get("lte") is not None and not v <= q["lte"]:
-                    ok = False
-                if q.get("lt") is not None and not v < q["lt"]:
-                    ok = False
-                if ok:
+                if not any(js_rel(v, b, excl[op]) for op, b in bounds):
                     out.add(did)
             return out
         if "bool" in node:

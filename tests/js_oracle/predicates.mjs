@@ -72,6 +72,17 @@ function stringFieldMatch(fieldVal, value, fuzziness) {
 
 function levRef(a, b) { return lev(a, b); }
 
+// QueryProcessor.ts:298-328 / QueryEngine.ts:892-905 — a range
+// condition is a bare JS relational operator over the raw doc value
+// and bound (abstract relational comparison: both-strings → code-unit
+// order, else ToNumber with NaN comparisons false)
+function rangeRel(a, b, rel) {
+  if (rel === '<') return a < b;
+  if (rel === '<=') return a <= b;
+  if (rel === '>') return a > b;
+  return a >= b;
+}
+
 const rl = createInterface({ input: process.stdin, terminal: false });
 rl.on('line', (line) => {
   if (!line.trim()) return;
@@ -102,7 +113,9 @@ rl.on('line', (line) => {
                       : q.op === 'dateparse'
                         ? (isNaN(Date.parse(q.s)) ? null
                            : Date.parse(q.s))
-                        : computeScore(q.doc, q.query);
+                        : q.op === 'rel'
+                          ? rangeRel(q.a, q.b, q.rel)
+                          : computeScore(q.doc, q.query);
   process.stdout.write(JSON.stringify({ r }) + '\n');
 });
 

@@ -724,3 +724,69 @@ class TestQuerySemanticsFixes:
         # reference adds synonym postings regardless of fuzziness
         assert set(bob["doc_id"]) <= set(fz["doc_id"])
         assert len(bob) > 0
+
+
+class TestRangeJsComparisonSemantics:
+    """Range conditions are bare JS relational operators over the raw
+    doc value (QueryProcessor.ts:298-328, negated form — a false/NaN
+    comparison never excludes; naive arm QueryEngine.ts:892-905 is a
+    subset).  Mixed-type cells used to raise ArrowNotImplementedError."""
+
+    @pytest.fixture(scope="class")
+    def range_idx(self, tmp_path_factory, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        root = tmp_path_factory.mktemp("rjs")
+        tbl = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["alpha one", "beta two", "gamma three"],
+                pa.large_string(),
+            ),
+            "lang": pa.array(["en", "de", "42"], pa.large_string()),
+            "n": pa.array([3, 7, 11], pa.int64()),
+        })
+        src = str(root / "docs.parquet")
+        pq.write_table(tbl, src)
+        idx = str(root / "idx")
+        build_index(
+            idx, src,
+            BuildConfig(
+                fields=(("text", "standard"), ("lang", "keyword")),
+                id_column="doc_id", extract_html=False, dedup=False,
+                read_columns=["doc_id", "text", "lang", "n"],
+            ),
+        )
+        return IndexSearcher(idx)
+
+    def _ids(self, s, node):
+        return sorted(s.search({"range": node}, size=10)["doc_id"].tolist())
+
+    def test_numeric_bound_on_string_field_matches_all(self, range_idx):
+        # 'en' < 5 and 'de' < 5 are NaN comparisons → false → never
+        # excluded; '42' coerces to 42 → 42 < 5 false → kept too
+        assert self._ids(range_idx, {"field": "lang", "gte": 5}) == [1, 2, 3]
+        # naive positive form alone would keep only '42' — processor
+        # (superset) semantics win under the union closure
+        assert self._ids(range_idx, {"field": "lang", "lt": 5}) == [1, 2]
+
+    def test_string_bound_on_numeric_field_coerces(self, range_idx):
+        assert self._ids(range_idx, {"field": "n", "gte": "5"}) == [2, 3]
+        # unparseable bound → NaN → never excludes → all docs w/ field
+        assert self._ids(range_idx, {"field": "n", "gte": "abc"}) == [1, 2, 3]
+
+    def test_string_string_stays_lexicographic(self, range_idx):
+        assert self._ids(range_idx, {"field": "lang", "gte": "a"}) == [1, 2]
+
+    def test_no_bounds_matches_every_doc_with_field(self, range_idx):
+        # matches stays true through zero conditions
+        assert self._ids(range_idx, {"field": "lang"}) == [1, 2, 3]
+
+    def test_explicit_null_bound_is_tonumber_zero(self, range_idx):
+        # gte !== undefined passes for null; value < null → value < 0
+        assert self._ids(range_idx, {"field": "n", "gte": None}) == [1, 2, 3]
+        assert self._ids(range_idx, {"field": "n", "lt": None}) == []

@@ -931,3 +931,62 @@ def test_date_histogram_string_parse_vs_node():
         if got != want:
             failures.append((s, got, want))
     assert not failures, failures
+
+
+def test_range_relational_matches_node():
+    """``js_rel`` (the range query's comparison model: ToPrimitive,
+    both-strings → UTF-16 code-unit order, else ToNumber with
+    NaN-comparisons-false) against real JS relational operators over
+    the raw value/bound shapes a range condition can see
+    (QueryProcessor.ts:298-328 compares them bare)."""
+    import numpy as _np
+
+    from search_engine_ray.analysis.jsnum import js_rel
+
+    rng = _np.random.default_rng(83 + PARITY_SEED)
+    strings = [
+        "", " ", "42", "  42 ", "-3.5e2", ".5", "5.", "0x1A", "0b101",
+        "0o17", "Infinity", "-Infinity", "+Infinity", "inf", "nan",
+        "1_0", "abc", "a b", "Z", "zz", "0", "-0", " 42 ",
+        "﻿7﻿", "1e309", "??", "퟿", "", "￿",
+        "\U00010000", "x\U0001F600y", "straße", "İ",
+    ]
+    # no float('inf') operand: JSON cannot carry it — the 'Infinity'
+    # STRING forms cover the ToNumber(±∞) path instead
+    numbers = [0, -0.0, 1, -1, 3.5, 1e16, -2.5e-3, 1e308]
+    arrays = [[], [1], ["b"], [1, 2], ["a", None], [[1], 2]]
+    objects = [{}, {"a": 1}]
+
+    def draw():
+        k = rng.random()
+        if k < 0.45:
+            return str(rng.choice(strings))
+        if k < 0.7:
+            return numbers[int(rng.integers(0, len(numbers)))]
+        if k < 0.8:
+            return bool(rng.integers(0, 2))
+        if k < 0.85:
+            return None
+        if k < 0.95:
+            return arrays[int(rng.integers(0, len(arrays)))]
+        return objects[int(rng.integers(0, len(objects)))]
+
+    cases = []
+    for _ in range(_n(400)):
+        cases.append({
+            "op": "rel", "a": draw(), "b": draw(),
+            "rel": str(rng.choice(["<", "<=", ">", ">="])),
+        })
+    proc = subprocess.run(
+        [NODE, PRED_ORACLE],
+        input="\n".join(json.dumps(c) for c in cases),
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[:2000]
+    failures = []
+    for case, line in zip(cases, proc.stdout.splitlines()):
+        want = json.loads(line)["r"]
+        got = js_rel(case["a"], case["b"], case["rel"])
+        if got != want:
+            failures.append((case, got, want))
+    assert not failures, failures[:5]

@@ -773,3 +773,99 @@ def test_random_synonyms_battery(synonyms_setup):
                     failures.append((m, i, q, "score", (gd, gs), (wd, ws)))
                     break
     assert not failures, failures[:3]
+
+
+# --- mixed-type range battery -------------------------------------------
+#
+# Range queries compare RAW doc values against bounds with bare JS
+# relational operators (QueryProcessor.ts:298-328, negated form; naive
+# arm QueryEngine.ts:892-905 positive form ⊆ processor).  A corpus with
+# string / numeric / bool / list columns × string / numeric / bool /
+# null / absent bounds exercises the coercion quirks: NaN comparisons
+# never exclude (numeric bound over a non-numeric string field matches
+# every doc with the field), '0x1A'-style values coerce, both-strings
+# compare by UTF-16 code units.
+
+
+@pytest.fixture(scope="module")
+def range_setup(tmp_path_factory, ray_session):
+    import pyarrow.parquet as _pq
+
+    from search_engine_ray.index_build import BuildConfig, build_index
+    from search_engine_ray.query import IndexSearcher
+
+    rng = np.random.default_rng(17)
+    n = 240
+    str_pool = [
+        "", " ", "42", "  7 ", "abc", "0x1A", "Infinity", "-3.5",
+        "zz", "a b", "0", "5.", ".5", "1e3", "muno", "-Infinity",
+    ]
+    svals = [str(rng.choice(str_pool)) for _ in range(n)]
+    nvals = [
+        float(rng.choice([0, -1, 3, 7.5, 42, 1e6, -2.5])) for _ in range(n)
+    ]
+    bvals = [bool(rng.integers(0, 2)) for _ in range(n)]
+    lvals = [
+        [str(rng.choice(["a", "b", "3"]))
+         for _ in range(int(rng.integers(0, 3)))]
+        for _ in range(n)
+    ]
+    root = tmp_path_factory.mktemp("rrange")
+    tbl = pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array([f"doc number {i}" for i in range(n)],
+                         pa.large_string()),
+        "sv": pa.array(svals, pa.large_string()),
+        "nv": pa.array(nvals, pa.float64()),
+        "bv": pa.array(bvals, pa.bool_()),
+        "lv": pa.array(lvals, pa.list_(pa.string())),
+    })
+    src = str(root / "docs.parquet")
+    _pq.write_table(tbl, src)
+    idx = str(root / "idx")
+    build_index(
+        idx, src,
+        BuildConfig(
+            fields=(("text", "standard"), ("sv", "keyword")),
+            id_column="doc_id", extract_html=False, dedup=False,
+            read_columns=["doc_id", "text", "sv", "nv", "bv", "lv"],
+            stopwords=frozenset(),
+        ),
+    )
+    searcher = IndexSearcher(idx, stopwords=frozenset())
+    oracle = OracleEngine(
+        fields=(("text", "standard"), ("sv", "keyword")),
+        stopwords=frozenset(), text_fields=("text",),
+    )
+    for i in range(n):
+        oracle.add(
+            {"text": f"doc number {i}", "sv": svals[i], "nv": nvals[i],
+             "bv": bvals[i], "lv": lvals[i]},
+            i + 1,
+        )
+    return searcher, oracle
+
+
+def test_random_mixed_type_range_battery(range_setup):
+    searcher, oracle = range_setup
+    rng = np.random.default_rng(29 + PARITY_SEED)
+    bound_pool = [
+        5, 0, -1, 3.5, "5", "abc", "a", "zz", "0x10", "Infinity", "",
+        " 7 ", True, False, None, "b", "a,b",
+    ]
+    failures = []
+    for i in range(_n(120)):
+        field = str(rng.choice(["sv", "nv", "bv", "lv"]))
+        node = {"field": field}
+        for op in ("gte", "gt", "lte", "lt"):
+            if rng.random() < 0.4:
+                node[op] = bound_pool[int(rng.integers(0, len(bound_pool)))]
+        q = {"range": node}
+        size = int(rng.integers(1, 30))
+        got = searcher.search(q, size=size)
+        want = oracle.search(q, size=size)
+        g = list(zip(got["doc_id"].tolist(), got["score"].tolist()))
+        if [x[0] for x in g] != [w[0] for w in want]:
+            failures.append((i, q, [x[0] for x in g][:5],
+                             [w[0] for w in want][:5]))
+    assert not failures, failures[:3]
