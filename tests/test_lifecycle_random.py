@@ -57,7 +57,7 @@ def _rand_doc(rng, did):
     body = " ".join(str(w) for w in rng.choice(VOCAB, rng.integers(4, 10)))
     tag = str(rng.choice(["red", "green", "blue", "x1"]))
     doc = {"id": did, "title": " ".join(words), "body": body,
-           "tag": tag}
+           "tag": tag, "num": int(rng.integers(-5, 50))}
     if rng.random() < 0.25:  # late-introduced field → mapping widening
         f = str(rng.choice(EXTRA_FIELDS))
         doc[f] = " ".join(
@@ -77,8 +77,18 @@ def _rand_query(rng, model):
     w = str(rng.choice(VOCAB))
     kind = rng.choice(
         ["term", "match", "string", "prefix", "wildcard", "raw_sub",
-         "phrase", "bool"],
+         "phrase", "bool", "range"],
     )
+    if kind == "range":
+        # numeric field × numeric/string/absent bounds — the JS
+        # relational model (NaN comparisons never exclude) through
+        # delta partitions and tombstones
+        node = {"field": "num"}
+        pool = [0, 10, 25, "5", "abc", "  7 ", -3]
+        for op in ("gte", "gt", "lte", "lt"):
+            if rng.random() < 0.45:
+                node[op] = pool[int(rng.integers(0, len(pool)))]
+        return {"range": node}
     if kind == "string":
         return " ".join(str(x) for x in rng.choice(VOCAB, 2))
     if kind == "term":
@@ -125,7 +135,8 @@ def _oracle_ids(model, query, operator="and"):
     for i, (did, doc) in enumerate(sorted(model.items())):
         oracle.add(
             {k: doc[k]
-             for k in ("title", "body", *EXTRA_FIELDS) if k in doc},
+             for k in ("title", "body", "num", *EXTRA_FIELDS)
+             if k in doc},
             i,
         )
         by_int[i] = did
