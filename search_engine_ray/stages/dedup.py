@@ -278,16 +278,20 @@ def _minhash_lsh_small(
     a few hundred thousand rows)."""
     import ray as _ray
 
+    # task pool, not an actor pool: a small input has only a handful of
+    # blocks, so spinning default_pool_size() actors costs 1-2 s of
+    # startup for workers that never see a batch.  MinHasher.__init__ is
+    # 128 RNG draws — building the instance ONCE on the driver and
+    # letting each task deserialize it keeps the once-per-worker setup
+    # semantics without the pool.
     sig_ds = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
+        MinHasher(
             num_perm=num_perm,
             shingle_k=shingle_k,
             text_column=text_column,
             id_column=id_column,
         ),
         batch_format="pyarrow",
-        concurrency=default_pool_size(),
     ).materialize()
 
     mixed = (
