@@ -260,14 +260,19 @@ def _prefix_nested_fields(node, path: str):
 def _explode_listlike(series: pd.Series) -> pd.Series:
     """Explode array-valued cells (parquet list columns arrive as numpy
     arrays / lists) so facet/terms bucketing counts each element once;
-    scalar columns pass through untouched (no copy)."""
+    scalar columns pass through untouched (no copy).
+
+    The serving tier is per-DOC (`Array.isArray(value) ? value :
+    [value]`, SharedMemoryWorkerPool.ts:1012 `_getFieldValues`), so a
+    MIXED series — a facet field that was a scalar in one delta
+    partition and a list in a later one — must still explode the list
+    cells while scalars pass through.  Sniffing only the first non-null
+    cell missed exactly that shape (the joined `String(value)` bucket
+    'blue,red' instead of per-element counts)."""
     if series.dtype == object:
         for v in series:
-            if v is None or (isinstance(v, float) and v != v):
-                continue  # find the first non-null to sniff the type
             if isinstance(v, (list, tuple, np.ndarray)):
                 return series.explode()
-            break
     return series
 
 

@@ -964,3 +964,44 @@ class TestAddTimeMappingWidening:
             assert "fresh" in after  # new field still widens
         finally:
             srv.stop()
+
+
+class TestMixedScalarListFacet:
+    """A facet/agg field that was a SCALAR in one delta partition and a
+    LIST in a later one still counts per element: the serving tier is
+    per-doc `Array.isArray(value) ? value : [value]`
+    (SharedMemoryWorkerPool.ts:1012 _getFieldValues).  The old
+    first-non-null sniff in _explode_listlike joined the list cells
+    into one 'blue,red' bucket."""
+
+    def test_facets_and_terms_agg_across_mixed_partitions(
+        self, tmp_path_factory, ray_session
+    ):
+        from search_engine_ray.server import SearchServer
+
+        root = str(tmp_path_factory.mktemp("mixfac"))
+        srv = SearchServer(root)
+        port = srv.start()
+        try:
+            _req(port, "/index", {"indexName": "mf",
+                                  "facetFields": ["tag"]})
+            _req(port, "/index/mf/documents", {"documents": [
+                {"id": "a", "title": "muno", "tag": "red"},
+            ]})
+            _req(port, "/index/mf/flush", {})
+            _req(port, "/index/mf/documents", {"documents": [
+                {"id": "b", "title": "rilo", "tag": ["blue", "red"]},
+            ]})
+            _req(port, "/index/mf/flush", {})
+            code, res = _req(port, "/search/mf", {
+                "query": {"match_all": {}}, "size": 10,
+                "aggregations": {"t": {"terms": {"field": "tag",
+                                                 "size": 10}}},
+            })
+            assert code == 200
+            assert res["facets"] == {"tag": {"red": 2, "blue": 1}}
+            got = {b["key"]: b["doc_count"]
+                   for b in res["aggregations"]["t"]["buckets"]}
+            assert got == {"red": 2, "blue": 1}
+        finally:
+            srv.stop()
