@@ -26,7 +26,7 @@ import json
 import os
 import re
 import shutil
-from typing import List, Optional
+from typing import Dict, List, Optional
 
 from .build import BuildConfig, _atomic_write_json, build_partition
 
@@ -134,9 +134,19 @@ def recover_compaction(index_dir: str) -> bool:
     if os.path.exists(marker):
         with open(marker) as f:
             m = json.load(f)
-        if m.get("new") is not None:
-            tmp_dir = os.path.join(parts_dir, m["tmp"])
-            final_dir = os.path.join(parts_dir, m["new"])
+        news = m.get("new")
+        # "new"/"tmp" are scalars for a single-group merge, LISTS when
+        # a mixed-schema compaction commits several merged partitions
+        # in one marker; roll each pair forward idempotently
+        if news is None:
+            pairs = []
+        elif isinstance(news, list):
+            pairs = list(zip(m["tmp"], news))
+        else:
+            pairs = [(m["tmp"], news)]
+        for tmp_name, new_name in pairs:
+            tmp_dir = os.path.join(parts_dir, tmp_name)
+            final_dir = os.path.join(parts_dir, new_name)
             if os.path.isdir(final_dir) and os.path.isdir(tmp_dir):
                 # rename is atomic, so both existing means the tmp is a
                 # stale leftover of an even earlier crash — final wins
@@ -266,6 +276,7 @@ def _compaction_exclusions(
         )
     out = {}
     survivors = 0
+    per_part_survivors: Dict[str, int] = {}
     newer: Optional[np.ndarray] = None
     for p in reversed(parts):
         ids = per_part_ids[p]
@@ -285,8 +296,54 @@ def _compaction_exclusions(
                 ) + os.sep
             ] = ex
         survivors += int(ids.size - ex.size)
+        per_part_survivors[p] = int(ids.size - ex.size)
         newer = ids if newer is None else np.union1d(newer, ids)
-    return (out or None), survivors
+    return (out or None), survivors, per_part_survivors
+
+
+def _schema_groups(index_dir: str, parts: List[str]) -> List[List[str]]:
+    """Group partitions whose docstore parquet schemas UNIFY (one
+    metadata read per partition — all of a partition's doc files share
+    the schema its build wrote).  Greedy in partition order, so the
+    common case (identical or widened-column schemas) stays one group;
+    a type CLASH (string vs list<string> for the same field) opens a
+    new group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def _schema(p: str):
+        fs = sorted(
+            glob.glob(
+                os.path.join(index_dir, "partitions", p, "docs", "*.parquet")
+            )
+        )
+        return pq.read_schema(fs[0]) if fs else None
+
+    groups: List[List[str]] = []
+    accs: List[List] = []
+    for p in parts:
+        sch = _schema(p)
+        if sch is None:
+            if groups:
+                groups[0].append(p)
+            else:
+                groups.append([p])
+                accs.append([])
+            continue
+        placed = False
+        for gi, acc in enumerate(accs):
+            try:
+                pa.unify_schemas([*acc, sch])
+                acc.append(sch)
+                groups[gi].append(p)
+                placed = True
+                break
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                continue
+        if not placed:
+            groups.append([p])
+            accs.append([sch])
+    return groups
 
 
 def compact_index(
@@ -329,7 +386,7 @@ def compact_index(
         # single partition AND no pending deletes: nothing to merge
         # (tombstones force a rewrite so the deleted docs leave disk)
         return gm
-    exclude, n_survivors = _compaction_exclusions(
+    exclude, n_survivors, per_part_survivors = _compaction_exclusions(
         index_dir, parts, tomb=tomb_snapshot
     )
     if parts and n_survivors == 0:
@@ -351,15 +408,13 @@ def compact_index(
             remove_tombstones(index_dir, tomb_snapshot)
         return manifest
 
-    doc_files = [
-        f
-        for p in parts
-        for f in sorted(
-            glob.glob(
-                os.path.join(index_dir, "partitions", p, "docs", "*.parquet")
-            )
-        )
-    ]
+    # a JS document store has no schema, so delta partitions can carry
+    # the SAME field at different Arrow types (scalar string in one,
+    # list<string> in a later one — see the flush-side type-shape
+    # split).  Such doc files cannot merge into one typed table: group
+    # partitions by docstore-schema unifiability and merge WITHIN each
+    # group, committing every merged partition through one marker.
+    part_groups = _schema_groups(index_dir, parts)
     if cfg is None:
         mappings = gm.get("mappings")
         cfg = BuildConfig(
@@ -387,34 +442,75 @@ def compact_index(
             cfg, id_column="doc_id", extract_html=False, dedup=False,
             n_partitions=1,
         )
-    new_name = next_partition_name(index_dir)
-    tmp_name = _COMPACT_TMP_PREFIX + new_name
-    tmp_dir = os.path.join(index_dir, "partitions", tmp_name)
-    shutil.rmtree(tmp_dir, ignore_errors=True)
-    pm = build_partition(tmp_dir, doc_files, cfg, exclude_by_prefix=exclude)
-    if pm["n_docs"] != n_survivors:
-        # cross-check: a prefix/path-form mismatch in the exclusion
-        # filter would silently resurrect superseded or deleted docs —
-        # fail loudly (pre-commit, so the old partitions stay live)
+    # reserve one output name per group upfront (next_partition_name
+    # scans EXISTING dirs, so two pre-rename groups would collide)
+    have = _partition_names(index_dir)
+    base = 1 + max((int(p[1:]) for p in have), default=-1)
+    built = []  # (tmp_name, new_name) per non-empty group
+    for g in part_groups:
+        g_files = [
+            f
+            for p in g
+            for f in sorted(
+                glob.glob(
+                    os.path.join(
+                        index_dir, "partitions", p, "docs", "*.parquet"
+                    )
+                )
+            )
+        ]
+        g_expected = sum(per_part_survivors[p] for p in g)
+        if g_expected == 0:
+            # every doc of this group is superseded/tombstoned — the
+            # group is simply dropped at commit
+            continue
+        new_name = f"p{base + len(built):05d}"
+        tmp_name = _COMPACT_TMP_PREFIX + new_name
+        tmp_dir = os.path.join(index_dir, "partitions", tmp_name)
         shutil.rmtree(tmp_dir, ignore_errors=True)
-        raise RuntimeError(
-            f"compaction doc-count mismatch: merged partition holds "
-            f"{pm['n_docs']} docs but {n_survivors} should survive "
-            "(exclusion filter prefixes may not match the read paths)"
+        pm = build_partition(
+            tmp_dir, g_files, cfg, exclude_by_prefix=exclude
         )
+        if pm["n_docs"] != g_expected:
+            # cross-check: a prefix/path-form mismatch in the exclusion
+            # filter would silently resurrect superseded or deleted
+            # docs — fail loudly (pre-commit, old partitions stay live)
+            for t, _ in built + [(tmp_name, new_name)]:
+                shutil.rmtree(
+                    os.path.join(index_dir, "partitions", t),
+                    ignore_errors=True,
+                )
+            raise RuntimeError(
+                f"compaction doc-count mismatch: merged partition holds "
+                f"{pm['n_docs']} docs but {g_expected} should survive "
+                "(exclusion filter prefixes may not match the read paths)"
+            )
+        built.append((tmp_name, new_name))
     _crashpoint("post_build")
-    # COMMIT POINT: once the marker exists, recovery rolls forward
+    # COMMIT POINT: once the marker exists, recovery rolls forward.
+    # Single-group merges keep the scalar marker form; mixed-schema
+    # merges commit every group through one list-form marker.
     _write_marker(
         index_dir,
         {
-            "new": new_name,
-            "tmp": tmp_name,
+            "new": (
+                built[0][1] if len(built) == 1
+                else [n for _, n in built]
+            ),
+            "tmp": (
+                built[0][0] if len(built) == 1
+                else [t for t, _ in built]
+            ),
             "drop": parts,
             "mappings": gm.get("mappings"),
         },
     )
     _crashpoint("post_marker")
-    os.rename(tmp_dir, os.path.join(index_dir, "partitions", new_name))
+    for tmp_name, new_name in built:
+        os.rename(
+            os.path.join(index_dir, "partitions", tmp_name),
+            os.path.join(index_dir, "partitions", new_name),
+        )
     _crashpoint("post_rename")
     for p in parts:
         shutil.rmtree(os.path.join(index_dir, "partitions", p))

@@ -128,6 +128,42 @@ def _doc_id_for(doc: Dict[str, Any]) -> str:
     ).hexdigest()
 
 
+def _type_shape(v: Any) -> str:
+    """Arrow-compatibility signature of a JSON value: docs whose fields
+    share signatures columnarize into one typed table.  int and float
+    merge (Arrow promotes); bool is its own lane; lists carry their
+    element shapes; dicts their per-key shapes."""
+    if v is None:
+        return "z"
+    if isinstance(v, bool):
+        return "b"
+    if isinstance(v, (int, float)):
+        return "n"
+    if isinstance(v, str):
+        return "s"
+    if isinstance(v, (list, tuple)):
+        return "l<" + ",".join(sorted({_type_shape(x) for x in v})) + ">"
+    if isinstance(v, dict):
+        return "o{" + ",".join(
+            f"{k}:{_type_shape(x)}" for k, x in sorted(v.items())
+        ) + "}"
+    return "?"
+
+
+def _split_by_type_shape(
+    docs: List[Dict[str, Any]]
+) -> List[List[Dict[str, Any]]]:
+    """Group a buffered batch by per-field type signature so each group
+    forms a cleanly-typed Arrow table (JS docs have no schema — one
+    batch can hold {'tag': 'red'} and {'tag': ['a','b']}).  Insertion
+    order is preserved within and across groups."""
+    groups: Dict[tuple, List[Dict[str, Any]]] = {}
+    for d in docs:
+        sig = tuple(sorted((k, _type_shape(v)) for k, v in d.items()))
+        groups.setdefault(sig, []).append(d)
+    return list(groups.values())
+
+
 class IndexHandle:
     """Server-side state for one index: config + buffer + searcher."""
 
@@ -326,45 +362,66 @@ class IndexHandle:
 
         parts_dir = os.path.join(self.index_dir, "partitions")
         os.makedirs(parts_dir, exist_ok=True)
-        pname = next_partition_name(self.index_dir)
 
-        tmp_parquet = os.path.join(self.index_dir, f".delta_{pname}.parquet")
         # from_pylist infers the schema from the FIRST row's keys only —
         # a field absent from the first buffered doc would silently
         # never be indexed; build per-column arrays over the key union
-        all_keys = list(dict.fromkeys(k for d in docs for k in d))
-        pq.write_table(
-            pa.table(
-                {k: pa.array([d.get(k) for d in docs]) for k in all_keys}
-            ),
-            tmp_parquet,
-        )
+        def _doc_table(group: List[Dict[str, Any]]) -> "pa.Table":
+            keys = list(dict.fromkeys(k for d in group for k in d))
+            return pa.table(
+                {k: pa.array([d.get(k) for d in group]) for k in keys}
+            )
+
+        # a JS document store accepts ANY value shape per field, so one
+        # buffered batch may hold {'tag': 'red'} and {'tag': ['a','b']}
+        # — unrepresentable as one typed Arrow column.  Fast path: one
+        # table; on a type clash, split the batch by per-field TYPE
+        # SIGNATURE into several delta partitions (per-partition column
+        # types stay clean, per-doc value shapes stay exact — the
+        # searcher already merges heterogeneous column types across
+        # partitions for scans, facets and aggs).
         try:
-            # a delta built without the base's stemmer or stopwords
-            # would use a different term space than the partitions it
-            # joins (same reason compact_index inherits them,
-            # compact.py BuildConfig); first flush of a fresh index has
-            # no manifest yet → BuildConfig defaults
-            gm: Dict[str, Any] = {}
-            mpath = os.path.join(self.index_dir, "manifest.json")
-            if os.path.exists(mpath):
-                with open(mpath) as f:
-                    gm = json.load(f)
-            cfg = BuildConfig(
-                mappings=self.mappings,
-                doc_key_column="id",
-                extract_html=False,
-                dedup=False,
-                n_partitions=1,
-                stem_by_lang=gm.get("stem_by_lang", False),
-                stopwords=frozenset(gm.get("stopwords", ())),
-                store_positions=gm.get("store_positions", True),
+            groups = [(docs, _doc_table(docs))]
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            groups = [
+                (g, _doc_table(g)) for g in _split_by_type_shape(docs)
+            ]
+
+        # a delta built without the base's stemmer or stopwords
+        # would use a different term space than the partitions it
+        # joins (same reason compact_index inherits them,
+        # compact.py BuildConfig); first flush of a fresh index has
+        # no manifest yet → BuildConfig defaults
+        gm: Dict[str, Any] = {}
+        mpath = os.path.join(self.index_dir, "manifest.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                gm = json.load(f)
+        cfg = BuildConfig(
+            mappings=self.mappings,
+            doc_key_column="id",
+            extract_html=False,
+            dedup=False,
+            n_partitions=1,
+            stem_by_lang=gm.get("stem_by_lang", False),
+            stopwords=frozenset(gm.get("stopwords", ())),
+            store_positions=gm.get("store_positions", True),
+        )
+        pnames: List[str] = []
+        for _, g_tbl in groups:
+            pname = next_partition_name(self.index_dir)
+            tmp_parquet = os.path.join(
+                self.index_dir, f".delta_{pname}.parquet"
             )
-            build_partition(
-                os.path.join(parts_dir, pname), [tmp_parquet], cfg
-            )
-        finally:
-            os.unlink(tmp_parquet)
+            pq.write_table(g_tbl, tmp_parquet)
+            try:
+                build_partition(
+                    os.path.join(parts_dir, pname), [tmp_parquet], cfg
+                )
+            finally:
+                os.unlink(tmp_parquet)
+            pnames.append(pname)
+        pname = pnames[0]
 
         # a re-added (previously deleted) id is alive again the moment
         # its new version lands in a partition: clear its tombstone, or
@@ -405,6 +462,7 @@ class IndexHandle:
         out = {
             "flushed": len(docs),
             "partition": pname,
+            **({"partitions": pnames} if len(pnames) > 1 else {}),
             # LOGICAL doc count (upsert-superseded copies and tombstoned
             # deletes excluded) — the reference's totalDocs
             # (SearchEngine.ts:223-225): re-adding an id must not

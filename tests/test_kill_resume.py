@@ -202,3 +202,95 @@ def test_sigkill_mid_build_then_resume(tmp_path):
     b = IndexSearcher(idx_clean).search("the data", size=20, operator="or")
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert a["score"].tolist() == b["score"].tolist()
+
+
+def test_mixed_schema_compaction_crash_recovery(tmp_path, ray_session):
+    """A mixed-schema compaction commits SEVERAL merged partitions
+    through one list-form marker — a crash at any window point must
+    recover to the same search results (no doc lost, none resurrected)
+    with disk and manifest agreeing."""
+    import json
+    import shutil as _sh
+
+    from search_engine_ray.index_build import compact as cmod
+    from search_engine_ray.query import IndexSearcher
+    from search_engine_ray.server import SearchServer
+
+    root = str(tmp_path / "srv")
+    srv = SearchServer(root)
+    port = srv.start()
+    try:
+        _req_lifecycle = __import__(
+            "tests.test_server", fromlist=["_req"]
+        )._req
+        _req_lifecycle(port, "/index", {"indexName": "mx"})
+        _req_lifecycle(port, "/index/mx/documents", {"documents": [
+            {"id": "a", "title": "muno kedota", "tag": "red"},
+            {"id": "b", "title": "rilo plim", "tag": ["blue", "red"]},
+            {"id": "c", "title": "vestara muno", "tag": "blue"},
+            {"id": "d", "title": "koju sarki", "tag": ["green"]},
+        ]})
+        _req_lifecycle(port, "/index/mx/flush", {})
+        # tombstone one doc so compaction has real reclaim work
+        _req_lifecycle(port, "/index/mx/documents/delete", {"ids": ["c"]})
+    finally:
+        srv.stop()
+    idx0 = os.path.join(root, "mx")
+    base = IndexSearcher(idx0).search(
+        {"term": {"field": "title", "value": "muno"}}, size=20
+    )
+    # expected END state = a clean compaction (scores shift vs the
+    # tombstoned pre-state: reclaiming doc 'c' changes df/avgdl)
+    idx_clean = str(tmp_path / "mx_clean")
+    _sh.copytree(idx0, idx_clean)
+
+    class _Kill(RuntimeError):
+        pass
+
+    def boom_at(point):
+        def hook(name):
+            if name == point:
+                raise _Kill(point)
+
+        return hook
+
+    from search_engine_ray.index_build import compact as _c2
+
+    _c2.compact_index(idx_clean)
+    expected = IndexSearcher(idx_clean).search(
+        {"term": {"field": "title", "value": "muno"}}, size=20
+    )
+    assert expected["doc_id"].tolist() == base["doc_id"].tolist()
+
+    real_hook = cmod._crashpoint
+    for point in ("post_build", "post_marker", "post_rename",
+                  "post_drop"):
+        idx = str(tmp_path / f"mx_{point}")
+        _sh.copytree(idx0, idx)
+        cmod._crashpoint = boom_at(point)
+        try:
+            with pytest.raises(_Kill):
+                cmod.compact_index(idx)
+        finally:
+            cmod._crashpoint = real_hook
+        cmod.recover_compaction(idx)
+        with open(os.path.join(idx, "manifest.json")) as f:
+            m = json.load(f)
+        assert cmod._partition_names(idx) == m["partitions"], point
+        assert not os.path.exists(cmod._marker_path(idx)), point
+        got = IndexSearcher(idx).search(
+            {"term": {"field": "title", "value": "muno"}}, size=20
+        )
+        assert got["doc_id"].tolist() == base["doc_id"].tolist(), point
+        # crash points at/after the marker committed the merge: results
+        # equal the clean-compaction end state exactly.  post_build
+        # rolls BACK (marker never written) — pre-compaction scores.
+        if point != "post_build":
+            assert got["score"].tolist() == expected["score"].tolist(), (
+                point
+            )
+    # the clean compaction of the mixed index: two schema groups
+    # survive as two partitions, the deleted doc physically gone
+    m = json.load(open(os.path.join(idx_clean, "manifest.json")))
+    assert m["total_docs"] == 3
+    assert len(m["partitions"]) == 2

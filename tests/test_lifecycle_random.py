@@ -55,7 +55,16 @@ def _rand_doc(rng, did):
     if rng.random() < 0.25:
         words.append(str(rng.choice(PUNCT)))
     body = " ".join(str(w) for w in rng.choice(VOCAB, rng.integers(4, 10)))
-    tag = str(rng.choice(["red", "green", "blue", "x1"]))
+    # tag is a scalar 70% of the time, a LIST 30% — a field that is a
+    # scalar in one delta partition and a list in a later one must
+    # still facet/agg per element (SharedMemoryWorkerPool.ts:1012)
+    tag_pool = ["red", "green", "blue", "x1"]
+    if rng.random() < 0.3:
+        tag = [str(t) for t in rng.choice(
+            tag_pool, int(rng.integers(1, 4)), replace=False
+        )]
+    else:
+        tag = str(rng.choice(tag_pool))
     doc = {"id": did, "title": " ".join(words), "body": body,
            "tag": tag, "num": int(rng.integers(-5, 50))}
     if rng.random() < 0.25:  # late-introduced field → mapping widening
@@ -253,7 +262,11 @@ def test_random_lifecycle_battery(
                     from collections import Counter
 
                     want_agg = Counter(
-                        model[d]["tag"] for d in want if d in model
+                        t
+                        for d in want if d in model
+                        for t in (model[d]["tag"]
+                                  if isinstance(model[d]["tag"], list)
+                                  else [model[d]["tag"]])
                     )
                     got_agg = {
                         b["key"]: b["doc_count"]
@@ -278,7 +291,12 @@ def test_random_lifecycle_battery(
             assert res["total"] == len(model), (phase, len(model))
             from collections import Counter
 
-            want_tags = Counter(d["tag"] for d in model.values())
+            want_tags = Counter(
+                t
+                for d in model.values()
+                for t in (d["tag"] if isinstance(d["tag"], list)
+                          else [d["tag"]])
+            )
             got_tags = {
                 b["key"]: b["doc_count"]
                 for b in res["aggregations"]["tags"]["buckets"]

@@ -1005,3 +1005,53 @@ class TestMixedScalarListFacet:
             assert got == {"red": 2, "blue": 1}
         finally:
             srv.stop()
+
+
+class TestMixedTypeShapeFlushAndCompact:
+    """One buffered batch can hold {'tag': 'red'} and
+    {'tag': ['a','b']} (a JS document store has no schema) — the flush
+    splits the batch by per-field type signature into several cleanly
+    typed delta partitions, and compaction merges partitions per
+    schema-unifiability group instead of crashing on the type clash."""
+
+    def test_mixed_batch_flush_then_compact(
+        self, tmp_path_factory, ray_session
+    ):
+        from search_engine_ray.server import SearchServer
+
+        root = str(tmp_path_factory.mktemp("mixshape"))
+        srv = SearchServer(root)
+        port = srv.start()
+        try:
+            _req(port, "/index", {"indexName": "ms",
+                                  "facetFields": ["tag"]})
+            code, out = _req(port, "/index/ms/documents", {"documents": [
+                {"id": "a", "title": "muno kedota", "tag": "red"},
+                {"id": "b", "title": "rilo plim", "tag": ["blue", "red"]},
+                {"id": "c", "title": "vestara", "tag": "blue"},
+            ]})
+            assert code == 200
+            code, out = _req(port, "/index/ms/flush", {})
+            assert code == 200, out
+            assert out["flushed"] == 3
+            assert len(out.get("partitions", [out["partition"]])) == 2
+            code, res = _req(port, "/search/ms", {
+                "query": {"match_all": {}}, "size": 10,
+            })
+            assert res["total"] == 3
+            # per-doc value shapes survive: scalar stays scalar
+            shapes = {h["id"]: h["tag"] for h in res["hits"]}
+            assert shapes["a"] == "red" and shapes["b"] == ["blue", "red"]
+            assert res["facets"] == {"tag": {"red": 2, "blue": 2}}
+            # compaction groups by schema instead of crashing; deletes
+            # are still reclaimed
+            _req(port, "/index/ms/documents/delete", {"ids": ["c"]})
+            code, out = _req(port, "/index/ms/compact", {})
+            assert code == 200, out
+            code, res = _req(port, "/search/ms", {
+                "query": {"match_all": {}}, "size": 10,
+            })
+            assert res["total"] == 2
+            assert res["facets"] == {"tag": {"red": 2, "blue": 1}}
+        finally:
+            srv.stop()
