@@ -110,6 +110,15 @@ def _rand_query(rng, vocab, depth=0):
         clauses["minimum_should_match"] = int(
             rng.integers(1, len(clauses["should"]) + 1)
         )
+    # scalar (non-array) clause form: the naive scan wraps it
+    # (QueryEngine.ts:378-381) and both engine and oracle normalize it
+    # the same way — locked here for engine↔oracle consistency under
+    # the documented BM25-core scoring ruling
+    if rng.random() < 0.15:
+        for cl in ("must", "should", "must_not"):
+            if len(clauses.get(cl) or []) == 1:
+                clauses[cl] = clauses[cl][0]
+                break
     return {"bool": clauses}
 
 
