@@ -2550,6 +2550,22 @@ class IndexSearcher:
         if query is None:
             # null query returns ALL documents (QueryEngine.ts:1099-1103)
             query = {"match_all": {}}
+        if size <= 0:
+            # RankingPipeline.paginate: size <= 0 → [] (ts:109-112)
+            return pd.DataFrame({"doc_id": [], "score": []})
+        if from_ < 0:
+            # negative from is a JS Array.slice window over the FULL
+            # ranked list (slice(from, from+size): start = max(L+from,
+            # 0)) — the top-k paths' k = from_+size universe is wrong
+            # for it, so rank everything and let Python slicing (same
+            # ComputedIndex semantics as JS slice) take the page
+            full = self.search(
+                query, size=int(self.total_docs) + 1, from_=0,
+                operator=operator, user_id=user_id,
+            )
+            # Python slice clamping ≡ JS ComputedIndex for every
+            # (negative start, start+size) combination
+            return full.iloc[from_: from_ + size].reset_index(drop=True)
         doc_boosts: Optional[Dict[int, int]] = None
         if user_id is not None and self.personalization is not None:
             doc_boosts = self.personalization.user_events(user_id) or None

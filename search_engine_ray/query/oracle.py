@@ -519,4 +519,9 @@ class OracleEngine:
                 n = sum(len(p.findall(text)) for p in pats)
                 scored.append((did, float(max(1, n))))
         scored.sort(key=lambda t: (-t[1], t[0]))
+        if size <= 0:
+            # RankingPipeline.paginate: size <= 0 → [] (ts:109-112)
+            return []
+        # Python slice clamping ≡ JS ComputedIndex — negative from is
+        # the reference's Array.slice tail window
         return scored[from_ : from_ + size]

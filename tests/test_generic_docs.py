@@ -790,3 +790,58 @@ class TestRangeJsComparisonSemantics:
         # gte !== undefined passes for null; value < null → value < 0
         assert self._ids(range_idx, {"field": "n", "gte": None}) == [1, 2, 3]
         assert self._ids(range_idx, {"field": "n", "lt": None}) == []
+
+
+class TestJsSlicePagination:
+    """Pagination is RankingPipeline.paginate (ts:109-112):
+    ``size <= 0`` returns [] and ``results.slice(from, from + size)``
+    follows JS ComputedIndex clamping — a NEGATIVE from is a tail
+    window over the FULL ranked list (Python slice semantics are
+    identical, but the top-k paths' k = from+size universe is not,
+    so negative from forces a full ranking)."""
+
+    @pytest.fixture(scope="class")
+    def pag_idx(self, tmp_path_factory, ray_session):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.index_build import BuildConfig, build_index
+        from search_engine_ray.query import IndexSearcher
+
+        root = tmp_path_factory.mktemp("jspag")
+        tbl = pa.table({
+            "doc_id": pa.array(list(range(1, 8)), pa.int64()),
+            "text": pa.array(
+                [f"muno doc {i} " + "muno " * i for i in range(7)],
+                pa.large_string(),
+            ),
+        })
+        src = str(root / "docs.parquet")
+        pq.write_table(tbl, src)
+        idx = str(root / "idx")
+        build_index(
+            idx, src,
+            BuildConfig(fields=(("text", "standard"),),
+                        id_column="doc_id", extract_html=False,
+                        dedup=False, read_columns=["doc_id", "text"],
+                        stopwords=frozenset()),
+        )
+        return IndexSearcher(idx, stopwords=frozenset())
+
+    @pytest.mark.parametrize(
+        "size,frm,expected",
+        [
+            (0, 0, []),            # size <= 0 → []
+            (-1, 0, []),
+            (3, -2, []),           # slice(-2, 1): start 5 > end 1
+            (10, -2, [2, 1]),      # slice(-2, 8): the tail window
+            (3, -9, [7]),          # start clamps to 0, end = L-6 = 1
+            (3, 100, []),
+        ],
+    )
+    def test_slice_cases(self, pag_idx, size, frm, expected):
+        r = pag_idx.search(
+            {"term": {"field": "text", "value": "muno"}},
+            size=size, from_=frm,
+        )
+        assert r["doc_id"].tolist() == expected
