@@ -2962,7 +2962,10 @@ class IndexSearcher:
                     a = agg["terms"]
                     df = df_provider([a["field"]])
                     vc = _explode_listlike(df[a["field"]]).value_counts()
-                    size = a.get("size", 10)
+                    # JS `termsConfig.size || 10` (SearchEngine.ts:986):
+                    # 0/null/false are FALSY → 10; a negative size
+                    # survives, and items[:size] matches slice(0, size)
+                    size = a.get("size") or 10
                     mdc = a.get("min_doc_count", 1)
                     # const key = String(val) (SearchEngine.ts:993) —
                     # stringify-equal values merge BEFORE min_doc_count

@@ -440,6 +440,24 @@ class TestNestedAggAndSideChannels:
         top = sorted(((k, v) for k, v in c.items()), key=lambda t: (-t[1], t[0]))[:3]
         got = [(b["key"], b["doc_count"]) for b in aggs["cities"]["buckets"]]
         assert got == top
+        # JS `size || 10` falsiness (SearchEngine.ts:986): a FALSY agg
+        # size (0/null) means the default 10, not zero buckets
+        for falsy in (0, None):
+            a0 = s.aggregations(
+                {"match_all": {}},
+                {"cities": {"terms": {
+                    "field": "user.profile.location.city",
+                    "size": falsy,
+                }}},
+            )
+            want = sorted(
+                ((k, v) for k, v in c.items()),
+                key=lambda t: (-t[1], t[0]),
+            )[:10]
+            assert [
+                (b["key"], b["doc_count"])
+                for b in a0["cities"]["buckets"]
+            ] == want, falsy
 
     def test_phone_digits_side_channel(self, tmp_path, ray_session):
         import pyarrow as pa
