@@ -2960,6 +2960,10 @@ class IndexSearcher:
             for name, agg in spec.items():
                 if "terms" in agg:
                     a = agg["terms"]
+                    if not a.get("field"):
+                        # `if (field)` (SearchEngine.ts:987): a falsy
+                        # field skips the arm — the agg KEY is absent
+                        continue
                     df = df_provider([a["field"]])
                     vc = _explode_listlike(df[a["field"]]).value_counts()
                     # JS `termsConfig.size || 10` (SearchEngine.ts:986):
@@ -2994,6 +2998,11 @@ class IndexSearcher:
                     # typeof value === 'number' guard: strings/bools
                     # never bucket (FacetEngine.ts:184-205)
                     a = agg["histogram"]
+                    if not (a.get("field") and a.get("interval")):
+                        # `if (field && interval)` (ts:1011): falsy
+                        # interval (0/null/missing) skips the arm —
+                        # never a divide-by-zero bucket key
+                        continue
                     df = df_provider([a["field"]])
                     interval = a["interval"]
                     vals = _js_number_series(df[a["field"]]).dropna()
@@ -3013,6 +3022,12 @@ class IndexSearcher:
                     # JS date parse); bucket key = toISOString() with
                     # key_as_string duplicated
                     a = agg["date_histogram"]
+                    if not (a.get("field") and a.get("interval")):
+                        # `if (field && interval)` (ts:1018): a MISSING
+                        # interval skips the arm entirely; the 1d
+                        # fallback below is only for unknown non-falsy
+                        # interval strings (FacetEngine.ts:213-217)
+                        continue
                     ms = DATE_INTERVALS_MS.get(
                         a.get("interval", "1d"), DATE_INTERVALS_MS["1d"]
                     )
@@ -3060,10 +3075,13 @@ class IndexSearcher:
                     # only; every bucket carries a key (range.key or
                     # the generated 'from-to' label, JS numbers)
                     a = agg["range"]
+                    if not a.get("field"):
+                        continue  # `if (field)` (ts:1027)
                     df = df_provider([a["field"]])
                     v = _js_number_series(df[a["field"]])
                     buckets = []
-                    for rng in a["ranges"]:
+                    # ranges defaults to [] (calculateRange signature)
+                    for rng in a.get("ranges") or []:
                         lo, hi = rng.get("from"), rng.get("to")
                         m = v.notna()
                         if lo is not None:
@@ -3086,6 +3104,8 @@ class IndexSearcher:
                     # FacetEngine.ts:301-325: docs having the path +
                     # sub-aggs evaluated on path.field columns
                     a = agg["nested"]
+                    if not a.get("path"):
+                        continue  # `if (path)` (ts:1034)
                     path = a["path"]
                     sub = dict(a.get("aggs", {}))
                     # qualify bare sub-agg fields with the path

@@ -76,14 +76,20 @@ def _empty_aggs(spec: Dict[str, Any]) -> Dict[str, Any]:
     for name, agg in (spec or {}).items():
         if not isinstance(agg, dict):
             continue
-        if (
-            "terms" in agg or "histogram" in agg
-            or "date_histogram" in agg
-        ):
+        if "terms" in agg:
+            if not agg["terms"].get("field"):
+                continue  # `if (field)` — arm skipped, key absent
+            out[name] = {"buckets": []}
+        elif "histogram" in agg or "date_histogram" in agg:
+            a = agg.get("histogram") or agg.get("date_histogram")
+            if not (a.get("field") and a.get("interval")):
+                continue  # `if (field && interval)`
             out[name] = {"buckets": []}
         elif "range" in agg:
+            if not agg["range"].get("field"):
+                continue
             buckets = []
-            for rng in agg["range"].get("ranges", []):
+            for rng in agg["range"].get("ranges") or []:
                 lo, hi = rng.get("from"), rng.get("to")
                 b: Dict[str, Any] = {
                     "key": rng.get("key") or _range_key(lo, hi)
@@ -96,6 +102,8 @@ def _empty_aggs(spec: Dict[str, Any]) -> Dict[str, Any]:
                 buckets.append(b)
             out[name] = {"buckets": buckets}
         elif "nested" in agg:
+            if not agg["nested"].get("path"):
+                continue
             sub = _empty_aggs(agg["nested"].get("aggs", {}))
             if any(
                 "field" in ks

@@ -458,6 +458,23 @@ class TestNestedAggAndSideChannels:
                 (b["key"], b["doc_count"])
                 for b in a0["cities"]["buckets"]
             ] == want, falsy
+        # JS truthiness guards skip the whole arm — the agg KEY is
+        # absent from the response (`if (field)` ts:987, `if (field &&
+        # interval)` ts:1011/:1018, `if (path)` ts:1034)
+        skipped = s.aggregations(
+            {"match_all": {}},
+            {
+                "no_field": {"terms": {"field": "", "size": 3}},
+                "zero_interval": {"histogram": {
+                    "field": "user.profile.age", "interval": 0}},
+                "no_interval": {"date_histogram": {
+                    "field": "user.profile.age"}},
+                "no_path": {"nested": {"path": ""}},
+                "ok": {"terms": {
+                    "field": "user.profile.location.city", "size": 1}},
+            },
+        )
+        assert set(skipped) == {"ok"}
 
     def test_phone_digits_side_channel(self, tmp_path, ray_session):
         import pyarrow as pa
