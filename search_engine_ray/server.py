@@ -888,13 +888,32 @@ class SearchServer:
                 b = self._body()
                 t0 = time.time()
 
+                # keyword-only facet gate: an index whose facetFields
+                # came from CREATION options has a FacetEngine built
+                # WITH the mappingsManager, whose add() skips any field
+                # not mapped 'keyword' (FacetEngine.ts:73, :104-110) —
+                # text/number/unmapped facet fields never count.  (The
+                # reference's `facetFields` SETTER path rebuilds
+                # FacetEngine WITHOUT the manager, ts:804-814, so
+                # engine-level `search_full(facet_fields=...)` — the
+                # setter analog — stays ungated.)  autoMap runs before
+                # facetEngine.add on every add, and mappings are
+                # extend-only, so gating on the CURRENT mapping equals
+                # the reference's add-time gate.
+                facet_fields = h.facet_fields
+                if facet_fields:
+                    mp = h.mappings or {}
+                    facet_fields = [
+                        f for f in facet_fields if mp.get(f) == "keyword"
+                    ]
+
                 def run(searcher):
                     return searcher.search_full(
                         b.get("query") or {"match_all": {}},
                         size=int(b.get("size", 10)),
                         from_=int(b.get("from", 0)),
                         operator=b.get("operator", "and"),
-                        facet_fields=h.facet_fields or None,
+                        facet_fields=facet_fields or None,
                         aggs=b.get("aggregations") or b.get("aggs"),
                         # reference hits carry the WHOLE document
                         # (SearchEngine.ts:617-626 {...docData, _score})

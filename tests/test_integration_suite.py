@@ -29,6 +29,7 @@ Port notes (verified against the reference SOURCE):
 """
 
 import json
+import os
 import urllib.request
 
 import pytest
@@ -334,15 +335,44 @@ class TestFacetedSearch:
     """search-engine-integration.test.ts:368-393"""
 
     def test_calculate_facets(self, server):
+        # the reference test drives `searchEngine.facetFields = [...]`
+        # — the SETTER path, which rebuilds FacetEngine WITHOUT the
+        # mappingsManager (SearchEngine.ts:804-814) and therefore skips
+        # the keyword-only gate.  The engine-level
+        # search_full(facet_fields=...) is that path's analog; the
+        # HTTP creation path is the GATED one (see
+        # test_creation_path_facets_are_keyword_gated).
         port, _ = server
         _mk(port, "intfacet", [
             {"id": "doc1", "name": "Hello World", "category": "tech"},
             {"id": "doc2", "name": "Test Document", "category": "tech"},
             {"id": "doc3", "name": "Another Test", "category": "news"},
-        ], facet_fields=["category"])
-        r = _search(port, "intfacet", "test",
-                    **{"size": 10, "operator": "or"})
+        ])
+        from search_engine_ray.query import IndexSearcher
+
+        idx_dir = os.path.join(server[1].root_dir, "intfacet")
+        s2 = IndexSearcher(idx_dir, text_fields=("name",))
+        r = s2.search_full("test", size=10, operator="or",
+                           facet_fields=["category"])
         assert r["facets"]["category"] == {"tech": 1, "news": 1}
+
+    def test_creation_path_facets_are_keyword_gated(self, server):
+        # facetFields given at index CREATION build the FacetEngine
+        # WITH the mappingsManager (SearchEngine.ts:73), whose add()
+        # skips fields not mapped 'keyword' (FacetEngine.ts:104-110);
+        # 'category' auto-maps to TEXT via the field-name pattern, so
+        # the served facets omit it, while a keyword-mapped field
+        # ('status') still counts.
+        port, _ = server
+        _mk(port, "intfacetgate", [
+            {"id": "doc1", "name": "Hello World", "category": "tech",
+             "status": "active"},
+            {"id": "doc2", "name": "Test Document", "category": "news",
+             "status": "archived"},
+        ], facet_fields=["category", "status"])
+        r = _search(port, "intfacetgate", "test",
+                    **{"size": 10, "operator": "or"})
+        assert r["facets"] == {"status": {"archived": 1}}
 
     def test_empty_facets(self, server):
         port, _ = server

@@ -58,7 +58,7 @@ def _rand_doc(rng, did):
     # tag is a scalar 70% of the time, a LIST 30% — a field that is a
     # scalar in one delta partition and a list in a later one must
     # still facet/agg per element (SharedMemoryWorkerPool.ts:1012)
-    tag_pool = ["red", "green", "blue", "x1"]
+    tag_pool = ["red", "green", "blue", "x1"]  # status values
     if rng.random() < 0.3:
         tag = [str(t) for t in rng.choice(
             tag_pool, int(rng.integers(1, 4)), replace=False
@@ -66,7 +66,7 @@ def _rand_doc(rng, did):
     else:
         tag = str(rng.choice(tag_pool))
     doc = {"id": did, "title": " ".join(words), "body": body,
-           "tag": tag, "num": int(rng.integers(-5, 50))}
+           "status": tag, "num": int(rng.integers(-5, 50))}
     if rng.random() < 0.25:  # late-introduced field → mapping widening
         f = str(rng.choice(EXTRA_FIELDS))
         doc[f] = " ".join(
@@ -166,7 +166,7 @@ def test_random_lifecycle_battery(
     root = str(tmp_path_factory.mktemp("lcr"))
     srv = SearchServer(root)
     port = srv.start()
-    _req(port, "/index", {"indexName": "lc", "facetFields": ["tag"]})
+    _req(port, "/index", {"indexName": "lc", "facetFields": ["status"]})
     # decoy index: mutated alongside, never queried directly — any
     # cross-index leak shows up as oracle mismatches on 'lc'
     _req(port, "/index", {"indexName": "other"})
@@ -257,16 +257,16 @@ def test_random_lifecycle_battery(
                         port, "/search/lc",
                         {"query": q, "size": 1, "operator": op,
                          "aggregations": {"tags": {
-                             "terms": {"field": "tag", "size": 10}}}},
+                             "terms": {"field": "status", "size": 10}}}},
                     )
                     from collections import Counter
 
                     want_agg = Counter(
                         t
                         for d in want if d in model
-                        for t in (model[d]["tag"]
-                                  if isinstance(model[d]["tag"], list)
-                                  else [model[d]["tag"]])
+                        for t in (model[d]["status"]
+                                  if isinstance(model[d]["status"], list)
+                                  else [model[d]["status"]])
                     )
                     got_agg = {
                         b["key"]: b["doc_count"]
@@ -285,7 +285,7 @@ def test_random_lifecycle_battery(
                 port, "/search/lc",
                 {"query": {"match_all": {}}, "size": 10_000,
                  "aggregations": {
-                     "tags": {"terms": {"field": "tag", "size": 10}},
+                     "tags": {"terms": {"field": "status", "size": 10}},
                  }},
             )
             assert res["total"] == len(model), (phase, len(model))
@@ -294,8 +294,8 @@ def test_random_lifecycle_battery(
             want_tags = Counter(
                 t
                 for d in model.values()
-                for t in (d["tag"] if isinstance(d["tag"], list)
-                          else [d["tag"]])
+                for t in (d["status"] if isinstance(d["status"], list)
+                          else [d["status"]])
             )
             got_tags = {
                 b["key"]: b["doc_count"]
@@ -306,7 +306,7 @@ def test_random_lifecycle_battery(
             # facets (configured at index creation) count over the SAME
             # full result set — bucket keys only appear when non-empty
             want_facets = (
-                {"tag": dict(want_tags)} if want_tags else {}
+                {"status": dict(want_tags)} if want_tags else {}
             )
             assert res["facets"] == want_facets, (phase, res["facets"],
                                                   want_facets)

@@ -984,22 +984,22 @@ class TestMixedScalarListFacet:
         port = srv.start()
         try:
             _req(port, "/index", {"indexName": "mf",
-                                  "facetFields": ["tag"]})
+                                  "facetFields": ["status"]})
             _req(port, "/index/mf/documents", {"documents": [
-                {"id": "a", "title": "muno", "tag": "red"},
+                {"id": "a", "title": "muno", "status": "red"},
             ]})
             _req(port, "/index/mf/flush", {})
             _req(port, "/index/mf/documents", {"documents": [
-                {"id": "b", "title": "rilo", "tag": ["blue", "red"]},
+                {"id": "b", "title": "rilo", "status": ["blue", "red"]},
             ]})
             _req(port, "/index/mf/flush", {})
             code, res = _req(port, "/search/mf", {
                 "query": {"match_all": {}}, "size": 10,
-                "aggregations": {"t": {"terms": {"field": "tag",
+                "aggregations": {"t": {"terms": {"field": "status",
                                                  "size": 10}}},
             })
             assert code == 200
-            assert res["facets"] == {"tag": {"red": 2, "blue": 1}}
+            assert res["facets"] == {"status": {"red": 2, "blue": 1}}
             got = {b["key"]: b["doc_count"]
                    for b in res["aggregations"]["t"]["buckets"]}
             assert got == {"red": 2, "blue": 1}
@@ -1024,11 +1024,12 @@ class TestMixedTypeShapeFlushAndCompact:
         port = srv.start()
         try:
             _req(port, "/index", {"indexName": "ms",
-                                  "facetFields": ["tag"]})
+                                  "facetFields": ["status"]})
             code, out = _req(port, "/index/ms/documents", {"documents": [
-                {"id": "a", "title": "muno kedota", "tag": "red"},
-                {"id": "b", "title": "rilo plim", "tag": ["blue", "red"]},
-                {"id": "c", "title": "vestara", "tag": "blue"},
+                {"id": "a", "title": "muno kedota", "status": "red"},
+                {"id": "b", "title": "rilo plim",
+                 "status": ["blue", "red"]},
+                {"id": "c", "title": "vestara", "status": "blue"},
             ]})
             assert code == 200
             code, out = _req(port, "/index/ms/flush", {})
@@ -1040,9 +1041,9 @@ class TestMixedTypeShapeFlushAndCompact:
             })
             assert res["total"] == 3
             # per-doc value shapes survive: scalar stays scalar
-            shapes = {h["id"]: h["tag"] for h in res["hits"]}
+            shapes = {h["id"]: h["status"] for h in res["hits"]}
             assert shapes["a"] == "red" and shapes["b"] == ["blue", "red"]
-            assert res["facets"] == {"tag": {"red": 2, "blue": 2}}
+            assert res["facets"] == {"status": {"red": 2, "blue": 2}}
             # compaction groups by schema instead of crashing; deletes
             # are still reclaimed
             _req(port, "/index/ms/documents/delete", {"ids": ["c"]})
@@ -1052,6 +1053,6 @@ class TestMixedTypeShapeFlushAndCompact:
                 "query": {"match_all": {}}, "size": 10,
             })
             assert res["total"] == 2
-            assert res["facets"] == {"tag": {"red": 2, "blue": 1}}
+            assert res["facets"] == {"status": {"red": 2, "blue": 1}}
         finally:
             srv.stop()
